@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated parquet test tables (TESTDATA.md).
+  *
+  * All `SparkEntry.queries` entries receive a scale-factor directory and
+  * read only these tables — never synthesized inputs — so the DuckDB
+  * oracle sees byte-identical source data.
+  */
+object Tables {
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame   = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame   = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
+  def nation(s: SparkSession, d: String): DataFrame     = table(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame     = table(s, d, "region")
+  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark
+    * cannot read natively. Read it as a long (nanos since epoch) and
+    * truncate to a microsecond TIMESTAMP with integer division — the
+    * exact truncation DuckDB applies when it reads the same file, so
+    * oracle comparisons see identical values. (Integer `div`, not `/`:
+    * 2024 epoch-nanos ≈ 1.7e18 exceeds a double's 53-bit mantissa.)
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, d, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
+  def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}
+
+/** A named group of driver-checkable queries.
+  *
+  * `queries` maps name -> (spark, sfDir) => result; `oracles` maps the
+  * same name -> DuckDB SQL over the same parquet tables (table names are
+  * bare — the driver points DuckDB at the sf dir). Names absent from
+  * `oracles` get a weaker rows-only check.
+  */
+trait QueryModule {
+  def queries: Seq[(String, (SparkSession, String) => DataFrame)]
+  def oracles: Seq[(String, String)]
+}

@@ -1,0 +1,312 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.{QueryModule, Tables}
+
+/** Core relational operator coverage (SURVEY.md §2.1–2.7) expressed
+  * Spark-first over the shared TPC-H-ish test tables.
+  *
+  * Every query has a DuckDB oracle. Conventions for oracle parity:
+  *   - every computed column is aliased identically on both sides;
+  *   - aggregates over doubles are rounded (summation order differs
+  *     between engines in the low bits);
+  *   - per-row double arithmetic is left exact (same IEEE ops on both
+  *     sides);
+  *   - timestamps compared as values are reduced to `unix_micros` /
+  *     `epoch_us` where engine-side timestamp *types* would differ.
+  *
+  * Scale notes (100 TB mindset): filters sit directly on the scan so
+  * Catalyst pushes them into parquet; aggregations are partial-agg
+  * friendly (plain groupBy over codegen'd exprs); the one deliberately
+  * small side (nation/region) is broadcast.
+  */
+object Relational extends QueryModule {
+  import Tables._
+
+  // ---------------------------------------------------------------- q1
+  // TPC-H Q1-shaped pricing summary: scan-filter → hash aggregate.
+  // Reference analogue: SUM(...) GROUP BY country (demo-notebook.py:397-416).
+  private def q1(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    lineitem(s, d)
+      .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        round(sum($"l_quantity"), 4).as("sum_qty"),
+        round(sum($"l_extendedprice"), 4).as("sum_base_price"),
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4).as("sum_disc_price"),
+        round(avg($"l_quantity"), 4).as("avg_qty"),
+        round(avg($"l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+  }
+  private val q1Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 4) AS sum_qty,
+      |  round(sum(l_extendedprice), 4) AS sum_base_price,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
+      |  round(avg(l_quantity), 4) AS avg_qty,
+      |  round(avg(l_discount), 4) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- q2
+  // Projection + pushed-down range predicate + per-row arithmetic
+  // (SURVEY P1/P2; per-row doubles stay exact on both engines).
+  private def q2(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    lineitem(s, d)
+      .filter($"l_shipdate" >= lit("1997-01-01").cast("timestamp") &&
+              $"l_shipdate" <  lit("1997-02-01").cast("timestamp") &&
+              $"l_returnflag" === "R")
+      .select(
+        $"l_orderkey", $"l_linenumber",
+        ($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("net_price"))
+  }
+  private val q2Sql =
+    """SELECT l_orderkey, l_linenumber,
+      |  l_extendedprice * (1.0 - l_discount) AS net_price
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |  AND l_shipdate <  TIMESTAMP '1997-02-01'
+      |  AND l_returnflag = 'R'""".stripMargin
+
+  // ---------------------------------------------------------------- q3
+  // 3-way equi-join + aggregate (TPC-H Q3 shape). customer is small →
+  // Catalyst broadcasts it under AQE; orders⋈lineitem shuffles on the
+  // join key only once because the aggregate reuses o_orderkey.
+  private def q3(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val c = customer(s, d).filter($"c_mktsegment" === "BUILDING")
+    val o = orders(s, d).filter($"o_orderdate" < lit("1998-01-01").cast("timestamp"))
+    val l = lineitem(s, d)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy($"o_orderkey", $"o_orderdate", $"o_orderpriority")
+      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4).as("revenue"))
+  }
+  private val q3Sql =
+    """SELECT o_orderkey, o_orderdate, o_orderpriority,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY o_orderkey, o_orderdate, o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- q4
+  // Semi-join (EXISTS) + aggregate — TPC-H Q4 shape. left_semi avoids
+  // materializing the join (SURVEY §2.3 note: MERGE's not-matched clause
+  // is the anti-join dual of this).
+  private def q4(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val o = orders(s, d)
+      .filter($"o_orderdate" >= lit("1997-01-01").cast("timestamp") &&
+              $"o_orderdate" <  lit("1997-07-01").cast("timestamp"))
+    val l = lineitem(s, d).filter($"l_returnflag" === "R")
+    o.join(l, o("o_orderkey") === l("l_orderkey"), "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+  }
+  private val q4Sql =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      |  AND o_orderdate <  TIMESTAMP '1997-07-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+      |GROUP BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- q5
+  // Right-outer equi-join + null default — the reference's validation
+  // join (J1 + F6, demo-notebook.py:527-538): per-nation supplier
+  // account totals right-joined to ALL nations, absent → 0.
+  private def q5(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val perNation = supplier(s, d)
+      .groupBy($"s_nationkey")
+      .agg(round(sum($"s_acctbal"), 2).as("total_bal"))
+    val n = nation(s, d)
+    perNation
+      .join(n, perNation("s_nationkey") === n("n_nationkey"), "right_outer")
+      .select($"n_name", coalesce($"total_bal", lit(0.0)).as("total_bal"))
+  }
+  private val q5Sql =
+    """SELECT n_name, coalesce(total_bal, 0.0) AS total_bal
+      |FROM (SELECT s_nationkey, round(sum(s_acctbal), 2) AS total_bal
+      |      FROM supplier GROUP BY s_nationkey) sup
+      |RIGHT JOIN nation ON sup.s_nationkey = n_nationkey""".stripMargin
+
+  // ---------------------------------------------------------------- q6
+  // Ranking window + keep-latest filter — the reference's intra-batch
+  // dedup idiom (W1, demo-notebook.py:263-267) over the events table:
+  // latest event per user. event_id desc is the deterministic tiebreak.
+  private def q6(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+    events(s, d)
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" === 1)
+      .select($"user_id", $"event_id", $"event_type", $"value")
+  }
+  private val q6Sql =
+    """SELECT user_id, event_id, event_type, value
+      |FROM (SELECT *, row_number() OVER
+      |        (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rnk
+      |      FROM events)
+      |WHERE rnk = 1""".stripMargin
+
+  // ---------------------------------------------------------------- q7
+  // Content hash for change detection — F1 (md5 over concatenated
+  // business fields, demo-notebook.py:168). Timestamp folded in as
+  // unix_micros so both engines hash identical strings.
+  private def q7(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    events(s, d).select(
+      $"event_id",
+      md5(concat_ws("|",
+        $"event_id".cast("string"),
+        $"user_id".cast("string"),
+        $"event_type",
+        unix_micros($"ts").cast("string"))).as("data_hash"))
+  }
+  private val q7Sql =
+    """SELECT event_id,
+      |  md5(concat_ws('|', event_id::VARCHAR, user_id::VARCHAR,
+      |                event_type, epoch_us(ts)::VARCHAR)) AS data_hash
+      |FROM events""".stripMargin
+
+  // ---------------------------------------------------------------- q8
+  // Signed-delta CASE — THE core incremental-aggregation algorithm (A2,
+  // demo-notebook.py:401-413): negate retractions, sum per group.
+  private def q8(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    events(s, d)
+      .withColumn("delta_value",
+        when($"event_type" === "error", -$"value").otherwise($"value"))
+      .groupBy($"user_id")
+      .agg(round(sum($"delta_value"), 2).as("net_value"))
+  }
+  private val q8Sql =
+    """SELECT user_id,
+      |  round(sum(CASE WHEN event_type = 'error' THEN -value ELSE value END), 2)
+      |    AS net_value
+      |FROM events GROUP BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- q9
+  // Timezone normalization — F4 (to_utc_timestamp(ts,'Europe/Paris'),
+  // demo-notebook.py:253). Compared as epoch micros: DuckDB's
+  // TIMESTAMPTZ and Spark's TIMESTAMP would not hash-match as types.
+  private def q9(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    events(s, d).select(
+      $"event_id",
+      unix_micros(to_utc_timestamp($"ts", "Europe/Paris")).as("utc_micros"))
+  }
+  private val q9Sql =
+    """SELECT event_id,
+      |  epoch_us(timezone('Europe/Paris', ts)) AS utc_micros
+      |FROM events""".stripMargin
+
+  // --------------------------------------------------------------- q10
+  // Multi-key mixed-direction sort (O1, demo-notebook.py:372). The sort
+  // itself is verified by value equality; a global sort at scale is a
+  // range-partitioned exchange — only ever do it on final output.
+  private def q10(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    events(s, d)
+      .filter($"event_type".isin("signup", "purchase"))
+      .orderBy($"event_type".asc, $"value".desc, $"event_id".asc)
+      .select($"event_id", $"event_type", $"value")
+  }
+  private val q10Sql =
+    """SELECT event_id, event_type, value
+      |FROM events
+      |WHERE event_type IN ('signup', 'purchase')
+      |ORDER BY event_type ASC, value DESC, event_id ASC""".stripMargin
+
+  // --------------------------------------------------------------- q11
+  // Top-k per group (O3 generalized from k=1): 3 highest-value events
+  // per event_type.
+  private def q11(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"event_type").orderBy($"value".desc, $"event_id".asc)
+    events(s, d)
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 3)
+      .select($"event_type", $"rnk", $"event_id", $"value")
+  }
+  private val q11Sql =
+    """SELECT event_type, rnk, event_id, value
+      |FROM (SELECT *, row_number() OVER
+      |        (PARTITION BY event_type ORDER BY value DESC, event_id ASC) AS rnk
+      |      FROM events)
+      |WHERE rnk <= 3""".stripMargin
+
+  // --------------------------------------------------------------- q12
+  // Exact distinct aggregation (expand-based in Spark; verifies the
+  // distinct path the reference never exercises but a real engine needs).
+  private def q12(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    lineitem(s, d)
+      .groupBy($"l_returnflag")
+      .agg(
+        countDistinct($"l_partkey").as("distinct_parts"),
+        countDistinct($"l_suppkey").as("distinct_supps"),
+        count(lit(1)).as("n_rows"))
+  }
+  private val q12Sql =
+    """SELECT l_returnflag,
+      |  count(DISTINCT l_partkey) AS distinct_parts,
+      |  count(DISTINCT l_suppkey) AS distinct_supps,
+      |  count(*) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  // --------------------------------------------------------------- q13
+  // Point lookup on key (P2, `where id = 298` demo-notebook.py:152) —
+  // at scale this is pure pushdown + partition/row-group pruning.
+  private def q13(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    orders(s, d)
+      .filter($"o_orderkey" === 298L)
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice")
+  }
+  private val q13Sql =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      |FROM orders WHERE o_orderkey = 298""".stripMargin
+
+  override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q1_pricing_summary"  -> q1 _,
+    "q2_filter_project"   -> q2 _,
+    "q3_join_agg"         -> q3 _,
+    "q4_semi_join"        -> q4 _,
+    "q5_right_outer_nvl"  -> q5 _,
+    "q6_window_dedup"     -> q6 _,
+    "q7_data_hash"        -> q7 _,
+    "q8_signed_delta"     -> q8 _,
+    "q9_utc_normalize"    -> q9 _,
+    "q10_multikey_sort"   -> q10 _,
+    "q11_topk_per_group"  -> q11 _,
+    "q12_distinct_agg"    -> q12 _,
+    "q13_point_lookup"    -> q13 _)
+
+  override val oracles: Seq[(String, String)] = Seq(
+    "q1_pricing_summary"  -> q1Sql,
+    "q2_filter_project"   -> q2Sql,
+    "q3_join_agg"         -> q3Sql,
+    "q4_semi_join"        -> q4Sql,
+    "q5_right_outer_nvl"  -> q5Sql,
+    "q6_window_dedup"     -> q6Sql,
+    "q7_data_hash"        -> q7Sql,
+    "q8_signed_delta"     -> q8Sql,
+    "q9_utc_normalize"    -> q9Sql,
+    "q10_multikey_sort"   -> q10Sql,
+    "q11_topk_per_group"  -> q11Sql,
+    "q12_distinct_agg"    -> q12Sql,
+    "q13_point_lookup"    -> q13Sql)
+}
