@@ -25,9 +25,15 @@ object Tables {
     * exact truncation DuckDB applies when it reads the same file, so
     * oracle comparisons see identical values. (Integer `div`, not `/`:
     * 2024 epoch-nanos ≈ 1.7e18 exceeds a double's 53-bit mantissa.)
+    *
+    * REQUIRES `spark.sql.legacy.parquet.nanosAsLong=true` set at session
+    * build (Verify / Bench / TestSpark all do). Deliberately NOT set here:
+    * mutating shared session conf from a loader leaks into unrelated
+    * reads and races concurrent callers (ADVICE r1).
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
+      "session must set spark.sql.legacy.parquet.nanosAsLong=true to read events.parquet")
     table(s, d, "events")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))

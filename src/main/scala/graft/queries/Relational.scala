@@ -35,20 +35,32 @@ object Relational extends QueryModule {
       .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
       .groupBy($"l_returnflag", $"l_linestatus")
       .agg(
-        round(sum($"l_quantity"), 4).as("sum_qty"),
-        round(sum($"l_extendedprice"), 4).as("sum_base_price"),
-        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4).as("sum_disc_price"),
-        round(avg($"l_quantity"), 4).as("avg_qty"),
-        round(avg($"l_discount"), 4).as("avg_disc"),
+        // Money sums via exact DECIMAL arithmetic (the source doubles are
+        // exact 2dp decimals): decimal sums are order-independent, so
+        // both engines produce bit-identical values with NO rounding —
+        // float sums differ in low bits with summation order and any
+        // rounding grid has straddle-the-boundary hash failures
+        // (ADVICE r1; observed live at 2dp). Quantities are integral
+        // doubles (< 2^53) so their float sum is already exact. Averages
+        // are derived as exact-sum / count — one deterministic IEEE
+        // division instead of an order-sensitive float avg.
+        sum($"l_quantity").as("sum_qty"),
+        sum($"l_extendedprice".cast("decimal(18,2)")).cast("double").as("sum_base_price"),
+        sum($"l_extendedprice".cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - $"l_discount".cast("decimal(18,2)")))
+          .cast("double").as("sum_disc_price"),
+        (sum($"l_quantity") / count(lit(1))).as("avg_qty"),
+        (sum($"l_discount".cast("decimal(18,2)")).cast("double") / count(lit(1))).as("avg_disc"),
         count(lit(1)).as("count_order"))
   }
   private val q1Sql =
     """SELECT l_returnflag, l_linestatus,
-      |  round(sum(l_quantity), 4) AS sum_qty,
-      |  round(sum(l_extendedprice), 4) AS sum_base_price,
-      |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
-      |  round(avg(l_quantity), 4) AS avg_qty,
-      |  round(avg(l_discount), 4) AS avg_disc,
+      |  sum(l_quantity) AS sum_qty,
+      |  sum(l_extendedprice::DECIMAL(18,2))::DOUBLE AS sum_base_price,
+      |  sum(l_extendedprice::DECIMAL(18,2) *
+      |      (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DOUBLE AS sum_disc_price,
+      |  sum(l_quantity) / count(*) AS avg_qty,
+      |  sum(l_discount::DECIMAL(18,2))::DOUBLE / count(*) AS avg_disc,
       |  count(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -87,11 +99,15 @@ object Relational extends QueryModule {
     l.join(o, l("l_orderkey") === o("o_orderkey"))
       .join(broadcast(c), o("o_custkey") === c("c_custkey"))
       .groupBy($"o_orderkey", $"o_orderdate", $"o_orderpriority")
-      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 4).as("revenue"))
+      // exact decimal revenue — see q1's rationale
+      .agg(sum($"l_extendedprice".cast("decimal(18,2)") *
+               (lit(1).cast("decimal(18,2)") - $"l_discount".cast("decimal(18,2)")))
+             .cast("double").as("revenue"))
   }
   private val q3Sql =
     """SELECT o_orderkey, o_orderdate, o_orderpriority,
-      |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+      |  sum(l_extendedprice::DECIMAL(18,2) *
+      |      (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2)))::DOUBLE AS revenue
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
@@ -130,7 +146,8 @@ object Relational extends QueryModule {
     import s.implicits._
     val perNation = supplier(s, d)
       .groupBy($"s_nationkey")
-      .agg(round(sum($"s_acctbal"), 2).as("total_bal"))
+      // exact decimal sum — see q1's rationale
+      .agg(sum($"s_acctbal".cast("decimal(18,2)")).cast("double").as("total_bal"))
     val n = nation(s, d)
     perNation
       .join(n, perNation("s_nationkey") === n("n_nationkey"), "right_outer")
@@ -138,7 +155,7 @@ object Relational extends QueryModule {
   }
   private val q5Sql =
     """SELECT n_name, coalesce(total_bal, 0.0) AS total_bal
-      |FROM (SELECT s_nationkey, round(sum(s_acctbal), 2) AS total_bal
+      |FROM (SELECT s_nationkey, sum(s_acctbal::DECIMAL(18,2))::DOUBLE AS total_bal
       |      FROM supplier GROUP BY s_nationkey) sup
       |RIGHT JOIN nation ON sup.s_nationkey = n_nationkey""".stripMargin
 
@@ -164,21 +181,25 @@ object Relational extends QueryModule {
   // ---------------------------------------------------------------- q7
   // Content hash for change detection — F1 (md5 over concatenated
   // business fields, demo-notebook.py:168). Timestamp folded in as
-  // unix_micros so both engines hash identical strings.
+  // unix_micros so both engines hash identical strings. Uses
+  // null-propagating `concat` (any NULL field → NULL hash), matching the
+  // reference's semantics for the inter-batch dup guard — `concat_ws`
+  // would silently skip NULLs (VERDICT r1 finding 1). Separators prevent
+  // ("ab","c") vs ("a","bc") collisions. DuckDB `||` propagates NULL too.
   private def q7(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     events(s, d).select(
       $"event_id",
-      md5(concat_ws("|",
-        $"event_id".cast("string"),
-        $"user_id".cast("string"),
-        $"event_type",
+      md5(concat(
+        $"event_id".cast("string"), lit("|"),
+        $"user_id".cast("string"), lit("|"),
+        $"event_type", lit("|"),
         unix_micros($"ts").cast("string"))).as("data_hash"))
   }
   private val q7Sql =
     """SELECT event_id,
-      |  md5(concat_ws('|', event_id::VARCHAR, user_id::VARCHAR,
-      |                event_type, epoch_us(ts)::VARCHAR)) AS data_hash
+      |  md5(event_id::VARCHAR || '|' || user_id::VARCHAR || '|' ||
+      |      event_type || '|' || epoch_us(ts)::VARCHAR) AS data_hash
       |FROM events""".stripMargin
 
   // ---------------------------------------------------------------- q8
@@ -221,7 +242,9 @@ object Relational extends QueryModule {
     import s.implicits._
     events(s, d)
       .filter($"event_type".isin("signup", "purchase"))
-      .orderBy($"event_type".asc, $"value".desc, $"event_id".asc)
+      // asc_nulls_last: Spark's asc default is NULLS FIRST, DuckDB's is
+      // NULLS LAST — latent oracle divergence on nullable keys (ADVICE r1).
+      .orderBy($"event_type".asc_nulls_last, $"value".desc, $"event_id".asc_nulls_last)
       .select($"event_id", $"event_type", $"value")
   }
   private val q10Sql =
@@ -232,13 +255,24 @@ object Relational extends QueryModule {
 
   // --------------------------------------------------------------- q11
   // Top-k per group (O3 generalized from k=1): 3 highest-value events
-  // per event_type.
+  // per event_type. Two-phase (VERDICT r1: a single window partitioned by
+  // a handful of event_type values funnels every row of a type through
+  // ONE reducer at scale): phase 1 takes a local top-k within each
+  // (event_type, input-partition) — parallel across partitions, correct
+  // under ANY row placement because a per-slice top-k is a superset of
+  // the global top-k — so the final window sees ≤ k·numPartitions rows.
   private def q11(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val w = Window.partitionBy($"event_type").orderBy($"value".desc, $"event_id".asc)
+    val k = 3
+    val ord = Seq($"value".desc, $"event_id".asc_nulls_last)
+    val local = Window.partitionBy($"event_type", $"_slice").orderBy(ord: _*)
+    val global = Window.partitionBy($"event_type").orderBy(ord: _*)
     events(s, d)
-      .withColumn("rnk", row_number().over(w))
-      .filter($"rnk" <= 3)
+      .withColumn("_slice", spark_partition_id())
+      .withColumn("_lrnk", row_number().over(local))
+      .filter($"_lrnk" <= k)
+      .withColumn("rnk", row_number().over(global))
+      .filter($"rnk" <= k)
       .select($"event_type", $"rnk", $"event_id", $"value")
   }
   private val q11Sql =
