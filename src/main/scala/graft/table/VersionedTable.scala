@@ -280,7 +280,7 @@ object VersionedTable {
   /** DROP TABLE (D1). */
   def drop(path: String): Unit = deleteRecursively(Paths.get(path))
 
-  private[table] def deleteRecursively(p: Path): Unit =
+  def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
       Files.walk(p).iterator.asScala.toSeq.reverse.foreach(Files.delete)
     }
