@@ -1,0 +1,253 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{QueryModule, Tables}
+import graft.table._
+
+/** Driver-checkable queries exercising the versioned-table + merge
+  * engine (SURVEY §2.8 D3/D4, §2.1 S7/S8, §2.3 J2/J3) against DuckDB
+  * oracles, re-cast over the shared `events` test table: events are a
+  * CDC log keyed by `user_id` — `error` events are DELETEs, everything
+  * else an upsert; even/odd `event_id` split the log into two batches
+  * replayed through the real engine into a temp table, mirroring the
+  * reference's Silver merge protocol
+  * (/root/reference/notebooks/demo-notebook.py:245-280).
+  *
+  * The DuckDB oracle recomputes the same final state declaratively
+  * (windowed dedup + full-outer-join clause dispatch in SQL), so these
+  * CORRECTNESS rows verify the engine end-to-end: snapshot content,
+  * CDF rows, time travel, and the additive-aggregate invariant
+  * (incremental ≡ recomputed — the §5 guardrail).
+  *
+  * The `data_hash` guard includes `event_id`, so the suppress branch
+  * provably never fires here (distinct events never collide) — its
+  * firing semantics are covered by the replay specs; keeping it in the
+  * clause set still exercises the guard's evaluation path.
+  */
+object MergeOps extends QueryModule {
+  import Tables._
+
+  private val targetSchema = StructType(Seq(
+    StructField("user_id", LongType),
+    StructField("event_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("ts", TimestampType),
+    StructField("data_hash", StringType)))
+
+  /** events + CDC operation + change-detection hash. */
+  private def cdcLog(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    events(s, d).select(
+      $"user_id", $"event_id", $"event_type", $"value", $"ts",
+      when($"event_type" === "error", "DELETE").otherwise("UPSERT").as("op"),
+      md5(concat(
+        $"event_id".cast("string"), lit("|"),
+        $"user_id".cast("string"), lit("|"),
+        $"event_type", lit("|"),
+        $"value".cast("string"), lit("|"),
+        unix_micros($"ts").cast("string"))).as("data_hash"))
+  }
+
+  /** W1 dedup: latest event per user within a batch. */
+  private def latestPerUser(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    df.withColumn("__rnk", row_number().over(w))
+      .filter(col("__rnk") === 1).drop("__rnk")
+  }
+
+  private val upsertClauses = Seq(
+    WhenMatchedDelete(Some(col("source.op") === "DELETE")),
+    WhenMatchedUpdate(Some(col("source.op") === "UPSERT" &&
+      col("source.data_hash") =!= col("target.data_hash"))),
+    WhenNotMatchedInsert(Some(col("source.op") =!= "DELETE")))
+
+  /** Replays the two-batch CDC log through the real engine into a fresh
+    * temp table; returns it at version 2 (v1 = batch 1, v2 = batch 2).
+    */
+  private def replayedTable(s: SparkSession, d: String): VersionedTable = {
+    val dir = Files.createTempDirectory("graft-mergeops").resolve("t").toString
+    val t = VersionedTable.create(s, dir, targetSchema,
+      Map(VersionedTable.PROP_CDF -> "true"))
+    val log = cdcLog(s, d)
+    Seq(0, 1).foreach { parity =>
+      Merge.run(t, latestPerUser(log.filter(col("event_id") % 2 === parity)),
+        Seq("user_id"), upsertClauses)
+    }
+    t
+  }
+
+  /** Shared oracle prelude: batches, dedup, post-batch-1 state. */
+  private val oracleWith =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, event_type, value, ts,
+      |         CASE WHEN event_type = 'error' THEN 'DELETE' ELSE 'UPSERT' END AS op,
+      |         row_number() OVER (PARTITION BY user_id, event_id % 2
+      |                            ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events),
+      |b1 AS (SELECT * FROM ev WHERE event_id % 2 = 0 AND rn = 1),
+      |b2 AS (SELECT * FROM ev WHERE event_id % 2 = 1 AND rn = 1),
+      |t1 AS (SELECT * FROM b1 WHERE op <> 'DELETE'),
+      |j AS (SELECT t1.user_id AS t_uid, t1.event_id AS t_eid,
+      |             t1.event_type AS t_et, t1.value AS t_v, t1.ts AS t_ts,
+      |             b2.user_id AS s_uid, b2.event_id AS s_eid,
+      |             b2.event_type AS s_et, b2.value AS s_v, b2.ts AS s_ts,
+      |             b2.op AS s_op
+      |      FROM t1 FULL JOIN b2 ON t1.user_id = b2.user_id)""".stripMargin
+
+  // ------------------------------------------------- q_merge_upsert (D3)
+  private def qMergeUpsert(s: SparkSession, d: String): DataFrame = {
+    val t = replayedTable(s, d)
+    t.snapshot().select(
+      col("user_id"), col("event_id"), col("event_type"), col("value"),
+      unix_micros(col("ts")).as("ts_us"))
+  }
+  private val qMergeUpsertSql =
+    s"""$oracleWith
+      |SELECT coalesce(s_uid, t_uid) AS user_id,
+      |       CASE WHEN s_uid IS NOT NULL THEN s_eid ELSE t_eid END AS event_id,
+      |       CASE WHEN s_uid IS NOT NULL THEN s_et ELSE t_et END AS event_type,
+      |       CASE WHEN s_uid IS NOT NULL THEN s_v ELSE t_v END AS value,
+      |       epoch_us(CASE WHEN s_uid IS NOT NULL THEN s_ts ELSE t_ts END) AS ts_us
+      |FROM j
+      |WHERE s_uid IS NULL OR s_op <> 'DELETE'""".stripMargin
+
+  // --------------------------------------------------- q_cdf_batch (S7)
+  private def qCdfBatch(s: SparkSession, d: String): DataFrame = {
+    val t = replayedTable(s, d)
+    t.changes(1).select(
+      col("user_id"), col("event_id"), col("event_type"), col("value"),
+      unix_micros(col("ts")).as("ts_us"),
+      col("_change_type"), col("_commit_version"))
+  }
+  private val qCdfBatchSql =
+    s"""$oracleWith
+      |SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
+      |       'insert' AS _change_type, 1::BIGINT AS _commit_version
+      |FROM t1
+      |UNION ALL
+      |SELECT t_uid, t_eid, t_et, t_v, epoch_us(t_ts), 'delete', 2::BIGINT
+      |FROM j WHERE t_uid IS NOT NULL AND s_uid IS NOT NULL AND s_op = 'DELETE'
+      |UNION ALL
+      |SELECT t_uid, t_eid, t_et, t_v, epoch_us(t_ts), 'update_preimage', 2::BIGINT
+      |FROM j WHERE t_uid IS NOT NULL AND s_uid IS NOT NULL AND s_op = 'UPSERT'
+      |UNION ALL
+      |SELECT s_uid, s_eid, s_et, s_v, epoch_us(s_ts), 'update_postimage', 2::BIGINT
+      |FROM j WHERE t_uid IS NOT NULL AND s_uid IS NOT NULL AND s_op = 'UPSERT'
+      |UNION ALL
+      |SELECT s_uid, s_eid, s_et, s_v, epoch_us(s_ts), 'insert', 2::BIGINT
+      |FROM j WHERE t_uid IS NULL AND s_op <> 'DELETE'""".stripMargin
+
+  // ------------------------------------------------- q_time_travel (S8)
+  private def qTimeTravel(s: SparkSession, d: String): DataFrame = {
+    val t = replayedTable(s, d)
+    val past = t.snapshotAt(1).alias("past")
+    val curr = t.snapshot().alias("curr")
+    // the reference's VERSION AS OF right-join delta validation
+    // (demo-notebook.py:527-538), per user instead of per country
+    past.join(curr, col("curr.user_id") === col("past.user_id"), "right_outer")
+      .select(
+        col("curr.user_id").as("user_id"),
+        coalesce(col("past.value"), lit(0.0)).as("prev_value"),
+        col("curr.value").as("curr_value"),
+        (col("curr.value") - coalesce(col("past.value"), lit(0.0)))
+          .as("delta_value"))
+  }
+  private val qTimeTravelSql =
+    s"""$oracleWith,
+      |curr AS (
+      |  SELECT coalesce(s_uid, t_uid) AS user_id,
+      |         CASE WHEN s_uid IS NOT NULL THEN s_v ELSE t_v END AS value
+      |  FROM j WHERE s_uid IS NULL OR s_op <> 'DELETE')
+      |SELECT curr.user_id AS user_id,
+      |       coalesce(t1.value, 0.0) AS prev_value,
+      |       curr.value AS curr_value,
+      |       curr.value - coalesce(t1.value, 0.0) AS delta_value
+      |FROM t1 RIGHT JOIN curr ON curr.user_id = t1.user_id""".stripMargin
+
+  // --------------------------------------------- q_merge_additive (D4)
+  /** Gold-style incremental aggregate: per-user signed net value applied
+    * in two additive merges; the oracle recomputes from scratch — the
+    * incremental ≡ recomputed invariant as a CORRECTNESS row. Sums use
+    * exact DECIMAL so incremental addition is order-independent. */
+  private def qMergeAdditive(s: SparkSession, d: String): DataFrame = {
+    val goldSchema = StructType(Seq(
+      StructField("user_id", LongType),
+      StructField("sum_value", DecimalType(18, 2))))
+    val dir = Files.createTempDirectory("graft-additive").resolve("t").toString
+    val t = VersionedTable.create(s, dir, goldSchema)
+    val clauses = Seq(
+      WhenMatchedUpdate(set = Map(
+        "sum_value" -> (col("target.sum_value") + col("source.delta_value")))),
+      WhenNotMatchedInsert(values = Map(
+        "user_id" -> col("source.user_id"),
+        "sum_value" -> col("source.delta_value"))))
+    val log = cdcLog(s, d)
+    Seq(0, 1).foreach { parity =>
+      val deltas = log.filter(col("event_id") % 2 === parity)
+        .select(col("user_id"),
+          when(col("op") === "DELETE", -col("value")).otherwise(col("value"))
+            .cast(DecimalType(18, 2)).as("delta_value"))
+        .groupBy(col("user_id"))
+        .agg(sum(col("delta_value")).cast(DecimalType(18, 2)).as("delta_value"))
+      Merge.run(t, deltas, Seq("user_id"), clauses)
+    }
+    t.snapshot().select(col("user_id"), col("sum_value").cast("double").as("sum_value"))
+  }
+  private val qMergeAdditiveSql =
+    """SELECT user_id,
+      |  sum(CASE WHEN event_type = 'error' THEN -(value::DECIMAL(18,2))
+      |           ELSE value::DECIMAL(18,2) END)::DOUBLE AS sum_value
+      |FROM events GROUP BY user_id""".stripMargin
+
+  // ----------------------------------------------------- q_json_scan (S1)
+  /** Batch multi-line JSON-array scan (demo-notebook.py:146): a
+    * deterministic slice of `events` is exported as ONE JSON array
+    * document (the reference's file shape), scanned back with
+    * `multiLine`, and compared to the parquet truth. The export is
+    * driver-side test-input construction, not part of the measured
+    * operator. */
+  private def qJsonScan(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("ts_us", LongType)))
+    val slice = events(s, d)
+      .filter($"event_id" % 20 === 0)
+      .select($"event_id", $"user_id", $"event_type", $"value",
+        unix_micros($"ts").as("ts_us"))
+    val docs = slice.select(to_json(struct(schema.fieldNames.map(col): _*)))
+      .as[String].collect()
+    val dir = Files.createTempDirectory("graft-json")
+    Files.writeString(dir.resolve("events.json"),
+      docs.mkString("[\n", ",\n", "\n]"))
+    s.read.schema(schema).option("multiLine", "true").json(dir.toString)
+  }
+  private val qJsonScanSql =
+    """SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us
+      |FROM events WHERE event_id % 20 = 0""".stripMargin
+
+  override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q_merge_upsert"   -> qMergeUpsert _,
+    "q_cdf_batch"      -> qCdfBatch _,
+    "q_time_travel"    -> qTimeTravel _,
+    "q_merge_additive" -> qMergeAdditive _,
+    "q_json_scan"      -> qJsonScan _)
+
+  override val oracles: Seq[(String, String)] = Seq(
+    "q_merge_upsert"   -> qMergeUpsertSql,
+    "q_cdf_batch"      -> qCdfBatchSql,
+    "q_time_travel"    -> qTimeTravelSql,
+    "q_merge_additive" -> qMergeAdditiveSql,
+    "q_json_scan"      -> qJsonScanSql)
+}
