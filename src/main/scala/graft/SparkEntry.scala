@@ -11,7 +11,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
   private val modules: Seq[QueryModule] = Seq(
     graft.queries.Relational,
-    graft.queries.MergeOps)
+    graft.queries.MergeOps,
+    graft.llm.TextOps,
+    graft.llm.DedupOps,
+    graft.llm.SimilarityOps,
+    graft.llm.Multimodal)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,174 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryModule, Tables}
+
+/** Text-analysis operators over the `documents` table (SURVEY §2.9 /
+  * driver brief: language-ID, quality scoring, token counting, document
+  * fingerprinting) — the per-document half of an LLM training-data
+  * pipeline.
+  *
+  * Every operator is a per-row array/higher-order-function expression —
+  * zero UDFs, zero shuffles, zero explodes in the hot path (except
+  * simhash's token unnest, see [[DedupOps]]). At 100 TB this is the
+  * ideal shape: embarrassingly parallel map work that rides whole-stage
+  * codegen, scans only `doc_id`+`text` (column pruning), and grows
+  * linearly with input splits.
+  *
+  * Cross-engine determinism notes: token arithmetic is integer (exact);
+  * ratios are single IEEE divisions of identical integers; fingerprints
+  * are lexicographic minima of md5 hex strings — all bit-identical
+  * between Spark and the DuckDB oracle.
+  */
+object TextOps extends QueryModule {
+  import Tables._
+
+  /** Shared tokenization: lowercase + single-space split (the corpus is
+    * pre-normalized; `split` keeps empty tokens exactly like DuckDB's
+    * `string_split`, so counts agree on any input). */
+  private def withTokens(df: DataFrame): DataFrame =
+    df.withColumn("tokens", split(lower(col("text")), " "))
+
+  private val stopwords = Seq("the", "a", "of", "and", "in")
+  private def sqlList(ws: Seq[String]): String =
+    ws.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  // ------------------------------------------------------- q_text_stats
+  /** Quality scoring: length/diversity/stopword signals + a composite
+    * score, the heuristics corpus filters (C4, Gopher rules) are built
+    * from. */
+  private def qTextStats(s: SparkSession, d: String): DataFrame =
+    withTokens(documents(s, d)).select(
+      col("doc_id"),
+      size(col("tokens")).cast("long").as("n_tokens"),
+      size(array_distinct(col("tokens"))).cast("long").as("n_distinct"),
+      expr("aggregate(transform(tokens, x -> length(x)), 0, (acc, x) -> acc + x)" +
+        " / size(tokens)").as("avg_token_len"),
+      (size(array_distinct(col("tokens"))) / size(col("tokens"))).as("type_token_ratio"),
+      expr(s"size(filter(tokens, t -> t IN ${sqlList(stopwords)})) / size(tokens)")
+        .as("stopword_ratio"),
+      (length(col("text")).cast("long")).as("n_chars_measured"))
+  private val qTextStatsSql =
+    s"""SELECT doc_id,
+      |  len(t) AS n_tokens,
+      |  len(list_distinct(t)) AS n_distinct,
+      |  list_sum(list_transform(t, x -> length(x))) / len(t) AS avg_token_len,
+      |  len(list_distinct(t)) / len(t) AS type_token_ratio,
+      |  len(list_filter(t, x -> x IN ${sqlList(stopwords)})) / len(t) AS stopword_ratio,
+      |  length(text) AS n_chars_measured
+      |FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS t FROM documents)""".stripMargin
+
+  // --------------------------------------------------------- q_lang_id
+  /** n-gram/marker-word language ID: score each candidate language by
+    * its marker-token hit rate, predict the argmax with a fixed
+    * preference order — the classic dictionary heuristic (langid/cld
+    * fallback tier). Markers are evaluated per token so the operator
+    * stays a per-row expression. */
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "is"),
+    "es" -> Seq("el", "la", "de", "y", "en"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "de", "et", "est"),
+    "zh" -> Seq("de", "le", "shi", "zai", "he"))
+
+  private def qLangId(s: SparkSession, d: String): DataFrame = {
+    val scored = markers.foldLeft(withTokens(documents(s, d))) {
+      case (df, (lang, ws)) =>
+        df.withColumn(s"score_$lang",
+          expr(s"size(filter(tokens, t -> t IN ${sqlList(ws)})) / size(tokens)"))
+    }
+    val langs = markers.map(_._1)
+    // argmax with fixed preference order (ties resolve to the earlier
+    // language) — identical CASE chain on both engines
+    val predicted = langs.init.zipWithIndex.foldLeft(Option.empty[org.apache.spark.sql.Column]) {
+      case (acc, (lang, i)) =>
+        val rest = langs.drop(i + 1).map(l => col(s"score_$l"))
+        val restMax = if (rest.size == 1) rest.head else greatest(rest: _*)
+        val cond = col(s"score_$lang") >= restMax
+        Some(acc.fold(when(cond, lang))(_.when(cond, lang)))
+    }.get.otherwise(langs.last)
+    scored.select(
+      col("doc_id"), col("lang").as("actual_lang"),
+      predicted.as("predicted_lang"),
+      (predicted === col("lang")).as("is_correct"),
+      col("score_en"), col("score_es"), col("score_de"))
+  }
+  private val qLangIdSql = {
+    val scores = markers.map { case (lang, ws) =>
+      s"len(list_filter(t, x -> x IN ${sqlList(ws)})) / len(t) AS score_$lang"
+    }.mkString(",\n  ")
+    val langs = markers.map(_._1)
+    val cases = langs.init.zipWithIndex.map { case (lang, i) =>
+      val rest = langs.drop(i + 1).map(l => s"score_$l")
+      val restMax = if (rest.size == 1) rest.head
+        else s"greatest(${rest.mkString(", ")})"
+      s"WHEN score_$lang >= $restMax THEN '$lang'"
+    }.mkString(" ")
+    s"""SELECT doc_id, actual_lang,
+      |  CASE $cases ELSE '${langs.last}' END AS predicted_lang,
+      |  (CASE $cases ELSE '${langs.last}' END) = actual_lang AS is_correct,
+      |  score_en, score_es, score_de
+      |FROM (SELECT doc_id, lang AS actual_lang,
+      |  $scores
+      |  FROM (SELECT doc_id, lang, string_split(lower(text), ' ') AS t FROM documents))""".stripMargin
+  }
+
+  // ----------------------------------------------------- q_token_count
+  /** Token counting three ways: whitespace, a BPE-ish subword regex
+    * (word pieces capped at 4 chars — the shape of byte-pair chunking),
+    * and a word/punct tokenizer regex. Identical RE2-safe patterns on
+    * both engines. */
+  private def qTokenCount(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(
+      col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+      size(expr("regexp_extract_all(text, '[a-z]{1,4}', 0)")).cast("long")
+        .as("bpe_pieces"),
+      size(expr("regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9 ]', 0)")).cast("long")
+        .as("word_tokens"),
+      length(col("text")).cast("long").as("n_chars_measured"))
+  private val qTokenCountSql =
+    """SELECT doc_id,
+      |  len(string_split(text, ' ')) AS ws_tokens,
+      |  len(regexp_extract_all(text, '[a-z]{1,4}')) AS bpe_pieces,
+      |  len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9 ]')) AS word_tokens,
+      |  length(text) AS n_chars_measured
+      |FROM documents""".stripMargin
+
+  // -------------------------------------------------- q_doc_fingerprint
+  /** Rolling-hash document fingerprint (winnowing-style): hash every
+    * character 5-gram, keep the lexicographic minimum (+ the distinct
+    * 5-gram count as a length-normalized signal). Content-defined, so
+    * whitespace-identical documents collide — the fingerprint used for
+    * exact-ish dedup at corpus scale. */
+  private def qDocFingerprint(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .filter(length(col("text")) >= 5)
+      .select(
+        col("doc_id"),
+        expr("array_min(transform(sequence(1, length(text)-4)," +
+          " i -> md5(substring(text, i, 5))))").as("fingerprint"),
+        expr("size(array_distinct(transform(sequence(1, length(text)-4)," +
+          " i -> substring(text, i, 5))))").cast("long").as("n_distinct_grams"))
+  private val qDocFingerprintSql =
+    """SELECT doc_id,
+      |  list_aggregate(list_transform(generate_series(1, length(text)-4),
+      |    i -> md5(substr(text, i, 5))), 'min') AS fingerprint,
+      |  len(list_distinct(list_transform(generate_series(1, length(text)-4),
+      |    i -> substr(text, i, 5)))) AS n_distinct_grams
+      |FROM documents WHERE length(text) >= 5""".stripMargin
+
+  override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q_text_stats"      -> qTextStats _,
+    "q_lang_id"         -> qLangId _,
+    "q_token_count"     -> qTokenCount _,
+    "q_doc_fingerprint" -> qDocFingerprint _)
+
+  override val oracles: Seq[(String, String)] = Seq(
+    "q_text_stats"      -> qTextStatsSql,
+    "q_lang_id"         -> qLangIdSql,
+    "q_token_count"     -> qTokenCountSql,
+    "q_doc_fingerprint" -> qDocFingerprintSql)
+}

@@ -1,0 +1,89 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkEntry, SparkSpec, Tables}
+
+/** Property tests for the LLM-pipeline operators (value-level parity is
+  * covered by the DuckDB oracle gate; these assert the semantic
+  * relationships between the operators). */
+class LlmOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("exact dedup keeps exactly one survivor per key group, the lowest doc_id") {
+    val docs = Tables.documents(spark, sf)
+    val out = q("q_exact_dedup").cache()
+    val nGroups = docs.select("lang", "source").distinct().count()
+    assert(out.count() === nGroups)
+    val expected = docs.groupBy("lang", "source").agg(min("doc_id").as("doc_id"))
+    assert(out.select("doc_id").except(expected.select("doc_id")).isEmpty)
+  }
+
+  test("minhash-LSH candidates achieve full recall on exact near-dup pairs") {
+    val exact = q("q_ngram_jaccard")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val cands = q("q_minhash_lsh")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "fixture should contain planted near-dups")
+    // 4 bands x 3 rows at sim>=0.8: miss probability (1-s^3)^4 < 1e-2 —
+    // planted pairs are ~0.99 similar, miss < 1e-4 each
+    val missed = exact -- cands
+    assert(missed.isEmpty, s"LSH missed exact near-dup pairs: $missed")
+  }
+
+  test("simhash puts near-dup pairs within small Hamming distance") {
+    val sig = q("q_simhash").as[(Long, Long)].collect().toMap
+    val pairs = q("q_ngram_jaccard")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      val ham = java.lang.Long.bitCount(sig(a) ^ sig(b))
+      assert(ham <= 4, s"near-dup pair ($a,$b) has hamming distance $ham")
+    }
+  }
+
+  test("LSH cosine results are a same-bucket subset consistent with brute force") {
+    val exact = q("q_topk_cosine")
+      .select("q_id", "vec_id", "cos").as[(Long, Long, Double)].collect()
+      .map { case (qid, vid, cos) => (qid, vid) -> cos }.toMap
+    val lsh = q("q_cosine_lsh")
+      .select("q_id", "vec_id", "cos").as[(Long, Long, Double)].collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { case (qid, vid, cos) =>
+      assert(cos >= -1.0 && cos <= 1.0)
+      // any LSH hit that brute force also ranked must agree on the score
+      exact.get((qid, vid)).foreach(e => assert(math.abs(e - cos) < 1e-9))
+    }
+  }
+
+  test("multimodal decodeFeatures preserves rows, is deterministic, and matches the metadata query") {
+    val docs = Tables.documents(spark, sf)
+    val feats = Multimodal.decodeFeatures(docs, batchSize = 7).cache()
+    assert(feats.count() === docs.count())
+    // stub decode must agree with the declarative metadata projection
+    val meta = q("q_multimodal_meta")
+      .select("doc_id", "n_bytes", "payload_md5", "width", "height")
+      .as[(Long, Long, String, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    feats.collect().foreach { f =>
+      val m = meta(f.doc_id)
+      assert(f.n_bytes.toLong === m._2)
+      assert(f.checksum === m._3)
+      assert(f.width.toLong === m._4 && f.height.toLong === m._5)
+    }
+    val again = Multimodal.decodeFeatures(docs, batchSize = 64).collect().toSet
+    assert(again === feats.collect().toSet, "batch size must not affect results")
+  }
+
+  test("text stats are internally consistent") {
+    val stats = q("q_text_stats")
+    val bad = stats.filter(
+      $"n_distinct" > $"n_tokens" ||
+      $"type_token_ratio" < 0 || $"type_token_ratio" > 1 ||
+      $"stopword_ratio" < 0 || $"stopword_ratio" > 1 ||
+      $"avg_token_len" <= 0).count()
+    assert(bad === 0L)
+  }
+}
