@@ -146,19 +146,22 @@ object TextOps extends QueryModule {
   private def qDocFingerprint(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .filter(length(col("text")) >= 5)
+      // single gram-hash pass (HOF lambdas are interpreted, not
+      // codegen'd — every extra array traversal is real cost at scale);
+      // distinct-of-hashes == distinct-of-grams (md5 injective in practice)
+      .withColumn("gram_hashes", expr(
+        "transform(sequence(1, length(text)-4), i -> md5(substring(text, i, 5)))"))
       .select(
         col("doc_id"),
-        expr("array_min(transform(sequence(1, length(text)-4)," +
-          " i -> md5(substring(text, i, 5))))").as("fingerprint"),
-        expr("size(array_distinct(transform(sequence(1, length(text)-4)," +
-          " i -> substring(text, i, 5))))").cast("long").as("n_distinct_grams"))
+        array_min(col("gram_hashes")).as("fingerprint"),
+        size(array_distinct(col("gram_hashes"))).cast("long").as("n_distinct_grams"))
   private val qDocFingerprintSql =
     """SELECT doc_id,
-      |  list_aggregate(list_transform(generate_series(1, length(text)-4),
-      |    i -> md5(substr(text, i, 5))), 'min') AS fingerprint,
-      |  len(list_distinct(list_transform(generate_series(1, length(text)-4),
-      |    i -> substr(text, i, 5)))) AS n_distinct_grams
-      |FROM documents WHERE length(text) >= 5""".stripMargin
+      |  list_aggregate(gh, 'min') AS fingerprint,
+      |  len(list_distinct(gh)) AS n_distinct_grams
+      |FROM (SELECT doc_id, list_transform(generate_series(1, length(text)-4),
+      |        i -> md5(substr(text, i, 5))) AS gh
+      |      FROM documents WHERE length(text) >= 5)""".stripMargin
 
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q_text_stats"      -> qTextStats _,
