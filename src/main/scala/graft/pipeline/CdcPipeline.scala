@@ -132,12 +132,22 @@ object CdcPipeline {
     col("cdc_timestamp"), col("insert_timestamp"), col("cdc_operation"))
 
   /** D3: the Silver three-clause MERGE (demo-notebook.py:269-279).
-    * Clause order is semantic: DELETE before the guarded UPDATE. */
+    * Clause order is semantic: DELETE before the guarded UPDATE.
+    *
+    * One deliberate deviation: the reference's literal final clause is
+    * an UNCONDITIONAL `WHEN NOT MATCHED THEN INSERT *` (:278-279),
+    * which would insert an orphan row when a DELETE arrives for an
+    * absent key (e.g. a replayed DELETE after the original deletion) —
+    * a latent defect its demo data never triggers. We guard the insert
+    * with `cdc_operation <> 'DELETE'`: identical behavior on every case
+    * the reference exercises (the §5 replay outcomes are unchanged),
+    * and batch replays become fully idempotent even for DELETEs —
+    * property-tested in CdcPropertySpec. */
   val silverClauses: Seq[MergeClause] = Seq(
     WhenMatchedDelete(Some(col("source.cdc_operation") === "DELETE")),
     WhenMatchedUpdate(Some(col("source.cdc_operation") === "UPDATE" &&
       col("source.data_hash") =!= col("target.data_hash"))),
-    WhenNotMatchedInsert())
+    WhenNotMatchedInsert(Some(col("source.cdc_operation") =!= "DELETE")))
 
   def createSilver(spark: SparkSession, path: String): VersionedTable =
     VersionedTable.create(spark, path, silverSchema,

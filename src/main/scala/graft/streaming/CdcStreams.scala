@@ -82,6 +82,9 @@ object CdcStreams {
       .parquet(bronzeDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // D7: per-micro-batch temp view (demo-notebook.py:236) — the
+        // in-flight batch stays SQL-addressable for monitors/debuggers
+        batch.createOrReplaceTempView(s"${appId.replace('-', '_')}_microbatch")
         CdcPipeline.mergeBatchIntoSilver(silver, batch, Some(appId -> batchId))
         ()
       }
@@ -105,6 +108,7 @@ object CdcStreams {
       .parquet(silver.changesLocation)
       .writeStream
       .foreachBatch { (changes: DataFrame, batchId: Long) =>
+        changes.createOrReplaceTempView(s"${appId.replace('-', '_')}_microbatch")
         CdcPipeline.mergeDeltasIntoGold(gold,
           CdcPipeline.goldDeltas(changes), Some(appId -> batchId))
         ()
