@@ -221,6 +221,24 @@ final class VersionedTable private (
     df.select(cols: _*)
   }
 
+  /** Storage maintenance: drops snapshots, change files and manifests
+    * of all but the most recent `retainVersions` versions (Delta's
+    * VACUUM analog — time travel to vacuumed versions becomes
+    * unavailable; CDF consumers must have advanced past them). The
+    * latest version is never removed. Returns the removed versions. */
+  def vacuum(retainVersions: Int = 2): Seq[Long] = {
+    require(retainVersions >= 1, "must retain at least the latest version")
+    val vs = versions
+    val cutoff = vs.takeRight(retainVersions).head
+    val removed = vs.filter(_ < cutoff)
+    removed.foreach { v =>
+      VersionedTable.deleteRecursively(snapshotDir(v))
+      changeFiles.collect { case (`v`, p) => p }.foreach(Files.delete)
+      Files.deleteIfExists(manifestPath(v))
+    }
+    removed
+  }
+
   private def publish(m: CommitManifest): Unit = {
     implicit val fmts: Formats = DefaultFormats
     Files.createDirectories(commitsDir)

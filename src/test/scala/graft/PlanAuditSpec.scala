@@ -1,0 +1,52 @@
+package graft
+
+/** Plan-shape assertions — the 100 TB properties that must not regress:
+  * column pruning reaches the scan, predicates push into parquet, tiny
+  * sides broadcast, and per-row operators stay shuffle-free. These are
+  * the checks a human would run with `.explain("formatted")`; encoding
+  * them keeps the plans honest as the operators evolve. */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("text operators scan only the referenced columns") {
+    val p = plan("q_text_stats")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"q_text_stats must prune to doc_id+text:\n$p")
+    assert(!p.contains("Exchange"), "per-row text stats must not shuffle")
+  }
+
+  test("token counting and fingerprinting are shuffle-free single scans") {
+    for (q <- Seq("q_token_count", "q_doc_fingerprint", "q_multimodal_meta")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q must not shuffle:\n$p")
+    }
+  }
+
+  test("brute-force cosine broadcasts the query side") {
+    val p = plan("q_topk_cosine")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"query side must broadcast:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(vec_id)"),
+      s"vec_id split must push to parquet:\n$p")
+  }
+
+  test("point lookup pushes the key predicate into the scan") {
+    val p = plan("q13_point_lookup")
+    assert(p.contains("PushedFilters") && p.contains("o_orderkey"))
+  }
+
+  test("join-aggregate broadcasts the filtered dimension") {
+    val p = plan("q3_join_agg")
+    assert(p.contains("BroadcastHashJoin"), s"customer side must broadcast:\n$p")
+  }
+
+  test("range filter pushes into the parquet scan") {
+    // (the plan toString elides long PushedFilters lists, so assert on
+    // the leading bound only)
+    val p = plan("q2_filter_project")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"),
+      s"expected pushed range bound:\n$p")
+  }
+}

@@ -153,6 +153,26 @@ class VersionedTableSpec extends SparkSpec {
     }
   }
 
+  test("vacuum drops old versions but keeps the retained window readable") {
+    val path = tmpDir("vt-vacuum")
+    val t = VersionedTable.create(spark, path, kvSchema,
+      Map(VersionedTable.PROP_CDF -> "true"))
+    (1 to 4).foreach(i => t.append(Seq((i.toLong, s"v$i")).toDF("id", "v")))
+    assert(t.versions === Seq(0L, 1L, 2L, 3L, 4L))
+    val removed = t.vacuum(retainVersions = 2)
+    assert(removed === Seq(0L, 1L, 2L))
+    assert(t.versions === Seq(3L, 4L))
+    assert(t.snapshot().count() === 4L)
+    assert(t.snapshotAt(3).count() === 3L)
+    intercept[Exception] { t.snapshotAt(1) }
+    // vacuumed change files are gone; retained ones remain
+    assert(t.changes(0).select("_commit_version").distinct()
+      .as[Long].collect().toSet === Set(3L, 4L))
+    // commits continue normally after vacuum
+    t.append(Seq((9L, "z")).toDF("id", "v"))
+    assert(t.latestVersion === 5L)
+  }
+
   test("catalog: database and table DDL") {
     val wh = Files.createTempDirectory("vt-cat").toString
     val cat = new GraftCatalog(spark, wh)
