@@ -149,9 +149,16 @@ object CdcPipeline {
       col("source.data_hash") =!= col("target.data_hash"))),
     WhenNotMatchedInsert(Some(col("source.cdc_operation") =!= "DELETE")))
 
+  /** Buckets per Silver table — sized so one bucket ≈ one comfortable
+    * task's worth of rows at target scale; local tests keep it small.
+    * Silver is copy-on-write bucketed on the merge key: a CDC
+    * micro-batch rewrites only the buckets holding its ids. */
+  val SilverBuckets = 16
+
   def createSilver(spark: SparkSession, path: String): VersionedTable =
     VersionedTable.create(spark, path, silverSchema,
-      Map(VersionedTable.PROP_CDF -> "true"))
+      Map(VersionedTable.PROP_CDF -> "true"),
+      bucketBy = Some(BucketSpec(Seq("id"), SilverBuckets)))
 
   /** One Silver micro/batch step: dedup → project → 3-clause merge. */
   def mergeBatchIntoSilver(

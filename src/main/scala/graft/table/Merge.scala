@@ -64,9 +64,14 @@ final case class MergeStats(
   * Source must have at most one row per key (callers dedup first, as the
   * reference does with ROW_NUMBER, demo-notebook.py:263-267); set
   * `validateUniqueKeys` to fail fast instead of corrupting the snapshot.
-  * The full-snapshot rewrite is the demo-scale simplification; see
-  * [[VersionedTable]] for the file-level copy-on-write + bucketed-join
-  * 100 TB path this layout anticipates.
+  *
+  * For tables created with a [[BucketSpec]], the merge is COPY-ON-WRITE:
+  * only the hash buckets the source batch touches are read into the
+  * join and rewritten; every other bucket is inherited by manifest
+  * reference. A small CDC batch against a huge Silver table therefore
+  * costs O(batch + touched buckets), not O(table) — the property that
+  * makes the design hold at 100 TB. Unbucketed tables keep the simple
+  * full-snapshot rewrite (right for small aggregates like Gold).
   */
 object Merge {
 
@@ -92,7 +97,26 @@ object Merge {
         s"source has multiple rows for a merge key ${onKeys.mkString(",")}")
     }
 
-    val t = table.snapshot().withColumn("__t_present", lit(true)).alias("target")
+    // Copy-on-write pruning for bucketed tables: the join reads ONLY the
+    // buckets the source touches; untouched buckets are inherited by
+    // reference at commit. (The source's KEY columns are evaluated once
+    // here and once in the join — keys must be deterministic, which CDC
+    // keys are; non-key source expressions are still evaluated exactly
+    // once, inside the staged join.)
+    val bucketed = table.bucketSpec.map { case BucketSpec(bkeys, n) =>
+      require(bkeys == onKeys,
+        s"merge keys $onKeys must equal the table's bucket keys $bkeys")
+      val touched = source
+        .select(pmod(hash(onKeys.map(col): _*), lit(n)).cast("int").as("b"))
+        .distinct().collect().map(_.getInt(0)).toSeq.sorted
+      (touched, n)
+    }
+    val targetDf = bucketed match {
+      case Some((touched, _)) => table.snapshotBuckets(touched)
+      case None => table.snapshot()
+    }
+
+    val t = targetDf.withColumn("__t_present", lit(true)).alias("target")
     val s = source.withColumn("__s_present", lit(true)).alias("source")
     val joinCond = onKeys.map(k => col(s"target.$k") === col(s"source.$k"))
       .reduce(_ && _)
@@ -164,9 +188,14 @@ object Merge {
       def in(ids: Seq[Int]): Column =
         if (ids.isEmpty) lit(false) else col("__action").isin(ids: _*)
 
-      val newSnapshot = st.filter(!in(deleteIds))
+      val flat = st.filter(!in(deleteIds))
         .select(coalesce(col("__new"), col("__t")).as("r"))
         .select(col("r.*"))
+      val newSnapshot = bucketed match {
+        case Some((_, n)) => flat.withColumn(VersionedTable.BUCKET_COL,
+          pmod(hash(onKeys.map(col): _*), lit(n)).cast("int"))
+        case None => flat
+      }
 
       val changes = {
         def side(ids: Seq[Int], structCol: String, changeType: String) =
@@ -178,7 +207,8 @@ object Merge {
           .unionByName(side(updateIds, "__new", "update_postimage"))
       }
 
-      val version = table.commit(newSnapshot, Some(changes), "merge", txn)
+      val version = table.commit(newSnapshot, Some(changes), "merge", txn,
+        touchedBuckets = bucketed.map(_._1))
       val counts = st.groupBy(col("__action")).count().collect()
         .map(r => r.getInt(0) -> r.getLong(1)).toMap
       def total(ids: Seq[Int]) = ids.map(i => counts.getOrElse(i, 0L)).sum

@@ -27,8 +27,19 @@ final case class CommitManifest(
     timestampMs: Long,
     schemaJson: String,
     properties: Map[String, String],
-    txn: Map[String, Long]) {
+    txn: Map[String, Long],
+    bucketKeys: Option[Seq[String]] = None,
+    numBuckets: Option[Int] = None,
+    bucketOwners: Option[Map[String, Long]] = None) {
   def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+}
+
+/** Hash-bucketing spec for copy-on-write tables: rows live in
+  * `pmod(hash(keys), numBuckets)` buckets; each commit rewrites only
+  * the buckets its merge touched and inherits the rest by reference
+  * (the manifest's `bucketOwners` maps bucket → owning version). */
+final case class BucketSpec(keys: Seq[String], numBuckets: Int) {
+  require(numBuckets > 0, "numBuckets must be positive")
 }
 
 /** A versioned parquet table with commit log, Change Data Feed and time
@@ -106,13 +117,55 @@ final class VersionedTable private (
   def cdfEnabled: Boolean =
     properties.get(PROP_CDF).exists(_.equalsIgnoreCase("true"))
 
+  /** Copy-on-write bucketing spec, if the table was created with one. */
+  def bucketSpec: Option[BucketSpec] = {
+    val m = latestManifest
+    for (k <- m.bucketKeys; n <- m.numBuckets) yield BucketSpec(k, n)
+  }
+
+  def isBucketed: Boolean = bucketSpec.isDefined
+
   /** Current snapshot. */
   def snapshot(): DataFrame = snapshotAt(latestVersion)
 
-  /** Time travel — `VERSION AS OF v` (S8, demo-notebook.py:533-535). */
+  /** Time travel — `VERSION AS OF v` (S8, demo-notebook.py:533-535).
+    * For bucketed tables the snapshot of version v is the union of each
+    * bucket's owning version's files, per v's manifest — reads touch
+    * every live bucket but NO rewriting ever happened to produce them.
+    */
   def snapshotAt(v: Long): DataFrame = {
     val m = manifest(v) // throws for unknown versions
-    spark.read.schema(m.schema).parquet(snapshotDir(v).toString)
+    m.bucketOwners match {
+      case Some(owners) =>
+        val dirs = owners.toSeq
+          .map { case (b, ownerV) =>
+            snapshotDir(ownerV).resolve(s"$BUCKET_COL=$b") }
+          .filter(Files.isDirectory(_)) // a touched bucket can end empty
+          .map(_.toString)
+        if (dirs.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
+        else spark.read.schema(m.schema).parquet(dirs: _*)
+      case None =>
+        spark.read.schema(m.schema).parquet(snapshotDir(v).toString)
+    }
+  }
+
+  /** Reads ONLY the given buckets of the current snapshot (copy-on-
+    * write pruning: the merge engine joins against just the buckets the
+    * source batch touches). */
+  def snapshotBuckets(buckets: Seq[Int]): DataFrame = {
+    val m = latestManifest
+    val owners = m.bucketOwners.getOrElse(
+      throw new IllegalStateException("snapshotBuckets on an unbucketed table"))
+    val dirs = buckets
+      .flatMap(b => owners.get(b.toString)
+        .map(ownerV => snapshotDir(ownerV).resolve(s"$BUCKET_COL=$b")))
+      .filter(Files.isDirectory(_))
+      .map(_.toString)
+    if (dirs.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
+    else spark.read.schema(m.schema).parquet(dirs: _*)
   }
 
   /** Last batch id committed under `appId`, for idempotent replays. */
@@ -158,11 +211,21 @@ final class VersionedTable private (
     * recorded, the commit is skipped and `None` is returned — this is
     * the exactly-once guard for `foreachBatch` retries (D5).
     */
+  /** Commits a new version.
+    *
+    * Unbucketed tables: `newSnapshot` is the FULL next snapshot.
+    * Bucketed tables (copy-on-write): `newSnapshot` must carry a
+    * `__bucket` column and contain ONLY the rows of `touchedBuckets`;
+    * those buckets' files are written under this version and every
+    * other bucket is inherited by reference via `bucketOwners` — the
+    * write cost is O(touched data), never O(table).
+    */
   def commit(
       newSnapshot: DataFrame,
       changeRows: Option[DataFrame],
       operation: String,
-      txn: Option[(String, Long)] = None): Option[Long] = {
+      txn: Option[(String, Long)] = None,
+      touchedBuckets: Option[Seq[Int]] = None): Option[Long] = {
     val prev = latestManifest
     val alreadyApplied = txn.exists { case (appId, batchId) =>
       prev.txn.get(appId).exists(_ >= batchId)
@@ -171,7 +234,22 @@ final class VersionedTable private (
     val v = prev.version + 1
     val ts = System.currentTimeMillis()
 
-    newSnapshot.write.mode("overwrite").parquet(snapshotDir(v).toString)
+    val newOwners = (prev.bucketOwners, touchedBuckets) match {
+      case (Some(owners), Some(touched)) =>
+        Some(owners ++ touched.map(b => b.toString -> v))
+      case (Some(owners), None) =>
+        throw new IllegalArgumentException(
+          "bucketed table commits must pass touchedBuckets")
+      case (None, Some(_)) =>
+        throw new IllegalArgumentException(
+          "touchedBuckets passed for an unbucketed table")
+      case (None, None) => None
+    }
+    if (newOwners.isDefined)
+      newSnapshot.write.mode("overwrite").partitionBy(BUCKET_COL)
+        .parquet(snapshotDir(v).toString)
+    else
+      newSnapshot.write.mode("overwrite").parquet(snapshotDir(v).toString)
 
     // Stale files from a previously failed (unpublished) attempt at this
     // version must not survive into the retry's change set.
@@ -192,7 +270,7 @@ final class VersionedTable private (
     }
 
     val m = CommitManifest(v, operation, ts, prev.schemaJson, prev.properties,
-      prev.txn ++ txn.toMap)
+      prev.txn ++ txn.toMap, prev.bucketKeys, prev.numBuckets, newOwners)
     publish(m)
     Some(v)
   }
@@ -200,6 +278,8 @@ final class VersionedTable private (
   /** Appends rows to the current snapshot as a new version (Bronze-style
     * append, S3). CDF for appends = plain 'insert' rows. */
   def append(rows: DataFrame, txn: Option[(String, Long)] = None): Option[Long] = {
+    require(!isBucketed,
+      "append is for log-style tables; bucketed (CoW) tables are maintained by merge")
     val aligned = align(rows)
     // Stage the incoming micro-batch once so snapshot + CDF projections
     // don't recompute nondeterministic inputs (current_timestamp etc.).
@@ -225,14 +305,21 @@ final class VersionedTable private (
     * of all but the most recent `retainVersions` versions (Delta's
     * VACUUM analog — time travel to vacuumed versions becomes
     * unavailable; CDF consumers must have advanced past them). The
-    * latest version is never removed. Returns the removed versions. */
+    * latest version is never removed, and for copy-on-write tables a
+    * version's data directory survives as long as ANY retained
+    * manifest still references one of its buckets. Returns the
+    * versions whose manifests were removed. */
   def vacuum(retainVersions: Int = 2): Seq[Long] = {
     require(retainVersions >= 1, "must retain at least the latest version")
     val vs = versions
-    val cutoff = vs.takeRight(retainVersions).head
+    val retained = vs.takeRight(retainVersions)
+    val cutoff = retained.head
     val removed = vs.filter(_ < cutoff)
+    // data dirs still referenced by retained manifests (CoW inheritance)
+    val live: Set[Long] = retained.toSet ++
+      retained.flatMap(v => manifest(v).bucketOwners.toSeq.flatMap(_.values))
     removed.foreach { v =>
-      VersionedTable.deleteRecursively(snapshotDir(v))
+      if (!live.contains(v)) VersionedTable.deleteRecursively(snapshotDir(v))
       changeFiles.collect { case (`v`, p) => p }.foreach(Files.delete)
       Files.deleteIfExists(manifestPath(v))
     }
@@ -252,6 +339,8 @@ object VersionedTable {
   val COMMITS_DIR = "_commits"
   val CHANGES_DIR = "_changes"
   val STAGING_DIR = "_staging"
+  /** Partition column name for copy-on-write bucket directories. */
+  val BUCKET_COL = "__bucket"
   /** Table property toggling CDF emission, mirroring
     * `delta.enableChangeDataFeed` (demo-notebook.py:225-227). */
   val PROP_CDF = "graft.enableChangeDataFeed"
@@ -268,25 +357,35 @@ object VersionedTable {
   def exists(path: String): Boolean =
     Files.isDirectory(Paths.get(path).resolve(COMMITS_DIR))
 
-  /** CREATE TABLE (D2): publishes version 0 with an empty snapshot. */
+  /** CREATE TABLE (D2): publishes version 0 with an empty snapshot.
+    * Pass `bucketBy` for a copy-on-write hash-bucketed table whose
+    * merges rewrite only touched buckets. */
   def create(
       spark: SparkSession,
       path: String,
       schema: StructType,
       properties: Map[String, String] = Map.empty,
-      ifNotExists: Boolean = false): VersionedTable = {
+      ifNotExists: Boolean = false,
+      bucketBy: Option[BucketSpec] = None): VersionedTable = {
     val root = Paths.get(path)
     if (exists(path)) {
       if (ifNotExists) return load(spark, path)
       throw new IllegalStateException(s"table already exists at $path")
     }
+    bucketBy.foreach(b => require(
+      b.keys.forall(schema.fieldNames.contains),
+      s"bucket keys ${b.keys} must be schema columns"))
     Files.createDirectories(root)
     val t = new VersionedTable(spark, root)
-    val empty = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    empty.write.mode("overwrite").parquet(root.resolve("v=0").toString)
+    if (bucketBy.isEmpty) {
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      empty.write.mode("overwrite").parquet(root.resolve("v=0").toString)
+    }
     t.publish(CommitManifest(0L, "create", System.currentTimeMillis(),
-      schema.json, properties, Map.empty))
+      schema.json, properties, Map.empty,
+      bucketBy.map(_.keys), bucketBy.map(_.numBuckets),
+      bucketBy.map(_ => Map.empty[String, Long])))
     t
   }
 

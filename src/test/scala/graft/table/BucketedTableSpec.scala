@@ -1,0 +1,114 @@
+package graft.table
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+/** Copy-on-write bucketed tables: merge equivalence with the
+  * full-rewrite path, O(touched-buckets) write behavior, inheritance
+  * across versions, time travel, and vacuum's reference tracking. */
+class BucketedTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("v", StringType)))
+
+  private val clauses = Seq(
+    WhenMatchedDelete(Some(col("source.op") === "DELETE")),
+    WhenMatchedUpdate(Some(col("source.op") === "UPDATE")),
+    WhenNotMatchedInsert(Some(col("source.op") =!= "DELETE")))
+
+  private def tmp(prefix: String) =
+    Files.createTempDirectory(prefix).resolve("t").toString
+
+  private def mk(path: String, bucketed: Boolean): VersionedTable =
+    VersionedTable.create(spark, path, schema,
+      Map(VersionedTable.PROP_CDF -> "true"),
+      bucketBy = if (bucketed) Some(BucketSpec(Seq("id"), 8)) else None)
+
+  private def batch(rows: (Long, String, String)*) =
+    rows.toDF("id", "v", "op")
+
+  test("bucketed merge produces identical snapshots and CDF to the full-rewrite path") {
+    val (pb, pu) = (tmp("cow-b"), tmp("cow-u"))
+    val b = mk(pb, bucketed = true)
+    val u = mk(pu, bucketed = false)
+    val batches = Seq(
+      batch((1L, "a", "INSERT"), (2L, "b", "INSERT"), (3L, "c", "INSERT")),
+      batch((1L, "a2", "UPDATE"), (3L, "x", "DELETE"), (4L, "d", "INSERT")),
+      batch((2L, "b2", "UPDATE"), (5L, "e", "INSERT")))
+    batches.foreach { s =>
+      Merge.run(b, s, Seq("id"), clauses)
+      Merge.run(u, s, Seq("id"), clauses)
+    }
+    def snap(t: VersionedTable) =
+      t.snapshot().as[(Long, String)].collect().sortBy(_._1).toSeq
+    def cdf(t: VersionedTable) =
+      t.changes(1).select("id", "v", "_change_type", "_commit_version")
+        .as[(Long, String, String, Long)].collect().sorted.toSeq
+    assert(snap(b) === snap(u))
+    assert(snap(b) === Seq((1L, "a2"), (2L, "b2"), (4L, "d"), (5L, "e")))
+    assert(cdf(b) === cdf(u))
+    // time travel agrees at every version
+    (0L to 3L).foreach { v =>
+      assert(b.snapshotAt(v).as[(Long, String)].collect().sortBy(_._1).toSeq ===
+        u.snapshotAt(v).as[(Long, String)].collect().sortBy(_._1).toSeq,
+        s"version $v diverged")
+    }
+  }
+
+  test("copy-on-write rewrites only touched buckets; untouched buckets are inherited") {
+    val path = tmp("cow-inherit")
+    val t = mk(path, bucketed = true)
+    // v1: spread keys across many buckets
+    Merge.run(t, batch((1L to 40L).map(i => (i, s"v$i", "INSERT")): _*),
+      Seq("id"), clauses)
+    val v1Buckets = Files.list(Paths.get(path).resolve("v=1")).toArray.length
+    assert(v1Buckets >= 7, "40 keys should populate most of 8 buckets")
+
+    // v2: touch exactly one key -> exactly one bucket rewritten
+    Merge.run(t, batch((1L, "updated", "UPDATE")), Seq("id"), clauses)
+    val v2Dirs = Files.list(Paths.get(path).resolve("v=2")).toArray
+      .map(_.toString).filter(_.contains(VersionedTable.BUCKET_COL))
+    assert(v2Dirs.length === 1,
+      s"one-key merge must write exactly one bucket, got ${v2Dirs.toSeq}")
+
+    // owners: one bucket owned by v2, the rest still by v1
+    val owners = t.latestManifest.bucketOwners.get.values.toSeq
+    assert(owners.count(_ == 2L) === 1)
+    assert(owners.count(_ == 1L) === owners.size - 1)
+
+    // and the snapshot still has all 40 rows with the update applied
+    assert(t.snapshot().count() === 40L)
+    assert(t.snapshot().filter($"id" === 1L).select("v").as[String].head()
+      === "updated")
+  }
+
+  test("vacuum keeps data directories still referenced by retained manifests") {
+    val path = tmp("cow-vacuum")
+    val t = mk(path, bucketed = true)
+    Merge.run(t, batch((1L to 30L).map(i => (i, s"v$i", "INSERT")): _*),
+      Seq("id"), clauses) // v1 owns all populated buckets
+    Merge.run(t, batch((1L, "u1", "UPDATE")), Seq("id"), clauses) // v2
+    Merge.run(t, batch((2L, "u2", "UPDATE")), Seq("id"), clauses) // v3
+
+    val removed = t.vacuum(retainVersions = 2) // keep v2, v3
+    assert(removed === Seq(0L, 1L))
+    // v1's data dir must SURVIVE: v2/v3 manifests still reference its buckets
+    assert(Files.isDirectory(Paths.get(path).resolve("v=1")))
+    assert(t.snapshot().count() === 30L)
+    assert(t.snapshotAt(2).count() === 30L)
+    intercept[Exception] { t.snapshotAt(1) } // manifest gone
+  }
+
+  test("append is rejected on bucketed tables") {
+    val t = mk(tmp("cow-append"), bucketed = true)
+    intercept[IllegalArgumentException] {
+      t.append(Seq((1L, "a")).toDF("id", "v"))
+    }
+  }
+}
