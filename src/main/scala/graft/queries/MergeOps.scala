@@ -74,8 +74,11 @@ object MergeOps extends QueryModule {
     */
   private def replayedTable(s: SparkSession, d: String): VersionedTable = {
     val dir = Files.createTempDirectory("graft-mergeops").resolve("t").toString
+    // bucketed: the CORRECTNESS rows exercise the copy-on-write merge
+    // path (bucket pruning + owner inheritance), not just full rewrite
     val t = VersionedTable.create(s, dir, targetSchema,
-      Map(VersionedTable.PROP_CDF -> "true"))
+      Map(VersionedTable.PROP_CDF -> "true"),
+      bucketBy = Some(BucketSpec(Seq("user_id"), 8)))
     val log = cdcLog(s, d)
     Seq(0, 1).foreach { parity =>
       Merge.run(t, latestPerUser(log.filter(col("event_id") % 2 === parity)),
@@ -226,7 +229,7 @@ object MergeOps extends QueryModule {
       .filter($"event_id" % 20 === 0)
       .select($"event_id", $"user_id", $"event_type", $"value",
         unix_micros($"ts").as("ts_us"))
-    val docs = slice.select(to_json(struct(schema.fieldNames.map(col): _*)))
+    val docs = slice.select(to_json(struct(schema.fieldNames.toIndexedSeq.map(col): _*)))
       .as[String].collect()
     val dir = Files.createTempDirectory("graft-json")
     Files.writeString(dir.resolve("events.json"),

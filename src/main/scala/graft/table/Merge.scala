@@ -142,7 +142,7 @@ object Merge {
         }
         v.cast(f.dataType).as(f.name)
       }
-      struct(fields: _*)
+      struct(fields.toIndexedSeq: _*)
     }
 
     // First-match-wins action dispatch: an ordered when-chain over the
@@ -169,7 +169,7 @@ object Merge {
       .getOrElse(lit(null)).cast(rowType)
 
     val targetStruct = when(tPresent,
-      struct(targetFields.map(f => col(s"target.${f.name}").as(f.name)): _*))
+      struct(targetFields.toIndexedSeq.map(f => col(s"target.${f.name}").as(f.name)): _*))
 
     val staged = joined
       .withColumn("__action", action)

@@ -298,7 +298,7 @@ final class VersionedTable private (
     val cols = schema.fields.map(f =>
       (if (df.columns.contains(f.name)) col(f.name).cast(f.dataType)
        else lit(null).cast(f.dataType)).as(f.name))
-    df.select(cols: _*)
+    df.select(cols.toIndexedSeq: _*)
   }
 
   /** Storage maintenance: drops snapshots, change files and manifests
