@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation operators (driver brief: "salting for skew, AQE for
+  * runtime re-plan"). AQE's skew-join splitting handles most cases at
+  * runtime; these are the explicit plan-level tools for when the skew
+  * is known and structural:
+  *
+  *   - [[saltedEquiJoin]] — a hot join key floods one reducer in a
+  *     shuffled equi-join. Salting splits each big-side key across
+  *     `salts` sub-partitions and replicates the small side to match:
+  *     same result set, `salts`-way parallelism on the hot key, at the
+  *     cost of a small-side blow-up (use when small really is small).
+  *   - [[twoPhaseTopK]] — top-k per group over LOW-cardinality groups
+  *     funnels every row of a group through one reducer; phase 1 takes
+  *     a bounded local top-k within each (group, input-slice) — correct
+  *     under ANY row placement because a per-slice top-k is a superset
+  *     of the global one — so the final window ranks ≤ k·slices rows.
+  */
+object SkewOps {
+
+  /** Equi-join `big ⋈ small` on `key`, salted `salts` ways.
+    *
+    * The big side gets a per-row salt (content-derived, cheap); the
+    * small side is replicated once per salt value so every
+    * (key, salt) bucket finds its match. Result equals the plain inner
+    * join (verified by oracle + spec). Inner joins only — outer
+    * variants need null-handling on the replicated side. */
+  def saltedEquiJoin(
+      big: DataFrame,
+      small: DataFrame,
+      key: String,
+      salts: Int = 16): DataFrame = {
+    require(salts > 0)
+    val saltedBig = big.withColumn("__salt",
+      pmod(hash(big.columns.map(col).toIndexedSeq: _*), lit(salts)))
+    val replicatedSmall = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    saltedBig.join(replicatedSmall,
+        saltedBig(key) === replicatedSmall(key) &&
+        saltedBig("__salt") === replicatedSmall("__salt"))
+      .drop(replicatedSmall(key))
+      .drop("__salt")
+  }
+
+  /** Top-k rows per group, two-phase (see q11 / VERDICT r1 #10). `ord`
+    * must be a total order (add a unique tiebreak) for deterministic
+    * results. Emits the rows of `df` plus a `rank` column (1..k). */
+  def twoPhaseTopK(
+      df: DataFrame,
+      groupCols: Seq[Column],
+      ord: Seq[Column],
+      k: Int): DataFrame = {
+    val local = Window.partitionBy(groupCols :+ col("__slice"): _*).orderBy(ord: _*)
+    val global = Window.partitionBy(groupCols: _*).orderBy(ord: _*)
+    df.withColumn("__slice", spark_partition_id())
+      .withColumn("__lrnk", row_number().over(local))
+      .filter(col("__lrnk") <= k)
+      .withColumn("rank", row_number().over(global))
+      .filter(col("rank") <= k)
+      .drop("__slice", "__lrnk")
+  }
+}

@@ -314,6 +314,31 @@ object Relational extends QueryModule {
     """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
       |FROM orders WHERE o_orderkey = 298""".stripMargin
 
+  // --------------------------------------------------------------- q14
+  // Salted equi-join — the explicit skew tool (graft.operators.SkewOps):
+  // each big-side key is split `salts` ways and the small side
+  // replicated to match, so a hot key spreads over `salts` reducers.
+  // The oracle is the PLAIN join: salting must be result-invisible.
+  private def q14(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val big = lineitem(s, d).select($"l_orderkey", $"l_extendedprice")
+    val small = orders(s, d)
+      .filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_orderkey".as("l_orderkey"), $"o_orderstatus")
+    graft.operators.SkewOps.saltedEquiJoin(big, small, "l_orderkey", salts = 8)
+      .groupBy($"o_orderstatus")
+      .agg(
+        sum($"l_extendedprice".cast("decimal(18,2)")).cast("double").as("total_price"),
+        count(lit(1)).as("n_items"))
+  }
+  private val q14Sql =
+    """SELECT o_orderstatus,
+      |  sum(l_extendedprice::DECIMAL(18,2))::DOUBLE AS total_price,
+      |  count(*) AS n_items
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT'
+      |GROUP BY o_orderstatus""".stripMargin
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q1_pricing_summary"  -> q1 _,
     "q2_filter_project"   -> q2 _,
@@ -327,7 +352,8 @@ object Relational extends QueryModule {
     "q10_multikey_sort"   -> q10 _,
     "q11_topk_per_group"  -> q11 _,
     "q12_distinct_agg"    -> q12 _,
-    "q13_point_lookup"    -> q13 _)
+    "q13_point_lookup"    -> q13 _,
+    "q14_salted_join"     -> q14 _)
 
   override val oracles: Seq[(String, String)] = Seq(
     "q1_pricing_summary"  -> q1Sql,
@@ -342,5 +368,6 @@ object Relational extends QueryModule {
     "q10_multikey_sort"   -> q10Sql,
     "q11_topk_per_group"  -> q11Sql,
     "q12_distinct_agg"    -> q12Sql,
-    "q13_point_lookup"    -> q13Sql)
+    "q13_point_lookup"    -> q13Sql,
+    "q14_salted_join"     -> q14Sql)
 }
