@@ -301,6 +301,25 @@ final class VersionedTable private (
     df.select(cols.toIndexedSeq: _*)
   }
 
+  /** Compaction (OPTIMIZE analog): rewrites the current snapshot as one
+    * fresh version — for copy-on-write tables this re-owns every live
+    * bucket, collapsing the cross-version file scatter accumulated by
+    * incremental merges so a following [[vacuum]] can reclaim all older
+    * version directories. Emits no CDF rows (compaction changes no row
+    * content). */
+  def compact(): Option[Long] = bucketSpec match {
+    case Some(BucketSpec(keys, n)) =>
+      val full = snapshot().withColumn(BUCKET_COL,
+        org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.hash(
+            keys.map(org.apache.spark.sql.functions.col): _*),
+          lit(n)).cast("int"))
+      val touched = latestManifest.bucketOwners.get.keys.map(_.toInt).toSeq.sorted
+      commit(full, None, "compact", touchedBuckets = Some(touched))
+    case None =>
+      commit(snapshot(), None, "compact")
+  }
+
   /** Storage maintenance: drops snapshots, change files and manifests
     * of all but the most recent `retainVersions` versions (Delta's
     * VACUUM analog — time travel to vacuumed versions becomes

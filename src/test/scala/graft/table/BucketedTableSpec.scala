@@ -105,6 +105,27 @@ class BucketedTableSpec extends SparkSpec {
     intercept[Exception] { t.snapshotAt(1) } // manifest gone
   }
 
+  test("compact re-owns all buckets so vacuum reclaims old versions fully") {
+    val path = tmp("cow-compact")
+    val t = mk(path, bucketed = true)
+    Merge.run(t, batch((1L to 30L).map(i => (i, s"v$i", "INSERT")): _*),
+      Seq("id"), clauses) // v1
+    Merge.run(t, batch((1L, "u1", "UPDATE")), Seq("id"), clauses) // v2
+    val before = t.snapshot().as[(Long, String)].collect().sortBy(_._1).toSeq
+
+    val cv = t.compact()
+    assert(cv === Some(3L))
+    assert(t.latestManifest.bucketOwners.get.values.toSet === Set(3L),
+      "compaction must own every live bucket")
+    // no CDF rows from compaction
+    assert(t.changes(3).count() === 0L)
+
+    t.vacuum(retainVersions = 1)
+    assert(!Files.isDirectory(Paths.get(path).resolve("v=1")),
+      "post-compaction vacuum reclaims superseded version dirs")
+    assert(t.snapshot().as[(Long, String)].collect().sortBy(_._1).toSeq === before)
+  }
+
   test("append is rejected on bucketed tables") {
     val t = mk(tmp("cow-append"), bucketed = true)
     intercept[IllegalArgumentException] {
