@@ -94,9 +94,12 @@ object GraftFunctions {
     CosineSimilarity(children.head, children(1))
   }
 
-  /** Runtime registration on an existing session (idempotent). */
-  def register(spark: SparkSession): Unit =
+  /** Runtime registration of all graft functions on an existing
+    * session (idempotent). */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    Md5MinRegistration.register(spark)
+  }
 }
 
 /** `spark.sql.extensions=graft.functions.GraftExtensions` — the

@@ -143,18 +143,22 @@ object TextOps extends QueryModule {
     * 5-gram count as a length-normalized signal). Content-defined, so
     * whitespace-identical documents collide — the fingerprint used for
     * exact-ish dedup at corpus scale. */
-  private def qDocFingerprint(s: SparkSession, d: String): DataFrame =
+  private def qDocFingerprint(s: SparkSession, d: String): DataFrame = {
+    // md5_min: native fused hash+min loop (graft.functions.Md5Min) —
+    // the interpreted HOF form is allocation-bound; values identical.
+    // distinct count runs on raw grams (no hashing needed — md5 is
+    // injective in practice so the counts coincide with the oracle's
+    // distinct-of-hashes).
+    graft.functions.GraftFunctions.register(s)
     documents(s, d)
       .filter(length(col("text")) >= 5)
-      // single gram-hash pass (HOF lambdas are interpreted, not
-      // codegen'd — every extra array traversal is real cost at scale);
-      // distinct-of-hashes == distinct-of-grams (md5 injective in practice)
-      .withColumn("gram_hashes", expr(
-        "transform(sequence(1, length(text)-4), i -> md5(substring(text, i, 5)))"))
+      .withColumn("grams", expr(
+        "transform(sequence(1, length(text)-4), i -> substring(text, i, 5))"))
       .select(
         col("doc_id"),
-        array_min(col("gram_hashes")).as("fingerprint"),
-        size(array_distinct(col("gram_hashes"))).cast("long").as("n_distinct_grams"))
+        expr("md5_min(grams, '')").as("fingerprint"),
+        size(array_distinct(col("grams"))).cast("long").as("n_distinct_grams"))
+  }
   private val qDocFingerprintSql =
     """SELECT doc_id,
       |  list_aggregate(gh, 'min') AS fingerprint,
