@@ -98,6 +98,52 @@ class CdcStreamsSpec extends SparkSpec {
     VersionedTable.deleteRecursively(base)
   }
 
+  test("three CONCURRENT live streams chain bronze -> silver -> gold like the reference") {
+    // the reference runs all three as long-lived streams chained through
+    // storage (demo-notebook.py §3.1); here they run simultaneously with
+    // processing-time triggers while files land underneath them
+    import org.apache.spark.sql.streaming.Trigger
+    val base = Files.createTempDirectory("cdc-live")
+    val landing = Files.createDirectories(base.resolve("landing"))
+    val bronzeDir = Files.createDirectories(base.resolve("bronze")).toString
+    val silver = CdcPipeline.createSilver(spark, s"$base/silver")
+    val gold = CdcPipeline.createGold(spark, s"$base/gold")
+    val trigger = Trigger.ProcessingTime("200 milliseconds")
+
+    val qB = CdcStreams.startBronzeIngest(spark, landing.toString, bronzeDir,
+      s"$base/_cp/bronze", maxFilesPerTrigger = 1, trigger = trigger)
+    val qS = CdcStreams.startSilverMerge(spark, bronzeDir, silver,
+      s"$base/_cp/silver", trigger = trigger)
+    val qG = CdcStreams.startGoldAggregate(spark, silver, gold,
+      s"$base/_cp/gold", trigger = trigger)
+
+    def awaitGold(expected: Map[String, Long], what: String): Unit = {
+      val deadline = System.nanoTime() + 90L * 1000 * 1000 * 1000
+      var last: Map[String, Long] = Map.empty
+      while (System.nanoTime() < deadline && last != expected) {
+        Thread.sleep(500)
+        last = goldMap(gold.snapshot())
+      }
+      assert(last === expected, s"$what not reached before timeout")
+    }
+
+    try {
+      graft.pipeline.Landing.landFile(fixture("seed.json"),
+        landing.toString, "seed.json")
+      awaitGold(Map("England" -> 4170L, "Wales" -> 3903L,
+        "Northern Ireland" -> 3351L, "Scotland" -> 1934L), "batch-1 gold")
+
+      graft.pipeline.Landing.landFile(fixture("edge.json"),
+        landing.toString, "edge.json")
+      awaitGold(Map("Australia" -> 10000L, "England" -> 14170L,
+        "Wales" -> 3903L, "Northern Ireland" -> 3351L, "Scotland" -> 1934L),
+        "batch-2 gold")
+    } finally {
+      qB.stop(); qS.stop(); qG.stop()
+    }
+    VersionedTable.deleteRecursively(base)
+  }
+
   test("maxFilesPerTrigger=1 paces ingestion one file per micro-batch (D6)") {
     val base = Files.createTempDirectory("cdc-pacing")
     val landing = Files.createDirectories(base.resolve("landing"))
