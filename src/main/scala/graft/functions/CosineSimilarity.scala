@@ -99,7 +99,31 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     Md5MinRegistration.register(spark)
+    registerTableChanges(spark)
   }
+
+  /** SQL table-valued function `table_changes('<table path>', from
+    * [, to])` — the reference's Delta TVF surface verbatim (S7,
+    * demo-notebook.py:371), resolved against [[graft.table.VersionedTable]].
+    * Arguments must be literals (resolution happens at analysis time,
+    * like Delta's own TVF). */
+  def registerTableChanges(spark: SparkSession): Unit =
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("table_changes"),
+      new ExpressionInfo("graft.table.VersionedTable", "table_changes"),
+      (args: Seq[Expression]) => {
+        require(args.size == 2 || args.size == 3,
+          "table_changes(path, fromVersion [, toVersion])")
+        def str(e: Expression) = e.eval().toString
+        def lng(e: Expression) = e.eval() match {
+          case l: Long => l
+          case i: Int => i.toLong
+          case other => other.toString.toLong
+        }
+        val t = graft.table.VersionedTable.load(spark, str(args.head))
+        t.changes(lng(args(1)), args.lift(2).map(lng))
+          .queryExecution.analyzed
+      })
 }
 
 /** `spark.sql.extensions=graft.functions.GraftExtensions` — the

@@ -92,20 +92,24 @@ object CdcStreams {
       .trigger(trigger)
       .start()
 
-  /** Gold aggregate stream (S5→S6): tails Silver's CDF. */
+  /** Gold aggregate stream (S5→S6): tails Silver's CDF from
+    * `startingVersion` (the reference's `readChangeData` option,
+    * demo-notebook.py:428-431). */
   def startGoldAggregate(
       spark: SparkSession,
       silver: VersionedTable,
       gold: VersionedTable,
       checkpointDir: String,
       appId: String = "gold-merge",
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      startingVersion: Long = 1L): StreamingQuery = {
     // The CDF directory may not exist until the first merge commits;
     // the file source requires the path at stream start.
     Files.createDirectories(Paths.get(silver.changesLocation))
     spark.readStream
       .schema(silver.changeSchema)
       .parquet(silver.changesLocation)
+      .filter(org.apache.spark.sql.functions.col("_commit_version") >= startingVersion)
       .writeStream
       .foreachBatch { (changes: DataFrame, batchId: Long) =>
         changes.createOrReplaceTempView(s"${appId.replace('-', '_')}_microbatch")
