@@ -135,20 +135,25 @@ final class VersionedTable private (
     */
   def snapshotAt(v: Long): DataFrame = {
     val m = manifest(v) // throws for unknown versions
-    m.bucketOwners match {
-      case Some(owners) =>
-        val dirs = owners.toSeq
-          .map { case (b, ownerV) =>
-            snapshotDir(ownerV).resolve(s"$BUCKET_COL=$b") }
-          .filter(Files.isDirectory(_)) // a touched bucket can end empty
-          .map(_.toString)
-        if (dirs.isEmpty)
-          spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
-        else spark.read.schema(m.schema).parquet(dirs: _*)
-      case None =>
-        spark.read.schema(m.schema).parquet(snapshotDir(v).toString)
-    }
+    val dirs = snapshotDirsAt(v)
+    if (dirs.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
+    else spark.read.schema(m.schema).parquet(dirs: _*)
+  }
+
+  /** The concrete parquet directories backing version `v` — for
+    * unbucketed tables the version's own dir; for copy-on-write tables
+    * each bucket's owning directory. Used by the DSv2 catalog to hand
+    * Spark a pushdown-capable scan of any version. */
+  def snapshotDirsAt(v: Long): Seq[String] = manifest(v).bucketOwners match {
+    case Some(owners) =>
+      owners.toSeq
+        .map { case (b, ownerV) => snapshotDir(ownerV).resolve(s"$BUCKET_COL=$b") }
+        .filter(Files.isDirectory(_)) // a touched bucket can end empty
+        .map(_.toString)
+    case None =>
+      Seq(snapshotDir(v).toString).filter(d => Files.isDirectory(Paths.get(d)))
   }
 
   /** Reads ONLY the given buckets of the current snapshot (copy-on-
