@@ -50,6 +50,13 @@ class GraftSparkCatalogSpec extends SparkSpec {
       .contains("t"))
     spark.sql("DROP TABLE graft.db1.t")
     assert(!VersionedTable.exists(s"$wh/db1/t"))
+
+    // TBLPROPERTIES flow through to the manifest (CDF enablement — the
+    // reference's delta.enableChangeDataFeed shape, demo-notebook.py:225)
+    spark.sql("CREATE TABLE graft.db1.cdf (id BIGINT) " +
+      s"TBLPROPERTIES ('${VersionedTable.PROP_CDF}'='true')")
+    assert(VersionedTable.load(spark, s"$wh/db1/cdf").cdfEnabled)
+    spark.sql("DROP TABLE graft.db1.cdf")
   }
 
   test("time travel on a bucketed (copy-on-write) table through SQL") {
