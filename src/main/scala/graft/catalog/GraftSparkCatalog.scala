@@ -4,10 +4,13 @@ import java.nio.file.{Files, Paths}
 import java.util
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.InsertableRelation
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -51,26 +54,32 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
 
   private def nsPath(ns: Array[String]) = Paths.get((warehouse +: ns).mkString("/"))
 
-  private def loadAt(ident: Identifier, version: Option[Long]): Table = {
-    val p = tablePath(ident)
-    if (!VersionedTable.exists(p)) throw new NoSuchTableException(ident)
-    val t = VersionedTable.load(spark, p)
-    val v = version.getOrElse(t.latestVersion)
-    val schema = t.manifest(v).schema
+  private def parquetRead(ident: Identifier, t: VersionedTable, v: Long): Table =
     org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable(
       ident.toString,
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
       CaseInsensitiveStringMap.empty(),
       t.snapshotDirsAt(v),
-      Some(schema),
+      Some(t.manifest(v).schema),
       classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat])
+
+  private def versioned(ident: Identifier): VersionedTable = {
+    val p = tablePath(ident)
+    if (!VersionedTable.exists(p)) throw new NoSuchTableException(ident)
+    VersionedTable.load(spark, p)
   }
 
-  override def loadTable(ident: Identifier): Table = loadAt(ident, None)
+  override def loadTable(ident: Identifier): Table = {
+    val t = versioned(ident)
+    new GraftV2Table(t, parquetRead(ident, t, t.latestVersion))
+  }
 
-  /** `VERSION AS OF v` resolves here (DSv2 time-travel API). */
-  override def loadTable(ident: Identifier, version: String): Table =
-    loadAt(ident, Some(version.toLong))
+  /** `VERSION AS OF v` resolves here (DSv2 time-travel API); historical
+    * versions are read-only. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val t = versioned(ident)
+    parquetRead(ident, t, version.toLong)
+  }
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val p = nsPath(namespace)
@@ -114,6 +123,35 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   // ----------------------------------------------------- namespaces (D1)
+
+  /** Current-version table handle: reads delegate to the parquet v2
+    * table (pushdown intact); `INSERT INTO` appends through the
+    * transactional layer via the DSv2→V1 write bridge — a new commit
+    * per insert, CDF rows included. Bucketed (CoW) tables reject
+    * INSERT (they are maintained by MERGE). */
+  private class GraftV2Table(vt: VersionedTable, read: Table)
+      extends Table with SupportsRead with SupportsWrite {
+    override def name(): String = read.name()
+    override def schema(): StructType = vt.schema
+    override def properties(): util.Map[String, String] = vt.properties.asJava
+    override def capabilities(): util.Set[TableCapability] =
+      Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE).asJava
+    override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+      read.asInstanceOf[SupportsRead].newScanBuilder(options)
+    override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+      new WriteBuilder {
+        override def build(): Write = new V1Write {
+          override def toInsertableRelation: InsertableRelation =
+            new InsertableRelation {
+              override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+                require(!overwrite, "INSERT OVERWRITE is not supported")
+                vt.append(data)
+                ()
+              }
+            }
+        }
+      }
+  }
 
   override def listNamespaces(): Array[Array[String]] = {
     val root = Paths.get(warehouse)

@@ -56,6 +56,17 @@ class GraftSparkCatalogSpec extends SparkSpec {
     spark.sql("CREATE TABLE graft.db1.cdf (id BIGINT) " +
       s"TBLPROPERTIES ('${VersionedTable.PROP_CDF}'='true')")
     assert(VersionedTable.load(spark, s"$wh/db1/cdf").cdfEnabled)
+
+    // INSERT INTO appends through the transactional layer: a commit per
+    // insert, CDF rows emitted
+    spark.sql("INSERT INTO graft.db1.cdf VALUES (10), (20)")
+    spark.sql("INSERT INTO graft.db1.cdf VALUES (30)")
+    val cdfT = VersionedTable.load(spark, s"$wh/db1/cdf")
+    assert(cdfT.latestVersion === 2L)
+    assert(spark.sql("SELECT count(*) FROM graft.db1.cdf").head().getLong(0) === 3L)
+    assert(cdfT.changes(1).count() === 3L)
+    assert(spark.sql("SELECT count(*) FROM graft.db1.cdf VERSION AS OF 1")
+      .head().getLong(0) === 2L)
     spark.sql("DROP TABLE graft.db1.cdf")
   }
 
