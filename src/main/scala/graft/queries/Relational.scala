@@ -339,6 +339,50 @@ object Relational extends QueryModule {
       |WHERE o_orderpriority = '1-URGENT'
       |GROUP BY o_orderstatus""".stripMargin
 
+  // --------------------------------------------------------------- q15
+  // Exact percentiles per group (beyond the reference's surface — a
+  // complete engine needs order statistics). Both engines use linear
+  // interpolation at rank (n-1)p; 4dp rounding absorbs the last-ulp
+  // difference of the interpolation arithmetic.
+  private def q15(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    events(s, d)
+      .groupBy($"event_type")
+      .agg(
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.95)"), 4).as("p95"),
+        round(expr("percentile(value, 0.99)"), 4).as("p99"),
+        count(lit(1)).as("n"))
+  }
+  private val q15Sql =
+    """SELECT event_type,
+      |  round(quantile_cont(value, 0.5), 4) AS p50,
+      |  round(quantile_cont(value, 0.95), 4) AS p95,
+      |  round(quantile_cont(value, 0.99), 4) AS p99,
+      |  count(*) AS n
+      |FROM events GROUP BY event_type""".stripMargin
+
+  // --------------------------------------------------------------- q16
+  // ROLLUP hierarchy aggregation with grouping indicators (also beyond
+  // the reference; quantities are integral so sums are exact doubles).
+  private def q16(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    lineitem(s, d)
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"l_quantity").as("sum_qty"),
+        grouping($"l_returnflag").cast("long").as("g_flag"),
+        grouping($"l_linestatus").cast("long").as("g_status"))
+  }
+  private val q16Sql =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+      |  sum(l_quantity) AS sum_qty,
+      |  grouping(l_returnflag)::BIGINT AS g_flag,
+      |  grouping(l_linestatus)::BIGINT AS g_status
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q1_pricing_summary"  -> q1 _,
     "q2_filter_project"   -> q2 _,
@@ -353,7 +397,9 @@ object Relational extends QueryModule {
     "q11_topk_per_group"  -> q11 _,
     "q12_distinct_agg"    -> q12 _,
     "q13_point_lookup"    -> q13 _,
-    "q14_salted_join"     -> q14 _)
+    "q14_salted_join"     -> q14 _,
+    "q15_percentiles"     -> q15 _,
+    "q16_rollup"          -> q16 _)
 
   override val oracles: Seq[(String, String)] = Seq(
     "q1_pricing_summary"  -> q1Sql,
@@ -369,5 +415,7 @@ object Relational extends QueryModule {
     "q11_topk_per_group"  -> q11Sql,
     "q12_distinct_agg"    -> q12Sql,
     "q13_point_lookup"    -> q13Sql,
-    "q14_salted_join"     -> q14Sql)
+    "q14_salted_join"     -> q14Sql,
+    "q15_percentiles"     -> q15Sql,
+    "q16_rollup"          -> q16Sql)
 }
