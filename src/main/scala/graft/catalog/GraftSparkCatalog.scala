@@ -3,6 +3,7 @@ package graft.catalog
 import java.nio.file.{Files, Paths}
 import java.util
 import scala.jdk.CollectionConverters._
+import scala.util.Using
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
@@ -11,7 +12,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.sources.InsertableRelation
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.table.VersionedTable
@@ -59,7 +60,7 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
       ident.toString,
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
       CaseInsensitiveStringMap.empty(),
-      t.snapshotDirsAt(v),
+      t.snapshotPathsAt(v),
       Some(t.manifest(v).schema),
       classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat])
 
@@ -81,13 +82,23 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
     parquetRead(ident, t, version.toLong)
   }
 
+  /** `TIMESTAMP AS OF ts` — Spark hands micros since epoch; resolved to
+    * the latest version committed at or before it (commit timestamps
+    * are strictly monotonic, so the mapping is unambiguous). */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val t = versioned(ident)
+    parquetRead(ident, t, t.versionAt(timestamp / 1000L))
+  }
+
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val p = nsPath(namespace)
     if (!Files.isDirectory(p)) throw new NoSuchNamespaceException(namespace)
-    Files.list(p).iterator.asScala
-      .filter(d => VersionedTable.exists(d.toString))
-      .map(d => Identifier.of(namespace, d.getFileName.toString))
-      .toArray
+    Using.resource(Files.list(p)) { s =>
+      s.iterator.asScala
+        .filter(d => VersionedTable.exists(d.toString))
+        .map(d => Identifier.of(namespace, d.getFileName.toString))
+        .toArray
+    }
   }
 
   override def createTable(
@@ -106,8 +117,24 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
     loadTable(ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("ALTER TABLE is not supported")
+  /** `ALTER TABLE ... ADD COLUMNS` — additive, nullable schema evolution
+    * committed as a metadata-only version; existing data files are
+    * inherited and read the new columns as null. Other alterations are
+    * rejected (narrowing/renames would invalidate inherited files). */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val t = versioned(ident)
+    val newFields = changes.map {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames().length == 1,
+          "only top-level ADD COLUMNS is supported")
+        StructField(add.fieldNames().head, add.dataType(), nullable = true)
+      case other =>
+        throw new UnsupportedOperationException(
+          s"ALTER TABLE change not supported: $other")
+    }
+    t.evolveSchema(StructType(t.schema.fields ++ newFields))
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val p = tablePath(ident)
@@ -156,10 +183,12 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
   override def listNamespaces(): Array[Array[String]] = {
     val root = Paths.get(warehouse)
     if (!Files.isDirectory(root)) Array.empty
-    else Files.list(root).iterator.asScala
-      .filter(Files.isDirectory(_))
-      .map(d => Array(d.getFileName.toString))
-      .toArray
+    else Using.resource(Files.list(root)) { s =>
+      s.iterator.asScala
+        .filter(Files.isDirectory(_))
+        .map(d => Array(d.getFileName.toString))
+        .toArray
+    }
   }
 
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
@@ -187,7 +216,7 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
     val p = nsPath(namespace)
     if (!Files.isDirectory(p)) return false
-    if (!cascade && Files.list(p).iterator.asScala.nonEmpty)
+    if (!cascade && Using.resource(Files.list(p))(_.iterator.asScala.nonEmpty))
       throw new IllegalStateException(s"namespace ${namespace.mkString(".")} is not empty")
     VersionedTable.deleteRecursively(p)
     true

@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -11,31 +11,47 @@ import graft.{QueryModule, Tables}
   *
   * Two paths:
   *   - '''q_topk_cosine''' — brute-force exact top-k: broadcast the
-  *     (tiny) query set against all candidates, cosine via
-  *     `zip_with`/`aggregate` higher-order functions in double
-  *     precision, per-query ranking with the W1 window idiom. The
-  *     correctness baseline.
-  *   - '''q_cosine_lsh''' — the scale path: random-hyperplane LSH.
-  *     Sign-random planes are derived from md5 (plane p, dim j → ±1),
-  *     each vector gets a SIGNATURE_BITS-bit signature, and candidates
-  *     are generated by a bucket equi-join on the signature — never a
-  *     cross-join. Exact cosine + top-k only within buckets.
+  *     (tiny) query set against all candidates, cosine via the
+  *     codegen'd `cosine_sim` expression in double precision, per-query
+  *     ranking with the W1 window idiom. The correctness baseline.
+  *   - '''q_cosine_lsh''' — the scale path: BANDED random-hyperplane
+  *     LSH. Each vector gets BANDS independent signatures of
+  *     BITS_PER_BAND sign-bits each; a pair is a candidate if ANY band
+  *     matches exactly (an equi-join on `(band_idx, band_value)`, never
+  *     a cross-join), candidates are deduped, and exact cosine + top-k
+  *     run on candidates only.
+  *
+  * == Recall ==
+  * For a pair at angle θ each plane agrees with probability
+  * p = 1 − θ/π, a band matches with p^r, and ≥1 of B bands matches with
+  * 1 − (1 − p^r)^B. At cosine 0.8 (θ ≈ 0.6435) with r = 6, B = 12 that
+  * is ≈ 0.97 — tunable by (r, B) at the same join skeleton (raise r for
+  * sharper buckets on billion-vector corpora, raise B to buy recall
+  * back). A single-signature table (B = 1) would sit at ~0.25 here —
+  * the recall cliff this banding removes. `LlmRecallSpec` measures
+  * ≥ 0.9 recall against brute force on planted cos-0.8 neighbors.
   *
   * == Cross-engine determinism ==
-  * Dot products fold left-to-right over dimension index with every
-  * element cast to double first — the identical IEEE operation sequence
-  * in Spark (`aggregate` over `sequence(1,64)`) and DuckDB (`list_sum`
-  * over `generate_series(1,64)`); cosines are emitted rounded to 6dp,
-  * and ranking uses the raw (bit-identical) values with a `vec_id`
-  * tiebreak.
+  * The hyperplanes are ±1 (SimHash-style) components derived from
+  * md5(plane + "|" + dim): Spark looks them up from a driver-computed
+  * literal array (zero runtime md5), DuckDB recomputes the same md5
+  * inline — identical values by construction. Dot products fold
+  * left-to-right over the dimension index with every element cast to
+  * double first — the identical IEEE operation sequence in both engines
+  * — so signatures, candidate sets, and cosines all agree exactly;
+  * cosines are emitted rounded to 6dp and ranked on raw values with a
+  * `vec_id` tiebreak.
   *
   * == 100 TB design ==
   * Brute force is O(Q·N) with the query side broadcast — correct choice
-  * when Q is small; the LSH variant bounds candidate generation by
-  * bucket collisions (the join key is the full signature, high
-  * cardinality, AQE-friendly) and is the shape that scales to billions
-  * of vectors (add multi-probe/repetition for recall, or go IVF with a
-  * k-means codebook — same join skeleton).
+  * when Q is small. The banded path is the billion-vector shape:
+  * signatures are embarrassingly parallel, candidate generation is a
+  * shuffled equi-join on a derived key (AQE-friendly, no cross-join
+  * anywhere), and verification touches candidates only. The bands
+  * explode is ×B on the signature table but each side computes its own
+  * signatures under pushed-down filters, so nothing is cached or
+  * recomputed O(N·Q). IVF with a k-means codebook drops into the same
+  * skeleton (codebook id = band value).
   */
 object SimilarityOps extends QueryModule {
   import Tables._
@@ -43,14 +59,23 @@ object SimilarityOps extends QueryModule {
   private val DIMS = 64
   private val QUERY_MAX_ID = 8 // vec_id < 8 are the query vectors
   private val K = 5
-  private val SIGNATURE_BITS = 8
+  private[llm] val BANDS = 12
+  private[llm] val BITS_PER_BAND = 6
 
-  /** Left-to-right double-precision dot product of two float arrays —
-    * the same fold DuckDB's `list_sum(list_transform(...))` performs. */
-  private def dotExpr(a: String, b: String): String =
-    s"""aggregate(sequence(1, $DIMS), cast(0.0 AS double),
-       |  (acc, i) -> acc + cast(element_at($a, i) AS double)
-       |                  * cast(element_at($b, i) AS double))""".stripMargin
+  /** ±1 hyperplane components, flattened `[plane][dim]` (plane-major,
+    * dim 1-based within a plane): +1 iff the first hex digit of
+    * md5("p|j") is >= '8' — i.e. the md5's high nibble >= 8. Computed
+    * once on the driver; the oracle derives the same values via SQL
+    * `md5`. */
+  private[llm] lazy val planes: Array[Double] = {
+    Array.tabulate(BANDS * BITS_PER_BAND * DIMS) { idx =>
+      val p = idx / DIMS
+      val j = idx % DIMS + 1
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$p|$j".getBytes("UTF-8"))
+      if (((d(0) >> 4) & 0xf) >= 8) 1.0 else -1.0
+    }
+  }
 
   // ------------------------------------------------------ q_topk_cosine
   private def qTopkCosine(s: SparkSession, d: String): DataFrame = {
@@ -93,63 +118,80 @@ object SimilarityOps extends QueryModule {
       |FROM rk WHERE rnk <= $K""".stripMargin
 
   // ------------------------------------------------------ q_cosine_lsh
-  /** Deterministic ±1 hyperplane component for (plane, dim), derived
-    * from md5 so both engines agree: +1 iff the first hex digit of
-    * md5("p|j") is >= '8'. */
-  private def signExpr(p: String, j: String): String =
-    s"(CASE WHEN substring(md5(concat(cast($p AS string), '|', cast($j AS string))), 1, 1)" +
-      s" >= '8' THEN 1.0D ELSE -1.0D END)"
+  /** Banded signatures: `bands[b]` packs the sign bits of planes
+    * `b*r .. b*r+r-1` (bit `i` of band `b` = sign of plane `b*r+i`). */
+  private def bandsExpr(v: String, planesCol: String): String =
+    s"""transform(sequence(0, ${BANDS - 1}), b ->
+       |  aggregate(sequence(0, ${BITS_PER_BAND - 1}), cast(0 AS bigint), (acc, r) ->
+       |    acc + CASE WHEN
+       |      aggregate(sequence(1, $DIMS), cast(0.0 AS double),
+       |        (a2, j) -> a2 + element_at($planesCol, (b * $BITS_PER_BAND + r) * $DIMS + j)
+       |                        * cast(element_at($v, j) AS double))
+       |      > 0.0D THEN cast(shiftleft(1, r) AS bigint) ELSE 0 END))""".stripMargin
 
-  private def signatureExpr(v: String): String =
-    s"""aggregate(sequence(0, ${SIGNATURE_BITS - 1}), cast(0 AS bigint),
-       |  (acc, p) -> acc + CASE WHEN
-       |     aggregate(sequence(1, $DIMS), cast(0.0 AS double),
-       |       (a2, j) -> a2 + ${signExpr("p", "j")} * cast(element_at($v, j) AS double))
-       |     > 0.0D THEN cast(pow(2, p) AS bigint) ELSE 0 END)""".stripMargin
-
-  private def qCosineLsh(s: SparkSession, d: String): DataFrame = {
-    graft.functions.GraftFunctions.register(s)
-    // persist: the signature pass (SIGNATURE_BITS × DIMS md5-derived
-    // multiply-adds per vector) feeds both join sides; computed once,
-    // like a materialized index in a real pipeline
-    val emb = embeddings(s, d)
-      .withColumn("sig", expr(signatureExpr("embedding")))
-      .persist()
-    val q = emb.filter(col("vec_id") < QUERY_MAX_ID)
-      .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("sig"))
-    val c = emb.filter(col("vec_id") >= QUERY_MAX_ID)
-      .select(col("vec_id"), col("embedding").as("ce"), col("sig"))
-    val scored = c.join(broadcast(q), "sig") // bucket join, NOT a cross-join
-      .withColumn("cos", expr("cosine_sim(qe, ce)"))
+  /** Banded-LSH approximate top-k: candidates from the per-band
+    * equi-join, exact cosine + ranking on candidates. `emb` needs
+    * `vec_id` + `embedding`; rows matching `isQuery` are the query set,
+    * the rest the corpus. Exposed for the recall spec. */
+  private[llm] def lshTopK(emb: DataFrame, isQuery: Column, k: Int): DataFrame = {
+    val withBands = emb
+      .withColumn("__planes", typedLit(planes.toSeq))
+      .withColumn("bands", expr(bandsExpr("embedding", "__planes")))
+      .drop("__planes")
+    val q = withBands.filter(isQuery)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+        posexplode(col("bands")).as(Seq("band_idx", "band_val")))
+    val c = withBands.filter(!isQuery)
+      .select(col("vec_id"), col("embedding").as("ce"),
+        posexplode(col("bands")).as(Seq("band_idx", "band_val")))
+    // any-band match -> candidate; dedup multi-band collisions before
+    // the (expensive) exact verification
+    val cand = c.join(broadcast(q), Seq("band_idx", "band_val"))
+      .dropDuplicates("q_id", "vec_id")
+    val scored = cand.withColumn("cos", expr("cosine_sim(qe, ce)"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("vec_id").asc_nulls_last)
     scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= K)
+      .filter(col("rnk") <= k)
       .select(col("q_id"), col("vec_id"), col("rnk").cast("long").as("rnk"),
         round(col("cos"), 6).as("cos"))
   }
+
+  private def qCosineLsh(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    lshTopK(embeddings(s, d), col("vec_id") < QUERY_MAX_ID, K)
+  }
+
   private val qCosineLshSql = {
-    val sign = "(CASE WHEN substr(md5(p::VARCHAR || '|' || j::VARCHAR), 1, 1)" +
-      " >= '8' THEN 1.0 ELSE -1.0 END)"
+    // same planes, recomputed inline: plane index p = b*r + r_i, dim j
+    val sign = "(CASE WHEN substr(md5((b * " + BITS_PER_BAND + " + r)::VARCHAR" +
+      " || '|' || j::VARCHAR), 1, 1) >= '8' THEN 1.0 ELSE -1.0 END)"
     s"""WITH sigs AS (
       |  SELECT vec_id, embedding,
-      |    list_sum(list_transform(generate_series(0, ${SIGNATURE_BITS - 1}), p ->
-      |      CASE WHEN list_sum(list_transform(generate_series(1, $DIMS), j ->
-      |             $sign * embedding[j]::DOUBLE)) > 0.0
-      |           THEN (2 ** p)::BIGINT ELSE 0 END))::BIGINT AS sig
+      |    list_transform(generate_series(0, ${BANDS - 1}), b ->
+      |      list_sum(list_transform(generate_series(0, ${BITS_PER_BAND - 1}), r ->
+      |        CASE WHEN list_sum(list_transform(generate_series(1, $DIMS), j ->
+      |               $sign * embedding[j]::DOUBLE)) > 0.0
+      |             THEN (2 ** r)::BIGINT ELSE 0 END))::BIGINT) AS bands
       |  FROM embeddings),
-      |q AS (SELECT vec_id AS q_id, embedding AS qe, sig FROM sigs
-      |      WHERE vec_id < $QUERY_MAX_ID),
-      |c AS (SELECT vec_id, embedding AS ce, sig FROM sigs
-      |      WHERE vec_id >= $QUERY_MAX_ID),
-      |p AS (SELECT q_id, c.vec_id,
+      |qb AS (SELECT vec_id AS q_id, embedding AS qe, i AS band_idx,
+      |              bands[i + 1] AS band_val
+      |       FROM sigs, generate_series(0, ${BANDS - 1}) AS t(i)
+      |       WHERE vec_id < $QUERY_MAX_ID),
+      |cb AS (SELECT vec_id, embedding AS ce, i AS band_idx,
+      |              bands[i + 1] AS band_val
+      |       FROM sigs, generate_series(0, ${BANDS - 1}) AS t(i)
+      |       WHERE vec_id >= $QUERY_MAX_ID),
+      |cand AS (SELECT DISTINCT q_id, qe, vec_id, ce
+      |         FROM qb JOIN cb USING (band_idx, band_val)),
+      |p AS (SELECT q_id, vec_id,
       |  list_sum(list_transform(generate_series(1, $DIMS),
       |    i -> qe[i]::DOUBLE * ce[i]::DOUBLE)) AS dot,
       |  list_sum(list_transform(generate_series(1, $DIMS),
       |    i -> qe[i]::DOUBLE * qe[i]::DOUBLE)) AS qq,
       |  list_sum(list_transform(generate_series(1, $DIMS),
       |    i -> ce[i]::DOUBLE * ce[i]::DOUBLE)) AS cc
-      |  FROM q JOIN c USING (sig)),
+      |  FROM cand),
       |r AS (SELECT q_id, vec_id, dot / (sqrt(qq) * sqrt(cc)) AS cos FROM p),
       |rk AS (SELECT q_id, vec_id, cos,
       |         row_number() OVER (PARTITION BY q_id

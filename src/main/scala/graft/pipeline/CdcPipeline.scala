@@ -198,8 +198,9 @@ object CdcPipeline {
   def mergeDeltasIntoGold(
       gold: VersionedTable,
       deltas: DataFrame,
-      txn: Option[(String, Long)] = None): MergeStats =
-    Merge.run(gold, deltas, Seq("country"), goldClauses, txn)
+      txn: Option[(String, Long)] = None,
+      extraTxn: Map[String, Long] = Map.empty): MergeStats =
+    Merge.run(gold, deltas, Seq("country"), goldClauses, txn, extraTxn = extraTxn)
 
   // --------------------------------------------------------- validation
 

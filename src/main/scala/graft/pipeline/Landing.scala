@@ -2,6 +2,7 @@ package graft.pipeline
 
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
+import scala.util.Using
 
 import org.apache.spark.sql.SparkSession
 
@@ -34,18 +35,21 @@ object Landing {
   def list(landingDir: String): Seq[(String, Long)] = {
     val p = Paths.get(landingDir)
     if (!Files.isDirectory(p)) Seq.empty
-    else Files.list(p).iterator.asScala
-      .filter(f => Files.isRegularFile(f) && !f.getFileName.toString.startsWith("."))
-      .map(f => (f.getFileName.toString, Files.size(f)))
-      .toSeq.sortBy(_._1)
+    else Using.resource(Files.list(p)) { s =>
+      s.iterator.asScala
+        .filter(f => Files.isRegularFile(f) && !f.getFileName.toString.startsWith("."))
+        .map(f => (f.getFileName.toString, Files.size(f)))
+        .toSeq
+    }.sortBy(_._1)
   }
 
   /** S9: clear the landing prefix (helper :16-19). */
   def clear(landingDir: String): Unit = {
     val p = Paths.get(landingDir)
     if (Files.isDirectory(p))
-      Files.list(p).iterator.asScala.filter(Files.isRegularFile(_))
-        .foreach(Files.delete)
+      Using.resource(Files.list(p)) { s =>
+        s.iterator.asScala.filter(Files.isRegularFile(_)).toSeq
+      }.foreach(Files.delete)
   }
 }
 

@@ -92,9 +92,22 @@ object CdcStreams {
       .trigger(trigger)
       .start()
 
+  /** Txn key under which the gold stream records the highest Silver CDF
+    * version it has merged — the consumer progress the vacuum retention
+    * check compares against. */
+  def cdfProgressKey(appId: String): String = s"$appId.cdfVersion"
+
   /** Gold aggregate stream (S5→S6): tails Silver's CDF from
     * `startingVersion` (the reference's `readChangeData` option,
-    * demo-notebook.py:428-431). */
+    * demo-notebook.py:428-431).
+    *
+    * Retention contract: each micro-batch records the highest
+    * `_commit_version` it merged in the gold table's manifest (under
+    * [[cdfProgressKey]]). At start, that progress is checked against
+    * Silver's [[VersionedTable.cdfVacuumWatermark]] — if vacuum has
+    * deleted change files this consumer never processed, the start
+    * FAILS LOUDLY instead of silently producing wrong aggregates
+    * (Delta errors the same way when a CDF read predates retention). */
   def startGoldAggregate(
       spark: SparkSession,
       silver: VersionedTable,
@@ -103,6 +116,17 @@ object CdcStreams {
       appId: String = "gold-merge",
       trigger: Trigger = Trigger.AvailableNow(),
       startingVersion: Long = 1L): StreamingQuery = {
+    silver.cdfVacuumWatermark.foreach { vacuumed =>
+      val consumed = gold.lastTxn(cdfProgressKey(appId))
+        .getOrElse(startingVersion - 1)
+      if (vacuumed > consumed)
+        throw new IllegalStateException(
+          s"Silver CDF history through version $vacuumed was vacuumed but " +
+            s"consumer '$appId' has only processed through $consumed — " +
+            "resuming would silently miss changes. Rebuild gold from a " +
+            "fresh snapshot (new checkpoint) or vacuum with " +
+            "cdfLowWatermark >= the consumer's progress.")
+    }
     // The CDF directory may not exist until the first merge commits;
     // the file source requires the path at stream start.
     Files.createDirectories(Paths.get(silver.changesLocation))
@@ -112,9 +136,17 @@ object CdcStreams {
       .filter(org.apache.spark.sql.functions.col("_commit_version") >= startingVersion)
       .writeStream
       .foreachBatch { (changes: DataFrame, batchId: Long) =>
-        changes.createOrReplaceTempView(s"${appId.replace('-', '_')}_microbatch")
-        CdcPipeline.mergeDeltasIntoGold(gold,
-          CdcPipeline.goldDeltas(changes), Some(appId -> batchId))
+        changes.persist()
+        try {
+          changes.createOrReplaceTempView(s"${appId.replace('-', '_')}_microbatch")
+          val maxV = changes
+            .agg(org.apache.spark.sql.functions.max("_commit_version")).head()
+          val progress =
+            if (maxV.isNullAt(0)) Map.empty[String, Long]
+            else Map(cdfProgressKey(appId) -> maxV.getLong(0))
+          CdcPipeline.mergeDeltasIntoGold(gold,
+            CdcPipeline.goldDeltas(changes), Some(appId -> batchId), progress)
+        } finally changes.unpersist()
         ()
       }
       .option("checkpointLocation", checkpointDir)

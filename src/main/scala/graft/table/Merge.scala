@@ -1,9 +1,11 @@
 package graft.table
 
+import java.nio.file.Files
 import java.util.UUID
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** One conditional action of a multi-clause MERGE (D3/D4). Conditions
   * reference the two sides as `col("source.x")` / `col("target.x")`,
@@ -38,8 +40,8 @@ final case class MergeStats(
   * :394-425 Gold additive aggregate), rebuilt as one declarative Spark
   * plan:
   *
-  *  1. full-outer equi-join of target snapshot and source on the key
-  *     columns (J2/J3) — ONE shuffle, key-partitioned, subsumes the
+  *  1. full-outer equi-join of target and source on the key columns
+  *     (J2/J3) — ONE shuffle, key-partitioned, subsumes the
   *     matched/not-matched split;
   *  2. first-match-wins clause dispatch as an ordered `when` chain
   *     (SQL MERGE clause order semantics) producing an action id plus
@@ -61,17 +63,33 @@ final case class MergeStats(
   * == Scale notes ==
   * The join is a plain shuffled hash join Catalyst/AQE plans freely
   * (broadcast when the source batch is small — the common CDC case).
-  * Source must have at most one row per key (callers dedup first, as the
-  * reference does with ROW_NUMBER, demo-notebook.py:263-267); set
-  * `validateUniqueKeys` to fail fast instead of corrupting the snapshot.
+  * The source is persisted for the duration of a merge attempt: its key
+  * columns feed both candidate-file selection and the join, and caching
+  * guarantees a nondeterministic source cannot route rows to one set of
+  * files and join against another. Source must have at most one row per
+  * key (callers dedup first, as the reference does with ROW_NUMBER,
+  * demo-notebook.py:263-267); set `validateUniqueKeys` to fail fast
+  * instead of corrupting the snapshot.
   *
-  * For tables created with a [[BucketSpec]], the merge is COPY-ON-WRITE:
-  * only the hash buckets the source batch touches are read into the
-  * join and rewritten; every other bucket is inherited by manifest
-  * reference. A small CDC batch against a huge Silver table therefore
-  * costs O(batch + touched buckets), not O(table) — the property that
-  * makes the design hold at 100 TB. Unbucketed tables keep the simple
-  * full-snapshot rewrite (right for small aggregates like Gold).
+  * For tables created with a [[BucketSpec]], the merge is FILE-LEVEL
+  * copy-on-write: per-file key-hash ranges (written clustered, tracked
+  * in the manifest) prove which files cannot contain any source key, so
+  * the join reads and rewrites ONLY overlapping candidate files and the
+  * commit inherits every other file by reference. A small CDC batch
+  * against a huge Silver table costs O(batch + overlapping files), not
+  * O(table) — the property that holds at 100 TB. The pruning is
+  * lossless: key equality implies hash equality, so a file whose range
+  * excludes a source hash provably holds no matching row, and
+  * NOT-MATCHED decisions made against candidates alone are exact.
+  * Unbucketed tables keep the simple full-snapshot rewrite (right for
+  * small aggregates like Gold).
+  *
+  * == Concurrency ==
+  * Merges are optimistic: the commit CAS detects a concurrent winner,
+  * rebases when file sets are disjoint (the common case for merges over
+  * different key ranges — their candidate files and written buckets
+  * don't intersect), and otherwise re-runs the whole read-compute-commit
+  * cycle against fresh state, up to `maxRetries` times.
   */
 object Merge {
 
@@ -83,138 +101,241 @@ object Merge {
       onKeys: Seq[String],
       clauses: Seq[MergeClause],
       txn: Option[(String, Long)] = None,
-      validateUniqueKeys: Boolean = false): MergeStats = {
+      validateUniqueKeys: Boolean = false,
+      mergeSchema: Boolean = false,
+      extraTxn: Map[String, Long] = Map.empty,
+      maxRetries: Int = 5): MergeStats = {
     require(onKeys.nonEmpty, "merge requires at least one key column")
     require(clauses.nonEmpty, "merge requires at least one clause")
+    var attempt = 0
+    while (true) {
+      try {
+        return runOnce(table, source, onKeys, clauses, txn,
+          validateUniqueKeys, mergeSchema, extraTxn)
+      } catch {
+        case e: CommitConflictException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Additive, nullable widening of the target schema with source-only
+    * columns (Delta's `mergeSchema` behavior). */
+  private def evolvedSchema(
+      target: org.apache.spark.sql.types.StructType,
+      source: org.apache.spark.sql.types.StructType) = {
+    val extra = source.fields
+      .filterNot(f => target.fieldNames.contains(f.name))
+      .map(_.copy(nullable = true))
+    org.apache.spark.sql.types.StructType(target.fields ++ extra)
+  }
+
+  private def runOnce(
+      table: VersionedTable,
+      source: DataFrame,
+      onKeys: Seq[String],
+      clauses: Seq[MergeClause],
+      txn: Option[(String, Long)],
+      validateUniqueKeys: Boolean,
+      mergeSchema: Boolean,
+      extraTxn: Map[String, Long]): MergeStats = {
     val spark = table.spark
-    val targetFields = table.schema.fields
+    val base = table.latestManifest
+
+    // cheap pre-check; commitFiles re-checks under the CAS
+    val alreadyApplied = txn.exists { case (appId, batchId) =>
+      base.txn.get(appId).exists(_ >= batchId)
+    }
+    if (alreadyApplied) return MergeStats(None, 0, 0, 0)
+
+    val baseSchema = base.schema
+    val targetSchema =
+      if (mergeSchema) evolvedSchema(baseSchema, source.schema) else baseSchema
+    val targetFields = targetSchema.fields
     val srcCols = source.columns.toSet
 
-    if (validateUniqueKeys) {
-      val dups = source.groupBy(onKeys.map(col): _*).count()
-        .filter(col("count") > 1).limit(1).count()
-      require(dups == 0L,
-        s"source has multiple rows for a merge key ${onKeys.mkString(",")}")
-    }
-
-    // Copy-on-write pruning for bucketed tables: the join reads ONLY the
-    // buckets the source touches; untouched buckets are inherited by
-    // reference at commit. (The source's KEY columns are evaluated once
-    // here and once in the join — keys must be deterministic, which CDC
-    // keys are; non-key source expressions are still evaluated exactly
-    // once, inside the staged join.)
-    val bucketed = table.bucketSpec.map { case BucketSpec(bkeys, n) =>
-      require(bkeys == onKeys,
-        s"merge keys $onKeys must equal the table's bucket keys $bkeys")
-      val touched = source
-        .select(pmod(hash(onKeys.map(col): _*), lit(n)).cast("int").as("b"))
-        .distinct().collect().map(_.getInt(0)).toSeq.sorted
-      (touched, n)
-    }
-    val targetDf = bucketed match {
-      case Some((touched, _)) => table.snapshotBuckets(touched)
-      case None => table.snapshot()
-    }
-
-    val t = targetDf.withColumn("__t_present", lit(true)).alias("target")
-    val s = source.withColumn("__s_present", lit(true)).alias("source")
-    val joinCond = onKeys.map(k => col(s"target.$k") === col(s"source.$k"))
-      .reduce(_ && _)
-    val joined = t.join(s, joinCond, "full_outer")
-
-    val tPresent = col("__t_present").isNotNull
-    val sPresent = col("__s_present").isNotNull
-    val matched = tPresent && sPresent
-
-    // Result row of clause i, as a struct in target-schema order/types.
-    def resultStruct(c: MergeClause): Column = {
-      val fields = targetFields.map { f =>
-        val v = c match {
-          case WhenMatchedUpdate(_, set) if set.nonEmpty =>
-            set.getOrElse(f.name, col(s"target.${f.name}"))
-          case _: WhenMatchedUpdate =>
-            if (srcCols(f.name)) col(s"source.${f.name}") else col(s"target.${f.name}")
-          case WhenNotMatchedInsert(_, values) if values.nonEmpty =>
-            values.getOrElse(f.name, lit(null))
-          case _: WhenNotMatchedInsert =>
-            if (srcCols(f.name)) col(s"source.${f.name}") else lit(null)
-          case _: WhenMatchedDelete => lit(null)
-        }
-        v.cast(f.dataType).as(f.name)
-      }
-      struct(fields.toIndexedSeq: _*)
-    }
-
-    // First-match-wins action dispatch: an ordered when-chain over the
-    // clauses, exactly SQL MERGE's clause-order semantics.
-    val indexed = clauses.zipWithIndex
-    val action = indexed.foldLeft(Option.empty[Column]) { case (acc, (c, i)) =>
-      val applies = c match {
-        case _: WhenNotMatchedInsert =>
-          !tPresent && sPresent && c.condition.getOrElse(lit(true))
-        case _ =>
-          matched && c.condition.getOrElse(lit(true))
-      }
-      Some(acc.fold(when(applies, lit(i)))(_.when(applies, lit(i))))
-    }.get.otherwise(when(tPresent, lit(KEEP)))
-
-    val rowType = org.apache.spark.sql.types.StructType(targetFields)
-    val newRow = indexed
-      .filter { case (c, _) => !c.isInstanceOf[WhenMatchedDelete] }
-      .foldLeft(Option.empty[Column]) { case (acc, (c, i)) =>
-        val st = resultStruct(c)
-        val cond = col("__action") === i
-        Some(acc.fold(when(cond, st))(_.when(cond, st)))
-      }
-      .getOrElse(lit(null)).cast(rowType)
-
-    val targetStruct = when(tPresent,
-      struct(targetFields.toIndexedSeq.map(f => col(s"target.${f.name}").as(f.name)): _*))
-
-    val staged = joined
-      .withColumn("__action", action)
-      .filter(col("__action").isNotNull) // drop source rows no clause inserts
-      .select(col("__action"), targetStruct.as("__t"), newRow.as("__new"))
-
-    val stagingDir = table.root.resolve(
-      s"${VersionedTable.STAGING_DIR}/merge-${UUID.randomUUID()}")
-    staged.write.mode("overwrite").parquet(stagingDir.toString)
+    val src = source.persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val st = spark.read.parquet(stagingDir.toString)
-
-      val deleteIds = indexed.collect { case (_: WhenMatchedDelete, i) => i }
-      val updateIds = indexed.collect { case (_: WhenMatchedUpdate, i) => i }
-      val insertIds = indexed.collect { case (_: WhenNotMatchedInsert, i) => i }
-      def in(ids: Seq[Int]): Column =
-        if (ids.isEmpty) lit(false) else col("__action").isin(ids: _*)
-
-      val flat = st.filter(!in(deleteIds))
-        .select(coalesce(col("__new"), col("__t")).as("r"))
-        .select(col("r.*"))
-      val newSnapshot = bucketed match {
-        case Some((_, n)) => flat.withColumn(VersionedTable.BUCKET_COL,
-          pmod(hash(onKeys.map(col): _*), lit(n)).cast("int"))
-        case None => flat
+      if (validateUniqueKeys) {
+        val dups = src.groupBy(onKeys.map(col): _*).count()
+          .filter(col("count") > 1).limit(1).count()
+        require(dups == 0L,
+          s"source has multiple rows for a merge key ${onKeys.mkString(",")}")
       }
 
-      val changes = {
-        def side(ids: Seq[Int], structCol: String, changeType: String) =
-          st.filter(in(ids)).select(col(s"$structCol.*"))
-            .withColumn("_change_type", lit(changeType))
-        side(insertIds, "__new", "insert")
-          .unionByName(side(deleteIds, "__t", "delete"))
-          .unionByName(side(updateIds, "__t", "update_preimage"))
-          .unionByName(side(updateIds, "__new", "update_postimage"))
+      // File-level copy-on-write pruning for bucketed tables: candidate
+      // files = those whose (bucket, key-hash range) can contain a source
+      // key. The check is a broadcast equi-join of the source's distinct
+      // key hashes against the (tiny) manifest file listing — O(batch)
+      // scan, never O(table). Files without stats (e.g. the create-time
+      // empty file) are conservatively always candidates.
+      val bucketed = table.bucketSpec.map { case BucketSpec(bkeys, n) =>
+        require(bkeys == onKeys,
+          s"merge keys $onKeys must equal the table's bucket keys $bkeys")
+        val khash = hash(onKeys.map(col): _*)
+        val srcKeys = src
+          .select(khash.cast("long").as("__h"),
+            pmod(khash, lit(n)).cast("int").as("__b"))
+          .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+        try {
+          val (statted, statless) = base.dataFiles.partition(f =>
+            f.bucket.isDefined && f.minHash.isDefined && f.maxHash.isDefined)
+          val statCandidates =
+            if (statted.isEmpty) Seq.empty[String]
+            else {
+              import spark.implicits._
+              val fileDf = statted
+                .map(f => (f.path, f.bucket.get, f.minHash.get, f.maxHash.get))
+                .toDF("__path", "__fb", "__mn", "__mx")
+              srcKeys.join(broadcast(fileDf),
+                  col("__b") === col("__fb") &&
+                  col("__h") >= col("__mn") && col("__h") <= col("__mx"))
+                .select("__path").distinct()
+                .collect().map(_.getString(0)).toSeq // bounded by file count
+            }
+          val candidates = (statCandidates ++ statless.map(_.path)).distinct
+          val touched = srcKeys.select("__b").distinct()
+            .collect().map(_.getInt(0)).toSet // bounded by numBuckets
+          (candidates, touched)
+        } finally srcKeys.unpersist()
       }
 
-      val version = table.commit(newSnapshot, Some(changes), "merge", txn,
-        touchedBuckets = bucketed.map(_._1))
-      val counts = st.groupBy(col("__action")).count().collect()
-        .map(r => r.getInt(0) -> r.getLong(1)).toMap
-      def total(ids: Seq[Int]) = ids.map(i => counts.getOrElse(i, 0L)).sum
-      MergeStats(version, total(insertIds), total(updateIds), total(deleteIds))
-    } finally {
-      VersionedTable.deleteRecursively(stagingDir)
-    }
+      val targetRaw = bucketed match {
+        case Some((candidates, _)) => table.readFiles(candidates, baseSchema)
+        case None => table.snapshotAt(base.version)
+      }
+      // align to the (possibly evolved) schema: new columns read as null
+      val targetDf =
+        if (targetSchema == baseSchema) targetRaw
+        else targetRaw.select(targetFields.toIndexedSeq.map(f =>
+          (if (targetRaw.columns.contains(f.name)) col(f.name)
+           else lit(null).cast(f.dataType)).as(f.name)): _*)
+
+      val t = targetDf.withColumn("__t_present", lit(true)).alias("target")
+      val s = src.withColumn("__s_present", lit(true)).alias("source")
+      val joinCond = onKeys.map(k => col(s"target.$k") === col(s"source.$k"))
+        .reduce(_ && _)
+      val joined = t.join(s, joinCond, "full_outer")
+
+      val tPresent = col("__t_present").isNotNull
+      val sPresent = col("__s_present").isNotNull
+      val matched = tPresent && sPresent
+
+      // Result row of clause i, as a struct in target-schema order/types.
+      def resultStruct(c: MergeClause): Column = {
+        val fields = targetFields.map { f =>
+          val v = c match {
+            case WhenMatchedUpdate(_, set) if set.nonEmpty =>
+              set.getOrElse(f.name, col(s"target.${f.name}"))
+            case _: WhenMatchedUpdate =>
+              if (srcCols(f.name)) col(s"source.${f.name}") else col(s"target.${f.name}")
+            case WhenNotMatchedInsert(_, values) if values.nonEmpty =>
+              values.getOrElse(f.name, lit(null))
+            case _: WhenNotMatchedInsert =>
+              if (srcCols(f.name)) col(s"source.${f.name}") else lit(null)
+            case _: WhenMatchedDelete => lit(null)
+          }
+          v.cast(f.dataType).as(f.name)
+        }
+        struct(fields.toIndexedSeq: _*)
+      }
+
+      // First-match-wins action dispatch: an ordered when-chain over the
+      // clauses, exactly SQL MERGE's clause-order semantics.
+      val indexed = clauses.zipWithIndex
+      val action = indexed.foldLeft(Option.empty[Column]) { case (acc, (c, i)) =>
+        val applies = c match {
+          case _: WhenNotMatchedInsert =>
+            !tPresent && sPresent && c.condition.getOrElse(lit(true))
+          case _ =>
+            matched && c.condition.getOrElse(lit(true))
+        }
+        Some(acc.fold(when(applies, lit(i)))(_.when(applies, lit(i))))
+      }.get.otherwise(when(tPresent, lit(KEEP)))
+
+      val rowType = org.apache.spark.sql.types.StructType(targetFields)
+      val newRow = indexed
+        .filter { case (c, _) => !c.isInstanceOf[WhenMatchedDelete] }
+        .foldLeft(Option.empty[Column]) { case (acc, (c, i)) =>
+          val st = resultStruct(c)
+          val cond = col("__action") === i
+          Some(acc.fold(when(cond, st))(_.when(cond, st)))
+        }
+        .getOrElse(lit(null)).cast(rowType)
+
+      val targetStruct = when(tPresent,
+        struct(targetFields.toIndexedSeq.map(f => col(s"target.${f.name}").as(f.name)): _*))
+
+      val staged = joined
+        .withColumn("__action", action)
+        .filter(col("__action").isNotNull) // drop source rows no clause inserts
+        .select(col("__action"), targetStruct.as("__t"), newRow.as("__new"))
+
+      val stagingDir = table.root.resolve(
+        s"${VersionedTable.STAGING_DIR}/merge-${UUID.randomUUID()}")
+      staged.write.mode("overwrite").parquet(stagingDir.toString)
+      var added = Seq.empty[DataFile]
+      try {
+        // explicit schema: an empty staged result may write zero part
+        // files, and an empty directory cannot be schema-inferred
+        val st = spark.read.schema(staged.schema).parquet(stagingDir.toString)
+
+        val deleteIds = indexed.collect { case (_: WhenMatchedDelete, i) => i }
+        val updateIds = indexed.collect { case (_: WhenMatchedUpdate, i) => i }
+        val insertIds = indexed.collect { case (_: WhenNotMatchedInsert, i) => i }
+        def in(ids: Seq[Int]): Column =
+          if (ids.isEmpty) lit(false) else col("__action").isin(ids: _*)
+
+        val flat = st.filter(!in(deleteIds))
+          .select(coalesce(col("__new"), col("__t")).as("r"))
+          .select(col("r.*"))
+        added = table.ingest(flat)
+
+        val changes = {
+          def side(ids: Seq[Int], structCol: String, changeType: String) =
+            st.filter(in(ids)).select(col(s"$structCol.*"))
+              .withColumn("_change_type", lit(changeType))
+          side(insertIds, "__new", "insert")
+            .unionByName(side(deleteIds, "__t", "delete"))
+            .unionByName(side(updateIds, "__t", "update_preimage"))
+            .unionByName(side(updateIds, "__new", "update_postimage"))
+        }
+
+        val removed = bucketed match {
+          case Some((candidates, _)) => candidates
+          case None => base.dataFiles.map(_.path)
+        }
+        // conflict scope: for bucketed merges, any concurrently-added file
+        // in a bucket we touch (or without bucket info) conflicts; for
+        // full-rewrite merges any concurrent commit conflicts
+        val conflictPred: DataFile => Boolean = bucketed match {
+          case Some((_, touched)) =>
+            f => f.bucket.map(touched.contains).getOrElse(true)
+          case None => _ => true
+        }
+        val version = table.commitFiles(added, removed, Some(changes), "merge",
+          txn, extraTxn,
+          newSchemaJson =
+            if (targetSchema == baseSchema) None else Some(targetSchema.json),
+          baseVersion = Some(base.version),
+          conflictsWith = Some(conflictPred))
+        if (version.isEmpty) // txn raced in: retract unpublished files
+          added.foreach(f => Files.deleteIfExists(table.root.resolve(f.path)))
+
+        val counts = st.groupBy(col("__action")).count().collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toMap
+        def total(ids: Seq[Int]) = ids.map(i => counts.getOrElse(i, 0L)).sum
+        MergeStats(version, total(insertIds), total(updateIds), total(deleteIds))
+      } catch {
+        case e: CommitConflictException =>
+          // retract this attempt's unpublished data files before re-running
+          added.foreach(f => Files.deleteIfExists(table.root.resolve(f.path)))
+          throw e
+      } finally {
+        VersionedTable.deleteRecursively(stagingDir)
+      }
+    } finally src.unpersist()
   }
 }

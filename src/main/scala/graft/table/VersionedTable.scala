@@ -1,18 +1,51 @@
 package graft.table
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths, StandardCopyOption}
 import java.util.UUID
 import scala.jdk.CollectionConverters._
-import scala.util.Try
+import scala.util.{Try, Using}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 import org.json4s.{DefaultFormats, Formats}
 import org.json4s.jackson.Serialization
 
+/** One immutable data file of a table snapshot, as recorded in a commit
+  * manifest. `path` is relative to the table root. For hash-bucketed
+  * (copy-on-write) tables each file carries its bucket id and the
+  * min/max of `hash(bucketKeys)` over its rows — the file-skipping
+  * statistics that let MERGE prove which files *cannot* contain a
+  * source key and inherit them untouched (Delta's add-file stats play
+  * the same role for its CoW merge). */
+final case class DataFile(
+    path: String,
+    bucket: Option[Int] = None,
+    minHash: Option[Long] = None,
+    maxHash: Option[Long] = None,
+    rows: Option[Long] = None) {
+  /** A file with stats provably cannot contain key-hash `h` outside
+    * [minHash, maxHash]; a file without stats can contain anything. */
+  def mayContainHash(h: Long): Boolean =
+    (minHash, maxHash) match {
+      case (Some(mn), Some(mx)) => h >= mn && h <= mx
+      case _ => true
+    }
+}
+
 /** One commit of a [[VersionedTable]] — the JSON manifest under
   * `_commits/<version>.json`.
+  *
+  * `dataFiles` is the COMPLETE file listing of this version's snapshot
+  * (every manifest is its own checkpoint — readers never replay a log),
+  * while `addedFiles`/`removedFiles` record this commit's delta for
+  * introspection and write-amplification accounting: an append commit
+  * lists only the new batch's files in `addedFiles` and nothing in
+  * `removedFiles`, so append cost is O(batch), never O(table).
+  *
+  * `changeFiles` lists the commit's CDF files under `_changes/` —
+  * batch CDF reads are manifest-driven, so a crashed writer's orphan
+  * change files are invisible to `table_changes`.
   *
   * `txn` carries the last applied streaming batch id per application id,
   * accumulated across commits — the idempotence token that makes
@@ -30,30 +63,42 @@ final case class CommitManifest(
     txn: Map[String, Long],
     bucketKeys: Option[Seq[String]] = None,
     numBuckets: Option[Int] = None,
-    bucketOwners: Option[Map[String, Long]] = None) {
+    dataFiles: Seq[DataFile] = Seq.empty,
+    addedFiles: Seq[String] = Seq.empty,
+    removedFiles: Seq[String] = Seq.empty,
+    changeFiles: Seq[String] = Seq.empty) {
   def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
 }
 
-/** Hash-bucketing spec for copy-on-write tables: rows live in
-  * `pmod(hash(keys), numBuckets)` buckets; each commit rewrites only
-  * the buckets its merge touched and inherits the rest by reference
-  * (the manifest's `bucketOwners` maps bucket → owning version). */
+/** Hash-bucketing spec for copy-on-write tables: rows are clustered
+  * into `pmod(hash(keys), numBuckets)` bucket files at write time, and
+  * within each bucket sorted by `hash(keys)` so every file covers a
+  * narrow key-hash range — the precondition for file-level skipping. */
 final case class BucketSpec(keys: Seq[String], numBuckets: Int) {
   require(numBuckets > 0, "numBuckets must be positive")
 }
 
-/** A versioned parquet table with commit log, Change Data Feed and time
-  * travel — the native replacement for the Delta Lake features the
-  * reference leans on (MERGE INTO, `table_changes`, `VERSION AS OF`,
-  * `delta.enableChangeDataFeed`; /root/reference/notebooks/demo-notebook.py:
-  * 213-227, 363-373, 428-431, 533-535). No Delta jars exist in this
-  * environment (SURVEY §7.1), so the layer is built directly on parquet:
+/** Thrown when an optimistic commit loses to a conflicting concurrent
+  * commit (a file this commit rewrites was itself rewritten, or a
+  * concurrent commit added files inside this commit's key scope).
+  * Callers re-run their read-compute-commit cycle against the new
+  * table state — [[Merge.run]] does this automatically. */
+final class CommitConflictException(msg: String) extends RuntimeException(msg)
+
+/** A versioned parquet table with file-granular commit log, Change Data
+  * Feed and time travel — the native replacement for the Delta Lake
+  * features the reference leans on (MERGE INTO, `table_changes`,
+  * `VERSION AS OF`, `delta.enableChangeDataFeed`;
+  * /root/reference/notebooks/demo-notebook.py:213-227, 363-373, 428-431,
+  * 533-535). No Delta jars exist in this environment (SURVEY §7.1), so
+  * the layer is built directly on parquet:
   *
   * {{{
   * <root>/
-  *   _commits/<%020d version>.json   // manifest; atomic-rename commit
-  *   v=<version>/part-*.parquet      // full snapshot of that version
-  *   _changes/v<version>-*.parquet   // CDF rows of that commit (flat files
+  *   _commits/<%020d version>.json   // manifest; atomic hard-link commit
+  *   data/<uuid>.parquet             // immutable data files, shared
+  *                                   // across versions by reference
+  *   _changes/v<version>-*.parquet   // CDF rows of one commit (flat files
   *                                   // so a streaming source can tail the
   *                                   // directory without partition-column
   *                                   // inference)
@@ -61,22 +106,29 @@ final case class BucketSpec(keys: Seq[String], numBuckets: Int) {
   *
   * Readers resolve the latest version by listing `_commits`; data written
   * for a version is invisible until its manifest lands (write-data-first,
-  * publish-manifest-last). The manifest rename is the commit point.
-  * Single-writer per table is assumed (the pipeline's streaming writers
-  * are serialized per table by Structured Streaming itself).
+  * publish-manifest-last). The manifest hard-link is the commit point and
+  * doubles as compare-and-swap: two writers racing to version v+1 cannot
+  * both win (`Files.createLink` fails atomically on an existing target),
+  * the loser rebases onto the winner's manifest when its file sets are
+  * disjoint and re-runs otherwise — optimistic concurrency in Delta's
+  * mold, specced by two threads merging into one table concurrently.
   *
   * == 100 TB design notes ==
-  * At demo scale every commit rewrites the full snapshot. The layout is
-  * deliberately chosen so the scale path is an incremental change, not a
-  * redesign:
-  *   - manifests can list *files* instead of a directory, enabling
-  *     file-level copy-on-write (rewrite only files containing matched
-  *     keys — Delta's strategy) with identical read semantics;
-  *   - snapshots can be hash-bucketed by merge key so the merge join
-  *     reads co-partitioned buckets instead of shuffling the full target;
-  *   - the CDF directory is already append-only and O(changed rows), so
+  *   - '''Appends are O(batch)''': an append commit writes the batch's
+  *     files and a manifest referencing them plus the previous listing —
+  *     the existing snapshot is never read or rewritten, so a daily-append
+  *     log table costs the same per commit at version 3 and version 3000.
+  *   - '''Merges are file-level copy-on-write''': bucket clustering plus
+  *     per-file key-hash ranges let the merge join read and rewrite ONLY
+  *     files that can contain source keys; everything else is inherited
+  *     by reference in the manifest. A small CDC batch against a huge
+  *     Silver table costs O(batch + overlapping files), never O(table).
+  *   - '''The CDF directory is append-only and O(changed rows)''', so
   *     Gold-style consumers never scale with table size — that property
   *     is the reference pipeline's entire reason to exist (SURVEY §4).
+  *   - Every manifest embeds its full file listing (self-checkpointing);
+  *     at extreme version counts the listing itself could be compacted
+  *     into periodic checkpoints + deltas without changing readers.
   */
 final class VersionedTable private (
     val spark: SparkSession,
@@ -86,19 +138,21 @@ final class VersionedTable private (
 
   private def commitsDir: Path = root.resolve(COMMITS_DIR)
   private def changesDir: Path = root.resolve(CHANGES_DIR)
+  private def dataDir: Path = root.resolve(DATA_DIR)
   private def manifestPath(v: Long): Path = commitsDir.resolve(f"$v%020d.json")
-  private def snapshotDir(v: Long): Path = root.resolve(s"v=$v")
 
   /** Absolute path of the CDF directory — the streaming CDF source
     * (SURVEY §2.1 S5) tails this with `spark.readStream.parquet`. */
   def changesLocation: String = changesDir.toString
 
   def versions: Seq[Long] =
-    Files.list(commitsDir).iterator.asScala
-      .map(_.getFileName.toString)
-      .filter(_.endsWith(".json"))
-      .flatMap(n => Try(n.stripSuffix(".json").toLong).toOption)
-      .toSeq.sorted
+    Using.resource(Files.list(commitsDir)) { s =>
+      s.iterator.asScala
+        .map(_.getFileName.toString)
+        .filter(_.endsWith(".json"))
+        .flatMap(n => Try(n.stripSuffix(".json").toLong).toOption)
+        .toSeq.sorted
+    }
 
   def latestVersion: Long = versions.max
 
@@ -129,49 +183,38 @@ final class VersionedTable private (
   def snapshot(): DataFrame = snapshotAt(latestVersion)
 
   /** Time travel — `VERSION AS OF v` (S8, demo-notebook.py:533-535).
-    * For bucketed tables the snapshot of version v is the union of each
-    * bucket's owning version's files, per v's manifest — reads touch
-    * every live bucket but NO rewriting ever happened to produce them.
-    */
+    * The snapshot of any version is exactly its manifest's file listing;
+    * no version is ever "reconstructed" by replay or rewrite. */
   def snapshotAt(v: Long): DataFrame = {
     val m = manifest(v) // throws for unknown versions
-    val dirs = snapshotDirsAt(v)
-    if (dirs.isEmpty)
+    readFiles(m.dataFiles.map(_.path), m.schema)
+  }
+
+  /** `TIMESTAMP AS OF` resolution: the latest version committed at or
+    * before `tsMillis`. Commit timestamps are strictly monotonic (the
+    * committer bumps equal clock reads), so the mapping is unambiguous. */
+  def versionAt(tsMillis: Long): Long = {
+    val vs = versions.filter(v => manifest(v).timestampMs <= tsMillis)
+    require(vs.nonEmpty,
+      s"no version of $root committed at or before timestamp $tsMillis")
+    vs.max
+  }
+
+  /** The concrete parquet files backing version `v` (absolute paths) —
+    * the DSv2 catalog hands these to Spark's parquet source so pushdown,
+    * pruning and vectorization apply to any version. */
+  def snapshotPathsAt(v: Long): Seq[String] =
+    manifest(v).dataFiles.map(f => root.resolve(f.path).toString)
+
+  /** Reads a subset of the table's data files with the given schema —
+    * the merge engine reads ONLY candidate files through this. Missing
+    * columns of older files (pre-schema-evolution) read as nulls. */
+  def readFiles(relPaths: Seq[String], schema: StructType): DataFrame =
+    if (relPaths.isEmpty)
       spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
-    else spark.read.schema(m.schema).parquet(dirs: _*)
-  }
-
-  /** The concrete parquet directories backing version `v` — for
-    * unbucketed tables the version's own dir; for copy-on-write tables
-    * each bucket's owning directory. Used by the DSv2 catalog to hand
-    * Spark a pushdown-capable scan of any version. */
-  def snapshotDirsAt(v: Long): Seq[String] = manifest(v).bucketOwners match {
-    case Some(owners) =>
-      owners.toSeq
-        .map { case (b, ownerV) => snapshotDir(ownerV).resolve(s"$BUCKET_COL=$b") }
-        .filter(Files.isDirectory(_)) // a touched bucket can end empty
-        .map(_.toString)
-    case None =>
-      Seq(snapshotDir(v).toString).filter(d => Files.isDirectory(Paths.get(d)))
-  }
-
-  /** Reads ONLY the given buckets of the current snapshot (copy-on-
-    * write pruning: the merge engine joins against just the buckets the
-    * source batch touches). */
-  def snapshotBuckets(buckets: Seq[Int]): DataFrame = {
-    val m = latestManifest
-    val owners = m.bucketOwners.getOrElse(
-      throw new IllegalStateException("snapshotBuckets on an unbucketed table"))
-    val dirs = buckets
-      .flatMap(b => owners.get(b.toString)
-        .map(ownerV => snapshotDir(ownerV).resolve(s"$BUCKET_COL=$b")))
-      .filter(Files.isDirectory(_))
-      .map(_.toString)
-    if (dirs.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
-    else spark.read.schema(m.schema).parquet(dirs: _*)
-  }
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else
+      spark.read.schema(schema).parquet(relPaths.map(p => root.resolve(p).toString): _*)
 
   /** Last batch id committed under `appId`, for idempotent replays. */
   def lastTxn(appId: String): Option[Long] = latestManifest.txn.get(appId)
@@ -181,121 +224,236 @@ final class VersionedTable private (
   def changeSchema: StructType = changeSchemaOf(schema)
 
   /** Batch CDF read — `table_changes(name, from [, to])` (S7,
-    * demo-notebook.py:371). Versions with no changes contribute nothing.
-    */
+    * demo-notebook.py:371). Manifest-driven: only change files a commit
+    * actually published are read, so orphans from crashed or lost
+    * concurrent attempts are invisible. Versions with no changes (or
+    * vacuumed away) contribute nothing. */
   def changes(fromVersion: Long, toVersion: Option[Long] = None): DataFrame = {
     val hi = toVersion.getOrElse(latestVersion)
-    val files = changeFiles.collect {
-      case (v, p) if v >= fromVersion && v <= hi => p.toString
-    }
+    val files = versions
+      .filter(v => v >= fromVersion && v <= hi)
+      .flatMap(v => manifest(v).changeFiles)
+      .map(n => changesDir.resolve(n).toString)
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], changeSchema)
     else spark.read.schema(changeSchema).parquet(files: _*)
   }
 
-  private def changeFiles: Seq[(Long, Path)] =
+  private def changeFilesOnDisk: Seq[(Long, Path)] =
     if (!Files.isDirectory(changesDir)) Seq.empty
-    else Files.list(changesDir).iterator.asScala.flatMap { p =>
-      val n = p.getFileName.toString
-      // layout: v<version>-<original part file name>.parquet
-      if (n.startsWith("v") && n.contains("-") && n.endsWith(".parquet"))
-        Try(n.substring(1, n.indexOf('-')).toLong).toOption.map(_ -> p)
-      else None
-    }.toSeq
+    else Using.resource(Files.list(changesDir)) { s =>
+      s.iterator.asScala.flatMap { p =>
+        val n = p.getFileName.toString
+        // layout: v<version>-<original part file name>.parquet
+        if (n.startsWith("v") && n.contains("-") && n.endsWith(".parquet"))
+          Try(n.substring(1, n.indexOf('-')).toLong).toOption.map(_ -> p)
+        else None
+      }.toSeq
+    }
 
-  /** Commits `newSnapshot` (and optionally CDF rows) as the next version.
+  // ------------------------------------------------------------- writes
+
+  /** Writes `df` as immutable files under `data/` and returns their
+    * manifest entries — data only becomes visible when a later
+    * [[commitFiles]] publishes a manifest referencing it. For bucketed
+    * tables the write clusters rows into bucket files sorted by key
+    * hash and computes the per-file hash range + row count stats that
+    * drive merge-time file skipping. */
+  private[table] def ingest(df: DataFrame): Seq[DataFile] = {
+    val tmp = root.resolve(s"$STAGING_DIR/ingest-${UUID.randomUUID()}")
+    val stats: Map[String, DataFile] = bucketSpec match {
+      case Some(BucketSpec(keys, n)) =>
+        val khash = hash(keys.map(col): _*)
+        df.withColumn(BUCKET_COL, pmod(khash, lit(n)).cast("int"))
+          .repartition(col(BUCKET_COL))
+          .sortWithinPartitions(col(BUCKET_COL), khash)
+          .write.mode("overwrite").partitionBy(BUCKET_COL).parquet(tmp.toString)
+        // one metadata pass over the staged batch (O(batch), key columns
+        // only) recovers per-file bucket + hash-range + row-count stats.
+        // Explicit schema: an empty batch writes zero files, which cannot
+        // be schema-inferred (partition col comes back from dir names).
+        val staged = spark.read
+          .schema(StructType(df.schema.fields :+
+            StructField(BUCKET_COL, org.apache.spark.sql.types.IntegerType)))
+          .parquet(tmp.toString)
+        val kh = hash(keys.map(col): _*).cast("long")
+        staged.groupBy(input_file_name().as("__f"))
+          .agg(first(col(BUCKET_COL)).as("__b"), min(kh).as("__mn"),
+            max(kh).as("__mx"), count(lit(1)).as("__n"))
+          .collect()
+          .map { r =>
+            val key = r.getString(0).split('/').takeRight(2).mkString("/")
+            key -> DataFile("", Some(r.getInt(1)), Some(r.getLong(2)),
+              Some(r.getLong(3)), Some(r.getLong(4)))
+          }.toMap
+      case None =>
+        df.write.mode("overwrite").parquet(tmp.toString)
+        Map.empty
+    }
+    val entries = moveIntoData(tmp, stats)
+    deleteRecursively(tmp)
+    entries
+  }
+
+  /** Moves staged parquet files into `data/` under fresh unique names;
+    * `stats` is keyed by the staged file's path relative to `stagingRoot`. */
+  private def moveIntoData(
+      stagingRoot: Path, stats: Map[String, DataFile]): Seq[DataFile] = {
+    Files.createDirectories(dataDir)
+    val staged = Using.resource(Files.walk(stagingRoot)) { s =>
+      s.iterator.asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .toSeq
+    }
+    staged.map { p =>
+      val key = stagingRoot.relativize(p).toString
+      val name = s"${UUID.randomUUID()}.parquet"
+      Files.move(p, dataDir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+      val tpl = stats.get(key)
+      DataFile(s"$DATA_DIR/$name", tpl.flatMap(_.bucket), tpl.flatMap(_.minHash),
+        tpl.flatMap(_.maxHash), tpl.flatMap(_.rows))
+    }
+  }
+
+  /** The file-granular commit: publishes `added` files (already written
+    * via [[ingest]]) and drops `removed` ones as the next version.
     *
-    * `changeRows` must already carry `_change_type`; the commit stamps
-    * `_commit_version` / `_commit_timestamp` (pre/postimages of one
-    * commit share both — demo-notebook.py:369). Both DataFrames should
-    * read from already-materialized data (the merge engine stages its
-    * join once, then feeds projections here) so nothing nondeterministic
-    * is computed twice.
+    * `changeRows` must already carry `_change_type` and read from
+    * materialized data (the merge engine stages its join once, then
+    * feeds projections here); the commit stamps `_commit_version` /
+    * `_commit_timestamp` (pre/postimages of one commit share both —
+    * demo-notebook.py:369).
     *
-    * If `txn = Some(appId -> batchId)` and that batch id is already
-    * recorded, the commit is skipped and `None` is returned — this is
-    * the exactly-once guard for `foreachBatch` retries (D5).
-    */
-  /** Commits a new version.
+    * Exactly-once: if `txn = Some(appId -> batchId)` and that batch id
+    * is already recorded, the commit is skipped and `None` returned —
+    * the guard for `foreachBatch` retries (D5). `extraTxn` entries ride
+    * along unconditionally (e.g. the CDF consumer's high-watermark).
     *
-    * Unbucketed tables: `newSnapshot` is the FULL next snapshot.
-    * Bucketed tables (copy-on-write): `newSnapshot` must carry a
-    * `__bucket` column and contain ONLY the rows of `touchedBuckets`;
-    * those buckets' files are written under this version and every
-    * other bucket is inherited by reference via `bucketOwners` — the
-    * write cost is O(touched data), never O(table).
-    */
+    * Optimistic concurrency: publishing is a hard-link CAS on the
+    * manifest name. Losing the race triggers an automatic rebase onto
+    * the winner's manifest when safe — all `removed` files still live,
+    * and (when `baseVersion`/`conflictsWith` are given) no file added
+    * since `baseVersion` falls inside this commit's key scope —
+    * otherwise a [[CommitConflictException]] tells the caller to re-run
+    * against current state. */
+  def commitFiles(
+      added: Seq[DataFile],
+      removed: Seq[String],
+      changeRows: Option[DataFrame],
+      operation: String,
+      txn: Option[(String, Long)] = None,
+      extraTxn: Map[String, Long] = Map.empty,
+      newSchemaJson: Option[String] = None,
+      baseVersion: Option[Long] = None,
+      conflictsWith: Option[DataFile => Boolean] = None): Option[Long] = {
+    val removedSet = removed.toSet
+    var attempt = 0
+    while (true) {
+      val prev = latestManifest
+      val alreadyApplied = txn.exists { case (appId, batchId) =>
+        prev.txn.get(appId).exists(_ >= batchId)
+      }
+      if (alreadyApplied) return None
+
+      // rebase safety against commits that landed after our base
+      val prevPaths = prev.dataFiles.map(_.path).toSet
+      removedSet.find(!prevPaths.contains(_)).foreach { lost =>
+        throw new CommitConflictException(
+          s"file $lost was rewritten by a concurrent commit " +
+            s"(base v${baseVersion.getOrElse(prev.version)}, now v${prev.version})")
+      }
+      for (base <- baseVersion; pred <- conflictsWith; if prev.version != base) {
+        val baseFiles = manifest(base).dataFiles.map(_.path).toSet
+        prev.dataFiles.filter(f => !baseFiles.contains(f.path)).find(pred)
+          .foreach { f =>
+            throw new CommitConflictException(
+              s"concurrent commit added ${f.path} inside this commit's key scope " +
+                s"(base v$base, now v${prev.version})")
+          }
+      }
+
+      val v = prev.version + 1
+      // strictly monotonic commit timestamps make TIMESTAMP AS OF unambiguous
+      val ts = math.max(System.currentTimeMillis(), prev.timestampMs + 1)
+
+      val changeNames = changeRows.filter(_ => cdfEnabled).map { ch =>
+        val tmp = root.resolve(s"$STAGING_DIR/changes-${UUID.randomUUID()}")
+        ch.withColumn("_commit_version", lit(v))
+          .withColumn("_commit_timestamp", timestamp_millis(lit(ts)))
+          .write.mode("overwrite").parquet(tmp.toString)
+        Files.createDirectories(changesDir)
+        val names = Using.resource(Files.list(tmp)) { s =>
+          s.iterator.asScala
+            .filter(_.getFileName.toString.endsWith(".parquet"))
+            .toSeq
+        }.map { p =>
+          val name = s"v$v-${p.getFileName}"
+          Files.move(p, changesDir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+          name
+        }
+        deleteRecursively(tmp)
+        names
+      }.getOrElse(Seq.empty)
+
+      val m = CommitManifest(v, operation, ts,
+        newSchemaJson.getOrElse(prev.schemaJson),
+        prev.properties, prev.txn ++ txn.toMap ++ extraTxn,
+        prev.bucketKeys, prev.numBuckets,
+        dataFiles = prev.dataFiles.filterNot(f => removedSet.contains(f.path)) ++ added,
+        addedFiles = added.map(_.path),
+        removedFiles = removed,
+        changeFiles = changeNames)
+      try {
+        publish(m)
+        return Some(v)
+      } catch {
+        case _: FileAlreadyExistsException =>
+          // lost the CAS: retract exactly OUR change files and rebase
+          changeNames.foreach(n => Files.deleteIfExists(changesDir.resolve(n)))
+          attempt += 1
+          if (attempt > 20) throw new CommitConflictException(
+            s"gave up publishing after $attempt CAS losses at $root")
+      }
+    }
+    None // unreachable
+  }
+
+  /** Full-rewrite commit: `newSnapshot` replaces every current file.
+    * The right shape for small tables (Gold aggregates) and compaction;
+    * large tables use [[append]] / file-level CoW [[Merge]] instead. */
   def commit(
       newSnapshot: DataFrame,
       changeRows: Option[DataFrame],
       operation: String,
-      txn: Option[(String, Long)] = None,
-      touchedBuckets: Option[Seq[Int]] = None): Option[Long] = {
+      txn: Option[(String, Long)] = None): Option[Long] = {
     val prev = latestManifest
     val alreadyApplied = txn.exists { case (appId, batchId) =>
       prev.txn.get(appId).exists(_ >= batchId)
     }
     if (alreadyApplied) return None
-    val v = prev.version + 1
-    val ts = System.currentTimeMillis()
-
-    val newOwners = (prev.bucketOwners, touchedBuckets) match {
-      case (Some(owners), Some(touched)) =>
-        Some(owners ++ touched.map(b => b.toString -> v))
-      case (Some(owners), None) =>
-        throw new IllegalArgumentException(
-          "bucketed table commits must pass touchedBuckets")
-      case (None, Some(_)) =>
-        throw new IllegalArgumentException(
-          "touchedBuckets passed for an unbucketed table")
-      case (None, None) => None
-    }
-    if (newOwners.isDefined)
-      newSnapshot.write.mode("overwrite").partitionBy(BUCKET_COL)
-        .parquet(snapshotDir(v).toString)
-    else
-      newSnapshot.write.mode("overwrite").parquet(snapshotDir(v).toString)
-
-    // Stale files from a previously failed (unpublished) attempt at this
-    // version must not survive into the retry's change set.
-    changeFiles.collect { case (`v`, p) => p }.foreach(Files.delete)
-    changeRows.filter(_ => cdfEnabled).foreach { ch =>
-      val tmp = root.resolve(s"$STAGING_DIR/changes-$v-${UUID.randomUUID()}")
-      ch.withColumn("_commit_version", lit(v))
-        .withColumn("_commit_timestamp", timestamp_millis(lit(ts)))
-        .write.mode("overwrite").parquet(tmp.toString)
-      Files.createDirectories(changesDir)
-      Files.list(tmp).iterator.asScala
-        .filter(_.getFileName.toString.endsWith(".parquet"))
-        .foreach { p =>
-          Files.move(p, changesDir.resolve(s"v$v-${p.getFileName}"),
-            StandardCopyOption.ATOMIC_MOVE)
-        }
-      deleteRecursively(tmp)
-    }
-
-    val m = CommitManifest(v, operation, ts, prev.schemaJson, prev.properties,
-      prev.txn ++ txn.toMap, prev.bucketKeys, prev.numBuckets, newOwners)
-    publish(m)
-    Some(v)
+    val added = ingest(newSnapshot)
+    val res = commitFiles(added, prev.dataFiles.map(_.path), changeRows, operation,
+      txn, baseVersion = Some(prev.version), conflictsWith = Some(_ => true))
+    if (res.isEmpty) // txn raced in between: retract our unpublished files
+      added.foreach(f => Files.deleteIfExists(root.resolve(f.path)))
+    res
   }
 
-  /** Appends rows to the current snapshot as a new version (Bronze-style
-    * append, S3). CDF for appends = plain 'insert' rows. */
+  /** Appends rows as a new version (Bronze-style append, S3; the DSv2
+    * INSERT INTO path). O(batch): ONLY the incoming rows are written —
+    * the commit is the new files plus the previous manifest's listing,
+    * and the CDF 'insert' rows are a re-read of those same staged files
+    * (nothing nondeterministic is computed twice). Concurrent appends
+    * rebase onto each other automatically (both only add). */
   def append(rows: DataFrame, txn: Option[(String, Long)] = None): Option[Long] = {
     require(!isBucketed,
       "append is for log-style tables; bucketed (CoW) tables are maintained by merge")
-    val aligned = align(rows)
-    // Stage the incoming micro-batch once so snapshot + CDF projections
-    // don't recompute nondeterministic inputs (current_timestamp etc.).
-    val tmp = root.resolve(s"$STAGING_DIR/append-${UUID.randomUUID()}")
-    aligned.write.mode("overwrite").parquet(tmp.toString)
-    val staged = spark.read.schema(schema).parquet(tmp.toString)
-    val res = commit(
-      snapshot().unionByName(staged),
-      Some(staged.withColumn("_change_type", lit("insert"))),
-      "append", txn)
-    deleteRecursively(tmp)
+    val added = ingest(align(rows))
+    val staged = readFiles(added.map(_.path), schema)
+    val res = commitFiles(added, Seq.empty,
+      Some(staged.withColumn("_change_type", lit("insert"))), "append", txn)
+    if (res.isEmpty)
+      added.foreach(f => Files.deleteIfExists(root.resolve(f.path)))
     res
   }
 
@@ -306,56 +464,89 @@ final class VersionedTable private (
     df.select(cols.toIndexedSeq: _*)
   }
 
-  /** Compaction (OPTIMIZE analog): rewrites the current snapshot as one
-    * fresh version — for copy-on-write tables this re-owns every live
-    * bucket, collapsing the cross-version file scatter accumulated by
-    * incremental merges so a following [[vacuum]] can reclaim all older
-    * version directories. Emits no CDF rows (compaction changes no row
-    * content). */
-  def compact(): Option[Long] = bucketSpec match {
-    case Some(BucketSpec(keys, n)) =>
-      val full = snapshot().withColumn(BUCKET_COL,
-        org.apache.spark.sql.functions.pmod(
-          org.apache.spark.sql.functions.hash(
-            keys.map(org.apache.spark.sql.functions.col): _*),
-          lit(n)).cast("int"))
-      val touched = latestManifest.bucketOwners.get.keys.map(_.toInt).toSeq.sorted
-      commit(full, None, "compact", touchedBuckets = Some(touched))
-    case None =>
-      commit(snapshot(), None, "compact")
+  /** Schema evolution (ALTER TABLE ADD COLUMNS / MERGE mergeSchema):
+    * commits the widened schema as a metadata-only version. Existing
+    * files are inherited untouched — readers fill the new columns with
+    * nulls (parquet reads are by-name). Only additive, nullable changes
+    * are legal: every existing field must survive unchanged. */
+  def evolveSchema(newSchema: StructType): Option[Long] = {
+    val cur = schema
+    cur.fields.foreach { f =>
+      val kept = newSchema.fields.find(_.name == f.name)
+      require(kept.exists(_.dataType == f.dataType),
+        s"schema evolution must preserve existing column ${f.name}: ${f.dataType}")
+    }
+    newSchema.fields.filterNot(f => cur.fieldNames.contains(f.name)).foreach { f =>
+      require(f.nullable, s"evolved column ${f.name} must be nullable")
+    }
+    if (newSchema == cur) None
+    else commitFiles(Seq.empty, Seq.empty, None, "alter",
+      newSchemaJson = Some(newSchema.json))
   }
 
-  /** Storage maintenance: drops snapshots, change files and manifests
-    * of all but the most recent `retainVersions` versions (Delta's
-    * VACUUM analog — time travel to vacuumed versions becomes
-    * unavailable; CDF consumers must have advanced past them). The
-    * latest version is never removed, and for copy-on-write tables a
-    * version's data directory survives as long as ANY retained
-    * manifest still references one of its buckets. Returns the
-    * versions whose manifests were removed. */
-  def vacuum(retainVersions: Int = 2): Seq[Long] = {
+  /** Compaction (OPTIMIZE analog): rewrites the current snapshot as one
+    * fresh set of files — collapses the file scatter accumulated by
+    * incremental appends/merges so a following [[vacuum]] can reclaim
+    * every superseded file. Emits no CDF rows (no row content changes). */
+  def compact(): Option[Long] = commit(snapshot(), None, "compact")
+
+  /** Storage maintenance (Delta's VACUUM analog): drops manifests of all
+    * but the most recent `retainVersions` versions, deletes data files
+    * referenced ONLY by dropped manifests (file-granular liveness — a
+    * shared file survives as long as any retained version lists it),
+    * and trims CDF files.
+    *
+    * CDF retention contract: change files of RETAINED versions are never
+    * deleted, and a caller-supplied `cdfLowWatermark` (the slowest
+    * consumer's last processed version) further restricts deletion to
+    * versions <= the watermark. The highest change version ever deleted
+    * is recorded in `_changes/_vacuum_watermark`; CDF consumers check it
+    * at start and fail loudly instead of silently skipping vacuumed
+    * history ([[graft.streaming.CdcStreams.startGoldAggregate]]).
+    * Returns the versions whose manifests were removed. */
+  def vacuum(
+      retainVersions: Int = 2,
+      cdfLowWatermark: Option[Long] = None): Seq[Long] = {
     require(retainVersions >= 1, "must retain at least the latest version")
     val vs = versions
     val retained = vs.takeRight(retainVersions)
     val cutoff = retained.head
     val removed = vs.filter(_ < cutoff)
-    // data dirs still referenced by retained manifests (CoW inheritance)
-    val live: Set[Long] = retained.toSet ++
-      retained.flatMap(v => manifest(v).bucketOwners.toSeq.flatMap(_.values))
-    removed.foreach { v =>
-      if (!live.contains(v)) VersionedTable.deleteRecursively(snapshotDir(v))
-      changeFiles.collect { case (`v`, p) => p }.foreach(Files.delete)
-      Files.deleteIfExists(manifestPath(v))
+    // file-granular liveness: keep anything a retained manifest lists
+    val live = retained.flatMap(v => manifest(v).dataFiles.map(_.path)).toSet
+    val dead = removed.flatMap(v => manifest(v).dataFiles.map(_.path)).toSet -- live
+    dead.foreach(p => Files.deleteIfExists(root.resolve(p)))
+    // CDF trim: never past a retained version, never past the consumer watermark
+    val changeCutoff = cdfLowWatermark.fold(cutoff)(w => math.min(w + 1, cutoff))
+    val deadChanges = changeFilesOnDisk.filter(_._1 < changeCutoff)
+    deadChanges.foreach(c => Files.delete(c._2))
+    if (deadChanges.nonEmpty) {
+      val newWm = deadChanges.map(_._1).max
+      val wmPath = changesDir.resolve(VACUUM_WATERMARK)
+      val old = cdfVacuumWatermark.getOrElse(Long.MinValue)
+      if (newWm > old) Files.writeString(wmPath, newWm.toString)
     }
+    removed.foreach(v => Files.deleteIfExists(manifestPath(v)))
     removed
   }
 
+  /** Highest CDF version ever deleted by [[vacuum]] — a consumer whose
+    * progress is at or below this has an unrecoverable gap. */
+  def cdfVacuumWatermark: Option[Long] = {
+    val p = changesDir.resolve(VACUUM_WATERMARK)
+    if (Files.exists(p)) Try(Files.readString(p).trim.toLong).toOption else None
+  }
+
+  /** Atomic manifest publish doubling as version CAS: a hard link fails
+    * (atomically, at the filesystem level) if another writer already
+    * published this version — the loser rebases or re-runs. */
   private def publish(m: CommitManifest): Unit = {
     implicit val fmts: Formats = DefaultFormats
     Files.createDirectories(commitsDir)
     val tmp = commitsDir.resolve(s".tmp-${m.version}-${UUID.randomUUID()}.json")
     Files.writeString(tmp, Serialization.write(m))
-    Files.move(tmp, manifestPath(m.version), StandardCopyOption.ATOMIC_MOVE)
+    try Files.createLink(manifestPath(m.version), tmp)
+    finally Files.deleteIfExists(tmp)
   }
 }
 
@@ -363,19 +554,22 @@ object VersionedTable {
   val COMMITS_DIR = "_commits"
   val CHANGES_DIR = "_changes"
   val STAGING_DIR = "_staging"
-  /** Partition column name for copy-on-write bucket directories. */
+  val DATA_DIR = "data"
+  /** Partition column name used transiently while clustering CoW writes. */
   val BUCKET_COL = "__bucket"
+  /** Marker file recording the highest vacuumed CDF version. */
+  val VACUUM_WATERMARK = "_vacuum_watermark"
   /** Table property toggling CDF emission, mirroring
     * `delta.enableChangeDataFeed` (demo-notebook.py:225-227). */
   val PROP_CDF = "graft.enableChangeDataFeed"
 
   def changeSchemaOf(schema: StructType): StructType =
     StructType(schema.fields ++ Seq(
-      org.apache.spark.sql.types.StructField("_change_type",
+      StructField("_change_type",
         org.apache.spark.sql.types.StringType, nullable = false),
-      org.apache.spark.sql.types.StructField("_commit_version",
+      StructField("_commit_version",
         org.apache.spark.sql.types.LongType, nullable = false),
-      org.apache.spark.sql.types.StructField("_commit_timestamp",
+      StructField("_commit_timestamp",
         org.apache.spark.sql.types.TimestampType, nullable = false)))
 
   def exists(path: String): Boolean =
@@ -383,7 +577,7 @@ object VersionedTable {
 
   /** CREATE TABLE (D2): publishes version 0 with an empty snapshot.
     * Pass `bucketBy` for a copy-on-write hash-bucketed table whose
-    * merges rewrite only touched buckets. */
+    * merges rewrite only files overlapping the source's keys. */
   def create(
       spark: SparkSession,
       path: String,
@@ -401,15 +595,18 @@ object VersionedTable {
       s"bucket keys ${b.keys} must be schema columns"))
     Files.createDirectories(root)
     val t = new VersionedTable(spark, root)
-    if (bucketBy.isEmpty) {
-      val empty = spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      empty.write.mode("overwrite").parquet(root.resolve("v=0").toString)
-    }
+    // one empty, schema-bearing file so catalog scans of version 0 have
+    // a concrete footer to read; it carries no stats, so the first merge
+    // treats it as a candidate and retires it
+    val tmp = root.resolve(s"$STAGING_DIR/create-${UUID.randomUUID()}")
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val files = t.moveIntoData(tmp, Map.empty)
+    deleteRecursively(tmp)
     t.publish(CommitManifest(0L, "create", System.currentTimeMillis(),
       schema.json, properties, Map.empty,
       bucketBy.map(_.keys), bucketBy.map(_.numBuckets),
-      bucketBy.map(_ => Map.empty[String, Long])))
+      dataFiles = files, addedFiles = files.map(_.path)))
     t
   }
 
@@ -423,7 +620,8 @@ object VersionedTable {
 
   def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
-      Files.walk(p).iterator.asScala.toSeq.reverse.foreach(Files.delete)
+      Using.resource(Files.walk(p))(_.iterator.asScala.toSeq)
+        .reverse.foreach(Files.delete)
     }
 }
 
@@ -452,9 +650,11 @@ final class GraftCatalog(spark: SparkSession, warehouseRoot: String) {
 
   def listTables(db: String): Seq[String] =
     if (!Files.isDirectory(dbPath(db))) Seq.empty
-    else Files.list(dbPath(db)).iterator.asScala
-      .filter(p => VersionedTable.exists(p.toString))
-      .map(_.getFileName.toString).toSeq.sorted
+    else Using.resource(Files.list(dbPath(db))) { s =>
+      s.iterator.asScala
+        .filter(p => VersionedTable.exists(p.toString))
+        .map(_.getFileName.toString).toSeq.sorted
+    }
 
   def createTable(
       db: String,

@@ -7,9 +7,10 @@ import org.apache.spark.sql.types._
 
 import graft.SparkSpec
 
-/** Copy-on-write bucketed tables: merge equivalence with the
-  * full-rewrite path, O(touched-buckets) write behavior, inheritance
-  * across versions, time travel, and vacuum's reference tracking. */
+/** File-level copy-on-write tables: merge equivalence with the
+  * full-rewrite path, O(overlapping-files) write amplification, file
+  * inheritance across versions, time travel, and vacuum's
+  * file-granular liveness tracking. */
 class BucketedTableSpec extends SparkSpec {
   import spark.implicits._
 
@@ -61,26 +62,29 @@ class BucketedTableSpec extends SparkSpec {
     }
   }
 
-  test("copy-on-write rewrites only touched buckets; untouched buckets are inherited") {
+  test("copy-on-write rewrites only overlapping files; the rest are inherited") {
     val path = tmp("cow-inherit")
     val t = mk(path, bucketed = true)
-    // v1: spread keys across many buckets
+    // v1: spread keys across many bucket files
     Merge.run(t, batch((1L to 40L).map(i => (i, s"v$i", "INSERT")): _*),
       Seq("id"), clauses)
-    val v1Buckets = Files.list(Paths.get(path).resolve("v=1")).toArray.length
-    assert(v1Buckets >= 7, "40 keys should populate most of 8 buckets")
+    val m1 = t.latestManifest
+    assert(m1.dataFiles.size >= 7, "40 keys should populate most of 8 buckets")
+    assert(m1.dataFiles.forall(f =>
+      f.bucket.isDefined && f.minHash.isDefined && f.maxHash.isDefined),
+      "CoW files must carry bucket + key-hash-range stats")
 
-    // v2: touch exactly one key -> exactly one bucket rewritten
+    // v2: touch exactly one key -> exactly one file rewritten (the one
+    // whose hash range covers the key), everything else inherited
     Merge.run(t, batch((1L, "updated", "UPDATE")), Seq("id"), clauses)
-    val v2Dirs = Files.list(Paths.get(path).resolve("v=2")).toArray
-      .map(_.toString).filter(_.contains(VersionedTable.BUCKET_COL))
-    assert(v2Dirs.length === 1,
-      s"one-key merge must write exactly one bucket, got ${v2Dirs.toSeq}")
-
-    // owners: one bucket owned by v2, the rest still by v1
-    val owners = t.latestManifest.bucketOwners.get.values.toSeq
-    assert(owners.count(_ == 2L) === 1)
-    assert(owners.count(_ == 1L) === owners.size - 1)
+    val m2 = t.latestManifest
+    assert(m2.removedFiles.size === 1,
+      s"one-key merge must retire exactly one file, got ${m2.removedFiles}")
+    assert(m2.addedFiles.size === 1,
+      s"one-key merge must write exactly one file, got ${m2.addedFiles}")
+    val inherited = m1.dataFiles.map(_.path).toSet -- m2.removedFiles.toSet
+    assert(inherited.subsetOf(m2.dataFiles.map(_.path).toSet),
+      "untouched files must be inherited by reference")
 
     // and the snapshot still has all 40 rows with the update applied
     assert(t.snapshot().count() === 40L)
@@ -88,41 +92,50 @@ class BucketedTableSpec extends SparkSpec {
       === "updated")
   }
 
-  test("vacuum keeps data directories still referenced by retained manifests") {
+  test("vacuum keeps data files still referenced by retained manifests") {
     val path = tmp("cow-vacuum")
     val t = mk(path, bucketed = true)
     Merge.run(t, batch((1L to 30L).map(i => (i, s"v$i", "INSERT")): _*),
-      Seq("id"), clauses) // v1 owns all populated buckets
+      Seq("id"), clauses) // v1 writes all populated bucket files
     Merge.run(t, batch((1L, "u1", "UPDATE")), Seq("id"), clauses) // v2
     Merge.run(t, batch((2L, "u2", "UPDATE")), Seq("id"), clauses) // v3
+    val v1Files = t.manifest(1).dataFiles.map(_.path).toSet
+    val liveV1 = t.manifest(3).dataFiles.map(_.path).toSet.intersect(v1Files)
+    assert(liveV1.nonEmpty, "v3 must still inherit some of v1's files")
 
     val removed = t.vacuum(retainVersions = 2) // keep v2, v3
     assert(removed === Seq(0L, 1L))
-    // v1's data dir must SURVIVE: v2/v3 manifests still reference its buckets
-    assert(Files.isDirectory(Paths.get(path).resolve("v=1")))
+    // v1's still-referenced files must SURVIVE the vacuum
+    liveV1.foreach(p => assert(Files.exists(Paths.get(path).resolve(p)),
+      s"live file $p was vacuumed"))
     assert(t.snapshot().count() === 30L)
     assert(t.snapshotAt(2).count() === 30L)
     intercept[Exception] { t.snapshotAt(1) } // manifest gone
   }
 
-  test("compact re-owns all buckets so vacuum reclaims old versions fully") {
+  test("compact rewrites all files so vacuum reclaims every superseded one") {
     val path = tmp("cow-compact")
     val t = mk(path, bucketed = true)
     Merge.run(t, batch((1L to 30L).map(i => (i, s"v$i", "INSERT")): _*),
       Seq("id"), clauses) // v1
     Merge.run(t, batch((1L, "u1", "UPDATE")), Seq("id"), clauses) // v2
     val before = t.snapshot().as[(Long, String)].collect().sortBy(_._1).toSeq
+    val preCompactFiles = t.latestManifest.dataFiles.map(_.path).toSet
 
     val cv = t.compact()
     assert(cv === Some(3L))
-    assert(t.latestManifest.bucketOwners.get.values.toSet === Set(3L),
-      "compaction must own every live bucket")
+    val m3 = t.latestManifest
+    assert(m3.dataFiles.map(_.path).toSet.intersect(preCompactFiles).isEmpty,
+      "compaction must own every file it lists")
+    // compaction preserves CoW stats so later merges still skip files
+    assert(m3.dataFiles.forall(f => f.bucket.isDefined && f.minHash.isDefined))
     // no CDF rows from compaction
     assert(t.changes(3).count() === 0L)
 
     t.vacuum(retainVersions = 1)
-    assert(!Files.isDirectory(Paths.get(path).resolve("v=1")),
-      "post-compaction vacuum reclaims superseded version dirs")
+    preCompactFiles.foreach(p =>
+      assert(!Files.exists(Paths.get(path).resolve(p)),
+        s"post-compaction vacuum must reclaim superseded file $p"))
     assert(t.snapshot().as[(Long, String)].collect().sortBy(_._1).toSeq === before)
   }
 
