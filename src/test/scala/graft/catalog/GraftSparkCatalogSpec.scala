@@ -70,6 +70,42 @@ class GraftSparkCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE graft.db1.cdf")
   }
 
+  test("TIMESTAMP AS OF and ALTER TABLE ADD COLUMNS through SQL") {
+    val wh = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db3")
+    spark.sql("CREATE TABLE graft.db3.tt (id BIGINT, v STRING)")
+    val t = VersionedTable.load(spark, s"$wh/db3/tt")
+    t.append(Seq((1L, "a")).toDF("id", "v")) // v1
+    t.append(Seq((2L, "b")).toDF("id", "v")) // v2
+
+    def tsLit(ms: Long): String = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS").withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochMilli(ms))
+    val v1ts = tsLit(t.manifest(1).timestampMs)
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft.db3.tt TIMESTAMP AS OF '$v1ts'")
+      .head().getLong(0) === 1L)
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft.db3.tt TIMESTAMP AS OF '${tsLit(t.manifest(2).timestampMs)}'")
+      .head().getLong(0) === 2L)
+
+    // additive evolution through SQL; inherited rows read the column as null
+    spark.sql("ALTER TABLE graft.db3.tt ADD COLUMNS (score DOUBLE)")
+    val rows = spark.sql("SELECT id, score FROM graft.db3.tt ORDER BY id")
+      .as[(Long, Option[Double])].collect().toSeq
+    assert(rows === Seq((1L, None), (2L, None)))
+    spark.sql("INSERT INTO graft.db3.tt VALUES (3, 'c', 0.5)")
+    assert(spark.sql("SELECT score FROM graft.db3.tt WHERE id = 3")
+      .as[Double].head() === 0.5)
+    // non-additive alterations are rejected
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft.db3.tt DROP COLUMN v")
+    }
+    // old versions still read with their own schema through VERSION AS OF
+    assert(spark.sql("SELECT * FROM graft.db3.tt VERSION AS OF 1").columns.toSeq
+      === Seq("id", "v"))
+  }
+
   test("time travel on a bucketed (copy-on-write) table through SQL") {
     val wh = warehouse
     val path = s"$wh/db2/cow"

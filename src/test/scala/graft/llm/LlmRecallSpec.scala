@@ -1,0 +1,66 @@
+package graft.llm
+
+import scala.util.Random
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Measured ANN quality for the banded cosine LSH (VERDICT r2 #2):
+  * with planted neighbors at cosine 0.8, banding (12 bands × 6 bits)
+  * must retrieve ≥ 0.9 of what brute force finds — the single-signature
+  * scheme it replaced sat at ~0.25 recall on the same geometry. */
+class LlmRecallSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dims = 64
+
+  test("banded LSH recall >= 0.9 of brute-force top-k on planted cos-0.8 neighbors") {
+    graft.functions.GraftFunctions.register(spark)
+    val rng = new Random(42)
+    def unit(): Array[Double] = {
+      val v = Array.fill(dims)(rng.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val nQ = 100
+    val queries = (0 until nQ).map(i => (i.toLong, unit()))
+    // neighbor at cosine EXACTLY 0.8: 0.8·q + 0.6·u with u ⟂ q, both unit
+    val planted = queries.map { case (qid, q) =>
+      val raw = unit()
+      val proj = (0 until dims).map(i => raw(i) * q(i)).sum
+      val orth = Array.tabulate(dims)(i => raw(i) - proj * q(i))
+      val on = math.sqrt(orth.map(x => x * x).sum)
+      (1000L + qid, Array.tabulate(dims)(i => 0.8 * q(i) + 0.6 * orth(i) / on))
+    }
+    val noise = (0 until 2000).map(i => (10000L + i.toLong, unit()))
+    val emb = (queries ++ planted ++ noise)
+      .map { case (id, v) => (id, v.map(_.toFloat)) }
+      .toDF("vec_id", "embedding")
+
+    // ground truth: brute force ranks every planted neighbor first
+    // (noise cosines concentrate near 0 ± 1/√dims; 0.8 is far outside)
+    val q = emb.filter(col("vec_id") < nQ)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val c = emb.filter(col("vec_id") >= nQ)
+      .select(col("vec_id"), col("embedding").as("ce"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc_nulls_last)
+    val brute = c.crossJoin(broadcast(q))
+      .withColumn("cos", expr("cosine_sim(qe, ce)"))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") === 1)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toMap
+    assert((0 until nQ).forall(i => brute(i.toLong) === 1000L + i),
+      "test geometry broken: planted neighbor is not the brute-force top-1")
+
+    val res = SimilarityOps.lshTopK(emb, col("vec_id") < nQ, 5)
+      .select("q_id", "vec_id").as[(Long, Long)].collect()
+    val found = res.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val hits = (0 until nQ).count(i =>
+      found.getOrElse(i.toLong, Set.empty).contains(1000L + i))
+    val recall = hits.toDouble / nQ
+    info(f"banded LSH recall@5 on planted cos-0.8 neighbors: $recall%.2f")
+    assert(recall >= 0.9, s"LSH recall $recall < 0.9 — banding insufficient")
+  }
+}
