@@ -210,6 +210,53 @@ object MergeOps extends QueryModule {
       |           ELSE value::DECIMAL(18,2) END)::DOUBLE AS sum_value
       |FROM events GROUP BY user_id""".stripMargin
 
+  // ----------------------------------------------- q_insert_append (S3/D1)
+  /** O(batch) append path end-to-end: the log lands in three appends on
+    * a fresh table; the CDF records every row as an `insert` stamped
+    * with the version of exactly the append that carried it. The oracle
+    * reconstructs the same (row → version) mapping from the batch
+    * predicate — any append that rewrote or re-committed existing rows
+    * would double-report them here. */
+  private def qInsertAppend(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("ts_us", LongType)))
+    val dir = Files.createTempDirectory("graft-append").resolve("t").toString
+    val t = VersionedTable.create(s, dir, schema,
+      Map(VersionedTable.PROP_CDF -> "true"))
+    val log = events(s, d).select(
+      $"event_id", $"user_id", $"event_type", $"value",
+      unix_micros($"ts").as("ts_us"))
+    Seq(0, 1, 2).foreach(p => t.append(log.filter($"event_id" % 3 === p)))
+    t.changes(1).select(
+      col("event_id"), col("user_id"), col("value"),
+      col("_change_type"), col("_commit_version"))
+  }
+  private val qInsertAppendSql =
+    """SELECT event_id, user_id, value,
+      |       'insert' AS _change_type,
+      |       (event_id % 3 + 1)::BIGINT AS _commit_version
+      |FROM events""".stripMargin
+
+  // ------------------------------------------- q_timestamp_travel (S8/D1)
+  /** `TIMESTAMP AS OF` resolution: version 1's commit timestamp must
+    * resolve back to version 1 (commit clocks are strictly monotonic),
+    * and the snapshot read there is batch 1's post-merge state. */
+  private def qTimestampTravel(s: SparkSession, d: String): DataFrame = {
+    val t = replayedTable(s, d)
+    val v = t.versionAt(t.manifest(1).timestampMs)
+    t.snapshotAt(v).select(
+      col("user_id"), col("event_id"), col("value"),
+      unix_micros(col("ts")).as("ts_us"))
+  }
+  private val qTimestampTravelSql =
+    s"""$oracleWith
+      |SELECT user_id, event_id, value, epoch_us(ts) AS ts_us FROM t1""".stripMargin
+
   // ----------------------------------------------------- q_json_scan (S1)
   /** Batch multi-line JSON-array scan (demo-notebook.py:146): a
     * deterministic slice of `events` is exported as ONE JSON array
@@ -245,6 +292,8 @@ object MergeOps extends QueryModule {
     "q_cdf_batch"      -> qCdfBatch _,
     "q_time_travel"    -> qTimeTravel _,
     "q_merge_additive" -> qMergeAdditive _,
+    "q_insert_append"  -> qInsertAppend _,
+    "q_timestamp_travel" -> qTimestampTravel _,
     "q_json_scan"      -> qJsonScan _)
 
   override val oracles: Seq[(String, String)] = Seq(
@@ -252,5 +301,7 @@ object MergeOps extends QueryModule {
     "q_cdf_batch"      -> qCdfBatchSql,
     "q_time_travel"    -> qTimeTravelSql,
     "q_merge_additive" -> qMergeAdditiveSql,
+    "q_insert_append"  -> qInsertAppendSql,
+    "q_timestamp_travel" -> qTimestampTravelSql,
     "q_json_scan"      -> qJsonScanSql)
 }

@@ -383,6 +383,50 @@ object Relational extends QueryModule {
       |FROM lineitem
       |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
 
+  // --------------------------------------------------------------- q17/q18
+  // A DELIBERATELY skewed join — ~75% of lineitem lands on one hot key —
+  // resolved two ways over identical data and oracle:
+  //   q17: plain shuffle join, relying on AQE's runtime skew-split (the
+  //        merge hint keeps it a shuffle join so the skew is real; at
+  //        production partition sizes OptimizeSkewedJoin splits the hot
+  //        partition — SkewOpsSpec asserts the split fires);
+  //   q18: the explicit salted rewrite (SkewOps) of the same join.
+  // BENCH_r{N} carries both timings side by side: the measured
+  // salted-vs-AQE comparison for the skew story.
+  private def skewedSides(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    import s.implicits._
+    val big = lineitem(s, d).select(
+      when($"l_orderkey" % 4 =!= 0, 1L).otherwise($"l_orderkey").as("k"),
+      $"l_quantity")
+    val small = orders(s, d).select($"o_orderkey".as("k"), $"o_orderstatus")
+    (big, small)
+  }
+  private def q17(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (big, small) = skewedSides(s, d)
+    big.join(small.hint("merge"), "k")
+      .groupBy($"o_orderstatus")
+      .agg(sum($"l_quantity").cast("double").as("sum_qty"),
+        count(lit(1)).as("n_items"))
+  }
+  private def q18(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (big, small) = skewedSides(s, d)
+    graft.operators.SkewOps.saltedEquiJoin(big, small, "k", salts = 16)
+      .groupBy($"o_orderstatus")
+      .agg(sum($"l_quantity").cast("double").as("sum_qty"),
+        count(lit(1)).as("n_items"))
+  }
+  private val qSkewSql =
+    """SELECT o_orderstatus,
+      |  sum(l_quantity)::DOUBLE AS sum_qty,
+      |  count(*) AS n_items
+      |FROM (SELECT CASE WHEN l_orderkey % 4 <> 0 THEN 1 ELSE l_orderkey END AS k,
+      |             l_quantity
+      |      FROM lineitem) b
+      |JOIN orders ON b.k = o_orderkey
+      |GROUP BY o_orderstatus""".stripMargin
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q1_pricing_summary"  -> q1 _,
     "q2_filter_project"   -> q2 _,
@@ -399,7 +443,9 @@ object Relational extends QueryModule {
     "q13_point_lookup"    -> q13 _,
     "q14_salted_join"     -> q14 _,
     "q15_percentiles"     -> q15 _,
-    "q16_rollup"          -> q16 _)
+    "q16_rollup"          -> q16 _,
+    "q17_skew_aqe"        -> q17 _,
+    "q18_skew_salted"     -> q18 _)
 
   override val oracles: Seq[(String, String)] = Seq(
     "q1_pricing_summary"  -> q1Sql,
@@ -417,5 +463,7 @@ object Relational extends QueryModule {
     "q13_point_lookup"    -> q13Sql,
     "q14_salted_join"     -> q14Sql,
     "q15_percentiles"     -> q15Sql,
-    "q16_rollup"          -> q16Sql)
+    "q16_rollup"          -> q16Sql,
+    "q17_skew_aqe"        -> qSkewSql,
+    "q18_skew_salted"     -> qSkewSql)
 }

@@ -32,6 +32,37 @@ class SkewOpsSpec extends SparkSpec {
     assert(salts > 1, "content-derived salt must split the hot key")
   }
 
+  test("AQE skew-split fires on a deliberately hot-keyed shuffle join") {
+    // Thresholds scaled down so a ~6 MB hot partition behaves like a
+    // production-size one under the 256 MB default — same trigger
+    // condition (size > max(threshold, factor × median)), smaller units.
+    val tuned = Map(
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "128KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = tuned.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    tuned.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val big = spark.range(400000).select(
+        when($"id" % 10 < 9, 1L).otherwise($"id").as("k"), $"id".as("v"))
+      val small = spark.range(20000).select($"id".as("k"),
+        concat(lit("tag"), $"id").as("tag"))
+      val joined = big.join(small, "k")
+      // drive THIS queryExecution (count() would plan a separate tree
+      // whose adaptive plan never finalizes on the inspected df)
+      val qe = joined.queryExecution
+      // 360000 hot-key matches + ids ≡ 9 (mod 10) below 20000 = 2000
+      assert(qe.executedPlan.execute().count() === 362000L)
+      val plan = qe.executedPlan.toString
+      assert(plan.contains("skew=true") || plan.contains("skewed"),
+        s"AQE did not split the skewed partition:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("twoPhaseTopK matches the single-window top-k") {
     val ev = Tables.events(spark, sf)
     val ord = Seq($"value".desc, $"event_id".asc_nulls_last)
