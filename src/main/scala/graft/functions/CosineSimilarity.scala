@@ -99,6 +99,7 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     Md5MinRegistration.register(spark)
+    SimhashBands.register(spark)
     registerTableChanges(spark)
   }
 

@@ -64,18 +64,11 @@ object SimilarityOps extends QueryModule {
 
   /** ±1 hyperplane components, flattened `[plane][dim]` (plane-major,
     * dim 1-based within a plane): +1 iff the first hex digit of
-    * md5("p|j") is >= '8' — i.e. the md5's high nibble >= 8. Computed
-    * once on the driver; the oracle derives the same values via SQL
-    * `md5`. */
-  private[llm] lazy val planes: Array[Double] = {
-    Array.tabulate(BANDS * BITS_PER_BAND * DIMS) { idx =>
-      val p = idx / DIMS
-      val j = idx % DIMS + 1
-      val d = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$p|$j".getBytes("UTF-8"))
-      if (((d(0) >> 4) & 0xf) >= 8) 1.0 else -1.0
-    }
-  }
+    * md5("p|j") is >= '8' — i.e. the md5's high nibble >= 8. Derived
+    * once in [[graft.functions.SimhashBands]]; the oracle recomputes
+    * the same values via SQL `md5`. */
+  private[llm] def planes: Array[Double] =
+    graft.functions.SimhashBands.planesFor(BANDS * BITS_PER_BAND, DIMS)
 
   // ------------------------------------------------------ q_topk_cosine
   private def qTopkCosine(s: SparkSession, d: String): DataFrame = {
@@ -118,26 +111,15 @@ object SimilarityOps extends QueryModule {
       |FROM rk WHERE rnk <= $K""".stripMargin
 
   // ------------------------------------------------------ q_cosine_lsh
-  /** Banded signatures: `bands[b]` packs the sign bits of planes
-    * `b*r .. b*r+r-1` (bit `i` of band `b` = sign of plane `b*r+i`). */
-  private def bandsExpr(v: String, planesCol: String): String =
-    s"""transform(sequence(0, ${BANDS - 1}), b ->
-       |  aggregate(sequence(0, ${BITS_PER_BAND - 1}), cast(0 AS bigint), (acc, r) ->
-       |    acc + CASE WHEN
-       |      aggregate(sequence(1, $DIMS), cast(0.0 AS double),
-       |        (a2, j) -> a2 + element_at($planesCol, (b * $BITS_PER_BAND + r) * $DIMS + j)
-       |                        * cast(element_at($v, j) AS double))
-       |      > 0.0D THEN cast(shiftleft(1, r) AS bigint) ELSE 0 END))""".stripMargin
-
   /** Banded-LSH approximate top-k: candidates from the per-band
     * equi-join, exact cosine + ranking on candidates. `emb` needs
     * `vec_id` + `embedding`; rows matching `isQuery` are the query set,
-    * the rest the corpus. Exposed for the recall spec. */
+    * the rest the corpus. Signatures come from the codegen'd
+    * `simhash_bands` expression (bit-parity with the HOF formulation —
+    * SimhashBandsSpec). Exposed for the recall spec. */
   private[llm] def lshTopK(emb: DataFrame, isQuery: Column, k: Int): DataFrame = {
-    val withBands = emb
-      .withColumn("__planes", typedLit(planes.toSeq))
-      .withColumn("bands", expr(bandsExpr("embedding", "__planes")))
-      .drop("__planes")
+    val withBands = emb.withColumn("bands",
+      expr(s"simhash_bands(embedding, $BANDS, $BITS_PER_BAND, $DIMS)"))
     val q = withBands.filter(isQuery)
       .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
         posexplode(col("bands")).as(Seq("band_idx", "band_val")))

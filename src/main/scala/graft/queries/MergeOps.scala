@@ -257,6 +257,30 @@ object MergeOps extends QueryModule {
     s"""$oracleWith
       |SELECT user_id, event_id, value, epoch_us(ts) AS ts_us FROM t1""".stripMargin
 
+  // ------------------------------------------------ q_delete_update (DML)
+  /** Predicate DELETE + UPDATE through the touched-file rewrite path:
+    * land the log, `DELETE WHERE event_type = 'error'`, then
+    * `UPDATE SET value = -value WHERE value < 10` — the oracle applies
+    * the same algebra declaratively. */
+  private def qDeleteUpdate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val dir = Files.createTempDirectory("graft-dml").resolve("t").toString
+    val t = VersionedTable.create(s, dir, schema)
+    t.append(events(s, d).select($"event_id", $"user_id", $"event_type", $"value"))
+    t.deleteWhere(col("event_type") === "error")
+    t.updateWhere(col("value") < 10.0, Map("value" -> -col("value")))
+    t.snapshot()
+  }
+  private val qDeleteUpdateSql =
+    """SELECT event_id, user_id, event_type,
+      |       CASE WHEN value < 10.0 THEN -value ELSE value END AS value
+      |FROM events WHERE event_type <> 'error'""".stripMargin
+
   // ----------------------------------------------------- q_json_scan (S1)
   /** Batch multi-line JSON-array scan (demo-notebook.py:146): a
     * deterministic slice of `events` is exported as ONE JSON array
@@ -294,6 +318,7 @@ object MergeOps extends QueryModule {
     "q_merge_additive" -> qMergeAdditive _,
     "q_insert_append"  -> qInsertAppend _,
     "q_timestamp_travel" -> qTimestampTravel _,
+    "q_delete_update"  -> qDeleteUpdate _,
     "q_json_scan"      -> qJsonScan _)
 
   override val oracles: Seq[(String, String)] = Seq(
@@ -303,5 +328,6 @@ object MergeOps extends QueryModule {
     "q_merge_additive" -> qMergeAdditiveSql,
     "q_insert_append"  -> qInsertAppendSql,
     "q_timestamp_travel" -> qTimestampTravelSql,
+    "q_delete_update"  -> qDeleteUpdateSql,
     "q_json_scan"      -> qJsonScanSql)
 }

@@ -167,10 +167,13 @@ object Merge {
 
       // File-level copy-on-write pruning for bucketed tables: candidate
       // files = those whose (bucket, key-hash range) can contain a source
-      // key. The check is a broadcast equi-join of the source's distinct
-      // key hashes against the (tiny) manifest file listing — O(batch)
-      // scan, never O(table). Files without stats (e.g. the create-time
-      // empty file) are conservatively always candidates.
+      // key. The check is ONE job: a broadcast left-join of the source's
+      // distinct key hashes against the (tiny) manifest file listing —
+      // O(batch) scan, never O(table) — whose distinct (bucket, path)
+      // output yields both the candidate set and the touched-bucket
+      // conflict scope (left join: a touched bucket with no candidate
+      // file still conflicts with concurrent adds there). Files without
+      // stats (e.g. the create-time empty file) are always candidates.
       val bucketed = table.bucketSpec.map { case BucketSpec(bkeys, n) =>
         require(bkeys == onKeys,
           s"merge keys $onKeys must equal the table's bucket keys $bkeys")
@@ -178,28 +181,28 @@ object Merge {
         val srcKeys = src
           .select(khash.cast("long").as("__h"),
             pmod(khash, lit(n)).cast("int").as("__b"))
-          .distinct().persist(StorageLevel.MEMORY_AND_DISK)
-        try {
-          val (statted, statless) = base.dataFiles.partition(f =>
-            f.bucket.isDefined && f.minHash.isDefined && f.maxHash.isDefined)
-          val statCandidates =
-            if (statted.isEmpty) Seq.empty[String]
-            else {
-              import spark.implicits._
-              val fileDf = statted
-                .map(f => (f.path, f.bucket.get, f.minHash.get, f.maxHash.get))
-                .toDF("__path", "__fb", "__mn", "__mx")
-              srcKeys.join(broadcast(fileDf),
-                  col("__b") === col("__fb") &&
-                  col("__h") >= col("__mn") && col("__h") <= col("__mx"))
-                .select("__path").distinct()
-                .collect().map(_.getString(0)).toSeq // bounded by file count
-            }
-          val candidates = (statCandidates ++ statless.map(_.path)).distinct
+          .distinct()
+        val (statted, statless) = base.dataFiles.partition(f =>
+          f.bucket.isDefined && f.minHash.isDefined && f.maxHash.isDefined)
+        if (statted.isEmpty) {
           val touched = srcKeys.select("__b").distinct()
             .collect().map(_.getInt(0)).toSet // bounded by numBuckets
+          (statless.map(_.path), touched)
+        } else {
+          import spark.implicits._
+          val fileDf = statted
+            .map(f => (f.path, f.bucket.get, f.minHash.get, f.maxHash.get))
+            .toDF("__path", "__fb", "__mn", "__mx")
+          val rows = srcKeys.join(broadcast(fileDf),
+              col("__b") === col("__fb") &&
+              col("__h") >= col("__mn") && col("__h") <= col("__mx"), "left")
+            .select(col("__b"), col("__path")).distinct()
+            .collect() // bounded by buckets + files
+          val touched = rows.map(_.getInt(0)).toSet
+          val candidates =
+            (rows.flatMap(r => Option(r.getString(1))).toSeq ++ statless.map(_.path)).distinct
           (candidates, touched)
-        } finally srcKeys.unpersist()
+        }
       }
 
       val targetRaw = bucketed match {
@@ -268,39 +271,49 @@ object Merge {
       val targetStruct = when(tPresent,
         struct(targetFields.toIndexedSeq.map(f => col(s"target.${f.name}").as(f.name)): _*))
 
+      val deleteIds = indexed.collect { case (_: WhenMatchedDelete, i) => i }
+      val updateIds = indexed.collect { case (_: WhenMatchedUpdate, i) => i }
+      val insertIds = indexed.collect { case (_: WhenNotMatchedInsert, i) => i }
+      def in(ids: Seq[Int]): Column =
+        if (ids.isEmpty) lit(false) else col("__action").isin(ids: _*)
+
       val staged = joined
         .withColumn("__action", action)
         .filter(col("__action").isNotNull) // drop source rows no clause inserts
         .select(col("__action"), targetStruct.as("__t"), newRow.as("__new"))
 
+      // per-clause-family row counts ride the staging write as observed
+      // metrics — no separate counting job
+      val obs = org.apache.spark.sql.Observation()
       val stagingDir = table.root.resolve(
         s"${VersionedTable.STAGING_DIR}/merge-${UUID.randomUUID()}")
-      staged.write.mode("overwrite").parquet(stagingDir.toString)
+      staged.observe(obs,
+          count(when(in(insertIds), 1)).as("ins"),
+          count(when(in(updateIds), 1)).as("upd"),
+          count(when(in(deleteIds), 1)).as("del"))
+        .write.mode("overwrite").parquet(stagingDir.toString)
+      val counts = obs.get
       var added = Seq.empty[DataFile]
       try {
         // explicit schema: an empty staged result may write zero part
         // files, and an empty directory cannot be schema-inferred
         val st = spark.read.schema(staged.schema).parquet(stagingDir.toString)
 
-        val deleteIds = indexed.collect { case (_: WhenMatchedDelete, i) => i }
-        val updateIds = indexed.collect { case (_: WhenMatchedUpdate, i) => i }
-        val insertIds = indexed.collect { case (_: WhenNotMatchedInsert, i) => i }
-        def in(ids: Seq[Int]): Column =
-          if (ids.isEmpty) lit(false) else col("__action").isin(ids: _*)
-
         val flat = st.filter(!in(deleteIds))
           .select(coalesce(col("__new"), col("__t")).as("r"))
           .select(col("r.*"))
         added = table.ingest(flat)
 
+        // all four CDF projections in ONE scan of the staging data: each
+        // row contributes 0..2 (change-row, change-type) pairs
         val changes = {
-          def side(ids: Seq[Int], structCol: String, changeType: String) =
-            st.filter(in(ids)).select(col(s"$structCol.*"))
-              .withColumn("_change_type", lit(changeType))
-          side(insertIds, "__new", "insert")
-            .unionByName(side(deleteIds, "__t", "delete"))
-            .unionByName(side(updateIds, "__t", "update_preimage"))
-            .unionByName(side(updateIds, "__new", "update_postimage"))
+          val parts = array(
+            when(in(insertIds), struct(col("__new").as("r"), lit("insert").as("t"))),
+            when(in(deleteIds), struct(col("__t").as("r"), lit("delete").as("t"))),
+            when(in(updateIds), struct(col("__t").as("r"), lit("update_preimage").as("t"))),
+            when(in(updateIds), struct(col("__new").as("r"), lit("update_postimage").as("t"))))
+          st.select(explode(array_compact(parts)).as("c"))
+            .select(col("c.r.*"), col("c.t").as("_change_type"))
         }
 
         val removed = bucketed match {
@@ -324,10 +337,8 @@ object Merge {
         if (version.isEmpty) // txn raced in: retract unpublished files
           added.foreach(f => Files.deleteIfExists(table.root.resolve(f.path)))
 
-        val counts = st.groupBy(col("__action")).count().collect()
-          .map(r => r.getInt(0) -> r.getLong(1)).toMap
-        def total(ids: Seq[Int]) = ids.map(i => counts.getOrElse(i, 0L)).sum
-        MergeStats(version, total(insertIds), total(updateIds), total(deleteIds))
+        def metric(k: String) = counts.get(k).map(_.asInstanceOf[Long]).getOrElse(0L)
+        MergeStats(version, metric("ins"), metric("upd"), metric("del"))
       } catch {
         case e: CommitConflictException =>
           // retract this attempt's unpublished data files before re-running

@@ -490,6 +490,82 @@ final class VersionedTable private (
     * every superseded file. Emits no CDF rows (no row content changes). */
   def compact(): Option[Long] = commit(snapshot(), None, "compact")
 
+  /** Data files of version `v` that contain at least one row matching
+    * `hit` — one column-pruned, pushdown-friendly scan; the basis of
+    * predicate-scoped rewrites (Delta's DELETE/UPDATE find-touched-files
+    * strategy). Matching is by file name (names are UUIDs, unique). */
+  private def touchedFiles(
+      m: CommitManifest, hit: org.apache.spark.sql.Column): Seq[DataFile] = {
+    val names = readFiles(m.dataFiles.map(_.path), m.schema)
+      .filter(hit).select(input_file_name().as("__f")).distinct()
+      .collect().map(_.getString(0).split('/').last).toSet
+    m.dataFiles.filter(f => names.contains(f.path.split('/').last))
+  }
+
+  /** `DELETE FROM <table> WHERE cond` — rows where `cond` is TRUE are
+    * removed (NULL keeps the row, SQL semantics). Only files containing
+    * a matching row are rewritten; the rest are inherited — O(touched),
+    * the same file-scoping Delta's DELETE performs. Emits `delete` CDF
+    * rows. `cond` must be deterministic (it is evaluated in the
+    * touched-file scan, the rewrite, and the CDF projection). */
+  def deleteWhere(cond: org.apache.spark.sql.Column): Option[Long] = {
+    val hit = coalesce(cond, lit(false))
+    val prev = latestManifest
+    val touched = touchedFiles(prev, hit)
+    if (touched.isEmpty) return None
+    val touchedDf = readFiles(touched.map(_.path), prev.schema)
+    val added = ingest(touchedDf.filter(!hit))
+    commitFiles(added, touched.map(_.path),
+      Some(touchedDf.filter(hit).withColumn("_change_type", lit("delete"))),
+      "delete", baseVersion = Some(prev.version),
+      conflictsWith = Some(_ => true))
+  }
+
+  /** `UPDATE <table> SET ... WHERE cond`: rewrites only touched files,
+    * applying `set` to matching rows; emits update_preimage/postimage
+    * CDF rows. `cond` and `set` must be deterministic. */
+  def updateWhere(
+      cond: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column]): Option[Long] = {
+    require(set.nonEmpty, "UPDATE requires at least one SET assignment")
+    val bad = set.keySet -- schema.fieldNames.toSet
+    require(bad.isEmpty, s"SET references unknown columns: $bad")
+    val hit = coalesce(cond, lit(false))
+    val prev = latestManifest
+    val touched = touchedFiles(prev, hit)
+    if (touched.isEmpty) return None
+    val touchedDf = readFiles(touched.map(_.path), prev.schema)
+    val fields = prev.schema.fields
+    val pre = touchedDf.filter(hit)
+    val post = pre.select(fields.toIndexedSeq.map(f =>
+      set.get(f.name).map(_.cast(f.dataType)).getOrElse(col(f.name)).as(f.name)): _*)
+    val added = ingest(touchedDf.filter(!hit).unionByName(post))
+    val changes = pre.withColumn("_change_type", lit("update_preimage"))
+      .unionByName(post.withColumn("_change_type", lit("update_postimage")))
+    commitFiles(added, touched.map(_.path), Some(changes), "update",
+      baseVersion = Some(prev.version), conflictsWith = Some(_ => true))
+  }
+
+  /** `RESTORE TABLE ... TO VERSION AS OF v` (Delta's RESTORE): commits
+    * version `v`'s exact file listing (and schema) as the new latest
+    * version — a metadata-only operation, no data is copied. Fails if
+    * any of `v`'s files were vacuumed. Emits no CDF rows: restore is a
+    * snapshot-level rollback; CDF consumers of a restored table must
+    * rebuild from a fresh snapshot (as with Delta, whose restore CDF is
+    * likewise not a logical change stream). */
+  def restore(v: Long): Option[Long] = {
+    val target = manifest(v)
+    val prev = latestManifest
+    target.dataFiles.find(f => !Files.exists(root.resolve(f.path))).foreach { f =>
+      throw new IllegalStateException(
+        s"cannot restore to version $v: file ${f.path} was vacuumed")
+    }
+    if (prev.dataFiles.map(_.path) == target.dataFiles.map(_.path)) return None
+    commitFiles(target.dataFiles, prev.dataFiles.map(_.path), None, "restore",
+      newSchemaJson = Some(target.schemaJson),
+      baseVersion = Some(prev.version), conflictsWith = Some(_ => true))
+  }
+
   /** Storage maintenance (Delta's VACUUM analog): drops manifests of all
     * but the most recent `retainVersions` versions, deletes data files
     * referenced ONLY by dropped manifests (file-granular liveness — a
@@ -512,10 +588,13 @@ final class VersionedTable private (
     val retained = vs.takeRight(retainVersions)
     val cutoff = retained.head
     val removed = vs.filter(_ < cutoff)
-    // file-granular liveness: keep anything a retained manifest lists
+    // file-granular liveness: keep anything a retained manifest lists.
+    // Files outside this table's root (shallow-clone references) are
+    // never deleted — the source table owns them (Delta's clone rule).
     val live = retained.flatMap(v => manifest(v).dataFiles.map(_.path)).toSet
     val dead = removed.flatMap(v => manifest(v).dataFiles.map(_.path)).toSet -- live
-    dead.foreach(p => Files.deleteIfExists(root.resolve(p)))
+    dead.map(root.resolve).filter(_.startsWith(root))
+      .foreach(Files.deleteIfExists)
     // CDF trim: never past a retained version, never past the consumer watermark
     val changeCutoff = cdfLowWatermark.fold(cutoff)(w => math.min(w + 1, cutoff))
     val deadChanges = changeFilesOnDisk.filter(_._1 < changeCutoff)
@@ -613,6 +692,28 @@ object VersionedTable {
   def load(spark: SparkSession, path: String): VersionedTable = {
     require(exists(path), s"no versioned table at $path")
     new VersionedTable(spark, Paths.get(path))
+  }
+
+  /** SHALLOW CLONE (Delta's `CREATE TABLE ... SHALLOW CLONE src`): a new
+    * table whose version 0 references the source's CURRENT data files by
+    * absolute path — a metadata-only copy, O(files), no data moved. The
+    * clone evolves independently (merges/appends/deletes write its own
+    * files; copy-on-write means the source is never modified), and its
+    * `vacuum` never deletes source-owned files. The clone is pinned to
+    * the files it saw: a later `vacuum` on the SOURCE can invalidate it
+    * (Delta documents the same hazard). */
+  def shallowClone(source: VersionedTable, path: String): VersionedTable = {
+    require(!exists(path), s"table already exists at $path")
+    val m = source.latestManifest
+    val root = Paths.get(path)
+    Files.createDirectories(root)
+    val t = new VersionedTable(source.spark, root)
+    val refs = m.dataFiles.map(f =>
+      f.copy(path = source.root.resolve(f.path).toAbsolutePath.toString))
+    t.publish(CommitManifest(0L, "clone", System.currentTimeMillis(),
+      m.schemaJson, m.properties, Map.empty, m.bucketKeys, m.numBuckets,
+      dataFiles = refs, addedFiles = refs.map(_.path)))
+    t
   }
 
   /** DROP TABLE (D1). */

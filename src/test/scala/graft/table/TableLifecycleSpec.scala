@@ -1,0 +1,113 @@
+package graft.table
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+/** Row-level DML and snapshot lifecycle beyond MERGE: predicate
+  * DELETE/UPDATE with touched-file scoping, RESTORE to a past version,
+  * and SHALLOW CLONE — all metadata-cheap on the file-granular layer. */
+class TableLifecycleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("v", StringType)))
+
+  private def tmp(prefix: String) =
+    Files.createTempDirectory(prefix).resolve("t").toString
+
+  private val upsert = Seq(WhenMatchedUpdate(), WhenNotMatchedInsert())
+
+  test("deleteWhere removes matching rows, rewrites only touched files, emits delete CDF") {
+    val t = VersionedTable.create(spark, tmp("del"), schema,
+      Map(VersionedTable.PROP_CDF -> "true"),
+      bucketBy = Some(BucketSpec(Seq("id"), 8)))
+    Merge.run(t, (1L to 40L).map(i => (i, s"v$i")).toDF("id", "v"),
+      Seq("id"), upsert) // v1, spread over ~8 files
+    val before = t.latestManifest.dataFiles.size
+
+    assert(t.deleteWhere($"id" <= 3L) === Some(2L))
+    assert(t.snapshot().count() === 37L)
+    assert(t.snapshot().filter($"id" <= 3L).count() === 0L)
+    val m = t.latestManifest
+    assert(m.removedFiles.nonEmpty && m.removedFiles.size < before,
+      s"delete must rewrite only touched files (${m.removedFiles.size}/$before)")
+    val ch = t.changes(2)
+    assert(ch.select("_change_type").distinct().as[String].collect().toSeq
+      === Seq("delete"))
+    assert(ch.select("id").as[Long].collect().sorted.toSeq === Seq(1L, 2L, 3L))
+    // no matches -> no commit
+    assert(t.deleteWhere($"id" === 999L) === None)
+    // NULL predicate keeps the row (SQL semantics)
+    assert(t.deleteWhere(when($"id" === 5L, lit(null).cast("boolean"))) === None)
+    assert(t.snapshot().filter($"id" === 5L).count() === 1L)
+  }
+
+  test("updateWhere rewrites matching rows in place with pre/postimage CDF") {
+    val t = VersionedTable.create(spark, tmp("upd"), schema,
+      Map(VersionedTable.PROP_CDF -> "true"))
+    t.append((1L to 10L).map(i => (i, s"v$i")).toDF("id", "v"))
+
+    assert(t.updateWhere($"id" % 2 === 0, Map("v" -> lit("even"))) === Some(2L))
+    val snap = t.snapshot().as[(Long, String)].collect().toMap
+    (1L to 10L).foreach(i =>
+      assert(snap(i) === (if (i % 2 == 0) "even" else s"v$i")))
+    val ch = t.changes(2).select("id", "v", "_change_type")
+      .as[(Long, String, String)].collect()
+    assert(ch.count(_._3 == "update_preimage") === 5)
+    assert(ch.count(_._3 == "update_postimage") === 5)
+    assert(ch.filter(_._3 == "update_postimage").forall(_._2 == "even"))
+    intercept[IllegalArgumentException] {
+      t.updateWhere($"id" === 1L, Map("nope" -> lit(1)))
+    }
+  }
+
+  test("restore rolls back to a past version's exact file listing") {
+    val t = VersionedTable.create(spark, tmp("restore"), schema)
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v")) // v1
+    t.append(Seq((3L, "c")).toDF("id", "v"))            // v2
+    t.deleteWhere($"id" === 1L)                          // v3
+    assert(t.snapshot().count() === 2L)
+
+    assert(t.restore(1L) === Some(4L))
+    assert(t.snapshot().as[(Long, String)].collect().sortBy(_._1).toSeq
+      === Seq((1L, "a"), (2L, "b")))
+    assert(t.latestManifest.dataFiles.map(_.path)
+      === t.manifest(1).dataFiles.map(_.path),
+      "restore must reference v1's files, not copies")
+    // restoring to the current listing is a no-op
+    assert(t.restore(4L) === None)
+    // restore past vacuumed history fails loudly (manifest and/or files gone)
+    t.append(Seq((9L, "z")).toDF("id", "v")) // v5
+    t.compact()                               // v6 rewrites all
+    t.vacuum(retainVersions = 1)
+    intercept[Exception] { t.restore(4L) }
+  }
+
+  test("shallow clone reads the source's files, evolves independently, vacuums safely") {
+    val srcPath = tmp("clone-src")
+    val src = VersionedTable.create(spark, srcPath, schema)
+    src.append((1L to 20L).map(i => (i, s"v$i")).toDF("id", "v"))
+
+    val clone = VersionedTable.shallowClone(src, tmp("clone-dst"))
+    assert(clone.snapshot().count() === 20L)
+    assert(clone.schema === src.schema)
+
+    // clone-side writes never touch the source
+    clone.append(Seq((100L, "c")).toDF("id", "v"))
+    clone.deleteWhere($"id" <= 5L)
+    assert(clone.snapshot().count() === 16L)
+    assert(src.snapshot().count() === 20L, "source must be unaffected")
+
+    // clone vacuum must not delete source-owned files
+    clone.compact()
+    clone.vacuum(retainVersions = 1)
+    assert(src.snapshot().count() === 20L,
+      "clone vacuum deleted files it does not own")
+    assert(clone.snapshot().count() === 16L)
+  }
+}
