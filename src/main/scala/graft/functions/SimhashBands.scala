@@ -30,6 +30,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
 case class SimhashBands(child: Expression, bands: Int, bits: Int, dims: Int)
     extends UnaryExpression {
 
+  override def prettyName: String = "simhash_bands"
+
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {

@@ -255,63 +255,57 @@ final class VersionedTable private (
 
   /** Writes `df` as immutable files under `data/` and returns their
     * manifest entries — data only becomes visible when a later
-    * [[commitFiles]] publishes a manifest referencing it. For bucketed
-    * tables the write clusters rows into bucket files sorted by key
-    * hash and computes the per-file hash range + row count stats that
-    * drive merge-time file skipping. */
+    * [[commitFiles]] publishes a manifest referencing it.
+    *
+    * For bucketed tables the write clusters rows into bucket files
+    * sorted by key hash, and MATERIALIZES the key hash as a narrow
+    * `__khash` column so the per-file hash range + row count come
+    * straight from the parquet footers — a driver-side metadata read,
+    * zero extra Spark jobs (readers never see the column: all reads go
+    * through explicit schemas). */
   private[table] def ingest(df: DataFrame): Seq[DataFile] = {
     val tmp = root.resolve(s"$STAGING_DIR/ingest-${UUID.randomUUID()}")
-    val stats: Map[String, DataFile] = bucketSpec match {
+    bucketSpec match {
       case Some(BucketSpec(keys, n)) =>
         val khash = hash(keys.map(col): _*)
-        df.withColumn(BUCKET_COL, pmod(khash, lit(n)).cast("int"))
+        df.withColumn(KHASH_COL, khash.cast("long"))
+          .withColumn(BUCKET_COL, pmod(khash, lit(n)).cast("int"))
           .repartition(col(BUCKET_COL))
-          .sortWithinPartitions(col(BUCKET_COL), khash)
+          .sortWithinPartitions(col(BUCKET_COL), col(KHASH_COL))
           .write.mode("overwrite").partitionBy(BUCKET_COL).parquet(tmp.toString)
-        // one metadata pass over the staged batch (O(batch), key columns
-        // only) recovers per-file bucket + hash-range + row-count stats.
-        // Explicit schema: an empty batch writes zero files, which cannot
-        // be schema-inferred (partition col comes back from dir names).
-        val staged = spark.read
-          .schema(StructType(df.schema.fields :+
-            StructField(BUCKET_COL, org.apache.spark.sql.types.IntegerType)))
-          .parquet(tmp.toString)
-        val kh = hash(keys.map(col): _*).cast("long")
-        staged.groupBy(input_file_name().as("__f"))
-          .agg(first(col(BUCKET_COL)).as("__b"), min(kh).as("__mn"),
-            max(kh).as("__mx"), count(lit(1)).as("__n"))
-          .collect()
-          .map { r =>
-            val key = r.getString(0).split('/').takeRight(2).mkString("/")
-            key -> DataFile("", Some(r.getInt(1)), Some(r.getLong(2)),
-              Some(r.getLong(3)), Some(r.getLong(4)))
-          }.toMap
       case None =>
         df.write.mode("overwrite").parquet(tmp.toString)
-        Map.empty
     }
-    val entries = moveIntoData(tmp, stats)
+    val entries = moveIntoData(tmp, bucketSpec.isDefined)
     deleteRecursively(tmp)
     entries
   }
 
-  /** Moves staged parquet files into `data/` under fresh unique names;
-    * `stats` is keyed by the staged file's path relative to `stagingRoot`. */
+  /** Moves staged parquet files into `data/` under fresh unique names.
+    * Every file's manifest entry carries footer-derived stats: row count
+    * always; bucket id (from the staging dir name) + `__khash` min/max
+    * for bucketed tables — the merge file-skipping inputs. */
   private def moveIntoData(
-      stagingRoot: Path, stats: Map[String, DataFile]): Seq[DataFile] = {
+      stagingRoot: Path, bucketed: Boolean): Seq[DataFile] = {
     Files.createDirectories(dataDir)
     val staged = Using.resource(Files.walk(stagingRoot)) { s =>
       s.iterator.asScala
         .filter(p => p.getFileName.toString.endsWith(".parquet"))
         .toSeq
     }
+    val bucketRe = s"$BUCKET_COL=(\\d+)".r
     staged.map { p =>
       val key = stagingRoot.relativize(p).toString
       val name = s"${UUID.randomUUID()}.parquet"
-      Files.move(p, dataDir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
-      val tpl = stats.get(key)
-      DataFile(s"$DATA_DIR/$name", tpl.flatMap(_.bucket), tpl.flatMap(_.minHash),
-        tpl.flatMap(_.maxHash), tpl.flatMap(_.rows))
+      val dest = dataDir.resolve(name)
+      Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE)
+      if (bucketed) {
+        val bucket = bucketRe.findFirstMatchIn(key).map(_.group(1).toInt)
+        val (rows, mn, mx) = footerKeyStats(dest)
+        DataFile(s"$DATA_DIR/$name", bucket, mn, mx, Some(rows))
+      } else {
+        DataFile(s"$DATA_DIR/$name", rows = Some(footerRowCount(dest)))
+      }
     }
   }
 
@@ -490,6 +484,34 @@ final class VersionedTable private (
     * every superseded file. Emits no CDF rows (no row content changes). */
   def compact(): Option[Long] = commit(snapshot(), None, "compact")
 
+  /** Bin-packing compaction (Delta's `OPTIMIZE` proper): rewrites ONLY
+    * files smaller than `targetRows`, merging them into right-sized
+    * files; every adequately-sized file is inherited untouched, so the
+    * maintenance cost is O(small files), not O(table) — the small-file
+    * remedy for long-lived incremental tables (a 100 TB table with a
+    * few fragmented buckets compacts in seconds, unlike [[compact]]).
+    * Row counts come from the manifest (every file carries one); no
+    * data is scanned to plan the rewrite. No CDF rows are emitted. */
+  def compactSmallFiles(targetRows: Long): Option[Long] = {
+    require(targetRows > 0)
+    val prev = latestManifest
+    val withRows = prev.dataFiles.map(f =>
+      f -> f.rows.getOrElse(footerRowCount(root.resolve(f.path))))
+    val small = withRows.filter(_._2 < targetRows).map(_._1)
+    if (small.size < 2) return None // nothing to merge
+    val df = readFiles(small.map(_.path), prev.schema)
+    val added =
+      if (isBucketed) ingest(df) // re-clusters per bucket
+      else {
+        val total = withRows.filter(_._2 < targetRows).map(_._2).sum
+        val parts = math.max(1, math.ceil(total.toDouble / targetRows).toInt)
+        ingest(df.coalesce(parts))
+      }
+    commitFiles(added, small.map(_.path), None, "optimize",
+      baseVersion = Some(prev.version),
+      conflictsWith = Some(_ => false)) // pure rewrite conflicts only on file overlap
+  }
+
   /** Data files of version `v` that contain at least one row matching
     * `hit` — one column-pruned, pushdown-friendly scan; the basis of
     * predicate-scoped rewrites (Delta's DELETE/UPDATE find-touched-files
@@ -636,6 +658,10 @@ object VersionedTable {
   val DATA_DIR = "data"
   /** Partition column name used transiently while clustering CoW writes. */
   val BUCKET_COL = "__bucket"
+  /** Materialized key-hash column in bucketed data files — source of the
+    * footer-derived file-skipping stats; hidden from every reader by the
+    * explicit read schemas. */
+  val KHASH_COL = "__khash"
   /** Marker file recording the highest vacuumed CDF version. */
   val VACUUM_WATERMARK = "_vacuum_watermark"
   /** Table property toggling CDF emission, mirroring
@@ -680,7 +706,7 @@ object VersionedTable {
     val tmp = root.resolve(s"$STAGING_DIR/create-${UUID.randomUUID()}")
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    val files = t.moveIntoData(tmp, Map.empty)
+    val files = t.moveIntoData(tmp, bucketed = false)
     deleteRecursively(tmp)
     t.publish(CommitManifest(0L, "create", System.currentTimeMillis(),
       schema.json, properties, Map.empty,
@@ -724,6 +750,38 @@ object VersionedTable {
       Using.resource(Files.walk(p))(_.iterator.asScala.toSeq)
         .reverse.foreach(Files.delete)
     }
+
+  /** Row count from the parquet footer — a driver-side metadata read,
+    * no Spark job. */
+  private[table] def footerRowCount(p: Path): Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(p.toUri),
+      new org.apache.hadoop.conf.Configuration())
+    Using.resource(org.apache.parquet.hadoop.ParquetFileReader.open(in))(
+      _.getRecordCount)
+  }
+
+  /** Row count + `__khash` min/max from the parquet footer (per-block
+    * int64 statistics aggregated across row groups) — driver-side, no
+    * Spark job. Files with no rows yield no range (conservatively a
+    * merge candidate). */
+  private[table] def footerKeyStats(p: Path): (Long, Option[Long], Option[Long]) = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(p.toUri),
+      new org.apache.hadoop.conf.Configuration())
+    Using.resource(org.apache.parquet.hadoop.ParquetFileReader.open(in)) { r =>
+      val blocks = r.getFooter.getBlocks.asScala.toSeq
+      val rows = blocks.map(_.getRowCount).sum
+      val stats = blocks.flatMap(_.getColumns.asScala)
+        .filter(_.getPath.toDotString == KHASH_COL)
+        .map(_.getStatistics)
+        .filter(s => s != null && s.hasNonNullValue)
+      if (stats.isEmpty) (rows, None, None)
+      else (rows,
+        Some(stats.map(_.genericGetMin.asInstanceOf[java.lang.Long].longValue).min),
+        Some(stats.map(_.genericGetMax.asInstanceOf[java.lang.Long].longValue).max))
+    }
+  }
 }
 
 /** Filesystem-backed 2-level namespace (database -> table) standing in

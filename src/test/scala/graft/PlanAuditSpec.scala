@@ -49,4 +49,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("GreaterThanOrEqual(l_shipdate"),
       s"expected pushed range bound:\n$p")
   }
+
+  test("banded LSH candidates come from an equi-join, never a cross-join") {
+    val p = plan("q_cosine_lsh")
+    assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"LSH candidate generation must be a hash equi-join:\n$p")
+    assert(p.contains("simhash_bands"),
+      s"signatures must use the codegen'd expression:\n$p")
+  }
+
+  test("the deliberately skewed join stays a shuffle join (the skew is real)") {
+    val p = plan("q17_skew_aqe")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      s"merge hint must keep q17 a shuffle join so AQE owns the skew:\n$p")
+  }
 }

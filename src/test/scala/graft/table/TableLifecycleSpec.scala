@@ -88,6 +88,28 @@ class TableLifecycleSpec extends SparkSpec {
     intercept[Exception] { t.restore(4L) }
   }
 
+  test("compactSmallFiles bin-packs only undersized files, O(small files)") {
+    val t = VersionedTable.create(spark, tmp("binpack"), schema)
+    t.append((1L to 1000L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1))
+    val bigFile = t.latestManifest.addedFiles.head
+    (1 to 8).foreach(i => t.append(Seq((10000L + i, "s")).toDF("id", "v")))
+    assert(t.latestManifest.dataFiles.size >= 9)
+
+    val v = t.compactSmallFiles(targetRows = 100)
+    assert(v.isDefined)
+    val m = t.latestManifest
+    // every file in the manifest carries a row count (footer-backed)
+    assert(m.dataFiles.forall(_.rows.isDefined))
+    // the big file was inherited untouched; the 8 one-row files merged
+    assert(m.dataFiles.map(_.path).contains(bigFile),
+      "adequately-sized files must not be rewritten")
+    assert(!m.removedFiles.contains(bigFile))
+    assert(m.addedFiles.size === 1, s"8 tiny files should pack into 1, got ${m.addedFiles}")
+    assert(t.snapshot().count() === 1008L)
+    // no churn -> no-op
+    assert(t.compactSmallFiles(targetRows = 100) === None)
+  }
+
   test("shallow clone reads the source's files, evolves independently, vacuums safely") {
     val srcPath = tmp("clone-src")
     val src = VersionedTable.create(spark, srcPath, schema)
