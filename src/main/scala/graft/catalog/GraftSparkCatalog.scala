@@ -11,11 +11,43 @@ import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.InsertableRelation
 import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.table.VersionedTable
+
+/** Translates Spark's pushed `sources.Filter` algebra (the shape DSv2
+  * hands `SupportsDelete`) back into `Column` predicates for the
+  * engine's row-level DML. Unsupported shapes return None so
+  * `canDeleteWhere` can refuse and Spark reports a clean error. */
+private object FilterColumns {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions._
+  import org.apache.spark.sql.sources._
+
+  def translate(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v) => Some(col(a) === lit(v))
+    case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case GreaterThan(a, v) => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v) => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case IsNull(a) => Some(col(a).isNull)
+    case IsNotNull(a) => Some(col(a).isNotNull)
+    case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case StringEndsWith(a, v) => Some(col(a).endsWith(v))
+    case StringContains(a, v) => Some(col(a).contains(v))
+    case And(l, r) => for (a <- translate(l); b <- translate(r)) yield a && b
+    case Or(l, r) => for (a <- translate(l); b <- translate(r)) yield a || b
+    case Not(c) => translate(c).map(!_)
+    case _: AlwaysTrue => Some(lit(true))
+    case _: AlwaysFalse => Some(lit(false))
+    case _ => None
+  }
+}
 
 /** DataSourceV2 catalog over the versioned table layer — registers as
   * `spark.sql.catalog.<name> = graft.catalog.GraftSparkCatalog` (plus
@@ -154,10 +186,15 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
   /** Current-version table handle: reads delegate to the parquet v2
     * table (pushdown intact); `INSERT INTO` appends through the
     * transactional layer via the DSv2→V1 write bridge — a new commit
-    * per insert, CDF rows included. Bucketed (CoW) tables reject
-    * INSERT (they are maintained by MERGE). */
+    * per insert, CDF rows included (bucketed CoW tables reject INSERT:
+    * they are maintained by MERGE); `DELETE FROM ... WHERE` maps the
+    * pushed source filters onto the engine's touched-file-scoped
+    * [[VersionedTable.deleteWhere]]. (SQL UPDATE needs Spark's
+    * row-level-operation framework; `updateWhere` and `MergeSql` cover
+    * that surface at the API/MERGE level.) */
   private class GraftV2Table(vt: VersionedTable, read: Table)
-      extends Table with SupportsRead with SupportsWrite {
+      extends Table with SupportsRead with SupportsWrite
+      with org.apache.spark.sql.connector.catalog.SupportsDelete {
     override def name(): String = read.name()
     override def schema(): StructType = vt.schema
     override def properties(): util.Map[String, String] = vt.properties.asJava
@@ -178,6 +215,16 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
             }
         }
       }
+    override def canDeleteWhere(filters: Array[sources.Filter]): Boolean =
+      filters.forall(f => FilterColumns.translate(f).isDefined)
+    override def deleteWhere(filters: Array[sources.Filter]): Unit = {
+      val cond = filters.toSeq.map(f => FilterColumns.translate(f).getOrElse(
+          throw new UnsupportedOperationException(s"untranslatable filter $f")))
+        .reduceOption(_ && _)
+        .getOrElse(org.apache.spark.sql.functions.lit(true))
+      vt.deleteWhere(cond)
+      ()
+    }
   }
 
   override def listNamespaces(): Array[Array[String]] = {

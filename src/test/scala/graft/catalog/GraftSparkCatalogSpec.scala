@@ -106,6 +106,30 @@ class GraftSparkCatalogSpec extends SparkSpec {
       === Seq("id", "v"))
   }
 
+  test("DELETE FROM through SQL rewrites only touched files with CDF") {
+    val wh = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db4")
+    spark.sql("CREATE TABLE graft.db4.d (id BIGINT, v STRING) " +
+      s"TBLPROPERTIES ('${VersionedTable.PROP_CDF}'='true')")
+    spark.sql("INSERT INTO graft.db4.d VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    spark.sql("INSERT INTO graft.db4.d VALUES (4, 'd'), (5, 'e')")
+
+    spark.sql("DELETE FROM graft.db4.d WHERE id <= 2 OR v = 'e'")
+    assert(spark.sql("SELECT id FROM graft.db4.d ORDER BY id")
+      .as[Long].collect().toSeq === Seq(3L, 4L))
+
+    val t = VersionedTable.load(spark, s"$wh/db4/d")
+    assert(t.latestManifest.operation === "delete")
+    assert(t.changes(t.latestVersion)
+      .filter($"_change_type" === "delete").count() === 3L)
+    // unsupported predicate shapes fail cleanly rather than silently
+    intercept[Exception] {
+      spark.sql("DELETE FROM graft.db4.d WHERE id + 1 = 4")
+    }
+    assert(spark.sql("SELECT count(*) FROM graft.db4.d").head().getLong(0) === 2L)
+    spark.sql("DROP TABLE graft.db4.d")
+  }
+
   test("time travel on a bucketed (copy-on-write) table through SQL") {
     val wh = warehouse
     val path = s"$wh/db2/cow"
