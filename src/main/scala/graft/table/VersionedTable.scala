@@ -265,16 +265,23 @@ final class VersionedTable private (
     * through explicit schemas). */
   private[table] def ingest(df: DataFrame): Seq[DataFile] = {
     val tmp = root.resolve(s"$STAGING_DIR/ingest-${UUID.randomUUID()}")
+    // Optional file sizing (PROP_MAX_RECORDS_PER_FILE): a huge bucket
+    // splits into several files, and because rows are sorted by key hash
+    // the split files cover DISJOINT hash ranges — merge pruning then
+    // skips within buckets too, and compactSmallFiles has units to pack.
+    val maxRecords = properties.get(PROP_MAX_RECORDS).map(_.toLong)
+    def sized[T](w: org.apache.spark.sql.DataFrameWriter[T]) =
+      maxRecords.fold(w)(m => w.option("maxRecordsPerFile", m))
     bucketSpec match {
       case Some(BucketSpec(keys, n)) =>
         val khash = hash(keys.map(col): _*)
-        df.withColumn(KHASH_COL, khash.cast("long"))
+        sized(df.withColumn(KHASH_COL, khash.cast("long"))
           .withColumn(BUCKET_COL, pmod(khash, lit(n)).cast("int"))
           .repartition(col(BUCKET_COL))
           .sortWithinPartitions(col(BUCKET_COL), col(KHASH_COL))
-          .write.mode("overwrite").partitionBy(BUCKET_COL).parquet(tmp.toString)
+          .write.mode("overwrite").partitionBy(BUCKET_COL)).parquet(tmp.toString)
       case None =>
-        df.write.mode("overwrite").parquet(tmp.toString)
+        sized(df.write.mode("overwrite")).parquet(tmp.toString)
     }
     val entries = moveIntoData(tmp, bucketSpec.isDefined)
     deleteRecursively(tmp)
@@ -667,6 +674,10 @@ object VersionedTable {
   /** Table property toggling CDF emission, mirroring
     * `delta.enableChangeDataFeed` (demo-notebook.py:225-227). */
   val PROP_CDF = "graft.enableChangeDataFeed"
+  /** Table property bounding rows per written data file (file sizing —
+    * Delta's `maxRecordsPerFile` analog). Sorted bucket writes make the
+    * split files cover disjoint key-hash ranges. */
+  val PROP_MAX_RECORDS = "graft.write.maxRecordsPerFile"
 
   def changeSchemaOf(schema: StructType): StructType =
     StructType(schema.fields ++ Seq(

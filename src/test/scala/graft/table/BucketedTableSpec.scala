@@ -139,6 +139,38 @@ class BucketedTableSpec extends SparkSpec {
     assert(t.snapshot().as[(Long, String)].collect().sortBy(_._1).toSeq === before)
   }
 
+  test("maxRecordsPerFile splits big buckets into files with disjoint hash ranges") {
+    val path = tmp("cow-sized")
+    val t = VersionedTable.create(spark, path, schema,
+      Map(VersionedTable.PROP_CDF -> "true",
+        VersionedTable.PROP_MAX_RECORDS -> "25"),
+      bucketBy = Some(BucketSpec(Seq("id"), 4)))
+    Merge.run(t, batch((1L to 400L).map(i => (i, s"v$i", "INSERT")): _*),
+      Seq("id"), clauses)
+    val m = t.latestManifest
+    val perBucket = m.dataFiles.groupBy(_.bucket)
+    assert(perBucket.forall(_._2.size >= 2),
+      s"~100-row buckets at 25 rows/file must split: ${perBucket.view.mapValues(_.size).toMap}")
+    assert(m.dataFiles.forall(_.rows.exists(_ <= 25L)))
+    // sorted-by-hash writes => split files within a bucket cover
+    // DISJOINT ranges, so a point merge touches one file per bucket
+    perBucket.values.foreach { files =>
+      val ranges = files.flatMap(f => for (a <- f.minHash; b <- f.maxHash) yield (a, b))
+        .sortBy(_._1)
+      ranges.sliding(2).foreach {
+        case Seq((_, hi), (lo, _)) => assert(hi < lo, "overlapping ranges in bucket")
+        case _ =>
+      }
+    }
+    val before = m.dataFiles.size
+    Merge.run(t, batch((7L, "u", "UPDATE")), Seq("id"), clauses)
+    val m2 = t.latestManifest
+    assert(m2.removedFiles.size === 1,
+      s"point merge must rewrite exactly one sub-bucket file of $before, " +
+        s"got ${m2.removedFiles}")
+    assert(t.snapshot().count() === 400L)
+  }
+
   test("append is rejected on bucketed tables") {
     val t = mk(tmp("cow-append"), bucketed = true)
     intercept[IllegalArgumentException] {

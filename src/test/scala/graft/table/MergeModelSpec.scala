@@ -108,4 +108,51 @@ class MergeModelSpec extends SparkSpec {
       VersionedTable.deleteRecursively(base)
     }
   }
+
+  test("mergeSchema fuzz: widening merges match the model; old versions keep their schema") {
+    for (seed <- Seq(11L, 404L, 77L)) {
+      val rng = new scala.util.Random(seed)
+      val keys = for (a <- 1L to 5L; b <- Seq("x", "y")) yield (a, b)
+      val target = rng.shuffle(keys).take(6)
+        .map { case (a, b) => Row3(a, b, rng.nextInt(100).toLong) }
+      val source = rng.shuffle(keys).take(8)
+        .map { case (a, b) => (a, b, rng.nextInt(100).toLong,
+          if (rng.nextInt(4) == 0) "DELETE" else "UPSERT", s"n$a$b") }
+
+      val base = Files.createTempDirectory(s"merge-evo$seed")
+      val t = VersionedTable.create(spark, base.resolve("t").toString, schema)
+      t.append(target.toDF("k1", "k2", "v"))
+
+      // UPDATE SET * / INSERT * with an extra source-only column `note`
+      Merge.run(t, source.toDF("k1", "k2", "v", "op", "note"),
+        Seq("k1", "k2"),
+        Seq(WhenMatchedDelete(Some(col("source.op") === "DELETE")),
+          WhenMatchedUpdate(),
+          WhenNotMatchedInsert(Some(col("source.op") =!= "DELETE"))),
+        mergeSchema = true)
+
+      // `op` widens in too (SET */INSERT * carry every source column)
+      assert(t.schema.fieldNames.toSeq === Seq("k1", "k2", "v", "op", "note"))
+      val tMap = target.map(r => (r.k1, r.k2) -> r).toMap
+      val sMap = source.map(s => (s._1, s._2) -> s).toMap
+      val expected = (tMap.flatMap { case (key, tr) =>
+        sMap.get(key) match {
+          case Some(s) if s._4 == "DELETE" => None
+          case Some(s) => Some((s._1, s._2, s._3, Some(s._4), Some(s._5)))
+          case None => Some((tr.k1, tr.k2, tr.v, None, None))
+        }
+      } ++ sMap.collect {
+        case (key, s) if !tMap.contains(key) && s._4 != "DELETE" =>
+          (s._1, s._2, s._3, Some(s._4), Some(s._5))
+      }).toSeq
+      val got = t.snapshot()
+        .as[(Long, String, Long, Option[String], Option[String])].collect().toSeq
+      assert(got.sortBy(r => (r._1, r._2)) === expected.sortBy(r => (r._1, r._2)),
+        s"seed $seed: evolved snapshot")
+      // time travel across the evolution sees the pre-widening schema
+      assert(t.snapshotAt(1).schema.fieldNames.toSeq === Seq("k1", "k2", "v"),
+        s"seed $seed: v1 schema must be unwidened")
+      VersionedTable.deleteRecursively(base)
+    }
+  }
 }
