@@ -49,6 +49,82 @@ private object FilterColumns {
   }
 }
 
+/** File-skipping scan builder for bucketed (CoW) tables: when the
+  * pushed predicates pin every bucket key to a literal (`WHERE id = 7`
+  * point lookups), the key hash is computed driver-side and the scan is
+  * rebuilt over ONLY the files whose manifest (bucket, key-hash range)
+  * can contain that key — the same per-file stats the merge engine
+  * prunes with, now applied to SQL reads. At 100 TB this turns a point
+  * lookup from "open every footer" into "open one file". All other
+  * shapes delegate untouched to the parquet builder (full pushdown /
+  * pruning semantics preserved — the pushed filters are replayed onto
+  * the rebuilt scan, so parquet row-group skipping still applies within
+  * the surviving files). */
+private class HashPruningScanBuilder(
+    vt: VersionedTable,
+    manifest: graft.table.CommitManifest,
+    fullTable: Table,
+    options: CaseInsensitiveStringMap,
+    mkTable: Seq[String] => Table)
+  extends org.apache.spark.sql.connector.read.ScanBuilder
+  with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+  with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters {
+
+  import org.apache.spark.sql.catalyst.expressions.{And => CAnd, AttributeReference, EqualTo, Expression, Literal, Murmur3Hash}
+  import org.apache.spark.sql.execution.datasources.v2.FileScanBuilder
+
+  private def builderOf(t: Table): FileScanBuilder =
+    t.asInstanceOf[SupportsRead].newScanBuilder(options).asInstanceOf[FileScanBuilder]
+
+  private val template = builderOf(fullTable)
+  private var caught: Seq[Expression] = Nil
+  private var required: Option[StructType] = None
+
+  override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
+    caught = filters
+    template.pushFilters(filters)
+  }
+  override def pushedFilters:
+      Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    template.pushedFilters
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    required = Some(requiredSchema)
+    template.pruneColumns(requiredSchema)
+  }
+
+  override def build(): org.apache.spark.sql.connector.read.Scan =
+    prunedPaths() match {
+      case Some(paths) =>
+        val b = builderOf(mkTable(paths))
+        b.pushFilters(caught)
+        required.foreach(b.pruneColumns)
+        b.build()
+      case None => template.build()
+    }
+
+  private def splitAnd(e: Expression): Seq[Expression] = e match {
+    case CAnd(l, r) => splitAnd(l) ++ splitAnd(r)
+    case other => Seq(other)
+  }
+
+  /** Some iff every bucket key is pinned by an equality literal. */
+  private def prunedPaths(): Option[Seq[String]] = {
+    val spec = (for (k <- manifest.bucketKeys; n <- manifest.numBuckets)
+      yield graft.table.BucketSpec(k, n)).getOrElse(return None)
+    val eq = caught.flatMap(splitAnd).collect {
+      case EqualTo(a: AttributeReference, l: Literal) => a.name -> l
+      case EqualTo(l: Literal, a: AttributeReference) => a.name -> l
+    }.toMap
+    if (!spec.keys.forall(eq.contains)) return None
+    // the exact hash the write path clustered by: murmur3(keys, seed 42)
+    val h = Murmur3Hash(spec.keys.map(eq), 42).eval(null).asInstanceOf[Int]
+    val b = math.floorMod(h, spec.numBuckets)
+    val files = manifest.dataFiles
+      .filter(f => f.bucket.forall(_ == b) && f.mayContainHash(h.toLong))
+    Some(files.map(f => vt.root.resolve(f.path).toString))
+  }
+}
+
 /** DataSourceV2 catalog over the versioned table layer — registers as
   * `spark.sql.catalog.<name> = graft.catalog.GraftSparkCatalog` (plus
   * `...<name>.warehouse = <dir>`), giving the reference's SQL surface
@@ -87,14 +163,18 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
 
   private def nsPath(ns: Array[String]) = Paths.get((warehouse +: ns).mkString("/"))
 
-  private def parquetRead(ident: Identifier, t: VersionedTable, v: Long): Table =
+  private def parquetTable(
+      name: String, paths: Seq[String], schema: StructType): Table =
     org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable(
-      ident.toString,
+      name,
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
       CaseInsensitiveStringMap.empty(),
-      t.snapshotPathsAt(v),
-      Some(t.manifest(v).schema),
+      paths,
+      Some(schema),
       classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat])
+
+  private def parquetRead(ident: Identifier, t: VersionedTable, v: Long): Table =
+    parquetTable(ident.toString, t.snapshotPathsAt(v), t.manifest(v).schema)
 
   private def versioned(ident: Identifier): VersionedTable = {
     val p = tablePath(ident)
@@ -201,7 +281,11 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
     override def capabilities(): util.Set[TableCapability] =
       Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE).asJava
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-      read.asInstanceOf[SupportsRead].newScanBuilder(options)
+      if (vt.isBucketed) {
+        val m = vt.latestManifest
+        new HashPruningScanBuilder(vt, m, read, options,
+          paths => parquetTable(read.name(), paths, m.schema))
+      } else read.asInstanceOf[SupportsRead].newScanBuilder(options)
     override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
       new WriteBuilder {
         override def build(): Write = new V1Write {

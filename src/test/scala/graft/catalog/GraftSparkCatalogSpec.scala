@@ -151,4 +151,39 @@ class GraftSparkCatalogSpec extends SparkSpec {
       .as[String].head() === "v1")
     assert(spark.sql("SELECT count(*) FROM graft.db2.cow").head().getLong(0) === 10L)
   }
+
+  test("point lookups on bucketed tables skip files by manifest hash range") {
+    val wh = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db5")
+    val t = VersionedTable.create(spark, s"$wh/db5/skip",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.StringType))),
+      bucketBy = Some(BucketSpec(Seq("id"), 8)))
+    Merge.run(t, (1L to 200L).map(i => (i, s"v$i")).toDF("id", "v"), Seq("id"),
+      Seq(WhenMatchedUpdate(), WhenNotMatchedInsert()))
+    val nFiles = t.latestManifest.dataFiles.size
+    assert(nFiles >= 7)
+
+    def scannedPaths(sql: String): Int = {
+      val df = spark.sql(sql)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(df.count() >= 0) // force
+      "\\((\\d+) paths\\)".r.findFirstMatchIn(plan).map(_.group(1).toInt)
+        .getOrElse(fail(s"no file index in plan:\n$plan"))
+    }
+    // full scan sees every file; a pinned key prunes to its one file
+    assert(scannedPaths("SELECT * FROM graft.db5.skip") === nFiles)
+    val pruned = scannedPaths("SELECT v FROM graft.db5.skip WHERE id = 7")
+    assert(pruned === 1, s"point lookup must prune to 1 of $nFiles files, got $pruned")
+    // correctness unaffected, including a key that exists nowhere
+    assert(spark.sql("SELECT v FROM graft.db5.skip WHERE id = 7").as[String].head()
+      === "v7")
+    assert(spark.sql("SELECT count(*) FROM graft.db5.skip WHERE id = 9999")
+      .head().getLong(0) === 0L)
+    // non-equality predicates keep the full listing (pushdown unchanged)
+    assert(scannedPaths("SELECT v FROM graft.db5.skip WHERE id > 100") === nFiles)
+  }
 }
