@@ -102,26 +102,34 @@ private class HashPruningScanBuilder(
       case None => template.build()
     }
 
-  private def splitAnd(e: Expression): Seq[Expression] = e match {
-    case CAnd(l, r) => splitAnd(l) ++ splitAnd(r)
-    case other => Seq(other)
-  }
-
-  /** Some iff every bucket key is pinned by an equality literal. */
+  /** Some iff skipping removed at least one file: hash-range pruning
+    * when every bucket key is pinned by an equality literal, plus
+    * column-stats evaluation of every pushed conjunct. */
   private def prunedPaths(): Option[Seq[String]] = {
-    val spec = (for (k <- manifest.bucketKeys; n <- manifest.numBuckets)
-      yield graft.table.BucketSpec(k, n)).getOrElse(return None)
-    val eq = caught.flatMap(splitAnd).collect {
-      case EqualTo(a: AttributeReference, l: Literal) => a.name -> l
-      case EqualTo(l: Literal, a: AttributeReference) => a.name -> l
-    }.toMap
-    if (!spec.keys.forall(eq.contains)) return None
-    // the exact hash the write path clustered by: murmur3(keys, seed 42)
-    val h = Murmur3Hash(spec.keys.map(eq), 42).eval(null).asInstanceOf[Int]
-    val b = math.floorMod(h, spec.numBuckets)
-    val files = manifest.dataFiles
-      .filter(f => f.bucket.forall(_ == b) && f.mayContainHash(h.toLong))
-    Some(files.map(f => vt.root.resolve(f.path).toString))
+    val conjuncts = caught.flatMap(graft.table.FileSkipping.splitConjuncts)
+    val schema = manifest.schema
+
+    val hashPruned = (for {
+      keys <- manifest.bucketKeys
+      n <- manifest.numBuckets
+      eq = conjuncts.collect {
+        case EqualTo(a: AttributeReference, l: Literal) => a.name -> l
+        case EqualTo(l: Literal, a: AttributeReference) => a.name -> l
+      }.toMap
+      if keys.forall(eq.contains)
+    } yield {
+      // the exact hash the write path clustered by: murmur3(keys, seed 42)
+      val h = Murmur3Hash(keys.map(eq), 42).eval(null).asInstanceOf[Int]
+      val b = math.floorMod(h, n)
+      manifest.dataFiles.filter(f =>
+        f.bucket.forall(_ == b) && f.mayContainHash(h.toLong))
+    }).getOrElse(manifest.dataFiles)
+
+    val pruned = hashPruned.filter(f =>
+      conjuncts.forall(c => graft.table.FileSkipping.mayMatch(c, f, schema)))
+    if (pruned.size < manifest.dataFiles.size)
+      Some(pruned.map(f => vt.root.resolve(f.path).toString))
+    else None
   }
 }
 
@@ -280,12 +288,11 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
     override def properties(): util.Map[String, String] = vt.properties.asJava
     override def capabilities(): util.Set[TableCapability] =
       Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE).asJava
-    override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-      if (vt.isBucketed) {
-        val m = vt.latestManifest
-        new HashPruningScanBuilder(vt, m, read, options,
-          paths => parquetTable(read.name(), paths, m.schema))
-      } else read.asInstanceOf[SupportsRead].newScanBuilder(options)
+    override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+      val m = vt.latestManifest
+      new HashPruningScanBuilder(vt, m, read, options,
+        paths => parquetTable(read.name(), paths, m.schema))
+    }
     override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
       new WriteBuilder {
         override def build(): Write = new V1Write {

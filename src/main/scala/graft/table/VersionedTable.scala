@@ -23,7 +23,10 @@ final case class DataFile(
     bucket: Option[Int] = None,
     minHash: Option[Long] = None,
     maxHash: Option[Long] = None,
-    rows: Option[Long] = None) {
+    rows: Option[Long] = None,
+    colMins: Map[String, String] = Map.empty,
+    colMaxs: Map[String, String] = Map.empty,
+    nullCounts: Map[String, Long] = Map.empty) {
   /** A file with stats provably cannot contain key-hash `h` outside
     * [minHash, maxHash]; a file without stats can contain anything. */
   def mayContainHash(h: Long): Boolean =
@@ -283,17 +286,20 @@ final class VersionedTable private (
       case None =>
         sized(df.write.mode("overwrite")).parquet(tmp.toString)
     }
-    val entries = moveIntoData(tmp, bucketSpec.isDefined)
+    val entries = moveIntoData(tmp, bucketSpec.isDefined, df.schema.fields.toSeq)
     deleteRecursively(tmp)
     entries
   }
 
   /** Moves staged parquet files into `data/` under fresh unique names.
     * Every file's manifest entry carries footer-derived stats: row count
-    * always; bucket id (from the staging dir name) + `__khash` min/max
-    * for bucketed tables — the merge file-skipping inputs. */
+    * + per-column min/max/null-count (data skipping) always; bucket id
+    * (from the staging dir name) + `__khash` min/max for bucketed
+    * tables — the merge file-skipping inputs. */
   private def moveIntoData(
-      stagingRoot: Path, bucketed: Boolean): Seq[DataFile] = {
+      stagingRoot: Path,
+      bucketed: Boolean,
+      statFields: Seq[StructField]): Seq[DataFile] = {
     Files.createDirectories(dataDir)
     val staged = Using.resource(Files.walk(stagingRoot)) { s =>
       s.iterator.asScala
@@ -306,13 +312,11 @@ final class VersionedTable private (
       val name = s"${UUID.randomUUID()}.parquet"
       val dest = dataDir.resolve(name)
       Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE)
-      if (bucketed) {
-        val bucket = bucketRe.findFirstMatchIn(key).map(_.group(1).toInt)
-        val (rows, mn, mx) = footerKeyStats(dest)
-        DataFile(s"$DATA_DIR/$name", bucket, mn, mx, Some(rows))
-      } else {
-        DataFile(s"$DATA_DIR/$name", rows = Some(footerRowCount(dest)))
-      }
+      val st = footerStats(dest, statFields)
+      val bucket =
+        if (bucketed) bucketRe.findFirstMatchIn(key).map(_.group(1).toInt) else None
+      DataFile(s"$DATA_DIR/$name", bucket, st.khashMin, st.khashMax,
+        Some(st.rows), st.mins, st.maxs, st.nulls)
     }
   }
 
@@ -717,7 +721,7 @@ object VersionedTable {
     val tmp = root.resolve(s"$STAGING_DIR/create-${UUID.randomUUID()}")
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    val files = t.moveIntoData(tmp, bucketed = false)
+    val files = t.moveIntoData(tmp, bucketed = false, schema.fields.toSeq)
     deleteRecursively(tmp)
     t.publish(CommitManifest(0L, "create", System.currentTimeMillis(),
       schema.json, properties, Map.empty,
@@ -772,27 +776,92 @@ object VersionedTable {
       _.getRecordCount)
   }
 
-  /** Row count + `__khash` min/max from the parquet footer (per-block
-    * int64 statistics aggregated across row groups) — driver-side, no
-    * Spark job. Files with no rows yield no range (conservatively a
-    * merge candidate). */
-  private[table] def footerKeyStats(p: Path): (Long, Option[Long], Option[Long]) = {
+  /** Per-file statistics harvested from one parquet footer read —
+    * driver-side, no Spark job. */
+  final private[table] case class FooterStats(
+      rows: Long,
+      khashMin: Option[Long], khashMax: Option[Long],
+      mins: Map[String, String], maxs: Map[String, String],
+      nulls: Map[String, Long])
+
+  /** Spark types whose parquet footer min/max are harvested for data
+    * skipping (ints/longs/dates/timestamps as long, floats as double,
+    * strings as UTF8 — parquet binary-stat truncation, when enabled,
+    * only ever widens bounds, so skipping on them stays sound). */
+  private[table] def statable(dt: DataType): Boolean = dt match {
+    case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+         org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
+         org.apache.spark.sql.types.DateType | org.apache.spark.sql.types.TimestampType |
+         org.apache.spark.sql.types.TimestampNTZType |
+         org.apache.spark.sql.types.FloatType | org.apache.spark.sql.types.DoubleType |
+         org.apache.spark.sql.types.StringType => true
+    case _ => false
+  }
+
+  /** How many leading statable schema columns carry skipping stats
+    * (Delta's `dataSkippingNumIndexedCols` analog). */
+  private[table] val STAT_COLS_MAX = 8
+
+  private def encodeStat(v: AnyRef, dt: DataType): Option[String] = v match {
+    case l: java.lang.Long => Some(l.toString)
+    case i: java.lang.Integer => Some(i.toString)
+    case d: java.lang.Double => Some(d.toString)
+    case f: java.lang.Float => Some(f.doubleValue.toString)
+    case b: org.apache.parquet.io.api.Binary
+        if dt == org.apache.spark.sql.types.StringType =>
+      Some(b.toStringUsingUTF8)
+    case _ => None
+  }
+
+  /** Row count, `__khash` range, and per-column min/max/null-count from
+    * the parquet footer, aggregated across row groups. */
+  private[table] def footerStats(p: Path, statFields: Seq[StructField]): FooterStats = {
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
       new org.apache.hadoop.fs.Path(p.toUri),
       new org.apache.hadoop.conf.Configuration())
     Using.resource(org.apache.parquet.hadoop.ParquetFileReader.open(in)) { r =>
       val blocks = r.getFooter.getBlocks.asScala.toSeq
       val rows = blocks.map(_.getRowCount).sum
-      val stats = blocks.flatMap(_.getColumns.asScala)
-        .filter(_.getPath.toDotString == KHASH_COL)
-        .map(_.getStatistics)
+      val byCol = blocks.flatMap(_.getColumns.asScala).groupBy(_.getPath.toDotString)
+      def chunks(name: String) = byCol.getOrElse(name, Seq.empty)
+      def valued(name: String) = chunks(name).map(_.getStatistics)
         .filter(s => s != null && s.hasNonNullValue)
-      if (stats.isEmpty) (rows, None, None)
-      else (rows,
-        Some(stats.map(_.genericGetMin.asInstanceOf[java.lang.Long].longValue).min),
-        Some(stats.map(_.genericGetMax.asInstanceOf[java.lang.Long].longValue).max))
+
+      val kh = valued(KHASH_COL)
+      val (khMin, khMax) =
+        if (kh.isEmpty) (None, None)
+        else (Some(kh.map(_.genericGetMin.asInstanceOf[java.lang.Long].longValue).min),
+          Some(kh.map(_.genericGetMax.asInstanceOf[java.lang.Long].longValue).max))
+
+      val fields = statFields.filter(f => statable(f.dataType)).take(STAT_COLS_MAX)
+      val mins = Map.newBuilder[String, String]
+      val maxs = Map.newBuilder[String, String]
+      val nulls = Map.newBuilder[String, Long]
+      fields.foreach { f =>
+        val vs = valued(f.name)
+        if (vs.nonEmpty && vs.size == chunks(f.name).size) {
+          val encMin = vs.flatMap(s =>
+            encodeStat(s.genericGetMin.asInstanceOf[AnyRef], f.dataType))
+          val encMax = vs.flatMap(s =>
+            encodeStat(s.genericGetMax.asInstanceOf[AnyRef], f.dataType))
+          if (encMin.size == vs.size && encMax.size == vs.size) {
+            mins += f.name -> minOf(encMin, f.dataType)
+            maxs += f.name -> maxOf(encMax, f.dataType)
+          }
+        }
+        val cs = chunks(f.name)
+        if (cs.nonEmpty && cs.forall(c =>
+            c.getStatistics != null && c.getStatistics.isNumNullsSet))
+          nulls += f.name -> cs.map(_.getStatistics.getNumNulls).sum
+      }
+      FooterStats(rows, khMin, khMax, mins.result(), maxs.result(), nulls.result())
     }
   }
+
+  private def minOf(enc: Seq[String], dt: DataType): String =
+    enc.reduce((a, b) => if (FileSkipping.compareStats(a, b, dt).exists(_ <= 0)) a else b)
+  private def maxOf(enc: Seq[String], dt: DataType): String =
+    enc.reduce((a, b) => if (FileSkipping.compareStats(a, b, dt).exists(_ >= 0)) a else b)
 }
 
 /** Filesystem-backed 2-level namespace (database -> table) standing in

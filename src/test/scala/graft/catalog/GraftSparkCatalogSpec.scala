@@ -183,7 +183,50 @@ class GraftSparkCatalogSpec extends SparkSpec {
       === "v7")
     assert(spark.sql("SELECT count(*) FROM graft.db5.skip WHERE id = 9999")
       .head().getLong(0) === 0L)
-    // non-equality predicates keep the full listing (pushdown unchanged)
+    // range predicates keep (nearly) the full listing here: bucket files
+    // hold hash-scattered ids, so every file straddles the range bound
     assert(scannedPaths("SELECT v FROM graft.db5.skip WHERE id > 100") === nFiles)
+  }
+
+  test("column-stats data skipping prunes files on any comparison predicate") {
+    val wh = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db6")
+    spark.sql("CREATE TABLE graft.db6.st (id BIGINT, score DOUBLE, tag STRING)")
+    // three appends with disjoint id ranges -> per-file footer stats
+    // carry disjoint [min,max] intervals
+    val t = VersionedTable.load(spark, s"$wh/db6/st")
+    Seq((1L, 100L, "alpha"), (101L, 200L, "mid"), (201L, 300L, "zulu")).foreach {
+      case (lo, hi, tag) =>
+        t.append((lo to hi).map(i => (i, i / 1000.0, tag)).toDF("id", "score", "tag")
+          .coalesce(1))
+    }
+    val m = t.latestManifest
+    assert(m.dataFiles.count(_.colMins.contains("id")) === 3)
+    assert(m.dataFiles.filter(_.rows.exists(_ > 0))
+      .forall(f => f.nullCounts.get("id").contains(0L)))
+
+    def scanned(sql: String): Int = {
+      val df = spark.sql(sql)
+      val plan = df.queryExecution.executedPlan.toString
+      "\\((\\d+) paths\\)".r.findFirstMatchIn(plan).map(_.group(1).toInt)
+        .getOrElse(fail(s"no file index in plan:\n$plan"))
+    }
+    // numeric range, numeric equality, double compare, string equality
+    assert(scanned("SELECT * FROM graft.db6.st WHERE id > 250") === 1)
+    assert(scanned("SELECT * FROM graft.db6.st WHERE id = 150") === 1)
+    assert(scanned("SELECT * FROM graft.db6.st WHERE id <= 100") === 1)
+    assert(scanned("SELECT * FROM graft.db6.st WHERE score < 0.05") === 1)
+    assert(scanned("SELECT * FROM graft.db6.st WHERE tag = 'zulu'") === 1)
+    assert(scanned("SELECT * FROM graft.db6.st WHERE id BETWEEN 150 AND 180") === 1)
+    // nothing matches -> zero files opened, still a correct empty result
+    assert(scanned("SELECT * FROM graft.db6.st WHERE id > 999") === 0)
+    assert(spark.sql("SELECT count(*) FROM graft.db6.st WHERE id > 999")
+      .head().getLong(0) === 0L)
+    // results are correct on the pruned scans
+    assert(spark.sql("SELECT count(*) FROM graft.db6.st WHERE id > 250")
+      .head().getLong(0) === 50L)
+    assert(spark.sql("SELECT tag FROM graft.db6.st WHERE id = 150").as[String].head()
+      === "mid")
+    spark.sql("DROP TABLE graft.db6.st")
   }
 }
