@@ -181,8 +181,21 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
       Some(schema),
       classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat])
 
-  private def parquetRead(ident: Identifier, t: VersionedTable, v: Long): Table =
-    parquetTable(ident.toString, t.snapshotPathsAt(v), t.manifest(v).schema)
+  /** Version read with manifest-stats file skipping: scans (current or
+    * time-travel) prune files by key-hash range and column min/max. */
+  private def parquetRead(ident: Identifier, t: VersionedTable, v: Long): Table = {
+    val m = t.manifest(v)
+    val inner = parquetTable(ident.toString, t.snapshotPathsAt(v), m.schema)
+    new Table with SupportsRead {
+      override def name(): String = inner.name()
+      override def schema(): StructType = m.schema
+      override def capabilities(): util.Set[TableCapability] =
+        Set(TableCapability.BATCH_READ).asJava
+      override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+        new HashPruningScanBuilder(t, m, inner, options,
+          paths => parquetTable(inner.name(), paths, m.schema))
+    }
+  }
 
   private def versioned(ident: Identifier): VersionedTable = {
     val p = tablePath(ident)
@@ -288,11 +301,8 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
     override def properties(): util.Map[String, String] = vt.properties.asJava
     override def capabilities(): util.Set[TableCapability] =
       Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE).asJava
-    override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-      val m = vt.latestManifest
-      new HashPruningScanBuilder(vt, m, read, options,
-        paths => parquetTable(read.name(), paths, m.schema))
-    }
+    override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+      read.asInstanceOf[SupportsRead].newScanBuilder(options) // pruning-aware
     override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
       new WriteBuilder {
         override def build(): Write = new V1Write {

@@ -1,6 +1,6 @@
 package graft.table
 
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -78,6 +78,12 @@ object FileSkipping {
 
       case LessThanOrEqual(a: AttributeReference, l: Literal) => cmpMin(a.name, l).forall(_ <= 0)
       case GreaterThanOrEqual(l: Literal, a: AttributeReference) => cmpMin(a.name, l).forall(_ <= 0)
+
+      case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+        vs.exists(v => eqMay(a.name, v.asInstanceOf[Literal], cmpMin, cmpMax))
+      case InSet(a: AttributeReference, vs) =>
+        dtOf(a.name).forall(dt =>
+          vs.exists(v => eqMay(a.name, Literal(v, dt), cmpMin, cmpMax)))
 
       case IsNull(a: AttributeReference) =>
         f.nullCounts.get(a.name).forall(_ > 0L)

@@ -524,12 +524,26 @@ final class VersionedTable private (
   }
 
   /** Data files of version `v` that contain at least one row matching
-    * `hit` — one column-pruned, pushdown-friendly scan; the basis of
-    * predicate-scoped rewrites (Delta's DELETE/UPDATE find-touched-files
-    * strategy). Matching is by file name (names are UUIDs, unique). */
+    * `hit`. Two stages: manifest column-stats skipping first (driver
+    * side, no IO — files whose [min,max]/null-count refute the
+    * predicate never enter the scan), then one column-pruned,
+    * pushdown-friendly scan of the survivors pins the exact set —
+    * Delta's DELETE/UPDATE find-touched-files strategy. Matching is by
+    * file name (names are UUIDs, unique). */
   private def touchedFiles(
       m: CommitManifest, hit: org.apache.spark.sql.Column): Seq[DataFile] = {
-    val names = readFiles(m.dataFiles.map(_.path), m.schema)
+    // resolve the predicate against the schema to evaluate it on stats
+    val conjuncts = Try {
+      spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
+        .filter(hit).queryExecution.analyzed.collect {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+        }.flatMap(FileSkipping.splitConjuncts)
+    }.getOrElse(Seq.empty)
+    val candidates = m.dataFiles.filter(f =>
+      conjuncts.forall(c => FileSkipping.mayMatch(c, f, m.schema)))
+    if (candidates.isEmpty) return Seq.empty
+    val names = readFiles(candidates.map(_.path), m.schema)
       .filter(hit).select(input_file_name().as("__f")).distinct()
       .collect().map(_.getString(0).split('/').last).toSet
     m.dataFiles.filter(f => names.contains(f.path.split('/').last))

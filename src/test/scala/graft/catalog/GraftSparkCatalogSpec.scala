@@ -222,11 +222,18 @@ class GraftSparkCatalogSpec extends SparkSpec {
     assert(scanned("SELECT * FROM graft.db6.st WHERE id > 999") === 0)
     assert(spark.sql("SELECT count(*) FROM graft.db6.st WHERE id > 999")
       .head().getLong(0) === 0L)
+    // IN-lists prune too
+    assert(scanned("SELECT * FROM graft.db6.st WHERE id IN (150, 160)") === 1)
     // results are correct on the pruned scans
     assert(spark.sql("SELECT count(*) FROM graft.db6.st WHERE id > 250")
       .head().getLong(0) === 50L)
     assert(spark.sql("SELECT tag FROM graft.db6.st WHERE id = 150").as[String].head()
       === "mid")
+    // time-travel reads skip on the historical manifest's stats
+    assert(scanned("SELECT * FROM graft.db6.st VERSION AS OF 2 WHERE id = 150") === 1)
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.db6.st VERSION AS OF 2 WHERE id = 150")
+      .head().getLong(0) === 1L)
     spark.sql("DROP TABLE graft.db6.st")
   }
 }
