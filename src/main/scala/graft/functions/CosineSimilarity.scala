@@ -129,11 +129,15 @@ object GraftFunctions {
 
 /** `spark.sql.extensions=graft.functions.GraftExtensions` — the
   * SparkSessionExtensions injection point for deployments that
-  * configure functions at session build. */
+  * configure the engine at session build: native functions plus the
+  * maintenance-statement parser (VACUUM / OPTIMIZE / RESTORE —
+  * [[graft.catalog.GraftSqlParser]]). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getCanonicalName, "cosine_sim"),
       (children: Seq[Expression]) =>
         CosineSimilarity(children.head, children(1))))
+    ext.injectParser((_, parser) => new graft.catalog.GraftSqlParser(parser))
+  }
 }

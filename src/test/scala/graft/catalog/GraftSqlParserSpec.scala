@@ -1,0 +1,77 @@
+package graft.catalog
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+
+import graft.SparkSpec
+import graft.table._
+
+/** The maintenance-statement parser (VACUUM / OPTIMIZE / RESTORE as
+  * SQL) through a session built with
+  * `spark.sql.extensions=graft.functions.GraftExtensions`; regular SQL
+  * must fall through to Spark's parser untouched. */
+class GraftSqlParserSpec extends SparkSpec {
+
+  /** A second SparkSession over the SAME SparkContext, built with the
+    * extensions (the shared test session predates them). */
+  private def withExtendedSession[A](f: SparkSession => A): A = {
+    val base = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // programmatic form: the string conf is a STATIC conf, frozen by
+      // the JVM-wide SparkContext the shared test session already built
+      val s = SparkSession.builder()
+        .master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .withExtensions(new graft.functions.GraftExtensions().apply(_))
+        .getOrCreate()
+      f(s)
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+
+  test("VACUUM / OPTIMIZE / RESTORE statements execute against the engine") {
+    withExtendedSession { s =>
+      import s.implicits._
+      val path = Files.createTempDirectory("sqlparse").resolve("t").toString
+      val t = VersionedTable.create(s, path,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("v",
+            org.apache.spark.sql.types.StringType))))
+      t.append((1L to 500L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1)) // v1
+      (1 to 6).foreach(i => t.append(Seq((1000L + i, "s")).toDF("id", "v")))   // v2..v7
+
+      // OPTIMIZE: bin-packs the six 1-row files, inherits the big one
+      val ov = s.sql(s"OPTIMIZE '$path' TARGET 100 ROWS").collect()
+      assert(ov.map(_.getLong(0)).toSeq === Seq(8L))
+      assert(t.latestManifest.addedFiles.size === 1)
+      assert(t.snapshot().count() === 506L)
+
+      // RESTORE back to v1
+      assert(s.sql(s"RESTORE TABLE '$path' TO VERSION AS OF 1").collect()
+        .map(_.getLong(0)).toSeq === Seq(9L))
+      assert(t.snapshot().count() === 500L)
+
+      // VACUUM: drop history, keep the restored state readable
+      val removed = s.sql(s"VACUUM '$path' RETAIN 2 VERSIONS").collect()
+        .map(_.getLong(0)).toSeq
+      assert(removed === (0L to 7L))
+      assert(t.versions === Seq(8L, 9L))
+      assert(t.snapshot().count() === 500L)
+
+      // ordinary SQL still parses through Spark's grammar
+      assert(s.sql("SELECT 1 + 1").head().getInt(0) === 2)
+      // and the injected function surface rides the same extensions
+      assert(s.sql("SELECT cosine_sim(array(1.0f, 0.0f), array(1.0f, 0.0f))")
+        .head().getDouble(0) === 1.0)
+      VersionedTable.deleteRecursively(java.nio.file.Paths.get(path).getParent)
+    }
+  }
+}
