@@ -183,11 +183,100 @@ object SimilarityOps extends QueryModule {
       |FROM rk WHERE rnk <= $K""".stripMargin
   }
 
+  // ------------------------------------------------------ q_ivf_cosine
+  private[llm] val CENTROIDS = 16
+  private[llm] val NPROBE = 4
+
+  /** IVF (inverted-file) ANN: corpus vectors partition by their nearest
+    * codebook centroid; a query probes only its NPROBE nearest cells and
+    * verifies exactly within them. The codebook here is a deterministic
+    * sample (the first CENTROIDS corpus vectors — k-means initialization
+    * step zero) so the DuckDB oracle can replay cell assignment exactly;
+    * a trained codebook drops into the same two-join skeleton.
+    *
+    * == 100 TB design ==
+    * Assignment is an embarrassingly-parallel N×C cosine pass with the
+    * (tiny) codebook broadcast; probing is an equi-join on `cell` —
+    * candidates shrink ~C/NPROBE-fold versus brute force, and the cell
+    * column can be persisted as a table column so queries never
+    * recompute assignment (the classic IVF index shape). Each (query,
+    * candidate) pair arises at most once — a vector lives in exactly
+    * one cell — so no dedup precedes verification. */
+  private[llm] def ivfTopK(emb: DataFrame, isQuery: Column, k: Int): DataFrame = {
+    val cent = emb.filter(!isQuery).orderBy(col("vec_id")).limit(CENTROIDS)
+      .select(col("vec_id").as("c_id"), col("embedding").as("cent"))
+    def nearest(side: DataFrame, vecCol: String, n: Int, rankCol: String) = {
+      val w = Window.partitionBy(col("__vid"))
+        .orderBy(col("__ccos").desc, col("c_id").asc_nulls_last)
+      side.crossJoin(broadcast(cent))
+        .withColumn("__ccos", expr(s"cosine_sim($vecCol, cent)"))
+        .withColumn(rankCol, row_number().over(w))
+        .filter(col(rankCol) <= n)
+        .drop("cent", "__ccos")
+    }
+    val corpus = emb.filter(col("vec_id") >= QUERY_MAX_ID)
+      .select(col("vec_id").as("__vid"), col("embedding").as("ce"))
+    val cells = nearest(corpus, "ce", 1, "__arnk")
+      .select(col("__vid").as("vec_id"), col("ce"), col("c_id"))
+    val q = emb.filter(isQuery)
+      .select(col("vec_id").as("__vid"), col("embedding").as("qe"))
+    val probes = nearest(q, "qe", NPROBE, "__prnk")
+      .select(col("__vid").as("q_id"), col("qe"), col("c_id"))
+    val scored = cells.join(broadcast(probes), "c_id")
+      .withColumn("cos", expr("cosine_sim(qe, ce)"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc_nulls_last)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("vec_id"), col("rnk").cast("long").as("rnk"),
+        round(col("cos"), 6).as("cos"))
+  }
+
+  private def qIvfCosine(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    ivfTopK(embeddings(s, d), col("vec_id") < QUERY_MAX_ID, K)
+  }
+
+  private val qIvfCosineSql = {
+    def dot(a: String, b: String) =
+      s"""list_sum(list_transform(generate_series(1, $DIMS),
+         |    i -> $a[i]::DOUBLE * $b[i]::DOUBLE))""".stripMargin
+    def cos(a: String, b: String) =
+      s"(${dot(a, b)}) / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+    s"""WITH cent AS (SELECT vec_id AS c_id, embedding AS cent FROM embeddings
+      |              WHERE vec_id >= $QUERY_MAX_ID
+      |              ORDER BY vec_id LIMIT $CENTROIDS),
+      |corpus AS (SELECT vec_id, embedding AS ce FROM embeddings
+      |           WHERE vec_id >= $QUERY_MAX_ID),
+      |acell AS (SELECT vec_id, ce, c_id,
+      |            row_number() OVER (PARTITION BY vec_id
+      |              ORDER BY ${cos("ce", "cent")} DESC, c_id ASC) AS arnk
+      |          FROM corpus, cent),
+      |cells AS (SELECT vec_id, ce, c_id FROM acell WHERE arnk = 1),
+      |q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+      |      WHERE vec_id < $QUERY_MAX_ID),
+      |pr AS (SELECT q_id, qe, c_id,
+      |         row_number() OVER (PARTITION BY q_id
+      |           ORDER BY ${cos("qe", "cent")} DESC, c_id ASC) AS prnk
+      |       FROM q, cent),
+      |probes AS (SELECT q_id, qe, c_id FROM pr WHERE prnk <= $NPROBE),
+      |scored AS (SELECT q_id, vec_id, ${cos("qe", "ce")} AS cos
+      |           FROM cells JOIN probes USING (c_id)),
+      |rk AS (SELECT q_id, vec_id, cos,
+      |         row_number() OVER (PARTITION BY q_id
+      |                            ORDER BY cos DESC, vec_id ASC) AS rnk
+      |       FROM scored)
+      |SELECT q_id, vec_id, rnk, round(cos, 6) AS cos
+      |FROM rk WHERE rnk <= $K""".stripMargin
+  }
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q_topk_cosine" -> qTopkCosine _,
-    "q_cosine_lsh"  -> qCosineLsh _)
+    "q_cosine_lsh"  -> qCosineLsh _,
+    "q_ivf_cosine"  -> qIvfCosine _)
 
   override val oracles: Seq[(String, String)] = Seq(
     "q_topk_cosine" -> qTopkCosineSql,
-    "q_cosine_lsh"  -> qCosineLshSql)
+    "q_cosine_lsh"  -> qCosineLshSql,
+    "q_ivf_cosine"  -> qIvfCosineSql)
 }

@@ -16,18 +16,16 @@ class LlmRecallSpec extends SparkSpec {
 
   private val dims = 64
 
-  test("banded LSH recall >= 0.9 of brute-force top-k on planted cos-0.8 neighbors") {
-    graft.functions.GraftFunctions.register(spark)
+  private lazy val planted: org.apache.spark.sql.DataFrame = {
     val rng = new Random(42)
     def unit(): Array[Double] = {
       val v = Array.fill(dims)(rng.nextGaussian())
       val n = math.sqrt(v.map(x => x * x).sum)
       v.map(_ / n)
     }
-    val nQ = 100
-    val queries = (0 until nQ).map(i => (i.toLong, unit()))
+    val queries = (0 until 100).map(i => (i.toLong, unit()))
     // neighbor at cosine EXACTLY 0.8: 0.8·q + 0.6·u with u ⟂ q, both unit
-    val planted = queries.map { case (qid, q) =>
+    val neighbors = queries.map { case (qid, q) =>
       val raw = unit()
       val proj = (0 until dims).map(i => raw(i) * q(i)).sum
       val orth = Array.tabulate(dims)(i => raw(i) - proj * q(i))
@@ -35,9 +33,21 @@ class LlmRecallSpec extends SparkSpec {
       (1000L + qid, Array.tabulate(dims)(i => 0.8 * q(i) + 0.6 * orth(i) / on))
     }
     val noise = (0 until 2000).map(i => (10000L + i.toLong, unit()))
-    val emb = (queries ++ planted ++ noise)
+    (queries ++ neighbors ++ noise)
       .map { case (id, v) => (id, v.map(_.toFloat)) }
       .toDF("vec_id", "embedding")
+  }
+
+  private def recallOf(res: Array[(Long, Long)], nQ: Int): Double = {
+    val found = res.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    (0 until nQ).count(i =>
+      found.getOrElse(i.toLong, Set.empty).contains(1000L + i)).toDouble / nQ
+  }
+
+  test("banded LSH recall >= 0.9 of brute-force top-k on planted cos-0.8 neighbors") {
+    graft.functions.GraftFunctions.register(spark)
+    val nQ = 100
+    val emb = planted
 
     // ground truth: brute force ranks every planted neighbor first
     // (noise cosines concentrate near 0 ± 1/√dims; 0.8 is far outside)
@@ -56,11 +66,21 @@ class LlmRecallSpec extends SparkSpec {
 
     val res = SimilarityOps.lshTopK(emb, col("vec_id") < nQ, 5)
       .select("q_id", "vec_id").as[(Long, Long)].collect()
-    val found = res.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
-    val hits = (0 until nQ).count(i =>
-      found.getOrElse(i.toLong, Set.empty).contains(1000L + i))
-    val recall = hits.toDouble / nQ
+    val recall = recallOf(res, nQ)
     info(f"banded LSH recall@5 on planted cos-0.8 neighbors: $recall%.2f")
     assert(recall >= 0.9, s"LSH recall $recall < 0.9 — banding insufficient")
+  }
+
+  test("IVF (16 cells, nprobe 4) keeps useful recall on the same planted geometry") {
+    graft.functions.GraftFunctions.register(spark)
+    val nQ = 100
+    val res = SimilarityOps.ivfTopK(planted, col("vec_id") < nQ, 5)
+      .select("q_id", "vec_id").as[(Long, Long)].collect()
+    val recall = recallOf(res, nQ)
+    info(f"IVF recall@5 on planted cos-0.8 neighbors: $recall%.2f")
+    // a 16-cell sampled codebook probing 1/4 of the space: recall must
+    // beat the nprobe/cells=0.25 random-cell floor by a wide margin
+    // (cos-0.8 pairs mostly share nearest cells)
+    assert(recall >= 0.7, s"IVF recall $recall < 0.7 — probing broken")
   }
 }
