@@ -59,6 +59,39 @@ class TableConcurrencySpec extends SparkSpec {
     (11L to 20L).foreach(i => assert(m(i) === s"v$i"))
   }
 
+  test("racing merges with OVERLAPPING keys serialize to one sequential order") {
+    for (seed <- Seq(5L, 123L)) {
+      val rng = new scala.util.Random(seed)
+      val path = tmp(s"cc-overlap$seed")
+      val t = VersionedTable.create(spark, path, schema,
+        bucketBy = Some(BucketSpec(Seq("id"), 4)))
+      val init = (1L to 30L).map(i => i -> s"t$i").toMap
+      Merge.run(t, init.toSeq.map { case (k, v) => (k, v) }.toDF("id", "v"),
+        Seq("id"), clauses)
+      val a = rng.shuffle((1L to 30L).toList).take(15).map(i => i -> s"A$i").toMap
+      val b = rng.shuffle((1L to 30L).toList).take(15).map(i => i -> s"B$i").toMap
+      assert(a.keySet.intersect(b.keySet).nonEmpty, "fixture must overlap")
+
+      val pool = Executors.newFixedThreadPool(2)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      try {
+        val fa = Future(Merge.run(t,
+          a.toSeq.map { case (k, v) => (k, v) }.toDF("id", "v"), Seq("id"), clauses))
+        val fb = Future(Merge.run(t,
+          b.toSeq.map { case (k, v) => (k, v) }.toDF("id", "v"), Seq("id"), clauses))
+        Await.result(fa, 120.seconds)
+        Await.result(fb, 120.seconds)
+      } finally pool.shutdown()
+
+      assert(t.latestVersion === 3L, s"seed $seed: both merges must commit")
+      val got = t.snapshot().as[(Long, String)].collect().toMap
+      val ab = init ++ a ++ b
+      val ba = init ++ b ++ a
+      assert(got === ab || got === ba,
+        s"seed $seed: final state is not a serialization of the two merges")
+    }
+  }
+
   test("two concurrent appends on one table: both land via CAS rebase") {
     val path = tmp("cc-append")
     val t = VersionedTable.create(spark, path, schema)
