@@ -214,7 +214,7 @@ object SimilarityOps extends QueryModule {
         .filter(col(rankCol) <= n)
         .drop("cent", "__ccos")
     }
-    val corpus = emb.filter(col("vec_id") >= QUERY_MAX_ID)
+    val corpus = emb.filter(!isQuery)
       .select(col("vec_id").as("__vid"), col("embedding").as("ce"))
     val cells = nearest(corpus, "ce", 1, "__arnk")
       .select(col("__vid").as("vec_id"), col("ce"), col("c_id"))

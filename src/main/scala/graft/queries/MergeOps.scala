@@ -73,7 +73,7 @@ object MergeOps extends QueryModule {
     * temp table; returns it at version 2 (v1 = batch 1, v2 = batch 2).
     */
   private def replayedTable(s: SparkSession, d: String): VersionedTable = {
-    val dir = Files.createTempDirectory("graft-mergeops").resolve("t").toString
+    val dir = graft.Scratch.dir("graft-mergeops").resolve("t").toString
     // bucketed: the CORRECTNESS rows exercise the copy-on-write merge
     // path (bucket pruning + owner inheritance), not just full rewrite
     val t = VersionedTable.create(s, dir, targetSchema,
@@ -184,7 +184,7 @@ object MergeOps extends QueryModule {
     val goldSchema = StructType(Seq(
       StructField("user_id", LongType),
       StructField("sum_value", DecimalType(18, 2))))
-    val dir = Files.createTempDirectory("graft-additive").resolve("t").toString
+    val dir = graft.Scratch.dir("graft-additive").resolve("t").toString
     val t = VersionedTable.create(s, dir, goldSchema)
     val clauses = Seq(
       WhenMatchedUpdate(set = Map(
@@ -225,7 +225,7 @@ object MergeOps extends QueryModule {
       StructField("event_type", StringType),
       StructField("value", DoubleType),
       StructField("ts_us", LongType)))
-    val dir = Files.createTempDirectory("graft-append").resolve("t").toString
+    val dir = graft.Scratch.dir("graft-append").resolve("t").toString
     val t = VersionedTable.create(s, dir, schema,
       Map(VersionedTable.PROP_CDF -> "true"))
     val log = events(s, d).select(
@@ -269,7 +269,7 @@ object MergeOps extends QueryModule {
       StructField("user_id", LongType),
       StructField("event_type", StringType),
       StructField("value", DoubleType)))
-    val dir = Files.createTempDirectory("graft-dml").resolve("t").toString
+    val dir = graft.Scratch.dir("graft-dml").resolve("t").toString
     val t = VersionedTable.create(s, dir, schema)
     t.append(events(s, d).select($"event_id", $"user_id", $"event_type", $"value"))
     t.deleteWhere(col("event_type") === "error")
@@ -302,7 +302,7 @@ object MergeOps extends QueryModule {
         unix_micros($"ts").as("ts_us"))
     val docs = slice.select(to_json(struct(schema.fieldNames.toIndexedSeq.map(col): _*)))
       .as[String].collect()
-    val dir = Files.createTempDirectory("graft-json")
+    val dir = graft.Scratch.dir("graft-json")
     Files.writeString(dir.resolve("events.json"),
       docs.mkString("[\n", ",\n", "\n]"))
     s.read.schema(schema).option("multiLine", "true").json(dir.toString)

@@ -177,6 +177,18 @@ object Merge {
       val bucketed = table.bucketSpec.map { case BucketSpec(bkeys, n) =>
         require(bkeys == onKeys,
           s"merge keys $onKeys must equal the table's bucket keys $bkeys")
+        // candidate pruning hashes the SOURCE's key columns and compares
+        // against ranges computed from the TARGET's — Murmur3 hashes
+        // differ across numeric widths (hash(1: int) != hash(1L)), so a
+        // type mismatch would silently corrupt the table by missing
+        // files; fail fast instead (callers cast their source first)
+        onKeys.foreach { k =>
+          val tdt = baseSchema(k).dataType
+          val sdt = source.schema(k).dataType
+          require(sdt == tdt,
+            s"source merge key '$k' has type ${sdt.simpleString} but the " +
+              s"bucketed table's key is ${tdt.simpleString} — cast the source")
+        }
         val khash = hash(onKeys.map(col): _*)
         val srcKeys = src
           .select(khash.cast("long").as("__h"),

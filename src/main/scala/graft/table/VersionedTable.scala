@@ -159,10 +159,18 @@ final class VersionedTable private (
 
   def latestVersion: Long = versions.max
 
-  def manifest(v: Long): CommitManifest = {
-    implicit val fmts: Formats = DefaultFormats
-    Serialization.read[CommitManifest](Files.readString(manifestPath(v)))
-  }
+  /** Parsed-manifest cache: manifests are immutable once published, so
+    * each version is read and parsed at most once per table handle —
+    * `TIMESTAMP AS OF` / `changes()` planning cost no longer grows with
+    * history length. `vacuum` invalidates the versions it removes. */
+  private val manifestCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, CommitManifest]()
+
+  def manifest(v: Long): CommitManifest =
+    manifestCache.computeIfAbsent(v, { v2 =>
+      implicit val fmts: Formats = DefaultFormats
+      Serialization.read[CommitManifest](Files.readString(manifestPath(v2)))
+    })
 
   def latestManifest: CommitManifest = manifest(latestVersion)
 
@@ -232,6 +240,7 @@ final class VersionedTable private (
     * concurrent attempts are invisible. Versions with no changes (or
     * vacuumed away) contribute nothing. */
   def changes(fromVersion: Long, toVersion: Option[Long] = None): DataFrame = {
+    healChangeFiles() // recover files a crashed committer left hidden
     val hi = toVersion.getOrElse(latestVersion)
     val files = versions
       .filter(v => v >= fromVersion && v <= hi)
@@ -354,6 +363,7 @@ final class VersionedTable private (
     val removedSet = removed.toSet
     var attempt = 0
     while (true) {
+      healChangeFiles()
       val prev = latestManifest
       val alreadyApplied = txn.exists { case (appId, batchId) =>
         prev.txn.get(appId).exists(_ >= batchId)
@@ -367,20 +377,31 @@ final class VersionedTable private (
           s"file $lost was rewritten by a concurrent commit " +
             s"(base v${baseVersion.getOrElse(prev.version)}, now v${prev.version})")
       }
-      for (base <- baseVersion; pred <- conflictsWith; if prev.version != base) {
-        val baseFiles = manifest(base).dataFiles.map(_.path).toSet
-        prev.dataFiles.filter(f => !baseFiles.contains(f.path)).find(pred)
-          .foreach { f =>
-            throw new CommitConflictException(
-              s"concurrent commit added ${f.path} inside this commit's key scope " +
-                s"(base v$base, now v${prev.version})")
-          }
+      for (base <- baseVersion if prev.version != base) {
+        // a concurrently evolved schema invalidates plans made against
+        // the base schema — callers re-run against fresh state
+        if (manifest(base).schemaJson != prev.schemaJson)
+          throw new CommitConflictException(
+            s"table schema changed concurrently (base v$base, now v${prev.version})")
+        for (pred <- conflictsWith) {
+          val baseFiles = manifest(base).dataFiles.map(_.path).toSet
+          prev.dataFiles.filter(f => !baseFiles.contains(f.path)).find(pred)
+            .foreach { f =>
+              throw new CommitConflictException(
+                s"concurrent commit added ${f.path} inside this commit's key scope " +
+                  s"(base v$base, now v${prev.version})")
+            }
+        }
       }
 
       val v = prev.version + 1
       // strictly monotonic commit timestamps make TIMESTAMP AS OF unambiguous
       val ts = math.max(System.currentTimeMillis(), prev.timestampMs + 1)
 
+      // Change files are staged into `_changes/` under dot-prefixed
+      // (hidden) names: invisible to the directory-tailing streaming CDF
+      // source and to vacuum until THIS commit wins the CAS — a losing
+      // or crashed attempt can never leak phantom change rows.
       val changeNames = changeRows.filter(_ => cdfEnabled).map { ch =>
         val tmp = root.resolve(s"$STAGING_DIR/changes-${UUID.randomUUID()}")
         ch.withColumn("_commit_version", lit(v))
@@ -393,7 +414,7 @@ final class VersionedTable private (
             .toSeq
         }.map { p =>
           val name = s"v$v-${p.getFileName}"
-          Files.move(p, changesDir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+          Files.move(p, changesDir.resolve(s".$name"), StandardCopyOption.ATOMIC_MOVE)
           name
         }
         deleteRecursively(tmp)
@@ -410,17 +431,67 @@ final class VersionedTable private (
         changeFiles = changeNames)
       try {
         publish(m)
+        // unhide this commit's change files (crash here is healed by the
+        // next commit or the next changes() read — the manifest is the
+        // source of truth for what must exist)
+        changeNames.foreach { n =>
+          val hidden = changesDir.resolve(s".$n")
+          if (Files.exists(hidden))
+            Files.move(hidden, changesDir.resolve(n), StandardCopyOption.ATOMIC_MOVE)
+        }
         return Some(v)
       } catch {
         case _: FileAlreadyExistsException =>
-          // lost the CAS: retract exactly OUR change files and rebase
-          changeNames.foreach(n => Files.deleteIfExists(changesDir.resolve(n)))
+          // lost the CAS: retract exactly OUR (still hidden) change files
+          changeNames.foreach(n => Files.deleteIfExists(changesDir.resolve(s".$n")))
           attempt += 1
           if (attempt > 20) throw new CommitConflictException(
             s"gave up publishing after $attempt CAS losses at $root")
       }
     }
     None // unreachable
+  }
+
+  /** Repairs `_changes/` after a crash between CAS win and unhide:
+    * hidden files listed by a published manifest are renamed into
+    * visibility; hidden files of superseded attempts are deleted;
+    * hidden files AHEAD of the latest version belong to an in-flight
+    * attempt and are left alone. */
+  private def healChangeFiles(): Unit = {
+    if (!Files.isDirectory(changesDir)) return
+    val hidden = Using.resource(Files.list(changesDir)) { s =>
+      s.iterator.asScala
+        .filter(_.getFileName.toString.startsWith(".v")).toSeq
+    }
+    if (hidden.isEmpty) return
+    val latest = latestVersion
+    hidden.foreach { p =>
+      val finalName = p.getFileName.toString.drop(1)
+      Try(finalName.substring(1, finalName.indexOf('-')).toLong).toOption.foreach { v =>
+        if (v <= latest) {
+          val listed = Try(manifest(v).changeFiles.contains(finalName)).getOrElse(false)
+          if (listed)
+            Files.move(p, changesDir.resolve(finalName), StandardCopyOption.ATOMIC_MOVE)
+          else Files.deleteIfExists(p)
+        } // v > latest: in-flight attempt
+      }
+    }
+  }
+
+  /** Runs `body` (a commitFiles call) and retracts `added` — freshly
+    * ingested, not yet referenced by any manifest — when the commit is
+    * skipped (txn replay) or fails (conflict), so conflicts never leak
+    * unreachable data files. */
+  private def retractingOnFailure(added: Seq[DataFile])(
+      body: => Option[Long]): Option[Long] = {
+    val res = try body catch {
+      case e: Throwable =>
+        added.foreach(f => Files.deleteIfExists(root.resolve(f.path)))
+        throw e
+    }
+    if (res.isEmpty)
+      added.foreach(f => Files.deleteIfExists(root.resolve(f.path)))
+    res
   }
 
   /** Full-rewrite commit: `newSnapshot` replaces every current file.
@@ -437,11 +508,10 @@ final class VersionedTable private (
     }
     if (alreadyApplied) return None
     val added = ingest(newSnapshot)
-    val res = commitFiles(added, prev.dataFiles.map(_.path), changeRows, operation,
-      txn, baseVersion = Some(prev.version), conflictsWith = Some(_ => true))
-    if (res.isEmpty) // txn raced in between: retract our unpublished files
-      added.foreach(f => Files.deleteIfExists(root.resolve(f.path)))
-    res
+    retractingOnFailure(added) {
+      commitFiles(added, prev.dataFiles.map(_.path), changeRows, operation,
+        txn, baseVersion = Some(prev.version), conflictsWith = Some(_ => true))
+    }
   }
 
   /** Appends rows as a new version (Bronze-style append, S3; the DSv2
@@ -455,11 +525,10 @@ final class VersionedTable private (
       "append is for log-style tables; bucketed (CoW) tables are maintained by merge")
     val added = ingest(align(rows))
     val staged = readFiles(added.map(_.path), schema)
-    val res = commitFiles(added, Seq.empty,
-      Some(staged.withColumn("_change_type", lit("insert"))), "append", txn)
-    if (res.isEmpty)
-      added.foreach(f => Files.deleteIfExists(root.resolve(f.path)))
-    res
+    retractingOnFailure(added) {
+      commitFiles(added, Seq.empty,
+        Some(staged.withColumn("_change_type", lit("insert"))), "append", txn)
+    }
   }
 
   private def align(df: DataFrame): DataFrame = {
@@ -475,7 +544,8 @@ final class VersionedTable private (
     * nulls (parquet reads are by-name). Only additive, nullable changes
     * are legal: every existing field must survive unchanged. */
   def evolveSchema(newSchema: StructType): Option[Long] = {
-    val cur = schema
+    val base = latestManifest
+    val cur = base.schema
     cur.fields.foreach { f =>
       val kept = newSchema.fields.find(_.name == f.name)
       require(kept.exists(_.dataType == f.dataType),
@@ -486,7 +556,9 @@ final class VersionedTable private (
     }
     if (newSchema == cur) None
     else commitFiles(Seq.empty, Seq.empty, None, "alter",
-      newSchemaJson = Some(newSchema.json))
+      newSchemaJson = Some(newSchema.json),
+      // a racing schema change must not be silently overwritten
+      baseVersion = Some(base.version))
   }
 
   /** Compaction (OPTIMIZE analog): rewrites the current snapshot as one
@@ -518,9 +590,11 @@ final class VersionedTable private (
         val parts = math.max(1, math.ceil(total.toDouble / targetRows).toInt)
         ingest(df.coalesce(parts))
       }
-    commitFiles(added, small.map(_.path), None, "optimize",
-      baseVersion = Some(prev.version),
-      conflictsWith = Some(_ => false)) // pure rewrite conflicts only on file overlap
+    retractingOnFailure(added) {
+      commitFiles(added, small.map(_.path), None, "optimize",
+        baseVersion = Some(prev.version),
+        conflictsWith = Some(_ => false)) // pure rewrite conflicts only on file overlap
+    }
   }
 
   /** Data files of version `v` that contain at least one row matching
@@ -562,10 +636,12 @@ final class VersionedTable private (
     if (touched.isEmpty) return None
     val touchedDf = readFiles(touched.map(_.path), prev.schema)
     val added = ingest(touchedDf.filter(!hit))
-    commitFiles(added, touched.map(_.path),
-      Some(touchedDf.filter(hit).withColumn("_change_type", lit("delete"))),
-      "delete", baseVersion = Some(prev.version),
-      conflictsWith = Some(_ => true))
+    retractingOnFailure(added) {
+      commitFiles(added, touched.map(_.path),
+        Some(touchedDf.filter(hit).withColumn("_change_type", lit("delete"))),
+        "delete", baseVersion = Some(prev.version),
+        conflictsWith = Some(_ => true))
+    }
   }
 
   /** `UPDATE <table> SET ... WHERE cond`: rewrites only touched files,
@@ -589,8 +665,10 @@ final class VersionedTable private (
     val added = ingest(touchedDf.filter(!hit).unionByName(post))
     val changes = pre.withColumn("_change_type", lit("update_preimage"))
       .unionByName(post.withColumn("_change_type", lit("update_postimage")))
-    commitFiles(added, touched.map(_.path), Some(changes), "update",
-      baseVersion = Some(prev.version), conflictsWith = Some(_ => true))
+    retractingOnFailure(added) {
+      commitFiles(added, touched.map(_.path), Some(changes), "update",
+        baseVersion = Some(prev.version), conflictsWith = Some(_ => true))
+    }
   }
 
   /** `RESTORE TABLE ... TO VERSION AS OF v` (Delta's RESTORE): commits
@@ -632,8 +710,14 @@ final class VersionedTable private (
       cdfLowWatermark: Option[Long] = None): Seq[Long] = {
     require(retainVersions >= 1, "must retain at least the latest version")
     val vs = versions
-    val retained = vs.takeRight(retainVersions)
-    val cutoff = retained.head
+    // retention cutoff, further lowered by the CDF consumer watermark:
+    // versions whose change history a consumer still needs keep their
+    // MANIFESTS too, so batch `changes()` (manifest-driven) can still
+    // plan the retained history — files and manifests stay consistent
+    val versionCutoff = vs.takeRight(retainVersions).head
+    val cutoff = cdfLowWatermark.fold(versionCutoff)(w =>
+      math.min(w + 1, versionCutoff))
+    val retained = vs.filter(_ >= cutoff)
     val removed = vs.filter(_ < cutoff)
     // file-granular liveness: keep anything a retained manifest lists.
     // Files outside this table's root (shallow-clone references) are
@@ -642,9 +726,7 @@ final class VersionedTable private (
     val dead = removed.flatMap(v => manifest(v).dataFiles.map(_.path)).toSet -- live
     dead.map(root.resolve).filter(_.startsWith(root))
       .foreach(Files.deleteIfExists)
-    // CDF trim: never past a retained version, never past the consumer watermark
-    val changeCutoff = cdfLowWatermark.fold(cutoff)(w => math.min(w + 1, cutoff))
-    val deadChanges = changeFilesOnDisk.filter(_._1 < changeCutoff)
+    val deadChanges = changeFilesOnDisk.filter(_._1 < cutoff)
     deadChanges.foreach(c => Files.delete(c._2))
     if (deadChanges.nonEmpty) {
       val newWm = deadChanges.map(_._1).max
@@ -652,7 +734,11 @@ final class VersionedTable private (
       val old = cdfVacuumWatermark.getOrElse(Long.MinValue)
       if (newWm > old) Files.writeString(wmPath, newWm.toString)
     }
-    removed.foreach(v => Files.deleteIfExists(manifestPath(v)))
+    removed.foreach { v =>
+      Files.deleteIfExists(manifestPath(v))
+      manifestCache.remove(v)
+      ()
+    }
     removed
   }
 

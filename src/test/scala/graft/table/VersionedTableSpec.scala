@@ -173,6 +173,29 @@ class VersionedTableSpec extends SparkSpec {
     assert(t.latestVersion === 5L)
   }
 
+  test("hidden change files from a crashed commit are healed on the next read") {
+    val path = tmpDir("vt-heal")
+    val t = VersionedTable.create(spark, path, kvSchema,
+      Map(VersionedTable.PROP_CDF -> "true"))
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    // simulate a crash between the manifest CAS win and the unhide step:
+    // the committed manifest lists the file, but it is still dot-hidden
+    val changesDir = java.nio.file.Paths.get(path)
+      .resolve(VersionedTable.CHANGES_DIR)
+    val name = t.manifest(1).changeFiles.head
+    Files.move(changesDir.resolve(name), changesDir.resolve(s".$name"))
+
+    assert(t.changes(1).count() === 2L, "read must heal + include the rows")
+    assert(Files.exists(changesDir.resolve(name)), "file must be unhidden")
+
+    // a hidden file belonging to NO manifest (a crashed loser) is swept
+    Files.writeString(changesDir.resolve(".v1-bogus.parquet"), "junk")
+    t.append(Seq((3L, "c")).toDF("id", "v")) // next commit heals
+    assert(!Files.exists(changesDir.resolve(".v1-bogus.parquet")),
+      "orphan attempt remnants must be deleted")
+    assert(t.changes(1).count() === 3L)
+  }
+
   test("catalog: database and table DDL") {
     val wh = Files.createTempDirectory("vt-cat").toString
     val cat = new GraftCatalog(spark, wh)
