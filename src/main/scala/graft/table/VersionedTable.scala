@@ -433,11 +433,11 @@ final class VersionedTable private (
         publish(m)
         // unhide this commit's change files (crash here is healed by the
         // next commit or the next changes() read — the manifest is the
-        // source of truth for what must exist)
+        // source of truth for what must exist; Try: a concurrent healer
+        // may have renamed it already)
         changeNames.foreach { n =>
-          val hidden = changesDir.resolve(s".$n")
-          if (Files.exists(hidden))
-            Files.move(hidden, changesDir.resolve(n), StandardCopyOption.ATOMIC_MOVE)
+          Try(Files.move(changesDir.resolve(s".$n"), changesDir.resolve(n),
+            StandardCopyOption.ATOMIC_MOVE))
         }
         return Some(v)
       } catch {
@@ -470,9 +470,12 @@ final class VersionedTable private (
       Try(finalName.substring(1, finalName.indexOf('-')).toLong).toOption.foreach { v =>
         if (v <= latest) {
           val listed = Try(manifest(v).changeFiles.contains(finalName)).getOrElse(false)
+          // Try: a concurrent healer/committer may win the same rename
           if (listed)
-            Files.move(p, changesDir.resolve(finalName), StandardCopyOption.ATOMIC_MOVE)
-          else Files.deleteIfExists(p)
+            Try(Files.move(p, changesDir.resolve(finalName),
+              StandardCopyOption.ATOMIC_MOVE))
+          else Try(Files.deleteIfExists(p))
+          ()
         } // v > latest: in-flight attempt
       }
     }
