@@ -5,12 +5,19 @@ import org.apache.spark.sql.SparkSession
   * `SPARK_GRAFT_SF_DIR` and prints ONE JSON line the driver records as
   * `BENCH_r{N}.json`.
   *
-  * Harness design (VERDICT r1 findings 2-3):
+  * Harness design (VERDICT r1 findings 2-3, r3 finding 1):
   *   - execution is forced through the `noop` sink, which fully evaluates
   *     every projected column — `count()` lets Catalyst prune unreferenced
   *     projections, so md5/timestamp work was never measured in r1;
   *   - a full untimed warmup pass first, so no single query pays JVM /
   *     codegen / parquet-footer warmup inside its timing;
+  *   - PASSES timed passes per query, reported as the per-query MEDIAN
+  *     with the raw per-pass values kept in a `"passes"` field — a single
+  *     noisy pass under external machine load can no longer become the
+  *     round's number (the recorded BENCH_r03 overstated runtime 1.6×
+  *     exactly this way). Passes are pass-major (all queries, then
+  *     repeat) so a transient load spike lands in at most one pass of
+  *     each query and the median discards it;
   *   - failures are reported per-query in an `"errors"` field instead of
   *     being swallowed into a fast-looking timing.
   */
@@ -36,22 +43,44 @@ object Bench {
         Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
       }
 
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     val names = SparkEntry.queries.keys.toSeq.sorted
     names.foreach(force) // warmup, untimed
 
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = names.map { name =>
-      val t0 = System.nanoTime()
-      force(name).foreach(errors(name) = _)
-      name -> (System.nanoTime() - t0) / 1e9
+    // pass-major: [pass][query] timings
+    val perPass: Seq[Seq[(String, Double)]] = (1 to passes).map { _ =>
+      names.map { name =>
+        val t0 = System.nanoTime()
+        force(name).foreach(errors(name) = _)
+        name -> (System.nanoTime() - t0) / 1e9
+      }
     }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+    val byQuery: Seq[(String, Seq[Double])] =
+      names.map(n => n -> perPass.map(_.toMap.apply(n)))
+    val medians = byQuery.map { case (n, xs) => n -> median(xs) }
 
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def fmt(v: Double) = f"$v%.4f"
+    val qs = medians.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val passJson = byQuery.map { case (k, xs) =>
+      "\"" + k + "\":" + xs.map(fmt).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v) + "\"" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    val total = medians.map(_._2).sum
+    val passTotals = perPass.map(p => p.map(_._2).sum)
+    val spreadPct = // max deviation of a pass total from the median total
+      if (passTotals.isEmpty) 0.0
+      else 100.0 * passTotals.map(t => math.abs(t - median(passTotals))).max /
+        median(passTotals)
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"passes":$passJson,"pass_totals":${passTotals.map(fmt).mkString("[", ",", "]")},"spread_pct":${fmt(spreadPct)},"n_passes":$passes,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

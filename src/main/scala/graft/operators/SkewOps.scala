@@ -22,10 +22,22 @@ import org.apache.spark.sql.functions._
   */
 object SkewOps {
 
+  /** Per-row salt in `[0, salts)`, derived from the row's POSITION
+    * (partition id + per-partition counter), not its content: content-
+    * derived salts (`hash(all columns)`, the r3 version) collapse
+    * byte-identical rows — the common real-skew shape where a default
+    * value floods one key with identical payloads — into ONE salt
+    * bucket, recreating the hot partition (VERDICT r3 finding 5).
+    * Position is deterministic within a task attempt (the counter
+    * restarts from the same base on retry, and the input partition's
+    * row order is stable), so retries re-derive the same salt. */
+  def rowSalt(salts: Int): Column =
+    pmod(hash(spark_partition_id(), monotonically_increasing_id()), lit(salts))
+
   /** Equi-join `big ⋈ small` on `key`, salted `salts` ways.
     *
-    * The big side gets a per-row salt (content-derived, cheap); the
-    * small side is replicated once per salt value so every
+    * The big side gets a per-row position-derived salt ([[rowSalt]]);
+    * the small side is replicated once per salt value so every
     * (key, salt) bucket finds its match. Result equals the plain inner
     * join (verified by oracle + spec). Inner joins only — outer
     * variants need null-handling on the replicated side. */
@@ -35,8 +47,7 @@ object SkewOps {
       key: String,
       salts: Int = 16): DataFrame = {
     require(salts > 0)
-    val saltedBig = big.withColumn("__salt",
-      pmod(hash(big.columns.map(col).toIndexedSeq: _*), lit(salts)))
+    val saltedBig = big.withColumn("__salt", rowSalt(salts))
     val replicatedSmall = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     saltedBig.join(replicatedSmall,

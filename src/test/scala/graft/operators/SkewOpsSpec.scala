@@ -24,12 +24,27 @@ class SkewOpsSpec extends SparkSpec {
     val small = Seq((1L, "hot")).toDF("k", "tag")
     val out = SkewOps.saltedEquiJoin(big, small, "k", salts = 8)
     assert(out.count() === 1000L)
-    // the pre-aggregation salt split has up to 8 distinct partitions for
-    // the single key — observable via the salt expression itself
-    val salts = big.withColumn("__salt",
+    val salts = big.withColumn("__salt", SkewOps.rowSalt(8))
+      .select("__salt").distinct().count()
+    assert(salts > 1, "row salt must split the hot key")
+  }
+
+  test("salt spreads BYTE-IDENTICAL hot rows (content hash cannot)") {
+    // the real-skew shape from VERDICT r3 finding 5: a default value
+    // floods one key with identical payloads. A content-derived salt
+    // maps them all to ONE bucket; the position-derived salt must not.
+    val big = spark.range(1000).select(lit(1L).as("k"), lit(0).as("v"))
+    val contentSalts = big.withColumn("__salt",
       pmod(hash(big.columns.map(col).toIndexedSeq: _*), lit(8)))
       .select("__salt").distinct().count()
-    assert(salts > 1, "content-derived salt must split the hot key")
+    assert(contentSalts === 1L, "precondition: content salt collapses")
+    val positionSalts = big.withColumn("__salt", SkewOps.rowSalt(8))
+      .select("__salt").distinct().count()
+    assert(positionSalts >= 4L,
+      s"position salt must spread identical rows across >= salts/2 buckets, got $positionSalts")
+    // and the join is still correct on identical rows
+    val small = Seq((1L, "hot")).toDF("k", "tag")
+    assert(SkewOps.saltedEquiJoin(big, small, "k", salts = 8).count() === 1000L)
   }
 
   test("AQE skew-split fires on a deliberately hot-keyed shuffle join") {

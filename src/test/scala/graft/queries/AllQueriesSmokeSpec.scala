@@ -12,4 +12,8 @@ class AllQueriesSmokeSpec extends SparkSpec {
       assert(n > 0, s"$name returned no rows at sf0.001")
     }
   }
+
+  test("the flagship entry point returns rows (the driver's smoke check)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
 }
