@@ -144,6 +144,47 @@ class CdcStreamsSpec extends SparkSpec {
     VersionedTable.deleteRecursively(base)
   }
 
+  test("mid-stream schema drift: a new column evolves Bronze on restart, replay outcomes unchanged") {
+    val base = Files.createTempDirectory("cdc-drift")
+    val landing = Files.createDirectories(base.resolve("landing"))
+    val silver = CdcPipeline.createSilver(spark, s"$base/silver")
+    val gold = CdcPipeline.createGold(spark, s"$base/gold")
+
+    Files.copy(fixture("seed.json"), landing.resolve("seed.json"))
+    CdcStreams.processAvailable(spark, landing.toString, base.toString, silver, gold)
+    val schemaLog = Paths.get(s"$base/_cp/bronze_schemas")
+    assert(SchemaTracker.latest(schemaLog).map(_._1) === Some(0L))
+
+    // a file with an EXTRA column lands; the next drain's restart
+    // re-infers, evolves the persisted schema, and ingests the column
+    // instead of silently dropping it
+    Files.copy(fixture("drift.json"), landing.resolve("drift.json"))
+    CdcStreams.processAvailable(spark, landing.toString, base.toString, silver, gold)
+
+    val (v, evolved) = SchemaTracker.latest(schemaLog).get
+    assert(v === 1L, "drift must append a schema log version")
+    assert(evolved.fieldNames.contains("note"))
+    // hinted columns keep their hinted types through evolution
+    assert(evolved("visit_timestamp").dataType ===
+      org.apache.spark.sql.types.TimestampType)
+
+    // Bronze carries the new column: populated on drifted rows, null on
+    // pre-drift rows (old files simply lack it)
+    val bronze = spark.read.option("mergeSchema", "true").parquet(s"$base/bronze")
+    assert(bronze.count() === 22L)
+    assert(bronze.filter($"note" === "drifted").count() === 2L)
+    assert(bronze.filter($"note".isNull).count() === 20L)
+
+    // replay outcomes unchanged: Silver's projection and Gold's
+    // aggregate are exactly the no-drift results plus the new rows
+    assert(silver.snapshot().count() === 20L)
+    assert(goldMap(gold.snapshot()) === Map(
+      "France" -> 150L, "England" -> 4170L, "Wales" -> 3903L,
+      "Northern Ireland" -> 3351L, "Scotland" -> 1934L))
+
+    VersionedTable.deleteRecursively(base)
+  }
+
   test("maxFilesPerTrigger=1 paces ingestion one file per micro-batch (D6)") {
     val base = Files.createTempDirectory("cdc-pacing")
     val landing = Files.createDirectories(base.resolve("landing"))
