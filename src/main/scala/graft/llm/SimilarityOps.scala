@@ -186,41 +186,99 @@ object SimilarityOps extends QueryModule {
   // ------------------------------------------------------ q_ivf_cosine
   private[llm] val CENTROIDS = 16
   private[llm] val NPROBE = 4
+  private[llm] val LLOYD_ITERS = 3
+
+  /** Nearest-centroid ranking: `side` (`__vid`, vector in `vecCol`) ×
+    * broadcast codebook, top `n` cells per vector by cosine. */
+  private def nearest(
+      side: DataFrame, cent: DataFrame,
+      vecCol: String, n: Int, rankCol: String): DataFrame = {
+    val w = Window.partitionBy(col("__vid"))
+      .orderBy(col("__ccos").desc, col("c_id").asc_nulls_last)
+    side.crossJoin(broadcast(cent))
+      .withColumn("__ccos", expr(s"cosine_sim($vecCol, cent)"))
+      .withColumn(rankCol, row_number().over(w))
+      .filter(col(rankCol) <= n)
+      .drop("cent", "__ccos")
+  }
+
+  /** Lloyd-trained codebook (VERDICT r3 #4): seeds = the first CENTROIDS
+    * corpus vectors, then LLOYD_ITERS rounds of assign-to-nearest +
+    * per-cell mean. An empty cell keeps its previous centroid.
+    *
+    * == Cross-engine determinism ==
+    * The per-cell mean is NOT a SQL `avg` (whose float addition order is
+    * engine-private): each dimension folds left-to-right over the cell's
+    * vectors in `vec_id` order in double precision — the identical IEEE
+    * operation sequence DuckDB's `list_reduce` over `list(ce ORDER BY
+    * vec_id)` performs — then rounds to float (round-to-nearest-even in
+    * both engines). Signatures, assignments, and the final candidate
+    * sets therefore agree exactly, which is what lets a TRAINED
+    * codebook keep an exact DuckDB oracle.
+    *
+    * == 100 TB design ==
+    * Training cost is LLOYD_ITERS broadcast-assignment passes plus a
+    * per-cell aggregation — the same shape Spark MLlib KMeans uses per
+    * step. The sorted-list fold is the one concession to cross-engine
+    * parity: at production scale you would trade it for `Summarizer`-
+    * style map-side partial sums (losing the portable oracle, not the
+    * plan shape). */
+  private def lloydCodebook(corpus: DataFrame): DataFrame = {
+    var cent = corpus.orderBy(col("__vid")).limit(CENTROIDS)
+      .select(col("__vid").as("c_id"), col("ce").as("cent"))
+    val meanExpr = expr(
+      s"""transform(sequence(1, $DIMS), d -> cast(
+         |  aggregate(vs, cast(0.0 AS double),
+         |    (acc, x) -> acc + cast(element_at(x.ce, d) AS double))
+         |  / cast(n AS double) AS float))""".stripMargin)
+    for (_ <- 1 to LLOYD_ITERS) {
+      val assigned = nearest(corpus, cent, "ce", 1, "__arnk")
+        .select(col("__vid").as("vec_id"), col("ce"), col("c_id"))
+      val means = assigned.groupBy(col("c_id"))
+        .agg(sort_array(collect_list(struct(col("vec_id"), col("ce")))).as("vs"),
+          count(lit(1)).as("n"))
+        .select(col("c_id"), meanExpr.as("newcent"))
+      cent = cent.join(means, Seq("c_id"), "left")
+        .select(col("c_id"), coalesce(col("newcent"), col("cent")).as("cent"))
+    }
+    cent
+  }
 
   /** IVF (inverted-file) ANN: corpus vectors partition by their nearest
     * codebook centroid; a query probes only its NPROBE nearest cells and
-    * verifies exactly within them. The codebook here is a deterministic
-    * sample (the first CENTROIDS corpus vectors — k-means initialization
-    * step zero) so the DuckDB oracle can replay cell assignment exactly;
-    * a trained codebook drops into the same two-join skeleton.
+    * verifies exactly within them. The codebook is Lloyd-trained
+    * ([[lloydCodebook]]) and the cell assignment is MATERIALIZED to
+    * scratch parquet — the "index build" — so the probe join reads the
+    * index instead of recomputing training/assignment per plan branch.
     *
     * == 100 TB design ==
     * Assignment is an embarrassingly-parallel N×C cosine pass with the
     * (tiny) codebook broadcast; probing is an equi-join on `cell` —
-    * candidates shrink ~C/NPROBE-fold versus brute force, and the cell
-    * column can be persisted as a table column so queries never
-    * recompute assignment (the classic IVF index shape). Each (query,
-    * candidate) pair arises at most once — a vector lives in exactly
-    * one cell — so no dedup precedes verification. */
-  private[llm] def ivfTopK(emb: DataFrame, isQuery: Column, k: Int): DataFrame = {
-    val cent = emb.filter(!isQuery).orderBy(col("vec_id")).limit(CENTROIDS)
-      .select(col("vec_id").as("c_id"), col("embedding").as("cent"))
-    def nearest(side: DataFrame, vecCol: String, n: Int, rankCol: String) = {
-      val w = Window.partitionBy(col("__vid"))
-        .orderBy(col("__ccos").desc, col("c_id").asc_nulls_last)
-      side.crossJoin(broadcast(cent))
-        .withColumn("__ccos", expr(s"cosine_sim($vecCol, cent)"))
-        .withColumn(rankCol, row_number().over(w))
-        .filter(col(rankCol) <= n)
-        .drop("cent", "__ccos")
-    }
+    * candidates shrink ~C/NPROBE-fold versus brute force. In a real
+    * deployment the index parquet is a bucketed table column built once
+    * and queried forever; here it is rebuilt per call (the bench
+    * measures build + probe). Each (query, candidate) pair arises at
+    * most once — a vector lives in exactly one cell — so no dedup
+    * precedes verification. */
+  private[llm] def ivfTopK(
+      emb: DataFrame, isQuery: Column, k: Int,
+      nprobe: Int = NPROBE): DataFrame = {
+    val s = emb.sparkSession
     val corpus = emb.filter(!isQuery)
       .select(col("vec_id").as("__vid"), col("embedding").as("ce"))
-    val cells = nearest(corpus, "ce", 1, "__arnk")
+    // ---- index build: trained codebook + cell assignment, persisted
+    val idx = graft.Scratch.dir("graft-ivf")
+    lloydCodebook(corpus).write.mode("overwrite")
+      .parquet(idx.resolve("codebook").toString)
+    val cent = s.read.parquet(idx.resolve("codebook").toString)
+    nearest(corpus, cent, "ce", 1, "__arnk")
       .select(col("__vid").as("vec_id"), col("ce"), col("c_id"))
+      .write.mode("overwrite").parquet(idx.resolve("cells").toString)
+    val cells = s.read.parquet(idx.resolve("cells").toString)
+    // ---- probe + exact verification against the index
     val q = emb.filter(isQuery)
       .select(col("vec_id").as("__vid"), col("embedding").as("qe"))
-    val probes = nearest(q, "qe", NPROBE, "__prnk")
+    val probes = nearest(q, cent, "qe", nprobe, "__prnk")
       .select(col("__vid").as("q_id"), col("qe"), col("c_id"))
     val scored = cells.join(broadcast(probes), "c_id")
       .withColumn("cos", expr("cosine_sim(qe, ce)"))
@@ -243,11 +301,33 @@ object SimilarityOps extends QueryModule {
          |    i -> $a[i]::DOUBLE * $b[i]::DOUBLE))""".stripMargin
     def cos(a: String, b: String) =
       s"(${dot(a, b)}) / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
-    s"""WITH cent AS (SELECT vec_id AS c_id, embedding AS cent FROM embeddings
-      |              WHERE vec_id >= $QUERY_MAX_ID
-      |              ORDER BY vec_id LIMIT $CENTROIDS),
-      |corpus AS (SELECT vec_id, embedding AS ce FROM embeddings
+    // Lloyd training replayed exactly: per-cell, per-dim mean as a
+    // left-to-right double fold over vectors in vec_id order (the
+    // identical IEEE sequence the Spark `aggregate` HOF performs),
+    // rounded to float; empty cells keep the previous centroid.
+    val lloyd = (1 to LLOYD_ITERS).map { i =>
+      s"""a$i AS (SELECT vec_id, ce, c_id FROM (
+         |  SELECT vec_id, ce, c_id,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY ${cos("ce", "cent")} DESC, c_id ASC) AS arnk
+         |  FROM corpus, it${i - 1}) WHERE arnk = 1),
+         |g$i AS (SELECT c_id, list(ce ORDER BY vec_id) AS vs, count(*) AS n
+         |        FROM a$i GROUP BY c_id),
+         |n$i AS (SELECT c_id, list_transform(generate_series(1, $DIMS), d ->
+         |          (list_reduce(list_transform(vs, v -> v[d]::DOUBLE),
+         |                       (acc, x) -> acc + x)
+         |           / n::DOUBLE)::FLOAT) AS newcent
+         |        FROM g$i),
+         |it$i AS (SELECT p.c_id, coalesce(n.newcent, p.cent) AS cent
+         |         FROM it${i - 1} p LEFT JOIN n$i n USING (c_id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH corpus AS (SELECT vec_id, embedding AS ce FROM embeddings
       |           WHERE vec_id >= $QUERY_MAX_ID),
+      |it0 AS (SELECT vec_id AS c_id, embedding AS cent FROM embeddings
+      |        WHERE vec_id >= $QUERY_MAX_ID
+      |        ORDER BY vec_id LIMIT $CENTROIDS),
+      |$lloyd,
+      |cent AS (SELECT c_id, cent FROM it$LLOYD_ITERS),
       |acell AS (SELECT vec_id, ce, c_id,
       |            row_number() OVER (PARTITION BY vec_id
       |              ORDER BY ${cos("ce", "cent")} DESC, c_id ASC) AS arnk
