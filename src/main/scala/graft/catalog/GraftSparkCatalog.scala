@@ -290,9 +290,9 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
     * per insert, CDF rows included (bucketed CoW tables reject INSERT:
     * they are maintained by MERGE); `DELETE FROM ... WHERE` maps the
     * pushed source filters onto the engine's touched-file-scoped
-    * [[VersionedTable.deleteWhere]]. (SQL UPDATE needs Spark's
-    * row-level-operation framework; `updateWhere` and `MergeSql` cover
-    * that surface at the API/MERGE level.) */
+    * [[VersionedTable.deleteWhere]]. (SQL UPDATE is served by the
+    * [[GraftSqlParser]] statement, which maps onto `updateWhere`
+    * without Spark's row-level-operation framework.) */
   private class GraftV2Table(vt: VersionedTable, read: Table)
       extends Table with SupportsRead with SupportsWrite
       with org.apache.spark.sql.connector.catalog.SupportsDelete {

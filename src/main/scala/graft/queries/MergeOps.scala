@@ -274,9 +274,11 @@ object MergeOps extends QueryModule {
 
   // ------------------------------------------------ q_delete_update (DML)
   /** Predicate DELETE + UPDATE through the touched-file rewrite path:
-    * land the log, `DELETE WHERE event_type = 'error'`, then
-    * `UPDATE SET value = -value WHERE value < 10` — the oracle applies
-    * the same algebra declaratively. */
+    * land the log, `DELETE WHERE event_type = 'error'`, then the
+    * literal SQL statement `UPDATE ... SET value = -value WHERE value <
+    * 10` through the [[graft.catalog.GraftSqlParser]] grammar (the same
+    * code path a `spark.sql.extensions` session takes) — the oracle
+    * applies the same algebra declaratively. */
   private def qDeleteUpdate(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val schema = StructType(Seq(
@@ -288,7 +290,8 @@ object MergeOps extends QueryModule {
     val t = VersionedTable.create(s, dir, schema)
     t.append(events(s, d).select($"event_id", $"user_id", $"event_type", $"value"))
     t.deleteWhere(col("event_type") === "error")
-    t.updateWhere(col("value") < 10.0, Map("value" -> -col("value")))
+    graft.catalog.GraftSql.execute(s,
+      s"UPDATE '$dir' SET value = -value WHERE value < 10.0")
     t.snapshot()
   }
   private val qDeleteUpdateSql =

@@ -3,6 +3,7 @@ package graft.catalog
 import java.nio.file.Files
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{concat, lit, sum}
 
 import graft.SparkSpec
 import graft.table._
@@ -71,6 +72,49 @@ class GraftSqlParserSpec extends SparkSpec {
       // and the injected function surface rides the same extensions
       assert(s.sql("SELECT cosine_sim(array(1.0f, 0.0f), array(1.0f, 0.0f))")
         .head().getDouble(0) === 1.0)
+      VersionedTable.deleteRecursively(java.nio.file.Paths.get(path).getParent)
+    }
+  }
+
+  test("UPDATE statement maps onto touched-file updateWhere with CDF rows") {
+    withExtendedSession { s =>
+      import s.implicits._
+      val path = Files.createTempDirectory("sqlupd").resolve("t").toString
+      val t = VersionedTable.create(s, path,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("v",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n",
+            org.apache.spark.sql.types.LongType))),
+        Map(VersionedTable.PROP_CDF -> "true"))
+      t.append((1L to 100L).map(i => (i, s"v$i", i)).toDF("id", "v", "n"))
+
+      // top-level split hardening: a comma inside a function call and a
+      // quoted 'WHERE' inside a SET expression must not confuse parsing
+      val out = s.sql(s"UPDATE '$path' " +
+        "SET v = concat(v, ',', 'WHERE'), n = n * 10 WHERE id <= 3").collect()
+      assert(out.map(_.getLong(0)).toSeq === Seq(2L))
+      assert(t.snapshot().filter($"id" <= 3 && $"n" === $"id" * 10 &&
+        $"v" === concat(lit("v"), $"id", lit(",WHERE"))).count() === 3L)
+      assert(t.snapshot().filter($"id" > 3 && $"n" === $"id").count() === 97L)
+      assert(t.changes(2).filter($"_change_type".isin(
+        "update_preimage", "update_postimage")).count() === 6L)
+
+      // no WHERE -> every row; no matching file -> no new version
+      assert(s.sql(s"UPDATE '$path' SET n = n + 1").collect()
+        .map(_.getLong(0)).toSeq === Seq(3L))
+      assert(t.snapshot().agg(sum($"n")).head().getLong(0) ===
+        (1L to 100L).map(i => if (i <= 3) i * 10 else i).sum + 100L)
+      assert(s.sql(s"UPDATE '$path' SET n = 0 WHERE id > 1000").collect()
+        .isEmpty)
+      assert(t.latestVersion === 3L)
+
+      // the extension-free entry point drives the same command
+      assert(GraftSql.execute(s, s"UPDATE '$path' SET n = 0 WHERE id = 1")
+        .map(_.getLong(0)) === Seq(4L))
+      assert(t.snapshot().filter($"id" === 1).head().getLong(2) === 0L)
       VersionedTable.deleteRecursively(java.nio.file.Paths.get(path).getParent)
     }
   }
