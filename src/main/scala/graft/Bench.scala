@@ -19,9 +19,68 @@ import org.apache.spark.sql.SparkSession
   *     repeat) so a transient load spike lands in at most one pass of
   *     each query and the median discards it;
   *   - failures are reported per-query in an `"errors"` field instead of
-  *     being swallowed into a fast-looking timing.
+  *     being swallowed into a fast-looking timing;
+  *   - when the `benchdata/sf1` dataset exists (built once via
+  *     `runMain graft.MakeSf1` — 10× sf0.1, see [[MakeSf1]]), a second
+  *     `"sf1"` section times the most expensive queries at 10× local
+  *     scale: the first direct evidence the plans hold as data grows
+  *     (VERDICT r3 next #8).
   */
 object Bench {
+
+  /** The sf1 subset: the most expensive sf0.1 queries plus the headline
+    * scan — every table they read is produced by [[MakeSf1]]. */
+  val Sf1Queries: Seq[String] = Seq(
+    "q1_pricing_summary",                                   // lineitem scan/agg
+    "q17_skew_aqe", "q18_skew_salted",                      // skewed joins
+    "q_merge_additive", "q_insert_append", "q_delete_update", // engine writes
+    "q_minhash_lsh", "q_ngram_jaccard", "q_doc_fingerprint",  // dedup/text
+    "q_cosine_lsh")                                         // ANN
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    val n = s.length
+    if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+  }
+
+  private def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+  private def fmt(v: Double) = f"$v%.4f"
+
+  /** Warmup + `passes` timed pass-major runs of `names` against `sfDir`.
+    * Returns the JSON fields of one measured section. */
+  private def measure(
+      spark: SparkSession,
+      sfDir: String,
+      names: Seq[String],
+      passes: Int): (Seq[(String, Double)], String, Seq[Double], String) = {
+    def force(name: String): Option[String] =
+      try {
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        None
+      } catch { case e: Throwable =>
+        Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+      }
+
+    names.foreach(force) // warmup, untimed
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val perPass: Seq[Seq[(String, Double)]] = (1 to passes).map { _ =>
+      names.map { name =>
+        val t0 = System.nanoTime()
+        force(name).foreach(errors(name) = _)
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+    }
+    val byQuery = names.map(n => n -> perPass.map(_.toMap.apply(n)))
+    val medians = byQuery.map { case (n, xs) => n -> median(xs) }
+    val passJson = byQuery.map { case (k, xs) =>
+      "\"" + k + "\":" + xs.map(fmt).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v) + "\"" }
+      .mkString("{", ",", "}")
+    (medians, passJson, perPass.map(_.map(_._2).sum), errJson)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -34,53 +93,31 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def force(name: String): Option[String] =
-      try {
-        SparkEntry.queries(name)(spark, sfDir)
-          .write.format("noop").mode("overwrite").save()
-        None
-      } catch { case e: Throwable =>
-        Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
-      }
-
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     val names = SparkEntry.queries.keys.toSeq.sorted
-    names.foreach(force) // warmup, untimed
-
-    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    // pass-major: [pass][query] timings
-    val perPass: Seq[Seq[(String, Double)]] = (1 to passes).map { _ =>
-      names.map { name =>
-        val t0 = System.nanoTime()
-        force(name).foreach(errors(name) = _)
-        name -> (System.nanoTime() - t0) / 1e9
-      }
-    }
-    def median(xs: Seq[Double]): Double = {
-      val s = xs.sorted
-      val n = s.length
-      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
-    }
-    val byQuery: Seq[(String, Seq[Double])] =
-      names.map(n => n -> perPass.map(_.toMap.apply(n)))
-    val medians = byQuery.map { case (n, xs) => n -> median(xs) }
-
-    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
-    def fmt(v: Double) = f"$v%.4f"
+    val (medians, passJson, passTotals, errJson) =
+      measure(spark, sfDir, names, passes)
     val qs = medians.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val passJson = byQuery.map { case (k, xs) =>
-      "\"" + k + "\":" + xs.map(fmt).mkString("[", ",", "]")
-    }.mkString("{", ",", "}")
-    val errJson = errors.map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v) + "\"" }
-      .mkString("{", ",", "}")
     val total = medians.map(_._2).sum
-    val passTotals = perPass.map(p => p.map(_._2).sum)
-    val spreadPct = // max deviation of a pass total from the median total
+    val spreadPct =
       if (passTotals.isEmpty) 0.0
       else 100.0 * passTotals.map(t => math.abs(t - median(passTotals))).max /
         median(passTotals)
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"passes":$passJson,"pass_totals":${passTotals.map(fmt).mkString("[", ",", "]")},"spread_pct":${fmt(spreadPct)},"n_passes":$passes,"errors":$errJson,"sf":"$sfDir"}""")
+
+    // sf1 scale point (only when the MakeSf1 dataset has been built)
+    val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", MakeSf1.DefaultOut)
+    val sf1Json =
+      if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(sf1Dir))) ""
+      else {
+        val sf1Passes = sys.env.getOrElse("SPARK_GRAFT_SF1_PASSES", "2").toInt
+        val (m1, p1, _, e1) = measure(spark, sf1Dir, Sf1Queries, sf1Passes)
+        val q1 = m1.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+          .mkString("{", ",", "}")
+        s""","sf1":{"value":${fmt(m1.map(_._2).sum)},"queries":$q1,"passes":$p1,"n_passes":$sf1Passes,"errors":$e1,"dir":"${esc(sf1Dir)}"}"""
+      }
+
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"passes":$passJson,"pass_totals":${passTotals.map(fmt).mkString("[", ",", "]")},"spread_pct":${fmt(spreadPct)},"n_passes":$passes,"errors":$errJson,"sf":"$sfDir"$sf1Json}""")
     spark.stop()
   }
 }

@@ -412,7 +412,10 @@ object Relational extends QueryModule {
   private def q18(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val (big, small) = skewedSides(s, d)
-    graft.operators.SkewOps.saltedEquiJoin(big, small, "k", salts = 16)
+    // the hot key is structural (the construction above pins it), so
+    // hot-key-targeted salting applies: only key 1 is salted/replicated
+    graft.operators.SkewOps.saltedEquiJoin(big, small, "k", salts = 16,
+      hotKeys = Some(Seq(1L)))
       .groupBy($"o_orderstatus")
       .agg(sum($"l_quantity").cast("double").as("sum_qty"),
         count(lit(1)).as("n_items"))

@@ -58,6 +58,14 @@ class PlanAuditSpec extends SparkSpec {
       s"signatures must use the codegen'd expression:\n$p")
   }
 
+  test("IVF probes broadcast against the materialized cell index") {
+    val p = plan("q_ivf_cosine")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the (tiny) probe set must broadcast into the cells join:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"cell-partitioned candidates must never cross-join the corpus:\n$p")
+  }
+
   test("the deliberately skewed join stays a shuffle join (the skew is real)") {
     val p = plan("q17_skew_aqe")
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),

@@ -47,6 +47,23 @@ class SkewOpsSpec extends SparkSpec {
     assert(SkewOps.saltedEquiJoin(big, small, "k", salts = 8).count() === 1000L)
   }
 
+  test("hot-key-targeted salting equals the plain join and replicates only hot rows") {
+    val big = Tables.lineitem(spark, sf).select(
+      when($"l_orderkey" % 4 =!= 0, 1L).otherwise($"l_orderkey").as("k"),
+      $"l_quantity")
+    val small = Tables.orders(spark, sf).select($"o_orderkey".as("k"), $"o_orderstatus")
+    val salted = SkewOps.saltedEquiJoin(big, small, "k", salts = 8,
+      hotKeys = Some(Seq(1L)))
+    val plain = big.join(small, "k")
+    assert(salted.count() === plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+    // the small side grows by (salts-1) ROWS (one hot key), not salts×
+    val replicated = small.withColumn("__salt", explode(
+      when($"k".isin(1L), sequence(lit(0), lit(7)))
+        .otherwise(sequence(lit(0), lit(0)))))
+    assert(replicated.count() === small.count() + 7)
+  }
+
   test("AQE skew-split fires on a deliberately hot-keyed shuffle join") {
     // Thresholds scaled down so a ~6 MB hot partition behaves like a
     // production-size one under the 256 MB default — same trigger
