@@ -299,6 +299,73 @@ object MergeOps extends QueryModule {
       |       CASE WHEN value < 10.0 THEN -value ELSE value END AS value
       |FROM events WHERE event_type <> 'error'""".stripMargin
 
+  // -------------------------------------------------- q_restore (engine)
+  /** RESTORE through the literal SQL statement: land the log in two
+    * appends, `RESTORE TABLE ... TO VERSION AS OF 1`, then read — the
+    * snapshot must be exactly batch 1 (a metadata-only rollback). The
+    * oracle reconstructs batch 1 from the batch predicate. */
+  private def qRestore(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("user_id", LongType),
+      StructField("value", DoubleType)))
+    val dir = graft.Scratch.dir("graft-restore").resolve("t").toString
+    val t = VersionedTable.create(s, dir, schema)
+    val log = events(s, d).select($"event_id", $"user_id", $"value")
+    Seq(0, 1).foreach(p => t.append(log.filter($"event_id" % 2 === p)))
+    graft.catalog.GraftSql.execute(s,
+      s"RESTORE TABLE '$dir' TO VERSION AS OF 1")
+    t.snapshot()
+  }
+  private val qRestoreSql =
+    """SELECT event_id, user_id, value FROM events WHERE event_id % 2 = 0""".stripMargin
+
+  // ------------------------------------------------- q_optimize (engine)
+  /** OPTIMIZE through the literal SQL statement: many small appends,
+    * bin-packing compaction, then read — compaction must preserve the
+    * content exactly (the oracle is simply the full log) while the file
+    * count collapses (spec-asserted in GraftSqlParserSpec; here the
+    * hash-match IS the content guarantee). */
+  private def qOptimize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val dir = graft.Scratch.dir("graft-optimize").resolve("t").toString
+    val t = VersionedTable.create(s, dir, schema)
+    val log = events(s, d).select($"event_id", $"event_type", $"value")
+    Seq(0, 1, 2, 3).foreach(p => t.append(log.filter($"event_id" % 4 === p)))
+    graft.catalog.GraftSql.execute(s, s"OPTIMIZE '$dir' TARGET 1000000 ROWS")
+    t.snapshot()
+  }
+  private val qOptimizeSql =
+    """SELECT event_id, event_type, value FROM events""".stripMargin
+
+  // ---------------------------------------------------- q_clone (engine)
+  /** SHALLOW CLONE isolation: clone a landed table, DELETE on the CLONE
+    * only, read the clone — the oracle applies the delete algebra; the
+    * source keeping all rows is what the copy-on-write contract
+    * guarantees (spec-asserted in TableLifecycleSpec; the oracle row
+    * pins the clone's own read path over source-owned files). */
+  private def qClone(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val dir = graft.Scratch.dir("graft-clone")
+    val t = VersionedTable.create(s, dir.resolve("src").toString, schema)
+    t.append(events(s, d).select($"event_id", $"event_type", $"value"))
+    val c = VersionedTable.shallowClone(t, dir.resolve("clone").toString)
+    c.deleteWhere($"event_type" === "error")
+    c.snapshot()
+  }
+  private val qCloneSql =
+    """SELECT event_id, event_type, value FROM events
+      |WHERE event_type <> 'error'""".stripMargin
+
   // ----------------------------------------------------- q_json_scan (S1)
   /** Batch multi-line JSON-array scan (demo-notebook.py:146): a
     * deterministic slice of `events` is exported as ONE JSON array
@@ -337,6 +404,9 @@ object MergeOps extends QueryModule {
     "q_insert_append"  -> qInsertAppend _,
     "q_timestamp_travel" -> qTimestampTravel _,
     "q_delete_update"  -> qDeleteUpdate _,
+    "q_restore"        -> qRestore _,
+    "q_optimize"       -> qOptimize _,
+    "q_clone"          -> qClone _,
     "q_json_scan"      -> qJsonScan _)
 
   override val oracles: Seq[(String, String)] = Seq(
@@ -347,5 +417,8 @@ object MergeOps extends QueryModule {
     "q_insert_append"  -> qInsertAppendSql,
     "q_timestamp_travel" -> qTimestampTravelSql,
     "q_delete_update"  -> qDeleteUpdateSql,
+    "q_restore"        -> qRestoreSql,
+    "q_optimize"       -> qOptimizeSql,
+    "q_clone"          -> qCloneSql,
     "q_json_scan"      -> qJsonScanSql)
 }
