@@ -77,6 +77,20 @@ class LlmOpsSpec extends SparkSpec {
     assert(again === feats.collect().toSet, "batch size must not affect results")
   }
 
+  test("embedding near-dup flags exactly the planted perturbed copies") {
+    val out = q("q_embed_neardup").cache()
+    val n = Tables.embeddings(spark, sf).count()
+    assert(out.count() === n + (n + 24) / 25) // corpus + planted copies
+    val flagged = out.filter($"is_dup").select("vec_id").as[Long].collect().toSet
+    val planted = Tables.embeddings(spark, sf)
+      .filter($"vec_id" % 25 === 0).select($"vec_id" + 100000L)
+      .as[Long].collect().toSet
+    // every planted copy is caught (cos ~0.999998 >> tau) and no
+    // original is ever flagged: originals precede their copies by id
+    // and unrelated pairs sit below cos 0.52
+    assert(flagged === planted)
+  }
+
   test("text stats are internally consistent") {
     val stats = q("q_text_stats")
     val bad = stats.filter(
