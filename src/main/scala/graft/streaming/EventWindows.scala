@@ -1,0 +1,216 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.{QueryModule, Tables}
+
+/** One input row of [[EventWindows.sessionize]] (typed for the
+  * `KeyValueGroupedDataset` state function). */
+private[streaming] case class SessionEvent(
+    user_id: Long, ts: Timestamp, value: Double)
+
+/** The open (not yet gap-closed) session kept in [[GroupState]].
+  * `sum_cents` is the value sum in exact integer cents — `value` is an
+  * exact 2-decimal double, so the sum is order-independent and
+  * bit-reproducible across engines (the decimal-sum idiom of
+  * [[graft.queries.Relational]] in streaming-state form). */
+private[streaming] case class OpenSession(
+    start_us: Long, end_us: Long, n: Long, sum_cents: Long)
+
+/** One emitted session: closed by the event-time gap (streaming: by the
+  * watermark passing `end + gap`; batch: by the next event or group
+  * end). Times are epoch microseconds — the cross-engine-stable
+  * timestamp representation used throughout the repo. */
+case class Session(
+    user_id: Long, session_start_us: Long, session_end_us: Long,
+    n_events: Long, sum_value: Double)
+
+/** Event-time streaming analytics over the `events` shape (`user_id`,
+  * `ts`, `event_type`, `value`) — the two Structured-Streaming
+  * capabilities the driver brief names beyond the CDC pipeline
+  * ([[CdcStreams]]): watermarked windowed aggregation, and custom
+  * per-key state via `flatMapGroupsWithState`.
+  *
+  * Both operators run IDENTICALLY on batch and streaming inputs: the
+  * watermark/timeout plumbing is attached only when `isStreaming`, so
+  * the DuckDB oracle rows (`q_event_windows`, `q_sessionize`) exercise
+  * the very same code the streaming specs drive through `MemoryStream`
+  * — the batch result is the ground truth the streaming run must
+  * converge to once the watermark closes every window/session
+  * (EventWindowsSpec asserts exactly that equality).
+  *
+  * == 100 TB design ==
+  * Windowed aggregation is a plain hash aggregate on `(window,
+  * event_type)` — partial-agg friendly, state bounded by watermark
+  * eviction. Sessionization shuffles once on `user_id` and keeps ONE
+  * tiny [[OpenSession]] per active key, evicted by event-time timeout —
+  * state size is O(active users), not O(events), which is what lets a
+  * billion-event/day stream run on fixed executor memory. Late rows
+  * beyond the watermark are dropped by Spark before they reach state —
+  * the documented trade of bounded state for bounded lateness.
+  */
+object EventWindows extends QueryModule {
+
+  /** Tumbling event-time windows × event_type: count + exact-decimal
+    * value sum. Streaming inputs get `withWatermark(ts, delay)`; with
+    * append-mode sinks a window emits exactly once, when the watermark
+    * passes its end. */
+  def windowedAgg(
+      events: DataFrame,
+      windowDur: String = "1 hour",
+      watermarkDelay: String = "30 minutes"): DataFrame = {
+    val src =
+      if (events.isStreaming) events.withWatermark("ts", watermarkDelay)
+      else events
+    src.groupBy(window(col("ts"), windowDur), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(
+        unix_micros(col("window.start")).as("window_start_us"),
+        unix_micros(col("window.end")).as("window_end_us"),
+        col("event_type"), col("n_events"), col("sum_value"))
+  }
+
+  /** Default session gap: a new session starts when a user is idle
+    * longer than this. */
+  val DefaultGapMinutes = 120
+
+  private def toSession(key: Long, o: OpenSession): Session =
+    Session(key, o.start_us, o.end_us, o.n, o.sum_cents / 100.0)
+
+  /** Epoch microseconds of a `java.sql.Timestamp` (getTime is millis
+    * already including the nanos' millis part). */
+  private def micros(ts: Timestamp): Long =
+    ts.getTime * 1000 + (ts.getNanos / 1000) % 1000
+
+  /** The per-key state fold. In-order events extend the open session
+    * while the gap allows; an out-of-order event (possible only within
+    * the watermark) merges by min/max. `emitTrailing` is the batch mode:
+    * the group iterator holds everything, so the final open session is
+    * emitted instead of parked in state for a timeout that will never
+    * fire. */
+  private def sessionFold(gapUs: Long, emitTrailing: Boolean)(
+      key: Long,
+      events: Iterator[SessionEvent],
+      state: GroupState[OpenSession]): Iterator[Session] = {
+    if (state.hasTimedOut) {
+      val closed = toSession(key, state.get)
+      state.remove()
+      Iterator.single(closed)
+    } else {
+      val out = Seq.newBuilder[Session]
+      var cur = state.getOption
+      events.toSeq.sortBy(e => (micros(e.ts), e.value))
+        .foreach { e =>
+          val t = micros(e.ts)
+          val cents = Math.round(e.value * 100)
+          cur match {
+            case Some(o) if t <= o.end_us + gapUs =>
+              cur = Some(OpenSession(math.min(o.start_us, t),
+                math.max(o.end_us, t), o.n + 1, o.sum_cents + cents))
+            case Some(o) =>
+              out += toSession(key, o)
+              cur = Some(OpenSession(t, t, 1, cents))
+            case None =>
+              cur = Some(OpenSession(t, t, 1, cents))
+          }
+        }
+      cur.foreach { o =>
+        if (emitTrailing) out += toSession(key, o)
+        else {
+          state.update(o)
+          state.setTimeoutTimestamp(o.end_us / 1000 + gapUs / 1000)
+        }
+      }
+      if (emitTrailing) state.remove()
+      out.result().iterator
+    }
+  }
+
+  /** Gap-based sessionization per `user_id`: shuffle once on the key,
+    * fold each user's events into `(start, end, n, sum)` sessions, close
+    * a session when the next event is more than `gapMinutes` away —
+    * streaming closes by EVENT-TIME TIMEOUT (the watermark passing
+    * `end + gap`), batch by the group fold itself. */
+  def sessionize(
+      events: DataFrame,
+      gapMinutes: Int = DefaultGapMinutes,
+      watermarkDelay: String = "30 minutes"): Dataset[Session] = {
+    val session = events.sparkSession
+    import session.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    val streaming = events.isStreaming
+    // project FIRST, watermark the projected column: a cast after
+    // withWatermark would mint a fresh attribute without the watermark
+    // tag and the event-time timeout would not resolve
+    val selected = events.select(
+      col("user_id").cast("long").as("user_id"),
+      col("ts").cast("timestamp").as("ts"),
+      col("value").cast("double").as("value"))
+    val src =
+      if (streaming) selected.withWatermark("ts", watermarkDelay) else selected
+    val typed = src.as[SessionEvent]
+    val timeout =
+      if (streaming) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), timeout)(
+        sessionFold(gapUs, emitTrailing = !streaming))
+  }
+
+  // --------------------------------------------------- q_event_windows
+  /** Batch run of the streaming windowed-aggregation plan: 1-hour
+    * tumbling windows × event_type over `events`. */
+  private def qEventWindows(s: SparkSession, d: String): DataFrame =
+    windowedAgg(Tables.events(s, d))
+
+  private val qEventWindowsSql =
+    """SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS window_start_us,
+      |       epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) + 3600000000 AS window_end_us,
+      |       event_type, count(*) AS n_events,
+      |       sum(value::DECIMAL(18,2))::DOUBLE AS sum_value
+      |FROM events GROUP BY 1, 2, 3""".stripMargin
+
+  // ------------------------------------------------------ q_sessionize
+  /** Batch run of the SAME `flatMapGroupsWithState` fold the streaming
+    * path uses — the custom-state operator itself sits under the oracle
+    * gate. The oracle is the declarative gaps-and-islands formulation
+    * (lag → break flags → running session id → per-session aggregate). */
+  private def qSessionize(s: SparkSession, d: String): DataFrame =
+    sessionize(Tables.events(s, d)).toDF()
+
+  private val qSessionizeSql = {
+    val gapUs = DefaultGapMinutes * 60L * 1000000L
+    s"""WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us,
+      |         CAST(round(value * 100, 0) AS BIGINT) AS cents
+      |  FROM events),
+      |m AS (
+      |  SELECT user_id, ts_us, cents,
+      |    CASE WHEN lag(ts_us) OVER w IS NULL
+      |           OR ts_us - lag(ts_us) OVER w > $gapUs
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+      |s AS (
+      |  SELECT user_id, ts_us, cents,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+      |                   ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM m)
+      |SELECT user_id, min(ts_us) AS session_start_us,
+      |       max(ts_us) AS session_end_us, count(*) AS n_events,
+      |       sum(cents) / 100.0 AS sum_value
+      |FROM s GROUP BY user_id, sid""".stripMargin
+  }
+
+  override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q_event_windows" -> qEventWindows _,
+    "q_sessionize"    -> qSessionize _)
+
+  override val oracles: Seq[(String, String)] = Seq(
+    "q_event_windows" -> qEventWindowsSql,
+    "q_sessionize"    -> qSessionizeSql)
+}

@@ -1,0 +1,135 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** Test event shape (top-level: inner case classes have no encoder). */
+private[streaming] case class Ev(
+    user_id: Long, ts: Timestamp, event_type: String, value: Double)
+
+/** Event-time semantics of [[EventWindows]]: watermark-closed windows,
+  * late-row dropping, and streaming/batch convergence of the
+  * `flatMapGroupsWithState` sessionizer (value-level parity of the batch
+  * path is the DuckDB oracle gate — `q_event_windows`/`q_sessionize`).
+  *
+  * Watermark mechanics the sequences below rely on: the watermark used
+  * DURING batch N is computed from event times seen through batch N−1
+  * (max event time − delay); an aggregation window is emitted (append
+  * mode) and its rows start being dropped once the watermark passes the
+  * WINDOW END; an event-time timeout fires in the first batch whose
+  * in-effect watermark exceeds the timeout timestamp. */
+class EventWindowsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(hhmm: String): Timestamp =
+    Timestamp.valueOf(s"2024-03-01 $hhmm:00")
+
+  test("windowed agg: a window emits once the watermark passes its end; late rows drop") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventWindows.windowedAgg(mem.toDF(), "1 hour", "30 minutes")
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode("append").start()
+    try {
+      // hour 10 gets two click events
+      mem.addData(Ev(1, t("10:05"), "click", 1.10),
+        Ev(1, t("10:20"), "click", 2.20), Ev(2, t("11:05"), "view", 3.00))
+      q.processAllAvailable()
+      mem.addData(Ev(2, t("12:00"), "view", 4.00)) // watermark -> 11:30
+      q.processAllAvailable()
+      // this batch runs under watermark 11:30 > 11:00: hour 10 closes
+      // and emits with its 2 events
+      mem.addData(Ev(2, t("13:00"), "view", 5.00))
+      q.processAllAvailable()
+      // hour 10 is now CLOSED (end 11:00 < watermark 12:30): the 10:10
+      // arrival must be dropped, not appended to an emitted window
+      mem.addData(Ev(3, t("10:10"), "click", 99.0), Ev(2, t("14:00"), "view", 6.00))
+      q.processAllAvailable()
+      mem.addData(Ev(2, t("15:00"), "view", 7.00))
+      q.processAllAvailable()
+
+      val clicks = spark.table("win_out")
+        .filter($"event_type" === "click")
+        .select("window_start_us", "n_events", "sum_value")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(clicks === Set((t("10:00").getTime * 1000L, 2L, 3.30)),
+        "exactly the hour-10 click window, WITHOUT the late 10:10 row")
+    } finally q.stop()
+  }
+
+  test("sessionizer: event-time timeouts close sessions; streaming equals batch") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventWindows.sessionize(mem.toDF(), gapMinutes = 60,
+        watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    val rows = Seq(
+      // user 1: two sessions (gap 09:30->11:30 > 60m); user 2: one
+      Ev(1, t("09:00"), "click", 1.00), Ev(1, t("09:30"), "click", 2.00),
+      Ev(2, t("09:45"), "view", 10.00),
+      Ev(1, t("11:30"), "click", 4.00), Ev(2, t("10:15"), "view", 20.00))
+    try {
+      mem.addData(rows.take(3): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(3): _*)
+      q.processAllAvailable()
+      // push the watermark far past every end+gap so all state times out
+      mem.addData(Ev(9, t("20:00"), "x", 0.0))
+      q.processAllAvailable()
+      mem.addData(Ev(9, t("23:00"), "x", 0.0))
+      q.processAllAvailable()
+
+      val streamed = spark.table("sess_out").as[Session].collect()
+        .filter(_.user_id != 9).toSet
+      val batch = EventWindows.sessionize(
+          rows.toDF(), gapMinutes = 60).collect().toSet
+      assert(streamed === batch)
+      assert(streamed.count(_.user_id == 1) === 2, "gap splits user 1")
+      assert(streamed.count(_.user_id == 2) === 1, "user 2 stays one session")
+    } finally q.stop()
+  }
+
+  test("sessionizer: a row later than the watermark is dropped, not mis-sessioned") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventWindows.sessionize(mem.toDF(), gapMinutes = 60,
+        watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("sess_late")
+      .outputMode("append").start()
+    try {
+      mem.addData(Ev(1, t("09:00"), "click", 1.00), Ev(1, t("12:00"), "click", 2.00))
+      q.processAllAvailable()
+      // watermark 11:50 — a 09:05 arrival is below it: dropped before state
+      mem.addData(Ev(1, t("09:05"), "click", 99.0))
+      q.processAllAvailable()
+      mem.addData(Ev(9, t("23:00"), "x", 0.0))
+      q.processAllAvailable()
+      mem.addData(Ev(9, t("23:30"), "x", 0.0)) // fires the 13:00 timeout
+      q.processAllAvailable()
+
+      val sessions = spark.table("sess_late").as[Session].collect()
+        .filter(_.user_id == 1)
+      assert(sessions.map(_.n_events).toSeq.sorted === Seq(1L, 1L))
+      assert(!sessions.exists(_.sum_value == 100.0),
+        "the late 09:05 row must not have merged into the 09:00 session")
+    } finally q.stop()
+  }
+
+  test("batch sessionize over the real events table is a partition of the events") {
+    val events = Tables.events(spark, sf)
+    val sessions = EventWindows.sessionize(events).cache()
+    assert(sessions.agg(sum("n_events")).head().getLong(0) === events.count())
+    // sessions of one user never overlap: end + gap < next start
+    val gapUs = EventWindows.DefaultGapMinutes * 60L * 1000000L
+    val overlaps = sessions.toDF().alias("a").join(sessions.toDF().alias("b"),
+        col("a.user_id") === col("b.user_id") &&
+        col("a.session_end_us") + gapUs >= col("b.session_start_us") &&
+        col("a.session_start_us") < col("b.session_start_us")).count()
+    assert(overlaps === 0L)
+  }
+}
