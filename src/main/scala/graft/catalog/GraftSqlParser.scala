@@ -16,7 +16,8 @@ import graft.table.VersionedTable
   *
   * {{{
   *   VACUUM <table> [RETAIN <n> VERSIONS]
-  *   OPTIMIZE <table> [TARGET <n> ROWS]        -- bin-packing compaction
+  *   OPTIMIZE <table> [TARGET <n> ROWS] [ZORDER BY (c1, ...)]
+  *                      -- bin-packing compaction / z-order clustering
   *   RESTORE [TABLE] <table> TO VERSION AS OF <v>
   *   UPDATE [TABLE] <table> SET c = <expr> [, ...] [WHERE <pred>]
   * }}}
@@ -41,7 +42,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val Vacuum =
     """(?is)\s*VACUUM\s+(\S+?)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*""".r
   private val Optimize =
-    """(?is)\s*OPTIMIZE\s+(\S+?)(?:\s+TARGET\s+(\d+)\s+ROWS)?\s*;?\s*""".r
+    """(?is)\s*OPTIMIZE\s+(\S+?)(?:\s+TARGET\s+(\d+)\s+ROWS)?(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*""".r
   private val Restore =
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?(\S+?)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
   private val Update =
@@ -50,8 +51,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case Vacuum(tbl, retain) =>
       VacuumCommand(tbl, Option(retain).map(_.toInt).getOrElse(2))
-    case Optimize(tbl, target) =>
-      OptimizeCommand(tbl, Option(target).map(_.toLong).getOrElse(1L << 20))
+    case Optimize(tbl, target, zcols) =>
+      OptimizeCommand(tbl, Option(target).map(_.toLong).getOrElse(1L << 20),
+        Option(zcols).toSeq.flatMap(_.split(','))
+          .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty))
     case Restore(tbl, v) => RestoreCommand(tbl, v.toLong)
     case Update(tbl, rest) =>
       val (setPart, wherePart) = topLevelIndexOfWord(rest, "WHERE") match {
@@ -158,12 +161,21 @@ case class VacuumCommand(table: String, retain: Int) extends LeafRunnableCommand
     GraftSqlParser.resolve(spark, table).vacuum(retain).map(Row(_))
 }
 
-case class OptimizeCommand(table: String, targetRows: Long) extends LeafRunnableCommand {
+/** Without ZORDER BY: bin-packing compaction of under-sized files.
+  * With ZORDER BY (c1, …): full multi-dimensional clustering rewrite
+  * ([[VersionedTable.zorder]]) at `targetRows` rows per file. */
+case class OptimizeCommand(
+    table: String,
+    targetRows: Long,
+    zorderBy: Seq[String] = Nil) extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
-  override def run(spark: SparkSession): Seq[Row] =
-    GraftSqlParser.resolve(spark, table).compactSmallFiles(targetRows)
-      .map(Row(_)).toSeq
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftSqlParser.resolve(spark, table)
+    val v = if (zorderBy.nonEmpty) t.zorder(zorderBy, targetRows)
+            else t.compactSmallFiles(targetRows)
+    v.map(Row(_)).toSeq
+  }
 }
 
 case class RestoreCommand(table: String, version: Long) extends LeafRunnableCommand {

@@ -343,6 +343,28 @@ object MergeOps extends QueryModule {
   private val qOptimizeSql =
     """SELECT event_id, event_type, value FROM events""".stripMargin
 
+  // --------------------------------------------------- q_zorder (engine)
+  /** OPTIMIZE … ZORDER BY through the literal SQL statement: land the
+    * log, z-order-cluster it on two independent columns, then read —
+    * the multi-dimensional rewrite must preserve content exactly (the
+    * hash-match IS that guarantee; the skipping benefit is pinned by
+    * ZorderSpec's per-file stats assertions). */
+  private def qZorder(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("user_id", LongType),
+      StructField("value", DoubleType)))
+    val dir = graft.Scratch.dir("graft-zorder").resolve("t").toString
+    val t = VersionedTable.create(s, dir, schema)
+    t.append(events(s, d).select($"event_id", $"user_id", $"value"))
+    graft.catalog.GraftSql.execute(s,
+      s"OPTIMIZE '$dir' TARGET 2500 ROWS ZORDER BY (event_id, user_id)")
+    t.snapshot()
+  }
+  private val qZorderSql =
+    """SELECT event_id, user_id, value FROM events""".stripMargin
+
   // ---------------------------------------------------- q_clone (engine)
   /** SHALLOW CLONE isolation: clone a landed table, DELETE on the CLONE
     * only, read the clone — the oracle applies the delete algebra; the
@@ -406,6 +428,7 @@ object MergeOps extends QueryModule {
     "q_delete_update"  -> qDeleteUpdate _,
     "q_restore"        -> qRestore _,
     "q_optimize"       -> qOptimize _,
+    "q_zorder"         -> qZorder _,
     "q_clone"          -> qClone _,
     "q_json_scan"      -> qJsonScan _)
 
@@ -419,6 +442,7 @@ object MergeOps extends QueryModule {
     "q_delete_update"  -> qDeleteUpdateSql,
     "q_restore"        -> qRestoreSql,
     "q_optimize"       -> qOptimizeSql,
+    "q_zorder"         -> qZorderSql,
     "q_clone"          -> qCloneSql,
     "q_json_scan"      -> qJsonScanSql)
 }

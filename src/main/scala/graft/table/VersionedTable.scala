@@ -675,6 +675,60 @@ final class VersionedTable private (
     }
   }
 
+  /** OPTIMIZE … ZORDER BY (Delta's multi-dimensional clustering): the
+    * snapshot is rewritten ordered by the BIT-INTERLEAVED quantile
+    * ranks of `zcols`, so every z-order column's values are
+    * range-localized per file and the manifest min/max stats prune
+    * scans on ANY of them — a linear sort localizes only its leading
+    * column. Ranks come from one `percentile_approx` pass (16 quantile
+    * buckets per column — skew-proof, unlike uniform width buckets on
+    * min/max); the z-value is codegen'd integer bit arithmetic; the
+    * clustered write is a range repartition + within-partition sort on
+    * the z-value at ~`targetRows` rows per file. Full-table rewrite by
+    * design (the clustering IS the product); emits no CDF rows. */
+  def zorder(zcols: Seq[String], targetRows: Long): Option[Long] = {
+    require(zcols.nonEmpty, "ZORDER BY needs at least one column")
+    require(targetRows > 0)
+    require(!isBucketed,
+      "bucketed tables cluster by key hash; ZORDER applies to log-style tables")
+    val prev = latestManifest
+    zcols.foreach(c => require(prev.schema.fieldNames.contains(c),
+      s"unknown ZORDER column: $c"))
+    if (prev.dataFiles.isEmpty) return None
+    val df = readFiles(prev.dataFiles.map(_.path), prev.schema)
+    val bits = 4 // 16 quantile buckets per dimension
+    val pcts = typedLit((1 until (1 << bits)).map(_.toDouble / (1 << bits)))
+    val qRow = df.select(zcols.map(c =>
+      percentile_approx(col(c).cast("double"), pcts, lit(10000)).as(c)): _*)
+      .head()
+    val m = zcols.length
+    val zval = zcols.zipWithIndex.map { case (c, j) =>
+      val bs = Option(qRow.getSeq[Double](j)).getOrElse(Seq.empty)
+      if (bs.isEmpty) lit(0) // all-null column: every row ranks 0
+      else {
+        // quantile rank: how many boundaries the value exceeds (nulls
+        // fall through every `when` to rank 0)
+        val rank = bs.map(b =>
+          when(col(c).cast("double") > lit(b), 1).otherwise(0)).reduce(_ + _)
+        // bit k of this column's rank lands at interleaved position k*m+j
+        (0 until bits).map(k =>
+          shiftleft(shiftright(rank, k).bitwiseAND(lit(1)), k * m + j))
+          .reduce(_ + _)
+      }
+    }.reduce(_ + _)
+    val total = prev.dataFiles
+      .map(f => f.rows.getOrElse(footerRowCount(root.resolve(f.path)))).sum
+    val parts = math.max(1, math.ceil(total.toDouble / targetRows).toInt)
+    val added = ingest(df.withColumn(ZORDER_COL, zval)
+      .repartitionByRange(parts, col(ZORDER_COL))
+      .sortWithinPartitions(ZORDER_COL)
+      .drop(ZORDER_COL))
+    retractingOnFailure(added) {
+      commitFiles(added, prev.dataFiles.map(_.path), None, "zorder",
+        baseVersion = Some(prev.version), conflictsWith = Some(_ => true))
+    }
+  }
+
   /** Data files of version `v` that contain at least one row matching
     * `hit`. Two stages: manifest column-stats skipping first (driver
     * side, no IO — files whose [min,max]/null-count refute the
@@ -863,6 +917,9 @@ object VersionedTable {
     * footer-derived file-skipping stats; hidden from every reader by the
     * explicit read schemas. */
   val KHASH_COL = "__khash"
+  /** Transient clustering column of [[VersionedTable.zorder]] rewrites;
+    * dropped before the write, never lands in a file. */
+  val ZORDER_COL = "__zorder"
   /** Marker file recording the highest vacuumed CDF version. */
   val VACUUM_WATERMARK = "_vacuum_watermark"
   /** Table property toggling CDF emission, mirroring
