@@ -430,6 +430,64 @@ object Relational extends QueryModule {
       |JOIN orders ON b.k = o_orderkey
       |GROUP BY o_orderstatus""".stripMargin
 
+  // ---------------------------------------------------------- q_asof_join
+  /** Backward as-of join (graft.operators.AsofJoin): every purchase
+    * picks up the same user's latest click at-or-before it — the
+    * point-in-time feature-lookup join. The Spark plan is the
+    * union+window single-shuffle formulation (no Join node, no per-key
+    * pair blow-up — AsofJoinSpec); the oracle is DuckDB's NATIVE
+    * `ASOF LEFT JOIN`, so two entirely different algorithms must agree
+    * row-for-row. Click ties at one (user, ts) are collapsed upstream
+    * (max value) to keep the match deterministic in both engines. */
+  private def qAsofJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = events(s, d)
+    val left = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts", $"value")
+    val right = ev.filter($"event_type" === "click")
+      .groupBy($"user_id", $"ts").agg(max($"value").as("v"))
+    graft.operators.AsofJoin
+      .asof(left, right, Seq("user_id"), "ts", "ts", Seq("v"), "click_")
+      .select($"event_id", $"user_id", unix_micros($"ts").as("ts_us"), $"value",
+        unix_micros($"click_time").as("click_ts_us"), $"click_v".as("click_value"))
+  }
+  private val qAsofJoinSql =
+    """WITH l AS (SELECT event_id, user_id, ts, value FROM events
+      |           WHERE event_type = 'purchase'),
+      |r AS (SELECT user_id, ts, max(value) AS click_value FROM events
+      |      WHERE event_type = 'click' GROUP BY 1, 2)
+      |SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us, l.value,
+      |       epoch_us(r.ts) AS click_ts_us, r.click_value
+      |FROM l ASOF LEFT JOIN r
+      |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin
+
+  // --------------------------------------------------------- q_range_join
+  /** Band join (graft.operators.RangeJoin): error×click event pairs of
+    * the same user within one hour — planned as a bucketized EQUI-join
+    * (left explodes into 3 candidate time buckets), never a nested-loop
+    * pair scan. The oracle states the naive theta-join; the bucket
+    * rewrite must produce exactly that pair set, exactly once. */
+  private val BAND_TOL_US = 3600000000L // 1 hour
+  private def qRangeJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = events(s, d)
+    val l = ev.filter($"event_type" === "error")
+      .select($"event_id".as("err_id"), $"user_id", $"ts".as("err_ts"))
+    val r = ev.filter($"event_type" === "click")
+      .select($"event_id".as("click_id"), $"user_id", $"ts".as("click_ts"))
+    graft.operators.RangeJoin
+      .bandJoin(l, r, Seq("user_id"), "err_ts", "click_ts", BAND_TOL_US)
+      .select($"err_id", $"user_id", unix_micros($"err_ts").as("err_ts_us"),
+        $"click_id", unix_micros($"click_ts").as("click_ts_us"))
+  }
+  private val qRangeJoinSql =
+    s"""SELECT l.event_id AS err_id, l.user_id, epoch_us(l.ts) AS err_ts_us,
+      |       r.event_id AS click_id, epoch_us(r.ts) AS click_ts_us
+      |FROM events l JOIN events r
+      |  ON l.user_id = r.user_id
+      | AND l.event_type = 'error' AND r.event_type = 'click'
+      | AND abs(epoch_us(l.ts) - epoch_us(r.ts)) <= $BAND_TOL_US""".stripMargin
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q1_pricing_summary"  -> q1 _,
     "q2_filter_project"   -> q2 _,
@@ -448,7 +506,9 @@ object Relational extends QueryModule {
     "q15_percentiles"     -> q15 _,
     "q16_rollup"          -> q16 _,
     "q17_skew_aqe"        -> q17 _,
-    "q18_skew_salted"     -> q18 _)
+    "q18_skew_salted"     -> q18 _,
+    "q_asof_join"         -> qAsofJoin _,
+    "q_range_join"        -> qRangeJoin _)
 
   override val oracles: Seq[(String, String)] = Seq(
     "q1_pricing_summary"  -> q1Sql,
@@ -468,5 +528,7 @@ object Relational extends QueryModule {
     "q15_percentiles"     -> q15Sql,
     "q16_rollup"          -> q16Sql,
     "q17_skew_aqe"        -> qSkewSql,
-    "q18_skew_salted"     -> qSkewSql)
+    "q18_skew_salted"     -> qSkewSql,
+    "q_asof_join"         -> qAsofJoinSql,
+    "q_range_join"        -> qRangeJoinSql)
 }
