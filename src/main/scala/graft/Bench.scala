@@ -35,7 +35,9 @@ object Bench {
     "q17_skew_aqe", "q18_skew_salted",                      // skewed joins
     "q_merge_additive", "q_insert_append", "q_delete_update", // engine writes
     "q_minhash_lsh", "q_ngram_jaccard", "q_doc_fingerprint",  // dedup/text
-    "q_cosine_lsh")                                         // ANN
+    "q_cosine_lsh",                                         // ANN
+    "q_embed_neardup",                                      // embedding dedup
+    "q_asof_join", "q_sessionize")                          // temporal ops
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
