@@ -288,7 +288,9 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
     * table (pushdown intact); `INSERT INTO` appends through the
     * transactional layer via the DSv2→V1 write bridge — a new commit
     * per insert, CDF rows included (bucketed CoW tables reject INSERT:
-    * they are maintained by MERGE); `DELETE FROM ... WHERE` maps the
+    * they are maintained by MERGE); `INSERT OVERWRITE` and
+    * `INSERT INTO … REPLACE WHERE` run the atomic
+    * [[VersionedTable.overwriteWhere]]; `DELETE FROM ... WHERE` maps the
     * pushed source filters onto the engine's touched-file-scoped
     * [[VersionedTable.deleteWhere]]. (SQL UPDATE is served by the
     * [[GraftSqlParser]] statement, which maps onto `updateWhere`
@@ -300,17 +302,41 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
     override def schema(): StructType = vt.schema
     override def properties(): util.Map[String, String] = vt.properties.asJava
     override def capabilities(): util.Set[TableCapability] =
-      Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE).asJava
+      Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+        TableCapability.OVERWRITE_BY_FILTER, TableCapability.TRUNCATE).asJava
     override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
       read.asInstanceOf[SupportsRead].newScanBuilder(options) // pruning-aware
     override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-      new WriteBuilder {
+      // SupportsOverwrite (⊃ SupportsTruncate) routes both
+      // `INSERT OVERWRITE` (truncate = overwrite AlwaysTrue) and
+      // `INSERT INTO … REPLACE WHERE <cond>` onto the engine's atomic
+      // [[VersionedTable.overwriteWhere]]; a plain INSERT INTO appends.
+      new WriteBuilder
+          with org.apache.spark.sql.connector.write.SupportsOverwrite {
+        private var overwriteFilters: Option[Array[sources.Filter]] = None
+        override def canOverwrite(filters: Array[sources.Filter]): Boolean =
+          filters.forall(f => FilterColumns.translate(f).isDefined)
+        override def overwrite(filters: Array[sources.Filter]): WriteBuilder = {
+          overwriteFilters = Some(filters)
+          this
+        }
         override def build(): Write = new V1Write {
           override def toInsertableRelation: InsertableRelation =
             new InsertableRelation {
               override def insert(data: DataFrame, overwrite: Boolean): Unit = {
-                require(!overwrite, "INSERT OVERWRITE is not supported")
-                vt.append(data)
+                overwriteFilters match {
+                  case Some(filters) =>
+                    val cond = filters.toSeq
+                      .map(f => FilterColumns.translate(f).getOrElse(
+                        throw new UnsupportedOperationException(
+                          s"untranslatable overwrite filter $f")))
+                      .reduceOption(_ && _)
+                      .getOrElse(org.apache.spark.sql.functions.lit(true))
+                    vt.overwriteWhere(cond, data)
+                  case None =>
+                    require(!overwrite, "unplanned overwrite write")
+                    vt.append(data)
+                }
                 ()
               }
             }

@@ -343,6 +343,32 @@ object MergeOps extends QueryModule {
   private val qOptimizeSql =
     """SELECT event_id, event_type, value FROM events""".stripMargin
 
+  // -------------------------------------------- q_replace_where (engine)
+  /** Delta-style replaceWhere: land the log, then atomically swap the
+    * `event_type = 'error'` slice for a derived replacement (values
+    * negated) in ONE commit — deletes and inserts together. The oracle
+    * applies the same algebra declaratively: non-error rows untouched,
+    * error rows replaced. */
+  private def qReplaceWhere(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val dir = graft.Scratch.dir("graft-replace").resolve("t").toString
+    val t = VersionedTable.create(s, dir, schema)
+    val log = events(s, d).select($"event_id", $"event_type", $"value")
+    t.append(log)
+    t.overwriteWhere($"event_type" === "error",
+      log.filter($"event_type" === "error")
+        .withColumn("value", -$"value"))
+    t.snapshot()
+  }
+  private val qReplaceWhereSql =
+    """SELECT event_id, event_type,
+      |       CASE WHEN event_type = 'error' THEN -value ELSE value END AS value
+      |FROM events""".stripMargin
+
   // --------------------------------------------------- q_zorder (engine)
   /** OPTIMIZE … ZORDER BY through the literal SQL statement: land the
     * log, z-order-cluster it on two independent columns, then read —
@@ -426,6 +452,7 @@ object MergeOps extends QueryModule {
     "q_insert_append"  -> qInsertAppend _,
     "q_timestamp_travel" -> qTimestampTravel _,
     "q_delete_update"  -> qDeleteUpdate _,
+    "q_replace_where"  -> qReplaceWhere _,
     "q_restore"        -> qRestore _,
     "q_optimize"       -> qOptimize _,
     "q_zorder"         -> qZorder _,
@@ -440,6 +467,7 @@ object MergeOps extends QueryModule {
     "q_insert_append"  -> qInsertAppendSql,
     "q_timestamp_travel" -> qTimestampTravelSql,
     "q_delete_update"  -> qDeleteUpdateSql,
+    "q_replace_where"  -> qReplaceWhereSql,
     "q_restore"        -> qRestoreSql,
     "q_optimize"       -> qOptimizeSql,
     "q_zorder"         -> qZorderSql,

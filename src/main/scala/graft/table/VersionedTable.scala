@@ -776,6 +776,44 @@ final class VersionedTable private (
     }
   }
 
+  /** Delta's `replaceWhere` / SQL `INSERT INTO … REPLACE WHERE` /
+    * `INSERT OVERWRITE`: in ONE atomic commit, rows matching `cond` are
+    * deleted and `rows` inserted. Only files containing a match are
+    * rewritten (their non-matching rows are preserved); every other
+    * file is inherited — O(touched + batch), the partition-overwrite
+    * idiom of incremental backfills ("replace this day's slice"). Like
+    * Delta, every incoming row must SATISFY the predicate (otherwise
+    * the operation would silently write outside the slice it claims to
+    * replace — fails loudly instead). Emits `delete` CDF rows for the
+    * replaced slice and `insert` rows for the new one. `cond` must be
+    * deterministic. `overwriteAll` = `lit(true)` truncate-and-load. */
+  def overwriteWhere(
+      cond: org.apache.spark.sql.Column,
+      rows: DataFrame): Option[Long] = {
+    val hit = coalesce(cond, lit(false))
+    val prev = latestManifest
+    val newRows = align(rows)
+    require(newRows.filter(!hit).isEmpty,
+      "replaceWhere: every incoming row must satisfy the replaced predicate")
+    val touched = touchedFiles(prev, hit)
+    val touchedDf = readFiles(touched.map(_.path), prev.schema)
+    // kept (non-matching rows of touched files) and new rows stage as
+    // SEPARATE file sets so the CDF insert projection re-reads exactly
+    // the new files — nothing nondeterministic is computed twice
+    val keptAdded =
+      if (touched.isEmpty) Seq.empty else ingest(touchedDf.filter(!hit))
+    val newAdded = ingest(newRows)
+    val changes =
+      touchedDf.filter(hit).withColumn("_change_type", lit("delete"))
+        .unionByName(readFiles(newAdded.map(_.path), schema)
+          .withColumn("_change_type", lit("insert")))
+    retractingOnFailure(keptAdded ++ newAdded) {
+      commitFiles(keptAdded ++ newAdded, touched.map(_.path), Some(changes),
+        "overwrite", baseVersion = Some(prev.version),
+        conflictsWith = Some(_ => true))
+    }
+  }
+
   /** `UPDATE <table> SET ... WHERE cond`: rewrites only touched files,
     * applying `set` to matching rows; emits update_preimage/postimage
     * CDF rows. `cond` and `set` must be deterministic. */

@@ -130,6 +130,37 @@ class GraftSparkCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE graft.db4.d")
   }
 
+  test("INSERT OVERWRITE and REPLACE WHERE run the atomic overwrite through SQL") {
+    val wh = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db5")
+    spark.sql("CREATE TABLE graft.db5.r (id BIGINT, v STRING) " +
+      s"TBLPROPERTIES ('${VersionedTable.PROP_CDF}'='true')")
+    spark.sql("INSERT INTO graft.db5.r VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO graft.db5.r VALUES (3, 'c'), (4, 'd')")
+
+    // REPLACE WHERE: swap out exactly the id <= 2 slice
+    spark.sql(
+      "INSERT INTO graft.db5.r REPLACE WHERE id <= 2 VALUES (1, 'A'), (2, 'B')")
+    assert(spark.sql("SELECT id, v FROM graft.db5.r ORDER BY id")
+      .as[(Long, String)].collect().toSeq ===
+      Seq((1L, "A"), (2L, "B"), (3L, "c"), (4L, "d")))
+    val t = VersionedTable.load(spark, s"$wh/db5/r")
+    assert(t.latestManifest.operation === "overwrite")
+    assert(t.changes(t.latestVersion).groupBy("_change_type").count()
+      .as[(String, Long)].collect().toMap ===
+      Map("delete" -> 2L, "insert" -> 2L))
+    // rows outside the replaced predicate must fail loudly, not leak in
+    intercept[Exception] {
+      spark.sql("INSERT INTO graft.db5.r REPLACE WHERE id <= 2 VALUES (9, 'x')")
+    }
+
+    // INSERT OVERWRITE: truncate-and-load in one commit
+    spark.sql("INSERT OVERWRITE graft.db5.r VALUES (7, 'only')")
+    assert(spark.sql("SELECT id, v FROM graft.db5.r")
+      .as[(Long, String)].collect().toSeq === Seq((7L, "only")))
+    spark.sql("DROP TABLE graft.db5.r")
+  }
+
   test("time travel on a bucketed (copy-on-write) table through SQL") {
     val wh = warehouse
     val path = s"$wh/db2/cow"

@@ -132,4 +132,35 @@ class TableLifecycleSpec extends SparkSpec {
       "clone vacuum deleted files it does not own")
     assert(clone.snapshot().count() === 16L)
   }
+
+  test("overwriteWhere atomically replaces exactly the matching slice with CDF") {
+    val t = VersionedTable.create(spark, tmp("replace"), schema,
+      Map(VersionedTable.PROP_CDF -> "true"))
+    // two appends -> two files; ids 1-20 in file A, 21-40 in file B
+    t.append((1L to 20L).map(i => (i, s"v$i")).toDF("id", "v"))  // v1
+    t.append((21L to 40L).map(i => (i, s"v$i")).toDF("id", "v")) // v2
+    val nFiles = t.latestManifest.dataFiles.size
+
+    // replace the id <= 10 slice with 3 fresh rows — one atomic commit
+    val v = t.overwriteWhere($"id" <= 10L,
+      Seq((1L, "new1"), (2L, "new2"), (10L, "new10")).toDF("id", "v"))
+    assert(v === Some(3L))
+    val snap = t.snapshot().as[(Long, String)].collect().toMap
+    assert(snap.size === 33) // 40 - 10 replaced + 3 new
+    assert(snap(1L) === "new1" && snap(10L) === "new10" && snap(11L) === "v11")
+    // only the touched file was rewritten; file B inherited
+    val m = t.latestManifest
+    assert(m.removedFiles.size < nFiles, "untouched files must be inherited")
+    // CDF: 10 deletes + 3 inserts, one commit
+    val ch = t.changes(3).groupBy("_change_type").count()
+      .as[(String, Long)].collect().toMap
+    assert(ch === Map("delete" -> 10L, "insert" -> 3L))
+
+    // constraint: incoming rows outside the predicate fail loudly
+    intercept[IllegalArgumentException](
+      t.overwriteWhere($"id" <= 5L, Seq((99L, "x")).toDF("id", "v")))
+    // truncate-and-load: lit(true) replaces everything
+    t.overwriteWhere(lit(true), Seq((7L, "only")).toDF("id", "v"))
+    assert(t.snapshot().as[(Long, String)].collect().toSeq === Seq((7L, "only")))
+  }
 }
