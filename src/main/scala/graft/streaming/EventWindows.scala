@@ -162,6 +162,38 @@ object EventWindows extends QueryModule {
         sessionFold(gapUs, emitTrailing = !streaming))
   }
 
+  /** Watermarked stream-stream interval join: every left row pairs with
+    * the right rows of the same keys whose time lies in
+    * `[leftTime − tol, leftTime]` (e.g. "clicks at most 30 minutes
+    * before each purchase"). On streaming inputs both sides carry
+    * watermarks and the bounded time condition lets Spark EVICT join
+    * state — without it a stream-stream join buffers forever; inner
+    * matches emit as soon as both rows have arrived. On batch inputs
+    * the same plan is a plain interval join (the banded batch
+    * formulation of [[graft.operators.RangeJoin]] covers the oracle
+    * side of these semantics). Time columns must be named differently
+    * on the two sides; the right side contributes its non-key columns. */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      tol: String = "30 minutes",
+      watermarkDelay: String = "30 minutes"): DataFrame = {
+    require(leftTime != rightTime,
+      "rename the time columns distinctly so the join output is unambiguous")
+    val l =
+      if (left.isStreaming) left.withWatermark(leftTime, watermarkDelay) else left
+    val r =
+      if (right.isStreaming) right.withWatermark(rightTime, watermarkDelay)
+      else right
+    val cond = keys.map(k => l(k) === r(k)).reduce(_ && _) &&
+      col(rightTime) >= col(leftTime) - expr(s"INTERVAL $tol") &&
+      col(rightTime) <= col(leftTime)
+    keys.foldLeft(l.join(r, cond, "inner"))((df, k) => df.drop(r(k)))
+  }
+
   // --------------------------------------------------- q_event_windows
   /** Batch run of the streaming windowed-aggregation plan: 1-hour
     * tumbling windows × event_type over `events`. */

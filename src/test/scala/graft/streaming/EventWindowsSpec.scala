@@ -120,6 +120,47 @@ class EventWindowsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches batch and drops watermark-late rows") {
+    implicit val ctx = spark.sqlContext
+    val purchases = MemoryStream[Ev]
+    val clicks = MemoryStream[Ev]
+    val joined = EventWindows.intervalJoin(
+      purchases.toDF().select($"user_id", $"ts".as("pts"), $"value".as("pv")),
+      clicks.toDF().select($"user_id", $"ts".as("cts"), $"value".as("cv")),
+      Seq("user_id"), "pts", "cts", "30 minutes", "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    try {
+      clicks.addData(Ev(1, t("09:50"), "click", 1.0), Ev(1, t("09:00"), "click", 2.0))
+      purchases.addData(Ev(1, t("10:00"), "purchase", 50.0))
+      q.processAllAvailable()
+      // out-of-order but within watermark: still joins
+      clicks.addData(Ev(1, t("09:55"), "click", 3.0))
+      q.processAllAvailable()
+      // advance both watermarks far past 10:00
+      clicks.addData(Ev(9, t("12:00"), "click", 0.0))
+      purchases.addData(Ev(9, t("12:00"), "purchase", 0.0))
+      q.processAllAvailable()
+      // a click this late is below the watermark: dropped, no pair
+      clicks.addData(Ev(1, t("09:59"), "click", 99.0))
+      q.processAllAvailable()
+
+      val streamed = spark.table("ssj_out")
+        .filter($"user_id" === 1).select("cv").as[Double].collect().toSet
+      assert(streamed === Set(1.0, 3.0),
+        "clicks within 30m join; 09:00 is outside the interval; 09:59 arrived late")
+      // batch plan over the same (non-late) rows agrees
+      val bp = Seq(Ev(1, t("10:00"), "purchase", 50.0))
+        .toDF().select($"user_id", $"ts".as("pts"), $"value".as("pv"))
+      val bc = Seq(Ev(1, t("09:50"), "click", 1.0), Ev(1, t("09:00"), "click", 2.0),
+          Ev(1, t("09:55"), "click", 3.0))
+        .toDF().select($"user_id", $"ts".as("cts"), $"value".as("cv"))
+      val batch = EventWindows.intervalJoin(bp, bc, Seq("user_id"),
+        "pts", "cts", "30 minutes").select("cv").as[Double].collect().toSet
+      assert(batch === streamed)
+    } finally q.stop()
+  }
+
   test("batch sessionize over the real events table is a partition of the events") {
     val events = Tables.events(spark, sf)
     val sessions = EventWindows.sessionize(events).cache()
