@@ -20,6 +20,7 @@ import graft.table.VersionedTable
   *                      -- bin-packing compaction / z-order clustering
   *   RESTORE [TABLE] <table> TO VERSION AS OF <v>
   *   UPDATE [TABLE] <table> SET c = <expr> [, ...] [WHERE <pred>]
+  *   DESCRIBE HISTORY <table>
   * }}}
   *
   * `<table>` is either a `'quoted'` filesystem path of a versioned
@@ -47,6 +48,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?(\S+?)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
   private val Update =
     """(?is)\s*UPDATE\s+(?:TABLE\s+)?(\S+?)\s+SET\s+(.+?)\s*;?\s*""".r
+  private val History =
+    """(?is)\s*DESCRIBE\s+HISTORY\s+(\S+?)\s*;?\s*""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case Vacuum(tbl, retain) =>
@@ -56,6 +59,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         Option(zcols).toSeq.flatMap(_.split(','))
           .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty))
     case Restore(tbl, v) => RestoreCommand(tbl, v.toLong)
+    case History(tbl) => HistoryCommand(tbl)
     case Update(tbl, rest) =>
       val (setPart, wherePart) = topLevelIndexOfWord(rest, "WHERE") match {
         case -1 => (rest, None)
@@ -178,6 +182,23 @@ case class OptimizeCommand(
   }
 }
 
+/** `DESCRIBE HISTORY <table>` — the commit log as rows, newest first
+  * (Delta's history surface), straight from the manifests. */
+case class HistoryCommand(table: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("timestamp",
+      org.apache.spark.sql.types.TimestampType, nullable = false)(),
+    AttributeReference("operation",
+      org.apache.spark.sql.types.StringType, nullable = false)(),
+    AttributeReference("num_added_files", LongType, nullable = false)(),
+    AttributeReference("num_removed_files", LongType, nullable = false)(),
+    AttributeReference("num_files", LongType, nullable = false)(),
+    AttributeReference("num_rows", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    GraftSqlParser.resolve(spark, table).history().collect().toSeq
+}
+
 case class RestoreCommand(table: String, version: Long) extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
@@ -215,7 +236,7 @@ object GraftSql {
   def execute(spark: SparkSession, sqlText: String): Seq[Row] =
     new GraftSqlParser(spark.sessionState.sqlParser).parsePlan(sqlText) match {
       case c @ (_: VacuumCommand | _: OptimizeCommand |
-                _: RestoreCommand | _: UpdateCommand) =>
+                _: RestoreCommand | _: UpdateCommand | _: HistoryCommand) =>
         c.asInstanceOf[LeafRunnableCommand].run(spark)
       case _ => spark.sql(sqlText).collect().toSeq
     }

@@ -261,6 +261,23 @@ final class VersionedTable private (
   /** Current snapshot. */
   def snapshot(): DataFrame = snapshotAt(latestVersion)
 
+  /** Commit history newest-first (Delta's `DESCRIBE HISTORY` shape):
+    * one row per version with the operation, commit timestamp, and
+    * file/row deltas — all straight from the manifests, no data IO.
+    * Driver-side by construction (history length = commit count). */
+  def history(): DataFrame = {
+    val rows = versions.sorted.reverse.map { v =>
+      val m = manifest(v)
+      (m.version, new java.sql.Timestamp(m.timestampMs), m.operation,
+        m.addedFiles.size.toLong, m.removedFiles.size.toLong,
+        m.dataFiles.size.toLong,
+        m.dataFiles.flatMap(_.rows).sum)
+    }
+    import spark.implicits._
+    rows.toDF("version", "timestamp", "operation",
+      "num_added_files", "num_removed_files", "num_files", "num_rows")
+  }
+
   /** Time travel — `VERSION AS OF v` (S8, demo-notebook.py:533-535).
     * The snapshot of any version is exactly its manifest's file listing;
     * no version is ever "reconstructed" by replay or rewrite. */

@@ -161,6 +161,19 @@ class GraftSparkCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE graft.db5.r")
   }
 
+  test("CREATE TABLE AS SELECT materializes through the transactional layer") {
+    val wh = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db6")
+    spark.sql(
+      "CREATE TABLE graft.db6.c AS SELECT id, concat('v', id) AS v FROM range(5)")
+    assert(spark.sql("SELECT id, v FROM graft.db6.c ORDER BY id")
+      .as[(Long, String)].collect().toSeq ===
+      (0L to 4L).map(i => (i, s"v$i")))
+    val t = VersionedTable.load(spark, s"$wh/db6/c")
+    assert(t.latestVersion >= 1L, "CTAS = create + committed write")
+    spark.sql("DROP TABLE graft.db6.c")
+  }
+
   test("time travel on a bucketed (copy-on-write) table through SQL") {
     val wh = warehouse
     val path = s"$wh/db2/cow"

@@ -76,6 +76,30 @@ class GraftSqlParserSpec extends SparkSpec {
     }
   }
 
+  test("DESCRIBE HISTORY returns the commit log newest-first") {
+    withExtendedSession { s =>
+      import s.implicits._
+      val path = Files.createTempDirectory("history").resolve("t").toString
+      val t = VersionedTable.create(s, path,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType))))
+      t.append(Seq(1L, 2L).toDF("id"))          // v1 append
+      t.append(Seq(3L).toDF("id"))              // v2 append
+      t.deleteWhere($"id" === 1L)               // v3 delete
+
+      val h = s.sql(s"DESCRIBE HISTORY '$path'").collect()
+      assert(h.map(_.getLong(0)).toSeq === Seq(3L, 2L, 1L, 0L))
+      assert(h.map(_.getString(2)).toSeq ===
+        Seq("delete", "append", "append", "create"))
+      assert(h.head.getLong(6) === 2L, "latest version holds 2 rows")
+      // timestamps strictly increase with version
+      val ts = h.map(_.getTimestamp(1).getTime).toSeq.reverse
+      assert(ts === ts.sorted && ts.distinct === ts)
+      VersionedTable.deleteRecursively(java.nio.file.Paths.get(path).getParent)
+    }
+  }
+
   test("UPDATE statement maps onto touched-file updateWhere with CDF rows") {
     withExtendedSession { s =>
       import s.implicits._
