@@ -430,6 +430,34 @@ object Relational extends QueryModule {
       |JOIN orders ON b.k = o_orderkey
       |GROUP BY o_orderstatus""".stripMargin
 
+  // ------------------------------------------------------ q_running_total
+  /** Cumulative window + lag in one pass: per-user running value total
+    * (exact DECIMAL, so the running value is order-independent in value
+    * and deterministic in position via the (ts, event_id) sort) and the
+    * gap to the previous event — the frame/offset window idioms §2.6's
+    * ranking dedup didn't exercise. One shuffle on user_id serves both
+    * window functions. */
+  private def qRunningTotal(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val order = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+    val frame = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"), $"value")
+      .select($"user_id", $"event_id", $"ts_us",
+        sum($"value".cast("decimal(18,2)")).over(frame)
+          .cast("double").as("running_value"),
+        ($"ts_us" - lag($"ts_us", 1).over(order)).as("gap_us"))
+  }
+  private val qRunningTotalSql =
+    """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      |  sum(value::DECIMAL(18,2)) OVER w_frame::DOUBLE AS running_value,
+      |  epoch_us(ts) - lag(epoch_us(ts)) OVER w_order AS gap_us
+      |FROM events
+      |WINDOW
+      |  w_order AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id),
+      |  w_frame AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+      |              ROWS UNBOUNDED PRECEDING)""".stripMargin
+
   // ---------------------------------------------------------- q_asof_join
   /** Backward as-of join (graft.operators.AsofJoin): every purchase
     * picks up the same user's latest click at-or-before it — the
@@ -508,7 +536,8 @@ object Relational extends QueryModule {
     "q17_skew_aqe"        -> q17 _,
     "q18_skew_salted"     -> q18 _,
     "q_asof_join"         -> qAsofJoin _,
-    "q_range_join"        -> qRangeJoin _)
+    "q_range_join"        -> qRangeJoin _,
+    "q_running_total"     -> qRunningTotal _)
 
   override val oracles: Seq[(String, String)] = Seq(
     "q1_pricing_summary"  -> q1Sql,
@@ -530,5 +559,6 @@ object Relational extends QueryModule {
     "q17_skew_aqe"        -> qSkewSql,
     "q18_skew_salted"     -> qSkewSql,
     "q_asof_join"         -> qAsofJoinSql,
-    "q_range_join"        -> qRangeJoinSql)
+    "q_range_join"        -> qRangeJoinSql,
+    "q_running_total"     -> qRunningTotalSql)
 }
