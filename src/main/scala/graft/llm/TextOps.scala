@@ -167,15 +167,67 @@ object TextOps extends QueryModule {
       |        i -> md5(substr(text, i, 5))) AS gh
       |      FROM documents WHERE length(text) >= 5)""".stripMargin
 
+  // ----------------------------------------------------- q_corpus_prep
+  /** End-to-end training-corpus preparation — the ops above COMPOSED
+    * into the pipeline a data-curation job actually runs:
+    *   1. quality gate (≥ 5 whitespace tokens),
+    *   2. exact dedup by content hash (min-doc_id survivor — W1's
+    *      window idiom on a derived key),
+    *   3. per-language token budget: documents admitted in doc_id order
+    *      until the language's cumulative token count passes 2k (the
+    *      running-frame window), emitting each survivor with its
+    *      running total.
+    * Every stage is declarative (two window shuffles + per-row exprs),
+    * so the whole pipeline is one Catalyst plan — filters and hashing
+    * reach the scan, the two windows are the only exchanges. */
+  private val TOKEN_BUDGET = 2000L
+
+  private def qCorpusPrep(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wDup = Window.partitionBy(col("content_hash"))
+      .orderBy(col("doc_id").asc_nulls_last)
+    val wBudget = Window.partitionBy(col("lang"))
+      .orderBy(col("doc_id").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents(s, d)
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .filter(col("n_tokens") >= 5)
+      .withColumn("content_hash", md5(col("text")))
+      .withColumn("__rnk", row_number().over(wDup))
+      .filter(col("__rnk") === 1)
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(wBudget))
+      .filter(col("cum_tokens") <= TOKEN_BUDGET)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("cum_tokens"))
+  }
+  private val qCorpusPrepSql =
+    s"""WITH gated AS (
+      |  SELECT doc_id, lang, md5(text) AS content_hash,
+      |         len(string_split(text, ' ')) AS n_tokens
+      |  FROM documents WHERE len(string_split(text, ' ')) >= 5),
+      |deduped AS (
+      |  SELECT doc_id, lang, n_tokens,
+      |         row_number() OVER (PARTITION BY content_hash
+      |                            ORDER BY doc_id ASC) AS rnk
+      |  FROM gated),
+      |budgeted AS (
+      |  SELECT doc_id, lang, n_tokens,
+      |         sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id ASC
+      |                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      |  FROM deduped WHERE rnk = 1)
+      |SELECT doc_id, lang, n_tokens, cum_tokens
+      |FROM budgeted WHERE cum_tokens <= $TOKEN_BUDGET""".stripMargin
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q_text_stats"      -> qTextStats _,
     "q_lang_id"         -> qLangId _,
     "q_token_count"     -> qTokenCount _,
-    "q_doc_fingerprint" -> qDocFingerprint _)
+    "q_doc_fingerprint" -> qDocFingerprint _,
+    "q_corpus_prep"     -> qCorpusPrep _)
 
   override val oracles: Seq[(String, String)] = Seq(
     "q_text_stats"      -> qTextStatsSql,
     "q_lang_id"         -> qLangIdSql,
     "q_token_count"     -> qTokenCountSql,
-    "q_doc_fingerprint" -> qDocFingerprintSql)
+    "q_doc_fingerprint" -> qDocFingerprintSql,
+    "q_corpus_prep"     -> qCorpusPrepSql)
 }

@@ -62,11 +62,14 @@ object EventWindows extends QueryModule {
   def windowedAgg(
       events: DataFrame,
       windowDur: String = "1 hour",
-      watermarkDelay: String = "30 minutes"): DataFrame = {
+      watermarkDelay: String = "30 minutes",
+      slide: Option[String] = None): DataFrame = {
     val src =
       if (events.isStreaming) events.withWatermark("ts", watermarkDelay)
       else events
-    src.groupBy(window(col("ts"), windowDur), col("event_type"))
+    val win = slide.fold(window(col("ts"), windowDur))(
+      s => window(col("ts"), windowDur, s))
+    src.groupBy(win, col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
       .select(
@@ -207,6 +210,24 @@ object EventWindows extends QueryModule {
       |       sum(value::DECIMAL(18,2))::DOUBLE AS sum_value
       |FROM events GROUP BY 1, 2, 3""".stripMargin
 
+  // ------------------------------------------------- q_sliding_windows
+  /** Sliding (hopping) windows: 1-hour windows every 30 minutes, so
+    * each event lands in exactly two windows. The oracle derives the
+    * same window set per row from the 30-minute bucket and its
+    * predecessor hop. */
+  private def qSlidingWindows(s: SparkSession, d: String): DataFrame =
+    windowedAgg(Tables.events(s, d), "1 hour", slide = Some("30 minutes"))
+
+  private val qSlidingWindowsSql =
+    """SELECT epoch_us(time_bucket(INTERVAL 30 MINUTE, ts))
+      |         - h * 1800000000 AS window_start_us,
+      |       epoch_us(time_bucket(INTERVAL 30 MINUTE, ts))
+      |         - h * 1800000000 + 3600000000 AS window_end_us,
+      |       event_type, count(*) AS n_events,
+      |       sum(value::DECIMAL(18,2))::DOUBLE AS sum_value
+      |FROM events, generate_series(0, 1) AS t(h)
+      |GROUP BY 1, 2, 3""".stripMargin
+
   // ------------------------------------------------------ q_sessionize
   /** Batch run of the SAME `flatMapGroupsWithState` fold the streaming
     * path uses — the custom-state operator itself sits under the oracle
@@ -239,10 +260,12 @@ object EventWindows extends QueryModule {
   }
 
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
-    "q_event_windows" -> qEventWindows _,
-    "q_sessionize"    -> qSessionize _)
+    "q_event_windows"   -> qEventWindows _,
+    "q_sliding_windows" -> qSlidingWindows _,
+    "q_sessionize"      -> qSessionize _)
 
   override val oracles: Seq[(String, String)] = Seq(
-    "q_event_windows" -> qEventWindowsSql,
-    "q_sessionize"    -> qSessionizeSql)
+    "q_event_windows"   -> qEventWindowsSql,
+    "q_sliding_windows" -> qSlidingWindowsSql,
+    "q_sessionize"      -> qSessionizeSql)
 }
