@@ -71,4 +71,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
       s"merge hint must keep q17 a shuffle join so AQE owns the skew:\n$p")
   }
+
+  test("running-total windows pay exactly one key shuffle") {
+    val p = plan("q_running_total")
+    assert(p.split("Exchange").length - 1 === 1,
+      s"both window functions must share ONE user_id exchange:\n$p")
+    assert(!p.contains("Join"), s"no join belongs in this plan:\n$p")
+  }
+
+  test("corpus prep composes into one plan with exactly two window shuffles") {
+    val p = plan("q_corpus_prep")
+    assert(p.split("Exchange").length - 1 === 2,
+      s"dedup (content_hash) + budget (lang) = two exchanges, no more:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string,lang:string>"),
+      s"the scan must prune to the three referenced columns:\n$p")
+  }
+
+  test("windowed aggregation is a partial-aggregate plan, not a raw shuffle") {
+    val p = plan("q_event_windows")
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"),
+      s"window x type aggregation must hash-aggregate:\n$p")
+    assert(p.split("Exchange").length - 1 === 1,
+      s"one shuffle on the group keys:\n$p")
+  }
 }
