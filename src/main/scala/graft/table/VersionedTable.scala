@@ -709,8 +709,16 @@ final class VersionedTable private (
     require(!isBucketed,
       "bucketed tables cluster by key hash; ZORDER applies to log-style tables")
     val prev = latestManifest
-    zcols.foreach(c => require(prev.schema.fieldNames.contains(c),
-      s"unknown ZORDER column: $c"))
+    zcols.foreach { c =>
+      val f = prev.schema.fields.find(_.name == c)
+      require(f.isDefined, s"unknown ZORDER column: $c")
+      // quantile ranks need a numeric ordering; a string column would
+      // rank via cast-to-double — a silent no-op (or an ANSI runtime
+      // error), so refuse up front
+      require(f.get.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
+          || f.get.dataType == org.apache.spark.sql.types.TimestampType,
+        s"ZORDER column $c must be numeric or timestamp, got ${f.get.dataType}")
+    }
     if (prev.dataFiles.isEmpty) return None
     val df = readFiles(prev.dataFiles.map(_.path), prev.schema)
     val bits = 4 // 16 quantile buckets per dimension

@@ -92,5 +92,6 @@ class ZorderSpec extends SparkSpec {
     assert(t.zorder(Seq("b", "a"), 10).nonEmpty) // null column ranks constant
     assert(t.snapshot().count() === 2L)
     intercept[IllegalArgumentException](t.zorder(Seq("nope"), 10))
+    intercept[IllegalArgumentException](t.zorder(Seq("tag"), 10)) // string col
   }
 }
