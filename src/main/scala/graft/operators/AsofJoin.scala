@@ -40,7 +40,12 @@ object AsofJoin {
   /** @param payload right columns carried onto each matched left row,
     *                emitted as `prefix + name` (plus `prefix + "time"`,
     *                the matched right timestamp); all NULL when the key
-    *                has no right row at or before the left time. */
+    *                has no right row at or before the left time.
+    * @param toleranceUs when set, a match older than `leftTime −
+    *                toleranceUs` is discarded (pandas `merge_asof
+    *                tolerance`): the carried struct is nulled AFTER the
+    *                window, so staleness filtering costs one codegen'd
+    *                comparison, not a different plan. */
   def asof(
       left: DataFrame,
       right: DataFrame,
@@ -48,7 +53,8 @@ object AsofJoin {
       leftTime: String,
       rightTime: String,
       payload: Seq[String],
-      prefix: String = "asof_"): DataFrame = {
+      prefix: String = "asof_",
+      toleranceUs: Option[Long] = None): DataFrame = {
     require(keys.nonEmpty, "as-of join needs at least one equality key")
     val lCols = left.columns.toSeq.filterNot(keys.contains)
     val rStruct = struct(
@@ -69,7 +75,12 @@ object AsofJoin {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__t").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    u.withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
+    val carried = u.withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
+    val fresh = toleranceUs.fold(carried)(tol =>
+      carried.withColumn("__r",
+        when(col("__r.__rt") >= col("__t") - expr(s"INTERVAL $tol MICROSECOND"),
+          col("__r"))))
+    fresh
       .filter(col("__side") === 1)
       .select(keys.map(col) ++
         lCols.map(c => col(s"__l_$c").as(c)) ++

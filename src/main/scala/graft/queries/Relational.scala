@@ -430,6 +430,25 @@ object Relational extends QueryModule {
       |JOIN orders ON b.k = o_orderkey
       |GROUP BY o_orderstatus""".stripMargin
 
+  // ---------------------------------------------------------- q_anti_join
+  /** Left ANTI join (q4's semi-join mirrored): customers with NO
+    * high-value order — the NOT EXISTS shape. The filter sits on the
+    * right side's scan (pushed), and the anti join needs only the join
+    * key from the right — a build side of distinct keys, not rows. */
+  private def qAntiJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    customer(s, d)
+      .join(orders(s, d).filter($"o_totalprice" > 300000.0),
+        $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name", $"c_acctbal")
+  }
+  private val qAntiJoinSql =
+    """SELECT c_custkey, c_name, c_acctbal
+      |FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND o.o_totalprice > 300000)""".stripMargin
+
   // ------------------------------------------------------ q_running_total
   /** Cumulative window + lag in one pass: per-user running value total
     * (exact DECIMAL, so the running value is order-independent in value
@@ -537,6 +556,7 @@ object Relational extends QueryModule {
     "q18_skew_salted"     -> q18 _,
     "q_asof_join"         -> qAsofJoin _,
     "q_range_join"        -> qRangeJoin _,
+    "q_anti_join"         -> qAntiJoin _,
     "q_running_total"     -> qRunningTotal _)
 
   override val oracles: Seq[(String, String)] = Seq(
@@ -560,5 +580,6 @@ object Relational extends QueryModule {
     "q18_skew_salted"     -> qSkewSql,
     "q_asof_join"         -> qAsofJoinSql,
     "q_range_join"        -> qRangeJoinSql,
+    "q_anti_join"         -> qAntiJoinSql,
     "q_running_total"     -> qRunningTotalSql)
 }

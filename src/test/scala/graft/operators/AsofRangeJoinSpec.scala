@@ -42,6 +42,18 @@ class AsofRangeJoinSpec extends SparkSpec {
     assert(out("l0") === None, "no right row at or before 09:00 for key 1")
   }
 
+  test("asof tolerance discards stale matches but keeps the left row") {
+    val left = Seq((1L, ts("12:00"), "l")).toDF("k", "t", "tag")
+    val right = Seq((1L, ts("09:00"), 5.0)).toDF("k", "t", "v")
+    val loose = AsofJoin.asof(left, right, Seq("k"), "t", "t", Seq("v"))
+      .select($"asof_v").as[Option[Double]].head()
+    assert(loose === Some(5.0))
+    val strict = AsofJoin.asof(left, right, Seq("k"), "t", "t", Seq("v"),
+        toleranceUs = Some(3600000000L)) // 1 hour: 09:00 is too stale
+      .select($"asof_v").as[Option[Double]].collect()
+    assert(strict.toSeq === Seq(None), "stale match nulls, left row survives")
+  }
+
   test("the asof plan is one key shuffle with NO join node") {
     val (left, right) = sides()
     val plan = AsofJoin.asof(left, right, Seq("user_id"), "ts", "ts",
