@@ -101,4 +101,39 @@ class LlmRecallSpec extends SparkSpec {
     assert(curve.sliding(2).forall { case Seq((_, a), (_, b)) => b >= a })
     assert(curve.last._2 >= 0.98, "nprobe=8 of 16 cells should be near-exhaustive")
   }
+
+  test("near-dup capture at the borderline threshold: sharp 12-bit bands still catch") {
+    graft.functions.GraftFunctions.register(spark)
+    // pairs at cosine EXACTLY 0.955 — just above the 0.95 verify
+    // threshold, the HARDEST true positives. Theory for 12 bands × 12
+    // bits: p = 1 − acos(0.955)/π ≈ 0.904, capture 1−(1−p^12)^12 ≈ 0.99.
+    val rng = new scala.util.Random(7)
+    def unit(): Array[Double] = {
+      val v = Array.fill(dims)(rng.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val c = 0.955
+    val s = math.sqrt(1 - c * c)
+    val originals = (0 until 100).map(i => (i.toLong, unit()))
+    val dups = originals.map { case (id, q) =>
+      val raw = unit()
+      val proj = (0 until dims).map(i => raw(i) * q(i)).sum
+      val orth = Array.tabulate(dims)(i => raw(i) - proj * q(i))
+      val on = math.sqrt(orth.map(x => x * x).sum)
+      (1000L + id, Array.tabulate(dims)(i => c * q(i) + s * orth(i) / on))
+    }
+    val noise = (0 until 1000).map(i => (10000L + i.toLong, unit()))
+    val emb = (originals ++ dups ++ noise)
+      .map { case (id, v) => (id, v.map(_.toFloat)) }
+      .toDF("vec_id", "embedding")
+    val flagged = DedupOps.neardupFlags(emb)
+      .filter(col("is_dup")).select("vec_id").as[Long].collect().toSet
+    val captured = (0 until 100).count(i => flagged.contains(1000L + i))
+    info(f"near-dup capture at cos 0.955 (tau 0.95): ${captured / 100.0}%.2f")
+    assert(captured >= 90, s"only $captured/100 borderline near-dups captured")
+    assert(!flagged.exists(_ < 100), "no original may be flagged")
+    // noise pairs concentrate near cos 0 — none reach the 0.95 verify
+    assert(!flagged.exists(id => id >= 10000L), "noise must never be flagged")
+  }
 }
