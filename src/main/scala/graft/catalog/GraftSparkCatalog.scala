@@ -256,16 +256,23 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
     * rejected (narrowing/renames would invalidate inherited files). */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val t = versioned(ident)
-    val newFields = changes.map {
+    val newFields = changes.collect {
       case add: TableChange.AddColumn =>
         require(add.fieldNames().length == 1,
           "only top-level ADD COLUMNS is supported")
         StructField(add.fieldNames().head, add.dataType(), nullable = true)
-      case other =>
-        throw new UnsupportedOperationException(
-          s"ALTER TABLE change not supported: $other")
     }
-    t.evolveSchema(StructType(t.schema.fields ++ newFields))
+    val newProps = changes.collect {
+      case sp: TableChange.SetProperty => sp.property() -> sp.value()
+    }
+    changes.foreach {
+      case _: TableChange.AddColumn | _: TableChange.SetProperty =>
+      case other => throw new UnsupportedOperationException(
+        s"ALTER TABLE change not supported: $other")
+    }
+    if (newFields.nonEmpty)
+      t.evolveSchema(StructType(t.schema.fields ++ newFields))
+    if (newProps.nonEmpty) t.setProperties(newProps.toMap)
     loadTable(ident)
   }
 

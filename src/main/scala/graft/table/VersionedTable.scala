@@ -444,7 +444,8 @@ final class VersionedTable private (
       extraTxn: Map[String, Long] = Map.empty,
       newSchemaJson: Option[String] = None,
       baseVersion: Option[Long] = None,
-      conflictsWith: Option[DataFile => Boolean] = None): Option[Long] = {
+      conflictsWith: Option[DataFile => Boolean] = None,
+      newProperties: Option[Map[String, String]] = None): Option[Long] = {
     val removedSet = removed.toSet
     var attempt = 0
     while (true) {
@@ -508,7 +509,8 @@ final class VersionedTable private (
 
       val m = CommitManifest(v, operation, ts,
         newSchemaJson.getOrElse(prev.schemaJson),
-        prev.properties, prev.txn ++ txn.toMap ++ extraTxn,
+        newProperties.getOrElse(prev.properties),
+        prev.txn ++ txn.toMap ++ extraTxn,
         prev.bucketKeys, prev.numBuckets,
         dataFiles = prev.dataFiles.filterNot(f => removedSet.contains(f.path)) ++ added,
         addedFiles = added.map(_.path),
@@ -618,7 +620,9 @@ final class VersionedTable private (
   def append(rows: DataFrame, txn: Option[(String, Long)] = None): Option[Long] = {
     require(!isBucketed,
       "append is for log-style tables; bucketed (CoW) tables are maintained by merge")
-    val added = ingest(align(rows))
+    val aligned = align(rows)
+    enforceConstraints(aligned)
+    val added = ingest(aligned)
     val staged = readFiles(added.map(_.path), schema)
     retractingOnFailure(added) {
       commitFiles(added, Seq.empty,
@@ -801,6 +805,39 @@ final class VersionedTable private (
     }
   }
 
+  /** `ALTER TABLE SET TBLPROPERTIES`: merges `updates` into the table
+    * properties as a metadata-only commit (readers of old versions keep
+    * the old properties — they live in the manifest like the schema).
+    * Setting a `graft.constraint.<name>` property installs a CHECK
+    * constraint every subsequent append / replaceWhere / UPDATE
+    * validates against. */
+  def setProperties(updates: Map[String, String]): Option[Long] = {
+    val base = latestManifest
+    val merged = base.properties ++ updates
+    if (merged == base.properties) None
+    else commitFiles(Seq.empty, Seq.empty, None, "setproperties",
+      baseVersion = Some(base.version), newProperties = Some(merged))
+  }
+
+  /** CHECK constraints (`graft.constraint.<name>` = boolean SQL expr)
+    * evaluated against a batch of rows about to be written; a violation
+    * fails the write LOUDLY with the constraint's name before any file
+    * is committed (Delta's write-time constraint contract). NULL
+    * evaluations count as violations (a constraint must hold, not
+    * merely not-fail). Enforced on append / overwriteWhere / the
+    * updateWhere post-image — MERGE validates through its own clause
+    * semantics. */
+  private def enforceConstraints(rows: DataFrame): Unit =
+    properties.foreach { case (k, sql) =>
+      if (k.startsWith(PROP_CONSTRAINT_PREFIX)) {
+        val name = k.stripPrefix(PROP_CONSTRAINT_PREFIX)
+        require(
+          rows.filter(!coalesce(expr(sql).cast("boolean"), lit(false)))
+            .isEmpty,
+          s"CHECK constraint '$name' ($sql) violated by incoming rows")
+      }
+    }
+
   /** Delta's `replaceWhere` / SQL `INSERT INTO … REPLACE WHERE` /
     * `INSERT OVERWRITE`: in ONE atomic commit, rows matching `cond` are
     * deleted and `rows` inserted. Only files containing a match are
@@ -820,6 +857,7 @@ final class VersionedTable private (
     val newRows = align(rows)
     require(newRows.filter(!hit).isEmpty,
       "replaceWhere: every incoming row must satisfy the replaced predicate")
+    enforceConstraints(newRows)
     val touched = touchedFiles(prev, hit)
     val touchedDf = readFiles(touched.map(_.path), prev.schema)
     // kept (non-matching rows of touched files) and new rows stage as
@@ -857,6 +895,7 @@ final class VersionedTable private (
     val pre = touchedDf.filter(hit)
     val post = pre.select(fields.toIndexedSeq.map(f =>
       set.get(f.name).map(_.cast(f.dataType)).getOrElse(col(f.name)).as(f.name)): _*)
+    enforceConstraints(post)
     val added = ingest(touchedDf.filter(!hit).unionByName(post))
     val changes = pre.withColumn("_change_type", lit("update_preimage"))
       .unionByName(post.withColumn("_change_type", lit("update_postimage")))
@@ -983,6 +1022,10 @@ object VersionedTable {
   /** Transient clustering column of [[VersionedTable.zorder]] rewrites;
     * dropped before the write, never lands in a file. */
   val ZORDER_COL = "__zorder"
+  /** Property prefix of write-time CHECK constraints:
+    * `graft.constraint.<name>` = a boolean SQL expression every written
+    * row must satisfy. */
+  val PROP_CONSTRAINT_PREFIX = "graft.constraint."
   /** Marker file recording the highest vacuumed CDF version. */
   val VACUUM_WATERMARK = "_vacuum_watermark"
   /** Table property toggling CDF emission, mirroring

@@ -161,6 +161,42 @@ class GraftSparkCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE graft.db5.r")
   }
 
+  test("CHECK constraints via SET TBLPROPERTIES gate every write path") {
+    val wh = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db7")
+    spark.sql("CREATE TABLE graft.db7.k (id BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO graft.db7.k VALUES (1, 1.5), (2, 2.5)")
+    spark.sql("ALTER TABLE graft.db7.k SET TBLPROPERTIES " +
+      s"('${VersionedTable.PROP_CONSTRAINT_PREFIX}v_positive' = 'v > 0')")
+    val t = VersionedTable.load(spark, s"$wh/db7/k")
+    assert(t.latestManifest.operation === "setproperties")
+
+    // append path: violating batch fails LOUDLY, nothing committed
+    val vBefore = t.latestVersion
+    val bad = intercept[Exception] {
+      spark.sql("INSERT INTO graft.db7.k VALUES (3, -1.0)")
+    }
+    assert(bad.getMessage.contains("v_positive"), bad.getMessage)
+    assert(t.latestVersion === vBefore, "failed write must not commit")
+    // conforming writes proceed
+    spark.sql("INSERT INTO graft.db7.k VALUES (3, 3.5)")
+    assert(spark.sql("SELECT count(*) FROM graft.db7.k").head().getLong(0) === 3L)
+    // UPDATE post-image and replaceWhere are gated too
+    intercept[Exception] {
+      GraftSql.execute(spark, s"UPDATE '$wh/db7/k' SET v = -v WHERE id = 1")
+    }
+    intercept[Exception] {
+      t.overwriteWhere(col("id") === 1L, Seq((1L, -9.0)).toDF("id", "v"))
+    }
+    assert(spark.sql("SELECT count(*) FROM graft.db7.k WHERE v <= 0")
+      .head().getLong(0) === 0L)
+    // a NULL constraint evaluation is a violation, not a pass
+    intercept[Exception] {
+      spark.sql("INSERT INTO graft.db7.k VALUES (4, NULL)")
+    }
+    spark.sql("DROP TABLE graft.db7.k")
+  }
+
   test("CREATE TABLE AS SELECT materializes through the transactional layer") {
     val wh = warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db6")
