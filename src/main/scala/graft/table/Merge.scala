@@ -311,6 +311,12 @@ object Merge {
         // files, and an empty directory cannot be schema-inferred
         val st = spark.read.schema(staged.schema).parquet(stagingDir.toString)
 
+        // CHECK constraints gate exactly the rows this merge INTRODUCES
+        // (inserts + update post-images); untouched target rows pass
+        // through unjudged — Delta's merge-constraint contract
+        table.enforceConstraints(
+          st.filter(in(insertIds) || in(updateIds)).select(col("__new.*")))
+
         val flat = st.filter(!in(deleteIds))
           .select(coalesce(col("__new"), col("__t")).as("r"))
           .select(col("r.*"))

@@ -825,9 +825,9 @@ final class VersionedTable private (
     * is committed (Delta's write-time constraint contract). NULL
     * evaluations count as violations (a constraint must hold, not
     * merely not-fail). Enforced on append / overwriteWhere / the
-    * updateWhere post-image — MERGE validates through its own clause
-    * semantics. */
-  private def enforceConstraints(rows: DataFrame): Unit =
+    * updateWhere post-image — and by [[Merge]] on the rows a merge
+    * introduces (insert + update post-images). */
+  private[table] def enforceConstraints(rows: DataFrame): Unit =
     properties.foreach { case (k, sql) =>
       if (k.startsWith(PROP_CONSTRAINT_PREFIX)) {
         val name = k.stripPrefix(PROP_CONSTRAINT_PREFIX)

@@ -133,6 +133,26 @@ class TableLifecycleSpec extends SparkSpec {
     assert(clone.snapshot().count() === 16L)
   }
 
+  test("CHECK constraints gate the rows a MERGE introduces") {
+    val t = VersionedTable.create(spark, tmp("ck-merge"), schema,
+      bucketBy = Some(BucketSpec(Seq("id"), 4)))
+    Merge.run(t, Seq((1L, "a")).toDF("id", "v"), Seq("id"), upsert)
+    t.setProperties(Map(
+      VersionedTable.PROP_CONSTRAINT_PREFIX + "v_nonempty" -> "length(v) > 0"))
+    val before = t.latestVersion
+    val e = intercept[Exception] {
+      Merge.run(t, Seq((2L, "")).toDF("id", "v"), Seq("id"), upsert)
+    }
+    assert(e.getMessage.contains("v_nonempty"), e.getMessage)
+    assert(t.latestVersion === before, "violating merge must not commit")
+    // a violating UPDATE post-image through merge is caught too
+    intercept[Exception] {
+      Merge.run(t, Seq((1L, "")).toDF("id", "v"), Seq("id"), upsert)
+    }
+    Merge.run(t, Seq((2L, "ok")).toDF("id", "v"), Seq("id"), upsert)
+    assert(t.snapshot().count() === 2L)
+  }
+
   test("overwriteWhere atomically replaces exactly the matching slice with CDF") {
     val t = VersionedTable.create(spark, tmp("replace"), schema,
       Map(VersionedTable.PROP_CDF -> "true"))
