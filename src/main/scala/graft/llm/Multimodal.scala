@@ -5,6 +5,14 @@ import org.apache.spark.sql.functions._
 
 import graft.{QueryModule, Tables}
 
+/** One resized payload produced by the (stubbed) codec. */
+final case class ResizedMedia(
+    doc_id: Long,
+    n_bytes: Int,
+    resized_md5: String,
+    width: Int,
+    height: Int)
+
 /** Decoded-media features produced by the (stubbed) codec. */
 final case class MediaFeature(
     doc_id: Long,
@@ -35,6 +43,15 @@ object StubCodec {
     val mean = if (n == 0) 0.0
       else payload.iterator.map(b => (b & 0xff).toDouble).sum / n
     Decoded(16 + n % 240, 16 + (n * 7) % 240, mean)
+  }
+
+  /** Fake "resize": nearest-neighbor downsample along the byte stream —
+    * keep every `factor`-th byte (a real codec resamples pixels; the
+    * byte-stride stand-in keeps the op deterministic and
+    * oracle-replayable). */
+  def resize(payload: Array[Byte], factor: Int): Array[Byte] = {
+    require(factor >= 1)
+    Array.tabulate((payload.length + factor - 1) / factor)(i => payload(i * factor))
   }
 }
 
@@ -93,6 +110,59 @@ object Multimodal extends QueryModule {
       }
   }
 
+  /** Batch-shaped RESIZE through the stub codec (the remaining codec op
+    * of the driver brief: decode / feature-extract / RESIZE /
+    * frame-sample): every `factor`-th byte survives, dimensions are
+    * re-derived from the resized payload — same `mapPartitions` batch
+    * interface as [[decodeFeatures]]. */
+  def resizeMedia(
+      docs: DataFrame, factor: Int, batchSize: Int = 64): Dataset[ResizedMedia] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    withPayload(docs)
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.map { case (id, payload) =>
+            val rp = StubCodec.resize(payload, factor)
+            val dec = StubCodec.decode(rp)
+            ResizedMedia(id, rp.length,
+              java.security.MessageDigest.getInstance("MD5")
+                .digest(rp).map("%02x".format(_)).mkString,
+              dec.width, dec.height)
+          }
+        }
+      }
+  }
+
+  // ------------------------------------------------- q_multimodal_resize
+  /** The codec-shaped resize under the oracle gate: factor-2 byte
+    * downsample, re-derived dimensions, checksum of the resized bytes.
+    * ASCII payloads let the oracle rebuild the resized payload as the
+    * odd-position characters. */
+  private def qMultimodalResize(s: SparkSession, d: String): DataFrame =
+    resizeMedia(documents(s, d).filter(length(col("text")) >= 1), factor = 2)
+      .toDF()
+      .select(col("doc_id"), col("n_bytes").cast("long").as("n_bytes"),
+        col("resized_md5"), col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"))
+  private val qMultimodalResizeSql =
+    // the series bound is static (DuckDB's generate_series cannot be
+    // lateral over a column): 8192 comfortably exceeds every corpus
+    // text (max ~600 chars); positions beyond the text are filtered
+    """WITH r AS (
+      |  SELECT doc_id, string_agg(substr(text, i, 1), '' ORDER BY i) AS rp
+      |  FROM documents, generate_series(1, 8192, 2) AS t(i)
+      |  WHERE i <= length(text)
+      |  GROUP BY doc_id)
+      |SELECT doc_id,
+      |  octet_length(encode(rp)) AS n_bytes,
+      |  md5(rp) AS resized_md5,
+      |  16 + octet_length(encode(rp)) % 240 AS width,
+      |  16 + (octet_length(encode(rp)) * 7) % 240 AS height
+      |FROM r""".stripMargin
+
   // --------------------------------------------------- q_multimodal_meta
   /** Typed-metadata extraction from the binary column — flat projection
     * so the DuckDB oracle can verify byte lengths, checksums and the
@@ -138,10 +208,12 @@ object Multimodal extends QueryModule {
       |WHERE octet_length(encode(text)) >= $FRAME_BYTES""".stripMargin
 
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
-    "q_multimodal_meta" -> qMultimodalMeta _,
-    "q_frame_sample"    -> qFrameSample _)
+    "q_multimodal_meta"   -> qMultimodalMeta _,
+    "q_multimodal_resize" -> qMultimodalResize _,
+    "q_frame_sample"      -> qFrameSample _)
 
   override val oracles: Seq[(String, String)] = Seq(
-    "q_multimodal_meta" -> qMultimodalMetaSql,
-    "q_frame_sample"    -> qFrameSampleSql)
+    "q_multimodal_meta"   -> qMultimodalMetaSql,
+    "q_multimodal_resize" -> qMultimodalResizeSql,
+    "q_frame_sample"      -> qFrameSampleSql)
 }
