@@ -383,6 +383,27 @@ object Relational extends QueryModule {
       |FROM lineitem
       |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
 
+  // ------------------------------------------------------------- q_cube
+  // CUBE over two dimensions — all four grouping-set combinations in
+  // one pass (q16's ROLLUP walks only the hierarchy's prefixes).
+  private def qCube(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    lineitem(s, d)
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"l_quantity").as("sum_qty"),
+        grouping($"l_returnflag").cast("long").as("g_flag"),
+        grouping($"l_linestatus").cast("long").as("g_status"))
+  }
+  private val qCubeSql =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+      |  sum(l_quantity) AS sum_qty,
+      |  grouping(l_returnflag)::BIGINT AS g_flag,
+      |  grouping(l_linestatus)::BIGINT AS g_status
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
+
   // --------------------------------------------------------------- q17/q18
   // A DELIBERATELY skewed join — ~75% of lineitem lands on one hot key —
   // resolved two ways over identical data and oracle:
@@ -552,6 +573,7 @@ object Relational extends QueryModule {
     "q14_salted_join"     -> q14 _,
     "q15_percentiles"     -> q15 _,
     "q16_rollup"          -> q16 _,
+    "q_cube"              -> qCube _,
     "q17_skew_aqe"        -> q17 _,
     "q18_skew_salted"     -> q18 _,
     "q_asof_join"         -> qAsofJoin _,
@@ -576,6 +598,7 @@ object Relational extends QueryModule {
     "q14_salted_join"     -> q14Sql,
     "q15_percentiles"     -> q15Sql,
     "q16_rollup"          -> q16Sql,
+    "q_cube"              -> qCubeSql,
     "q17_skew_aqe"        -> qSkewSql,
     "q18_skew_salted"     -> qSkewSql,
     "q_asof_join"         -> qAsofJoinSql,

@@ -165,6 +165,25 @@ object EventWindows extends QueryModule {
         sessionFold(gapUs, emitTrailing = !streaming))
   }
 
+  /** Streaming dedup bounded by the watermark
+    * (`dropDuplicatesWithinWatermark`): duplicate keys arriving within
+    * the lateness window collapse to the first; a key's state is
+    * evicted once the watermark passes it, so dedup memory is bounded
+    * by the watermark delay, not the stream's history. This is the
+    * bounded-state complement of the CDC pipeline's TRANSACTIONAL dup
+    * suppression ([[CdcStreams]] — content hash + txn batch ids, which
+    * catches redeliveries at ANY distance but per merge key); use this
+    * for raw event streams where the dup window is known. Batch inputs
+    * fall back to a plain `dropDuplicates`. */
+  def dedupWithinWatermark(
+      events: DataFrame,
+      keys: Seq[String],
+      watermarkDelay: String = "30 minutes"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark("ts", watermarkDelay)
+        .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+    else events.dropDuplicates(keys)
+
   /** Watermarked stream-stream interval join: every left row pairs with
     * the right rows of the same keys whose time lies in
     * `[leftTime − tol, leftTime]` (e.g. "clicks at most 30 minutes

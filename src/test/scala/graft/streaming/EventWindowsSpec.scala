@@ -161,6 +161,34 @@ class EventWindowsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedup within watermark collapses stream duplicates with bounded state") {
+    implicit val ctx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventWindows.dedupWithinWatermark(mem.toDF(), Seq("event_type"),
+        "30 minutes")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      // same key twice in one batch and again in the next (within the
+      // watermark): one survivor
+      mem.addData(Ev(1, t("10:00"), "click", 1.0), Ev(2, t("10:05"), "click", 2.0))
+      q.processAllAvailable()
+      mem.addData(Ev(3, t("10:10"), "click", 3.0), Ev(4, t("10:20"), "view", 4.0))
+      q.processAllAvailable()
+      mem.addData(Ev(5, t("15:00"), "x", 0.0)) // expire the dedup state
+      q.processAllAvailable()
+      // far past the watermark: the key's state is gone, so this is a
+      // NEW occurrence (the documented bounded-state trade)
+      mem.addData(Ev(6, t("15:05"), "click", 6.0))
+      q.processAllAvailable()
+
+      val clicks = spark.table("dedup_out").filter($"event_type" === "click")
+        .select("value").as[Double].collect().sorted.toSeq
+      assert(clicks === Seq(1.0, 6.0),
+        "one survivor inside the window, a fresh one after state expiry")
+    } finally q.stop()
+  }
+
   test("batch sessionize over the real events table is a partition of the events") {
     val events = Tables.events(spark, sf)
     val sessions = EventWindows.sessionize(events).cache()
