@@ -12,6 +12,7 @@ object SparkEntry {
   private val modules: Seq[QueryModule] = Seq(
     graft.queries.Relational,
     graft.queries.MergeOps,
+    graft.operators.Sampling,
     graft.streaming.EventWindows,
     graft.llm.TextOps,
     graft.llm.DedupOps,

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryModule, Tables}
+
+/** Deterministic (hash-threshold) sampling for training-data pipelines.
+  *
+  * `df.sample()` draws from a per-partition RNG: the sample changes when
+  * the partitioning changes (repartition, AQE coalesce, task retry with
+  * a different split), which makes pipeline runs non-reproducible at
+  * exactly the scale where retries are guaranteed. The hash-threshold
+  * formulation instead keeps a row iff a 16-bit bucket of md5(id) falls
+  * under the stratum's threshold:
+  *
+  *   - deterministic per ROW, not per partition — same sample on every
+  *     run, every cluster size, every retry;
+  *   - shuffle-free: a codegen'd per-row filter pushed right above the
+  *     scan, so sampling 0.1% of 100 TB reads-and-drops in one pass
+  *     with no exchange;
+  *   - stratified by any expression: the threshold is a Column, so
+  *     per-class rates (balance a skewed label distribution) are a
+  *     CASE expression, still one pass;
+  *   - consistent across tables: sampling two tables by the SAME key
+  *     column yields aligned samples (a joinable subset), the classic
+  *     hash-sampling property that RNG sampling cannot give.
+  *
+  * The bucket is the first 4 hex digits of md5 — portable across
+  * engines (the DuckDB oracle recomputes it with strpos arithmetic) and
+  * uniform enough for sampling (16 bits ≈ 0.0015% rate granularity).
+  */
+object Sampling extends QueryModule {
+  import Tables._
+
+  /** Uniform 16-bit bucket of `id`'s md5 — in [0, 65536). */
+  def hashBucket16(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 4), 16, 10).cast("long")
+
+  /** Keep rows whose bucket falls under `threshold65536` (a per-row
+    * Column in [0, 65536]; rate = threshold/65536). */
+  def sampleByHash(df: DataFrame, id: Column, threshold65536: Column): DataFrame =
+    df.filter(hashBucket16(id) < threshold65536)
+
+  /** Stratified sample: per-stratum integer thresholds (out of 65536)
+    * with a default for unlisted strata. One codegen'd CASE — no join
+    * against a rate table, no per-stratum pass. */
+  def stratifiedSample(df: DataFrame, id: Column, stratum: Column,
+      thresholds: Seq[(String, Int)], defaultThreshold: Int): DataFrame = {
+    val rate = thresholds.foldLeft(when(lit(false), lit(0))) {
+      case (acc, (value, t)) => acc.when(stratum === value, lit(t))
+    }.otherwise(lit(defaultThreshold))
+    sampleByHash(df, id, rate)
+  }
+
+  // -------------------------------------------------- q_stratified_sample
+  // Downsample orders per priority class: keep ~30% of URGENT, ~20% of
+  // HIGH, ~5% of the rest — the label-balancing shape of corpus
+  // preparation. Exact oracle: DuckDB recomputes the identical md5
+  // bucket with hex-digit arithmetic, so the row SET matches, not just
+  // the rate.
+  private def qStratifiedSample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    stratifiedSample(orders(s, d), $"o_orderkey", $"o_orderpriority",
+      Seq("1-URGENT" -> 19661, "2-HIGH" -> 13107), defaultThreshold = 3277)
+      .select($"o_orderkey", $"o_orderpriority", $"o_totalprice")
+  }
+  private val qStratifiedSampleSql =
+    """SELECT o_orderkey, o_orderpriority, o_totalprice
+      |FROM (SELECT *,
+      |        (strpos('0123456789abcdef', substring(md5(o_orderkey::VARCHAR), 1, 1)) - 1) * 4096
+      |      + (strpos('0123456789abcdef', substring(md5(o_orderkey::VARCHAR), 2, 1)) - 1) * 256
+      |      + (strpos('0123456789abcdef', substring(md5(o_orderkey::VARCHAR), 3, 1)) - 1) * 16
+      |      + (strpos('0123456789abcdef', substring(md5(o_orderkey::VARCHAR), 4, 1)) - 1) AS bucket
+      |      FROM orders) t
+      |WHERE bucket < CASE o_orderpriority
+      |                 WHEN '1-URGENT' THEN 19661
+      |                 WHEN '2-HIGH'   THEN 13107
+      |                 ELSE 3277 END""".stripMargin
+
+  override def queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q_stratified_sample" -> (qStratifiedSample _))
+
+  override def oracles: Seq[(String, String)] = Seq(
+    "q_stratified_sample" -> qStratifiedSampleSql)
+}

@@ -404,6 +404,58 @@ object Relational extends QueryModule {
       |FROM lineitem
       |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
 
+  // ------------------------------------------------------------ q_pivot
+  // Wide pivot: order counts and exact-decimal revenue per priority ×
+  // status. Pivot values are EXPLICIT — with them the plan is a single
+  // hash aggregate over conditional expressions; without them Spark
+  // first runs a distinct-values job over the whole input to discover
+  // the columns, an extra full scan you never want at 100 TB.
+  private def qPivot(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    orders(s, d)
+      .groupBy($"o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"o_totalprice".cast("decimal(18,2)")).cast("double").as("rev"))
+  }
+  private val qPivotSql =
+    """SELECT o_orderpriority,
+      |  count(*) FILTER (o_orderstatus = 'F') AS F_n,
+      |  sum(o_totalprice::DECIMAL(18,2)) FILTER (o_orderstatus = 'F')::DOUBLE AS F_rev,
+      |  count(*) FILTER (o_orderstatus = 'O') AS O_n,
+      |  sum(o_totalprice::DECIMAL(18,2)) FILTER (o_orderstatus = 'O')::DOUBLE AS O_rev,
+      |  count(*) FILTER (o_orderstatus = 'P') AS P_n,
+      |  sum(o_totalprice::DECIMAL(18,2)) FILTER (o_orderstatus = 'P')::DOUBLE AS P_rev
+      |FROM orders
+      |GROUP BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------- q_unpivot
+  // Long-form melt of three measure columns into (measure, value) —
+  // the inverse reshaping. Spark's `unpivot` is a per-row generator
+  // (no shuffle, no join): each input row expands to 3 output rows in
+  // the same task, so it scales linearly and preserves partitioning.
+  // The filter bounds the oracle row count, pushed below the expand.
+  private def qUnpivot(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    lineitem(s, d)
+      .filter($"l_orderkey" < 1000)
+      .select($"l_orderkey", $"l_linenumber",
+        $"l_quantity", $"l_extendedprice", $"l_discount")
+      .unpivot(
+        ids = Array($"l_orderkey", $"l_linenumber"),
+        values = Array($"l_quantity", $"l_extendedprice", $"l_discount"),
+        variableColumnName = "measure",
+        valueColumnName = "value")
+  }
+  private val qUnpivotSql =
+    """SELECT l_orderkey, l_linenumber, m.measure, m.value
+      |FROM lineitem,
+      |  LATERAL (VALUES ('l_quantity', l_quantity),
+      |                  ('l_extendedprice', l_extendedprice),
+      |                  ('l_discount', l_discount)) AS m(measure, value)
+      |WHERE l_orderkey < 1000""".stripMargin
+
   // --------------------------------------------------------------- q17/q18
   // A DELIBERATELY skewed join — ~75% of lineitem lands on one hot key —
   // resolved two ways over identical data and oracle:
@@ -574,6 +626,8 @@ object Relational extends QueryModule {
     "q15_percentiles"     -> q15 _,
     "q16_rollup"          -> q16 _,
     "q_cube"              -> qCube _,
+    "q_pivot"             -> qPivot _,
+    "q_unpivot"           -> qUnpivot _,
     "q17_skew_aqe"        -> q17 _,
     "q18_skew_salted"     -> q18 _,
     "q_asof_join"         -> qAsofJoin _,
@@ -599,6 +653,8 @@ object Relational extends QueryModule {
     "q15_percentiles"     -> q15Sql,
     "q16_rollup"          -> q16Sql,
     "q_cube"              -> qCubeSql,
+    "q_pivot"             -> qPivotSql,
+    "q_unpivot"           -> qUnpivotSql,
     "q17_skew_aqe"        -> qSkewSql,
     "q18_skew_salted"     -> qSkewSql,
     "q_asof_join"         -> qAsofJoinSql,
