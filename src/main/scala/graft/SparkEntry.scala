@@ -13,6 +13,7 @@ object SparkEntry {
     graft.queries.Relational,
     graft.queries.MergeOps,
     graft.operators.Sampling,
+    graft.operators.Sketches,
     graft.streaming.EventWindows,
     graft.llm.TextOps,
     graft.llm.DedupOps,

@@ -216,6 +216,39 @@ object EventWindows extends QueryModule {
     keys.foldLeft(l.join(r, cond, "inner"))((df, k) => df.drop(r(k)))
   }
 
+  /** Stream-static enrichment: join each event to a slowly-changing
+    * dimension snapshot (here the `customer` table). The static side is
+    * explicitly `broadcast()`: every micro-batch becomes a stateless
+    * map-side hash join — no shuffle of the stream, no join state
+    * growing between batches (contrast [[intervalJoin]], whose
+    * stream-stream state needs watermark eviction). The dimension is
+    * re-read per micro-batch by Spark's stream-static contract, which
+    * is what makes it a point-in-time snapshot join at 100 TB: the
+    * stream never stalls on dimension size because only the (small,
+    * filtered) dim ships to executors. Left join keeps unmatched
+    * events — enrichment must never drop facts. */
+  def enrichWithDim(
+      events: DataFrame, dim: DataFrame,
+      eventKey: String, dimKey: String): DataFrame =
+    events.join(broadcast(dim), col(eventKey) === col(dimKey), "left")
+
+  // --------------------------------------------------------- q_enrich
+  /** Batch run of the stream-static enrichment plan: events × customer
+    * segment/balance. EventWindowsSpec drives the same code through
+    * MemoryStream and asserts the streamed result equals this. */
+  private def qEnrich(s: SparkSession, d: String): DataFrame =
+    enrichWithDim(
+      Tables.events(s, d),
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal")),
+      "user_id", "c_custkey")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("c_mktsegment"), col("c_acctbal"))
+
+  private val qEnrichSql =
+    """SELECT event_id, user_id, event_type, value, c_mktsegment, c_acctbal
+      |FROM events LEFT JOIN customer ON user_id = c_custkey""".stripMargin
+
   // --------------------------------------------------- q_event_windows
   /** Batch run of the streaming windowed-aggregation plan: 1-hour
     * tumbling windows × event_type over `events`. */
@@ -281,10 +314,12 @@ object EventWindows extends QueryModule {
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q_event_windows"   -> qEventWindows _,
     "q_sliding_windows" -> qSlidingWindows _,
-    "q_sessionize"      -> qSessionize _)
+    "q_sessionize"      -> qSessionize _,
+    "q_enrich"          -> qEnrich _)
 
   override val oracles: Seq[(String, String)] = Seq(
     "q_event_windows"   -> qEventWindowsSql,
     "q_sliding_windows" -> qSlidingWindowsSql,
-    "q_sessionize"      -> qSessionizeSql)
+    "q_sessionize"      -> qSessionizeSql,
+    "q_enrich"          -> qEnrichSql)
 }

@@ -94,4 +94,35 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.split("Exchange").length - 1 === 1,
       s"one shuffle on the group keys:\n$p")
   }
+
+  test("runtime bloom filter prunes the fact side of a selective dim join") {
+    // At 100 TB the win is real: a selective dimension filter becomes a
+    // bloom filter EVALUATED INSIDE THE FACT SCAN, so non-joining fact
+    // rows die before the shuffle instead of after it. The optimizer
+    // gates injection on estimated sizes (application side > 10 GB by
+    // default) — local test inputs never qualify, so the thresholds are
+    // floored here to pin the REWRITE itself; production inherits the
+    // size-gated defaults.
+    val s = spark
+    import s.implicits._
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> conf.get(k))
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "1GB")
+      // a broadcast join would reuse the build side as a DPP-style
+      // filter instead; force the shuffle-join shape the rule targets
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val dim = Tables.orders(spark, sf).filter($"o_orderpriority" === "1-URGENT")
+      val fact = Tables.lineitem(spark, sf)
+      val joined = fact.join(dim, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderpriority").agg(org.apache.spark.sql.functions.sum($"l_quantity"))
+      val p = joined.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain") || p.contains("bloom_filter_agg"),
+        s"expected an injected runtime bloom filter on the fact side:\n$p")
+    } finally saved.foreach { case (k, v) => conf.set(k, v) }
+  }
 }

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** Correctness contract for the sketch aggregates (no cross-engine
+  * oracle exists — sketch bytes are engine-specific — so these bounds
+  * ARE the gate backing q_hll_distinct's rows-only driver check). */
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val li = Tables.lineitem(spark, sf).cache()
+
+  test("HLL per-group estimates are within 2% of exact distinct counts") {
+    val exact = li.groupBy($"l_returnflag")
+      .agg(countDistinct($"l_orderkey").as("exact"))
+      .as[(String, Long)].collect().toMap
+    val approx = Sketches.queries.toMap.apply("q_hll_distinct")(spark, sf)
+      .filter($"l_returnflag" =!= "ALL")
+      .as[(String, Long)].collect().toMap
+    assert(approx.keySet === exact.keySet)
+    for ((k, est) <- approx) {
+      val err = math.abs(est.toDouble - exact(k)) / exact(k)
+      assert(err <= 0.02, s"group $k: estimate $est vs exact ${exact(k)} (err $err)")
+    }
+  }
+
+  test("union of group sketches stays in the one-shot sketch's error envelope") {
+    val grouped = li.groupBy($"l_returnflag")
+      .agg(hll_sketch_agg($"l_orderkey").as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg($"sk")))
+      .as[Long].head()
+    val oneShot = li.agg(hll_sketch_estimate(hll_sketch_agg($"l_orderkey")))
+      .as[Long].head()
+    // registers are NOT bit-identical (sparse→dense promotion happens
+    // at different points when the scan is split by group — measured:
+    // 1467 vs 1473 here), but the union contract is that merging adds
+    // no error beyond the HLL envelope: both estimates sit within 2%
+    // of exact and within 1% of each other
+    val exact = li.agg(countDistinct($"l_orderkey")).as[Long].head()
+    assert(math.abs(grouped.toDouble - oneShot) / oneShot <= 0.01,
+      s"union $grouped vs one-shot $oneShot")
+    assert(math.abs(grouped.toDouble - exact) / exact <= 0.02)
+    assert(math.abs(oneShot.toDouble - exact) / exact <= 0.02)
+  }
+
+  test("approx percentile respects the rank-error bound") {
+    val accuracy = 10000 // default; rank error <= 1/accuracy
+    val n = li.count()
+    val approxP50 = li
+      .agg(percentile_approx($"l_extendedprice", lit(0.5), lit(accuracy)))
+      .as[Double].head()
+    // rank of the returned value must sit within eps*N of the true
+    // median rank — the GK-sketch contract, checked directly
+    val rank = li.filter($"l_extendedprice" <= approxP50).count()
+    val eps = 1.0 / accuracy
+    assert(math.abs(rank - 0.5 * n) <= eps * n + 1,
+      s"rank $rank of approx median vs target ${0.5 * n} (n=$n)")
+  }
+}

@@ -189,6 +189,44 @@ class EventWindowsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment equals batch, stateless and broadcast") {
+    implicit val ctx = spark.sqlContext
+    val dim = Seq((1L, "BUILDING"), (2L, "MACHINERY"))
+      .toDF("c_custkey", "c_mktsegment")
+    val evs = Seq(
+      Ev(1, t("10:00"), "click", 1.0),
+      Ev(2, t("10:05"), "view", 2.0),
+      Ev(9, t("10:10"), "click", 3.0)) // no dim row: left join keeps it
+    val mem = MemoryStream[Ev]
+    val q = EventWindows.enrichWithDim(mem.toDF(), dim, "user_id", "c_custkey")
+      .select($"user_id", $"value", $"c_mktsegment")
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(evs.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(evs.drop(2): _*)
+      q.processAllAvailable()
+
+      val streamed = spark.table("enrich_out")
+        .as[(Long, Double, Option[String])].collect().toSet
+      val batch = EventWindows
+        .enrichWithDim(evs.toDF(), dim, "user_id", "c_custkey")
+        .select($"user_id", $"value", $"c_mktsegment")
+        .as[(Long, Double, Option[String])].collect().toSet
+      assert(streamed === batch, "stream-static join must equal the batch join")
+      assert(streamed.exists(_._3.isEmpty), "unmatched fact row survives (left join)")
+
+      // stateless: no streaming state operator; map-side: broadcast join
+      val p = q.lastProgress
+      assert(p.stateOperators.isEmpty,
+        s"stream-static broadcast join must keep NO state: ${p.prettyJson}")
+    } finally q.stop()
+    val bp = EventWindows.enrichWithDim(evs.toDF(), dim, "user_id", "c_custkey")
+      .queryExecution.executedPlan.toString
+    assert(bp.contains("BroadcastHashJoin"), s"dim side must broadcast:\n$bp")
+  }
+
   test("batch sessionize over the real events table is a partition of the events") {
     val events = Tables.events(spark, sf)
     val sessions = EventWindows.sessionize(events).cache()
