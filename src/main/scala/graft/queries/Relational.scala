@@ -404,6 +404,92 @@ object Relational extends QueryModule {
       |FROM lineitem
       |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
 
+  // ------------------------------------------------------- q_json_props
+  // Semi-structured extraction from the events' JSON `props` column,
+  // both ways Spark 4 offers: `from_json` with an explicit schema (the
+  // right call when the shape is known — a codegen'd struct the
+  // optimizer prunes like any column) and `parse_json` → VARIANT +
+  // `variant_get` (the open-shape path — parse once, bind fields
+  // lazily, no schema migration when producers add keys). Both stay
+  // per-row and shuffle-free; the oracle extracts the same field with
+  // DuckDB's JSON functions, pinning value-level agreement of the two
+  // Spark paths AND the two engines.
+  private def qJsonProps(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    events(s, d).select(
+      $"event_id",
+      from_json($"props", lit("k INT")).getField("k").cast("long").as("k_schema"),
+      variant_get(parse_json($"props"), "$.k", "long").as("k_variant"))
+  }
+  private val qJsonPropsSql =
+    """SELECT event_id,
+      |  json_extract(props, '$.k')::BIGINT AS k_schema,
+      |  json_extract(props, '$.k')::BIGINT AS k_variant
+      |FROM events""".stripMargin
+
+  // ------------------------------------------------------------ q_ntile
+  // Quartile assignment WITHIN each priority class — ntile partitioned
+  // by a real key, so the sort is per-group, not a single global
+  // total-order partition (the global form is the classic scale
+  // anti-pattern: one task sorts the world). The order key is made
+  // unique with the tiebreaker column — ntile under ties is otherwise
+  // nondeterministic between engines.
+  private def qNtile(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_totalprice".asc_nulls_last, $"o_orderkey".asc_nulls_last)
+    orders(s, d).select($"o_orderkey", $"o_orderpriority", $"o_totalprice",
+      ntile(4).over(w).as("quartile"))
+  }
+  private val qNtileSql =
+    """SELECT o_orderkey, o_orderpriority, o_totalprice,
+      |  ntile(4) OVER (PARTITION BY o_orderpriority
+      |                 ORDER BY o_totalprice ASC, o_orderkey ASC) AS quartile
+      |FROM orders""".stripMargin
+
+  // ---------------------------------------------------------- q_set_ops
+  // INTERSECT / EXCEPT chain over customer key sets: urgent-order
+  // customers ∩ F-status customers ∖ AUTOMOBILE segment. Spark plans
+  // both as hash semi/anti joins over distinct keys (same engine shape
+  // as q4/q_anti_join) — set semantics (DISTINCT) match both engines.
+  private def qSetOps(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val urgent = orders(s, d).filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_custkey".as("c_custkey"))
+    val fStatus = orders(s, d).filter($"o_orderstatus" === "F")
+      .select($"o_custkey".as("c_custkey"))
+    val auto = customer(s, d).filter($"c_mktsegment" === "AUTOMOBILE")
+      .select($"c_custkey")
+    urgent.intersect(fStatus).except(auto)
+  }
+  private val qSetOpsSql =
+    """SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      |INTERSECT
+      |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |EXCEPT
+      |SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'""".stripMargin
+
+  // ---------------------------------------------------- q_corr_subquery
+  // Correlated scalar subqueries issued as SQL TEXT: per-customer order
+  // count and max price. Catalyst decorrelates both into ONE left
+  // outer aggregate join (RewriteCorrelatedScalarSubquery) — the naive
+  // per-row re-execution a tuple-at-a-time engine would do simply does
+  // not exist in the plan, which is what makes the construct usable at
+  // scale. The oracle runs the IDENTICAL statement.
+  private val qCorrSubquerySqlText =
+    """SELECT c_custkey, c_name,
+      |  (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders,
+      |  (SELECT max(o_totalprice) FROM orders o
+      |   WHERE o.o_custkey = c.c_custkey) AS max_price
+      |FROM customer c
+      |WHERE c_acctbal > 9000""".stripMargin
+
+  private def qCorrSubquery(s: SparkSession, d: String): DataFrame = {
+    customer(s, d).createOrReplaceTempView("customer")
+    orders(s, d).createOrReplaceTempView("orders")
+    s.sql(qCorrSubquerySqlText)
+  }
+
   // ------------------------------------------------------------ q_pivot
   // Wide pivot: order counts and exact-decimal revenue per priority ×
   // status. Pivot values are EXPLICIT — with them the plan is a single
@@ -628,6 +714,10 @@ object Relational extends QueryModule {
     "q_cube"              -> qCube _,
     "q_pivot"             -> qPivot _,
     "q_unpivot"           -> qUnpivot _,
+    "q_json_props"        -> qJsonProps _,
+    "q_ntile"             -> qNtile _,
+    "q_set_ops"           -> qSetOps _,
+    "q_corr_subquery"     -> qCorrSubquery _,
     "q17_skew_aqe"        -> q17 _,
     "q18_skew_salted"     -> q18 _,
     "q_asof_join"         -> qAsofJoin _,
@@ -655,6 +745,10 @@ object Relational extends QueryModule {
     "q_cube"              -> qCubeSql,
     "q_pivot"             -> qPivotSql,
     "q_unpivot"           -> qUnpivotSql,
+    "q_json_props"        -> qJsonPropsSql,
+    "q_ntile"             -> qNtileSql,
+    "q_set_ops"           -> qSetOpsSql,
+    "q_corr_subquery"     -> qCorrSubquerySqlText,
     "q17_skew_aqe"        -> qSkewSql,
     "q18_skew_salted"     -> qSkewSql,
     "q_asof_join"         -> qAsofJoinSql,

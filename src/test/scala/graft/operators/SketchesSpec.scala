@@ -7,10 +7,17 @@ import graft.{SparkSpec, Tables}
 /** Correctness contract for the sketch aggregates (no cross-engine
   * oracle exists — sketch bytes are engine-specific — so these bounds
   * ARE the gate backing q_hll_distinct's rows-only driver check). */
-class SketchesSpec extends SparkSpec {
+class SketchesSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
   import spark.implicits._
 
+  // cached across the three tests, UNPERSISTED after: a leaked cache
+  // entry here hijacks every later read of the same parquet path in
+  // the shared session (CacheManager plan-matching turns the scan into
+  // an InMemoryRelation with no pushed filters — observed breaking
+  // PlanAuditSpec's pushdown assertions)
   private lazy val li = Tables.lineitem(spark, sf).cache()
+
+  override def afterAll(): Unit = li.unpersist()
 
   test("HLL per-group estimates are within 2% of exact distinct counts") {
     val exact = li.groupBy($"l_returnflag")
