@@ -26,14 +26,23 @@ final case class DataFile(
     rows: Option[Long] = None,
     colMins: Map[String, String] = Map.empty,
     colMaxs: Map[String, String] = Map.empty,
-    nullCounts: Map[String, Long] = Map.empty) {
+    nullCounts: Map[String, Long] = Map.empty,
+    dvs: Seq[String] = Seq.empty,
+    dvRows: Option[Long] = None) {
   /** A file with stats provably cannot contain key-hash `h` outside
-    * [minHash, maxHash]; a file without stats can contain anything. */
+    * [minHash, maxHash]; a file without stats can contain anything.
+    *
+    * Stats stay VALID under deletion vectors: a DV only removes rows,
+    * so min/max/null-count ranges remain conservative (may admit a
+    * file whose only matching rows are deleted — a false positive the
+    * scan resolves, never a false negative). */
   def mayContainHash(h: Long): Boolean =
     (minHash, maxHash) match {
       case (Some(mn), Some(mx)) => h >= mn && h <= mx
       case _ => true
     }
+  /** Live rows after deletion-vector subtraction (when counted). */
+  def liveRows: Option[Long] = rows.map(_ - dvRows.getOrElse(0L))
 }
 
 /** One commit of a [[VersionedTable]] — the JSON manifest under
@@ -283,7 +292,7 @@ final class VersionedTable private (
     * no version is ever "reconstructed" by replay or rewrite. */
   def snapshotAt(v: Long): DataFrame = {
     val m = manifest(v) // throws for unknown versions
-    readFiles(m.dataFiles.map(_.path), m.schema)
+    readDataFiles(m.dataFiles, m.schema)
   }
 
   /** `TIMESTAMP AS OF` resolution: the latest version committed at or
@@ -303,14 +312,51 @@ final class VersionedTable private (
     manifest(v).dataFiles.map(f => root.resolve(f.path).toString)
 
   /** Reads a subset of the table's data files with the given schema —
-    * the merge engine reads ONLY candidate files through this. Missing
-    * columns of older files (pre-schema-evolution) read as nulls. */
+    * RAW: deletion vectors are NOT applied (CDF/staged-file re-reads).
+    * Missing columns of older files (pre-schema-evolution) read as
+    * nulls. Logical reads of table state go through [[readDataFiles]]. */
   def readFiles(relPaths: Seq[String], schema: StructType): DataFrame =
     if (relPaths.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else
       spark.read.schema(schema).parquet(relPaths.map(p => root.resolve(p).toString): _*)
+
+  /** Reads manifest entries with the file's name and row position
+    * (`__file`, `__pos` — from the parquet `_metadata` column, which is
+    * deterministic per file) appended, and deletion vectors SUBTRACTED:
+    * tombstoned positions are anti-joined away before any caller sees a
+    * row. The anti-join stays distributed — DV sets are never collected
+    * to the driver — and Spark broadcasts the (small) tombstone side
+    * under AQE. This is the one code path every logical read shares:
+    * snapshots, time travel, merge candidates, DML touched-file scans. */
+  private[table] def readWithMeta(
+      entries: Seq[DataFile], schema: StructType): DataFrame = {
+    val metaSchema = StructType(schema.fields ++ Seq(
+      StructField("__file", org.apache.spark.sql.types.StringType),
+      StructField("__pos", org.apache.spark.sql.types.LongType)))
+    if (entries.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], metaSchema)
+    val df = spark.read.schema(schema)
+      .parquet(entries.map(f => root.resolve(f.path).toString): _*)
+      .withColumn("__file",
+        element_at(split(col("_metadata.file_path"), "/"), -1))
+      .withColumn("__pos", col("_metadata.row_index"))
+    val dvPaths = entries.flatMap(_.dvs).distinct
+    if (dvPaths.isEmpty) df
+    else df.join(
+      spark.read.parquet(dvPaths.map(p => root.resolve(p).toString): _*)
+        .select(col("__file"), col("__pos")).distinct(),
+      Seq("__file", "__pos"), "left_anti")
+  }
+
+  /** The LOGICAL content of `entries`: raw file rows minus deletion
+    * vectors, in the table schema. */
+  def readDataFiles(entries: Seq[DataFile], schema: StructType): DataFrame =
+    if (entries.forall(_.dvs.isEmpty)) readFiles(entries.map(_.path), schema)
+    else readWithMeta(entries, schema)
+      .select(schema.fields.toIndexedSeq.map(f => col(f.name)): _*)
 
   /** Last batch id committed under `appId`, for idempotent replays. */
   def lastTxn(appId: String): Option[Long] = latestManifest.txn.get(appId)
@@ -1031,6 +1077,17 @@ object VersionedTable {
   /** Table property toggling CDF emission, mirroring
     * `delta.enableChangeDataFeed` (demo-notebook.py:225-227). */
   val PROP_CDF = "graft.enableChangeDataFeed"
+  /** Deletion-vector directory: small parquet files of
+    * `(__file, __pos)` tombstones referenced by manifest entries. */
+  val DV_DIR = "_dv"
+  /** Table property selecting DELETE's write strategy: `cow` (default —
+    * rewrite touched files without the matching rows) or `mor` —
+    * merge-on-read via deletion vectors (Delta's DV feature): DELETE
+    * writes O(matched rows) of position tombstones and rewrites NO data
+    * file; reads subtract the tombstones. The trade: delete latency
+    * becomes independent of file size, read paths pay an anti-join
+    * until OPTIMIZE/compact materializes. */
+  val PROP_DELETE_MODE = "graft.delete.mode"
   /** Table property bounding rows per written data file (file sizing —
     * Delta's `maxRecordsPerFile` analog). Sorted bucket writes make the
     * split files cover disjoint key-hash ranges. */
