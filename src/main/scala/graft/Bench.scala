@@ -35,9 +35,11 @@ object Bench {
     "q17_skew_aqe", "q18_skew_salted",                      // skewed joins
     "q_merge_additive", "q_insert_append", "q_delete_update", // engine writes
     "q_minhash_lsh", "q_ngram_jaccard", "q_doc_fingerprint",  // dedup/text
-    "q_cosine_lsh",                                         // ANN
+    "q_cosine_lsh", "q_ivf_cosine",                         // ANN
     "q_embed_neardup",                                      // embedding dedup
-    "q_asof_join", "q_sessionize")                          // temporal ops
+    "q_asof_join", "q_sessionize",                          // temporal ops
+    "q_optimize", "q_zorder",                               // table rewrites
+    "q_corpus_prep")                                        // text pipeline
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
@@ -112,14 +114,25 @@ object Bench {
     val sf1Json =
       if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(sf1Dir))) ""
       else {
-        val sf1Passes = sys.env.getOrElse("SPARK_GRAFT_SF1_PASSES", "2").toInt
+        // 3 passes so the median discards the cold pass: at sf1 the
+        // first timed pass pays first-touch engine-table builds that
+        // the sf0.1 section amortizes in its warmup (VERDICT r4 #3 —
+        // median-of-2 was averaging cold+warm, spreads up to 3×)
+        val sf1Passes = sys.env.getOrElse("SPARK_GRAFT_SF1_PASSES", "3").toInt
         val (m1, p1, _, e1) = measure(spark, sf1Dir, Sf1Queries, sf1Passes)
         val q1 = m1.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
           .mkString("{", ",", "}")
         s""","sf1":{"value":${fmt(m1.map(_._2).sum)},"queries":$q1,"passes":$p1,"n_passes":$sf1Passes,"errors":$e1,"dir":"${esc(sf1Dir)}"}"""
       }
 
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"passes":$passJson,"pass_totals":${passTotals.map(fmt).mkString("[", ",", "]")},"spread_pct":${fmt(spreadPct)},"n_passes":$passes,"errors":$errJson,"sf":"$sfDir"$sf1Json}""")
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"passes":$passJson,"pass_totals":${passTotals.map(fmt).mkString("[", ",", "]")},"spread_pct":${fmt(spreadPct)},"n_passes":$passes,"errors":$errJson,"sf":"$sfDir"$sf1Json}"""
+    println(json)
+    // Also persist to a file: the driver scrapes the sbt log tail, which
+    // truncates — every BENCH_r*.json landed with "parsed": null
+    // (VERDICT r4 #6). The file is the machine-readable artifact.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

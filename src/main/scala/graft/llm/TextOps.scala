@@ -211,8 +211,9 @@ object TextOps extends QueryModule {
       |  FROM gated),
       |budgeted AS (
       |  SELECT doc_id, lang, n_tokens,
-      |         sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id ASC
-      |                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      |         CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id ASC
+      |                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      |           AS cum_tokens
       |  FROM deduped WHERE rnk = 1)
       |SELECT doc_id, lang, n_tokens, cum_tokens
       |FROM budgeted WHERE cum_tokens <= $TOKEN_BUDGET""".stripMargin

@@ -25,17 +25,25 @@ import graft.{QueryModule, Tables}
   *
   * Estimates are deterministic (HLL register updates are
   * order-independent maxima, so cluster parallelism and row order don't
-  * change the result) but engine-specific, so there is no DuckDB
-  * oracle; the rows-only driver check is backed by SketchesSpec, which
-  * pins the relative-error bound against exact counts, the lossless
-  * union property, and `percentile_approx`'s rank-error bound.
+  * change the result) but engine-specific, so the sketch bytes and raw
+  * estimates cannot be hashed cross-engine. The driver gate instead
+  * verifies the accuracy CONTRACT quantitatively: the query emits the
+  * exact distinct count beside a `within_2pct` flag derived from the
+  * sketch, and the DuckDB oracle computes the same exact count with
+  * `within_2pct = TRUE` — a sketch outside its error envelope (or a
+  * lossy union) flips the flag and fails the hash. SketchesSpec
+  * additionally pins the raw estimates, the lossless union property,
+  * and `percentile_approx`'s rank-error bound. The exact counts here
+  * exist only to power the gate; production callers use
+  * [[hllEstimates]], which is the one-scan sketch-only path.
   */
 object Sketches extends QueryModule {
   import Tables._
 
-  /** Distinct orderkeys per return flag via HLL sketches, with the
-    * grand total unioned FROM the group sketches (no second scan). */
-  private def qHllDistinct(s: SparkSession, d: String): DataFrame = {
+  /** Per-returnflag HLL sketches + estimates, with the grand total
+    * unioned FROM the group sketches (no second scan). The production
+    * shape: one pass, mergeable partials, ALL row from sketch union. */
+  def hllEstimates(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val sketches = lineitem(s, d)
       .groupBy($"l_returnflag")
@@ -48,11 +56,36 @@ object Sketches extends QueryModule {
     perGroup.unionAll(total)
   }
 
+  /** Driver-gate variant: joins the sketch estimates with exact
+    * distinct counts and reduces the engine-specific estimate to a
+    * cross-engine-hashable accuracy verdict. An order's lineitems can
+    * carry different return flags, so the ALL exact count is its own
+    * aggregation, not a sum of the groups — same as the oracle's. */
+  private def qHllDistinct(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val exactGroups = lineitem(s, d)
+      .groupBy($"l_returnflag")
+      .agg(countDistinct($"l_orderkey").as("exact_distinct"))
+    val exactAll = lineitem(s, d)
+      .agg(countDistinct($"l_orderkey").as("exact_distinct"))
+      .select(lit("ALL").as("l_returnflag"), $"exact_distinct")
+    hllEstimates(s, d)
+      .join(exactGroups.unionAll(exactAll), Seq("l_returnflag"))
+      .select($"l_returnflag", $"exact_distinct",
+        (abs($"approx_distinct" - $"exact_distinct") <=
+          $"exact_distinct" * 0.02).as("within_2pct"))
+  }
+
+  private val qHllDistinctSql =
+    """SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_distinct,
+      |       TRUE AS within_2pct
+      |FROM lineitem GROUP BY l_returnflag
+      |UNION ALL
+      |SELECT 'ALL', count(DISTINCT l_orderkey), TRUE FROM lineitem""".stripMargin
+
   override def queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q_hll_distinct" -> (qHllDistinct _))
 
-  // Engine-specific sketch bytes → no cross-engine SQL oracle; the
-  // driver records the weaker rows-only check and SketchesSpec carries
-  // the correctness contract (error + union-losslessness bounds).
-  override def oracles: Seq[(String, String)] = Seq.empty
+  override def oracles: Seq[(String, String)] = Seq(
+    "q_hll_distinct" -> qHllDistinctSql)
 }

@@ -4,9 +4,11 @@ import org.apache.spark.sql.functions._
 
 import graft.{SparkSpec, Tables}
 
-/** Correctness contract for the sketch aggregates (no cross-engine
-  * oracle exists — sketch bytes are engine-specific — so these bounds
-  * ARE the gate backing q_hll_distinct's rows-only driver check). */
+/** Correctness contract for the sketch aggregates. The driver gate
+  * (q_hll_distinct) hash-verifies exact counts + a within-2% verdict
+  * cross-engine; these tests pin the RAW estimates the gate reduces
+  * away — sketch bytes and estimates are engine-specific, so only the
+  * verdict is oracle-able. */
 class SketchesSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
   import spark.implicits._
 
@@ -23,7 +25,7 @@ class SketchesSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     val exact = li.groupBy($"l_returnflag")
       .agg(countDistinct($"l_orderkey").as("exact"))
       .as[(String, Long)].collect().toMap
-    val approx = Sketches.queries.toMap.apply("q_hll_distinct")(spark, sf)
+    val approx = Sketches.hllEstimates(spark, sf)
       .filter($"l_returnflag" =!= "ALL")
       .as[(String, Long)].collect().toMap
     assert(approx.keySet === exact.keySet)
@@ -31,6 +33,13 @@ class SketchesSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       val err = math.abs(est.toDouble - exact(k)) / exact(k)
       assert(err <= 0.02, s"group $k: estimate $est vs exact ${exact(k)} (err $err)")
     }
+  }
+
+  test("driver-gate query reports within_2pct on every row incl. the unioned ALL") {
+    val gate = Sketches.queries.toMap.apply("q_hll_distinct")(spark, sf)
+      .as[(String, Long, Boolean)].collect()
+    assert(gate.length === 4) // 3 return flags + ALL
+    assert(gate.forall(_._3), s"sketch outside 2% envelope: ${gate.mkString(", ")}")
   }
 
   test("union of group sketches stays in the one-shot sketch's error envelope") {

@@ -65,6 +65,17 @@ def main():
             print(f"✗ {name}: row counts differ spark={len(g)} duck={len(e)}")
             n_fail += 1
             continue
+        # Driver hashes value REPRESENTATIONS, so int64 60 vs float64 60.0
+        # is a hash fail even when values are numerically equal. Mirror
+        # that: dtype KIND must agree post-normalization (i/u=integral,
+        # f=float, O=object, b=bool, M=datetime).
+        kind = lambda d: {"u": "i"}.get(d.kind, d.kind)
+        drift = [c for c in g.columns if kind(g[c].dtype) != kind(e[c].dtype)]
+        if drift:
+            print(f"✗ {name}: dtype drift (driver hash would differ): "
+                  + ", ".join(f"{c} spark={g[c].dtype} duck={e[c].dtype}" for c in drift))
+            n_fail += 1
+            continue
         try:
             pd.testing.assert_frame_equal(g, e, check_dtype=False, check_exact=True)
             print(f"✓ {name}: {len(g)} rows")
