@@ -182,18 +182,34 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
       classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat])
 
   /** Version read with manifest-stats file skipping: scans (current or
-    * time-travel) prune files by key-hash range and column min/max. */
+    * time-travel) prune files by key-hash range and column min/max.
+    *
+    * A version whose manifest carries deletion vectors (merge-on-read
+    * DELETE) cannot be served by a raw parquet scan — tombstoned rows
+    * would resurrect. Such reads are rewritten onto the engine's
+    * DV-subtracting anti-join by [[MorScanRewrite]] (installed via
+    * `spark.sql.extensions=graft.functions.GraftExtensions`); without
+    * the extension the scan fails LOUDLY here instead of returning
+    * deleted rows. */
   private def parquetRead(ident: Identifier, t: VersionedTable, v: Long): Table = {
     val m = t.manifest(v)
     val inner = parquetTable(ident.toString, t.snapshotPathsAt(v), m.schema)
-    new Table with SupportsRead {
+    new Table with SupportsRead with DvRead {
+      override def dvTable: Option[(VersionedTable, Long)] =
+        if (m.dataFiles.exists(_.dvs.nonEmpty)) Some((t, v)) else None
       override def name(): String = inner.name()
       override def schema(): StructType = m.schema
       override def capabilities(): util.Set[TableCapability] =
         Set(TableCapability.BATCH_READ).asJava
-      override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+      override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+        require(dvTable.isEmpty,
+          s"${ident.toString} v$v has merge-on-read deletion vectors; SQL reads " +
+            "require spark.sql.extensions=graft.functions.GraftExtensions " +
+            "(which subtracts tombstones), VersionedTable.snapshot(), or " +
+            "OPTIMIZE to materialize the deletes")
         new HashPruningScanBuilder(t, m, inner, options,
           paths => parquetTable(inner.name(), paths, m.schema))
+      }
     }
   }
 
@@ -304,7 +320,10 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
     * without Spark's row-level-operation framework.) */
   private class GraftV2Table(vt: VersionedTable, read: Table)
       extends Table with SupportsRead with SupportsWrite
-      with org.apache.spark.sql.connector.catalog.SupportsDelete {
+      with org.apache.spark.sql.connector.catalog.SupportsDelete
+      with DvRead {
+    override def dvTable: Option[(VersionedTable, Long)] =
+      read.asInstanceOf[DvRead].dvTable
     override def name(): String = read.name()
     override def schema(): StructType = vt.schema
     override def properties(): util.Map[String, String] = vt.properties.asJava

@@ -139,5 +139,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) =>
         CosineSimilarity(children.head, children(1))))
     ext.injectParser((_, parser) => new graft.catalog.GraftSqlParser(parser))
+    // serves SQL reads of merge-on-read (deletion-vector'd) versions
+    ext.injectResolutionRule(s => graft.catalog.MorScanRewrite(s))
   }
 }

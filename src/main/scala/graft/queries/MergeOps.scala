@@ -299,6 +299,36 @@ object MergeOps extends QueryModule {
       |       CASE WHEN value < 10.0 THEN -value ELSE value END AS value
       |FROM events WHERE event_type <> 'error'""".stripMargin
 
+  // -------------------------------------------- q_delete_update_mor (DML)
+  /** The same DELETE + UPDATE flow under `delete.mode = 'mor'`: the
+    * DELETE writes position tombstones and rewrites NO data file
+    * (asserted — the manifest's file set is unchanged); the UPDATE then
+    * rewrites its touched files from live rows only; the read
+    * subtracts the remaining tombstones. Same oracle as the CoW
+    * variant — merge-on-read is a write-strategy choice, never a
+    * semantics change. */
+  private def qDeleteUpdateMor(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val dir = graft.Scratch.dir("graft-dml-mor").resolve("t").toString
+    val t = VersionedTable.create(s, dir, schema,
+      Map(VersionedTable.PROP_DELETE_MODE -> "mor"))
+    t.append(events(s, d).select($"event_id", $"user_id", $"event_type", $"value"))
+    val pathsBefore = t.latestManifest.dataFiles.map(_.path).toSet
+    t.deleteWhere(col("event_type") === "error")
+    require(t.latestManifest.dataFiles.map(_.path).toSet == pathsBefore,
+      "mor DELETE must not rewrite data files")
+    graft.catalog.GraftSql.execute(s,
+      s"UPDATE '$dir' SET value = -value WHERE value < 10.0")
+    t.snapshot()
+  }
+
+  private val qDeleteUpdateMorSql = qDeleteUpdateSql
+
   // -------------------------------------------------- q_restore (engine)
   /** RESTORE through the literal SQL statement: land the log in two
     * appends, `RESTORE TABLE ... TO VERSION AS OF 1`, then read — the
@@ -452,6 +482,7 @@ object MergeOps extends QueryModule {
     "q_insert_append"  -> qInsertAppend _,
     "q_timestamp_travel" -> qTimestampTravel _,
     "q_delete_update"  -> qDeleteUpdate _,
+    "q_delete_update_mor" -> qDeleteUpdateMor _,
     "q_replace_where"  -> qReplaceWhere _,
     "q_restore"        -> qRestore _,
     "q_optimize"       -> qOptimize _,
@@ -467,6 +498,7 @@ object MergeOps extends QueryModule {
     "q_insert_append"  -> qInsertAppendSql,
     "q_timestamp_travel" -> qTimestampTravelSql,
     "q_delete_update"  -> qDeleteUpdateSql,
+    "q_delete_update_mor" -> qDeleteUpdateMorSql,
     "q_replace_where"  -> qReplaceWhereSql,
     "q_restore"        -> qRestoreSql,
     "q_optimize"       -> qOptimizeSql,

@@ -218,7 +218,13 @@ object Merge {
       }
 
       val targetRaw = bucketed match {
-        case Some((candidates, _)) => table.readFiles(candidates, baseSchema)
+        case Some((candidates, _)) =>
+          // DV-aware: a candidate file may carry deletion vectors (a
+          // MoR delete between merges) — the merge must join against
+          // LIVE rows or tombstoned keys would resurrect as updates
+          val cset = candidates.toSet
+          table.readDataFiles(
+            base.dataFiles.filter(f => cset(f.path)), baseSchema)
         case None => table.snapshotAt(base.version)
       }
       // align to the (possibly evolved) schema: new columns read as null

@@ -280,7 +280,7 @@ final class VersionedTable private (
       (m.version, new java.sql.Timestamp(m.timestampMs), m.operation,
         m.addedFiles.size.toLong, m.removedFiles.size.toLong,
         m.dataFiles.size.toLong,
-        m.dataFiles.flatMap(_.rows).sum)
+        m.dataFiles.flatMap(_.liveRows).sum)
     }
     import spark.implicits._
     rows.toDF("version", "timestamp", "operation",
@@ -724,14 +724,20 @@ final class VersionedTable private (
     require(targetRows > 0)
     val prev = latestManifest
     val withRows = prev.dataFiles.map(f =>
-      f -> f.rows.getOrElse(footerRowCount(root.resolve(f.path))))
-    val small = withRows.filter(_._2 < targetRows).map(_._1)
-    if (small.size < 2) return None // nothing to merge
-    val df = readFiles(small.map(_.path), prev.schema)
+      f -> f.liveRows.getOrElse(footerRowCount(root.resolve(f.path))))
+    // files carrying deletion vectors are rewrite candidates regardless
+    // of size: OPTIMIZE doubles as DV materialization (Delta's PURGE),
+    // restoring anti-join-free reads and letting vacuum reclaim the DVs
+    val picked = withRows.filter { case (f, n) =>
+      n < targetRows || f.dvs.nonEmpty }
+    if (picked.size < 2 && !picked.exists(_._1.dvs.nonEmpty)) return None
+    if (picked.isEmpty) return None
+    val small = picked.map(_._1)
+    val df = readDataFiles(small, prev.schema)
     val added =
       if (isBucketed) ingest(df) // re-clusters per bucket
       else {
-        val total = withRows.filter(_._2 < targetRows).map(_._2).sum
+        val total = picked.map(_._2).sum
         val parts = math.max(1, math.ceil(total.toDouble / targetRows).toInt)
         ingest(df.coalesce(parts))
       }
@@ -770,7 +776,7 @@ final class VersionedTable private (
         s"ZORDER column $c must be numeric or timestamp, got ${f.get.dataType}")
     }
     if (prev.dataFiles.isEmpty) return None
-    val df = readFiles(prev.dataFiles.map(_.path), prev.schema)
+    val df = readDataFiles(prev.dataFiles, prev.schema)
     val bits = 4 // 16 quantile buckets per dimension
     val pcts = typedLit((1 until (1 << bits)).map(_.toDouble / (1 << bits)))
     val qRow = df.select(zcols.map(c =>
@@ -792,7 +798,7 @@ final class VersionedTable private (
       }
     }.reduce(_ + _)
     val total = prev.dataFiles
-      .map(f => f.rows.getOrElse(footerRowCount(root.resolve(f.path)))).sum
+      .map(f => f.liveRows.getOrElse(footerRowCount(root.resolve(f.path)))).sum
     val parts = math.max(1, math.ceil(total.toDouble / targetRows).toInt)
     val added = ingest(df.withColumn(ZORDER_COL, zval)
       .repartitionByRange(parts, col(ZORDER_COL))
@@ -824,24 +830,42 @@ final class VersionedTable private (
     val candidates = m.dataFiles.filter(f =>
       conjuncts.forall(c => FileSkipping.mayMatch(c, f, m.schema)))
     if (candidates.isEmpty) return Seq.empty
-    val names = readFiles(candidates.map(_.path), m.schema)
-      .filter(hit).select(input_file_name().as("__f")).distinct()
-      .collect().map(_.getString(0).split('/').last).toSet
+    // DV-aware scan: a file whose only matching rows are already
+    // tombstoned is NOT touched (a CoW rewrite would be wasted work; a
+    // MoR delete would double-tombstone and emit phantom CDF rows)
+    val names = readWithMeta(candidates, m.schema)
+      .filter(hit).select(col("__file")).distinct()
+      .collect().map(_.getString(0)).toSet
     m.dataFiles.filter(f => names.contains(f.path.split('/').last))
   }
 
   /** `DELETE FROM <table> WHERE cond` — rows where `cond` is TRUE are
-    * removed (NULL keeps the row, SQL semantics). Only files containing
-    * a matching row are rewritten; the rest are inherited — O(touched),
-    * the same file-scoping Delta's DELETE performs. Emits `delete` CDF
-    * rows. `cond` must be deterministic (it is evaluated in the
-    * touched-file scan, the rewrite, and the CDF projection). */
+    * removed (NULL keeps the row, SQL semantics). Strategy is per-table
+    * ([[VersionedTable.PROP_DELETE_MODE]]):
+    *
+    *   - copy-on-write (default): only files containing a matching row
+    *     are rewritten without those rows; the rest are inherited —
+    *     O(touched files), the same file-scoping Delta's CoW DELETE
+    *     performs;
+    *   - merge-on-read (`'mor'`): position tombstones are written under
+    *     `_dv/` and NO data file is rewritten — commit cost is
+    *     O(matched rows), independent of file size (the property Delta
+    *     shipped deletion vectors for: deleting one row from a 1 GB
+    *     file costs one tiny parquet write, not a 1 GB rewrite). Reads
+    *     subtract tombstones via [[readWithMeta]]'s anti-join until
+    *     OPTIMIZE / compaction materializes them away.
+    *
+    * Emits `delete` CDF rows either way. `cond` must be deterministic
+    * (it is evaluated in the touched-file scan and the rewrite/CDF
+    * projections). */
   def deleteWhere(cond: org.apache.spark.sql.Column): Option[Long] = {
     val hit = coalesce(cond, lit(false))
     val prev = latestManifest
     val touched = touchedFiles(prev, hit)
     if (touched.isEmpty) return None
-    val touchedDf = readFiles(touched.map(_.path), prev.schema)
+    if (prev.properties.get(PROP_DELETE_MODE).exists(_.equalsIgnoreCase("mor")))
+      return morDelete(prev, touched, hit)
+    val touchedDf = readDataFiles(touched, prev.schema)
     val added = ingest(touchedDf.filter(!hit))
     retractingOnFailure(added) {
       commitFiles(added, touched.map(_.path),
@@ -849,6 +873,59 @@ final class VersionedTable private (
         "delete", baseVersion = Some(prev.version),
         conflictsWith = Some(_ => true))
     }
+  }
+
+  /** Merge-on-read DELETE: stages the live matching rows' `(__file,
+    * __pos)` tombstones as small parquet files under `_dv/`, then
+    * commits the touched manifest entries with the tombstone refs
+    * attached — data files are untouched. The CDF `delete` rows are
+    * derived from the staged tombstones (a semi-join), not a predicate
+    * re-evaluation, so retries and the commit-time CDF write see the
+    * identical row set. Vacuum keeps a DV file alive while any retained
+    * manifest references it. */
+  private def morDelete(
+      prev: CommitManifest,
+      touched: Seq[DataFile],
+      hit: org.apache.spark.sql.Column): Option[Long] = {
+    val tmp = root.resolve(s"$STAGING_DIR/dv-${UUID.randomUUID()}")
+    readWithMeta(touched, prev.schema).filter(hit)
+      .select(col("__file"), col("__pos"))
+      .write.mode("overwrite").parquet(tmp.toString)
+    Files.createDirectories(root.resolve(DV_DIR))
+    val dvPaths = Using.resource(Files.list(tmp)) { s =>
+      s.iterator.asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+    }.map { p =>
+      val name = s"${UUID.randomUUID()}.parquet"
+      Files.move(p, root.resolve(DV_DIR).resolve(name),
+        StandardCopyOption.ATOMIC_MOVE)
+      s"$DV_DIR/$name"
+    }
+    deleteRecursively(tmp)
+    def retract(): Unit =
+      dvPaths.foreach(p => Files.deleteIfExists(root.resolve(p)))
+    val dvDf = spark.read.parquet(dvPaths.map(p => root.resolve(p).toString): _*)
+    // per-file tombstone counts keep liveRows exact — bounded by the
+    // touched-file count, like every other metadata collect here
+    val counts = dvDf.groupBy("__file").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (counts.isEmpty) { retract(); return None }
+    val updated = touched.flatMap { f =>
+      val n = counts.getOrElse(f.path.split('/').last, 0L)
+      if (n == 0L) None
+      else Some(f.copy(dvs = f.dvs ++ dvPaths,
+        dvRows = Some(f.dvRows.getOrElse(0L) + n)))
+    }
+    val changes = readWithMeta(touched, prev.schema)
+      .join(dvDf, Seq("__file", "__pos"), "left_semi")
+      .select(prev.schema.fields.toIndexedSeq.map(f => col(f.name)): _*)
+      .withColumn("_change_type", lit("delete"))
+    val res =
+      try commitFiles(updated, updated.map(_.path), Some(changes), "delete",
+        baseVersion = Some(prev.version), conflictsWith = Some(_ => true))
+      catch { case e: Throwable => retract(); throw e }
+    if (res.isEmpty) retract()
+    res
   }
 
   /** `ALTER TABLE SET TBLPROPERTIES`: merges `updates` into the table
@@ -905,7 +982,7 @@ final class VersionedTable private (
       "replaceWhere: every incoming row must satisfy the replaced predicate")
     enforceConstraints(newRows)
     val touched = touchedFiles(prev, hit)
-    val touchedDf = readFiles(touched.map(_.path), prev.schema)
+    val touchedDf = readDataFiles(touched, prev.schema)
     // kept (non-matching rows of touched files) and new rows stage as
     // SEPARATE file sets so the CDF insert projection re-reads exactly
     // the new files — nothing nondeterministic is computed twice
@@ -936,7 +1013,7 @@ final class VersionedTable private (
     val prev = latestManifest
     val touched = touchedFiles(prev, hit)
     if (touched.isEmpty) return None
-    val touchedDf = readFiles(touched.map(_.path), prev.schema)
+    val touchedDf = readDataFiles(touched, prev.schema)
     val fields = prev.schema.fields
     val pre = touchedDf.filter(hit)
     val post = pre.select(fields.toIndexedSeq.map(f =>
@@ -965,6 +1042,12 @@ final class VersionedTable private (
       throw new IllegalStateException(
         s"cannot restore to version $v: file ${f.path} was vacuumed")
     }
+    // a vacuumed DV would silently RESURRECT its deleted rows — refuse
+    target.dataFiles.flatMap(_.dvs).distinct
+      .find(d => !Files.exists(root.resolve(d))).foreach { d =>
+        throw new IllegalStateException(
+          s"cannot restore to version $v: deletion vector $d was vacuumed")
+      }
     if (prev.dataFiles.map(_.path) == target.dataFiles.map(_.path)) return None
     commitFiles(target.dataFiles, prev.dataFiles.map(_.path), None, "restore",
       newSchemaJson = Some(target.schemaJson),
@@ -1017,6 +1100,15 @@ final class VersionedTable private (
     val live = retained.flatMap(v => manifest(v).dataFiles.map(_.path)).toSet
     val dead = removed.flatMap(v => manifest(v).dataFiles.map(_.path)).toSet -- live
     dead.map(root.resolve).filter(_.startsWith(root))
+      .foreach(Files.deleteIfExists)
+    // deletion vectors have the same file-granular liveness as data
+    // files: alive while ANY retained manifest references them (a DV
+    // outlives the delete commit that wrote it — every later version
+    // inherits the ref until a rewrite materializes it away)
+    val liveDvs = retained.flatMap(v => manifest(v).dataFiles.flatMap(_.dvs)).toSet
+    val deadDvs =
+      removed.flatMap(v => manifest(v).dataFiles.flatMap(_.dvs)).toSet -- liveDvs
+    deadDvs.map(root.resolve).filter(_.startsWith(root))
       .foreach(Files.deleteIfExists)
     val deadChanges = changeFilesOnDisk.filter(_._1 < cutoff)
     deadChanges.foreach(c => Files.delete(c._2))
@@ -1164,7 +1256,8 @@ object VersionedTable {
     Files.createDirectories(root)
     val t = new VersionedTable(source.spark, root)
     val refs = m.dataFiles.map(f =>
-      f.copy(path = source.root.resolve(f.path).toAbsolutePath.toString))
+      f.copy(path = source.root.resolve(f.path).toAbsolutePath.toString,
+        dvs = f.dvs.map(d => source.root.resolve(d).toAbsolutePath.toString)))
     t.publish(CommitManifest(0L, "clone", System.currentTimeMillis(),
       m.schemaJson, m.properties, Map.empty, m.bucketKeys, m.numBuckets,
       dataFiles = refs, addedFiles = refs.map(_.path)))

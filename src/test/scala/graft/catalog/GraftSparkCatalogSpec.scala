@@ -316,4 +316,53 @@ class GraftSparkCatalogSpec extends SparkSpec {
       .head().getLong(0) === 1L)
     spark.sql("DROP TABLE graft.db6.st")
   }
+
+  test("merge-on-read DELETE through SQL; reads subtract via the extension rule") {
+    val wh = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mordb")
+    spark.sql("CREATE TABLE graft.mordb.m (id BIGINT, v STRING) " +
+      s"TBLPROPERTIES ('${VersionedTable.PROP_DELETE_MODE}'='mor')")
+    val t = VersionedTable.load(spark, s"$wh/mordb/m")
+    t.append((1L to 40L).map(i => (i, s"v$i")).toDF("id", "v"))
+    val pathsBefore = t.latestManifest.dataFiles.map(_.path).toSet
+
+    spark.sql("DELETE FROM graft.mordb.m WHERE id <= 10")
+    assert(t.latestManifest.dataFiles.map(_.path).toSet === pathsBefore,
+      "SQL DELETE under mor must not rewrite data files")
+    assert(t.latestManifest.dataFiles.exists(_.dvs.nonEmpty))
+
+    // a session WITHOUT the extension refuses loudly — never a silent
+    // read that resurrects the tombstoned rows
+    val e = intercept[Throwable](spark.sql("SELECT * FROM graft.mordb.m").collect())
+    val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString("\n")
+    assert(chain.contains("deletion vectors"), s"unexpected failure:\n$chain")
+
+    // a session WITH GraftExtensions serves the DV-subtracting read
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    try {
+      val s = org.apache.spark.sql.SparkSession.builder()
+        .master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .withExtensions(new graft.functions.GraftExtensions().apply(_))
+        .getOrCreate()
+      s.conf.set("spark.sql.catalog.graft", classOf[GraftSparkCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      assert(s.sql("SELECT id FROM graft.mordb.m ORDER BY id")
+        .collect().map(_.getLong(0)).toSeq === (11L to 40L))
+      // filters/aggregates compose through the rewritten plan
+      assert(s.sql("SELECT count(*) FROM graft.mordb.m WHERE id <= 10")
+        .head().getLong(0) === 0L)
+      assert(s.sql("SELECT sum(id) FROM graft.mordb.m").head().getLong(0)
+        === (11L to 40L).sum)
+      // time travel onto the DV'd version subtracts too
+      assert(s.sql("SELECT count(*) FROM graft.mordb.m VERSION AS OF 2")
+        .head().getLong(0) === 30L)
+    } finally {
+      org.apache.spark.sql.SparkSession.setDefaultSession(spark)
+      org.apache.spark.sql.SparkSession.setActiveSession(spark)
+    }
+  }
 }

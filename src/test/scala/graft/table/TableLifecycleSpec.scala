@@ -183,4 +183,116 @@ class TableLifecycleSpec extends SparkSpec {
     t.overwriteWhere(lit(true), Seq((7L, "only")).toDF("id", "v"))
     assert(t.snapshot().as[(Long, String)].collect().toSeq === Seq((7L, "only")))
   }
+
+  // --------------------------- merge-on-read DELETE (deletion vectors)
+
+  /** 40 rows in 4 ten-row files (ids 1-10 / 11-20 / 21-30 / 31-40),
+    * CDF on, `delete.mode = mor`. */
+  private def morTable(prefix: String) = {
+    val t = VersionedTable.create(spark, tmp(prefix), schema,
+      Map(VersionedTable.PROP_CDF -> "true",
+        VersionedTable.PROP_DELETE_MODE -> "mor",
+        VersionedTable.PROP_MAX_RECORDS -> "10"))
+    t.append((1L to 40L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1)) // v1
+    t
+  }
+
+  test("merge-on-read DELETE tombstones rows without rewriting any data file") {
+    val t = morTable("mor")
+    val pathsBefore = t.latestManifest.dataFiles.map(_.path).toSet
+
+    assert(t.deleteWhere($"id" <= 3L) === Some(2L))
+    val m = t.latestManifest
+    assert(m.dataFiles.map(_.path).toSet === pathsBefore,
+      "MoR delete must not add or remove data files")
+    val dvd = m.dataFiles.filter(_.dvs.nonEmpty)
+    assert(dvd.size === 1 && dvd.head.dvRows === Some(3L),
+      s"ids 1-3 live in one file: $dvd")
+    assert(dvd.head.liveRows === Some(7L))
+    assert(t.snapshot().count() === 37L)
+    assert(t.snapshot().filter($"id" <= 3L).count() === 0L)
+
+    val ch = t.changes(2)
+    assert(ch.select("_change_type").distinct().as[String].collect().toSeq
+      === Seq("delete"))
+    assert(ch.select("id").as[Long].collect().sorted.toSeq === Seq(1L, 2L, 3L))
+
+    // already-tombstoned rows are invisible to a re-delete: no commit
+    assert(t.deleteWhere($"id" <= 3L) === None)
+    // a second delete composes — the same file accumulates tombstones
+    assert(t.deleteWhere($"id" === 5L) === Some(3L))
+    assert(t.snapshot().count() === 36L)
+    assert(t.latestManifest.dataFiles.map(_.path).toSet === pathsBefore)
+    assert(t.latestManifest.dataFiles.exists(_.dvRows === Some(4L)))
+    // NULL predicate keeps the row (SQL semantics)
+    assert(t.deleteWhere(when($"id" === 7L, lit(null).cast("boolean"))) === None)
+    assert(t.snapshot().filter($"id" === 7L).count() === 1L)
+  }
+
+  test("MoR and CoW deletes are read-equivalent; later DML sees only live rows") {
+    def content(t: VersionedTable) =
+      t.snapshot().as[(Long, String)].collect().sortBy(_._1).toSeq
+    val cow = VersionedTable.create(spark, tmp("cow-eq"), schema,
+      Map(VersionedTable.PROP_MAX_RECORDS -> "10"))
+    cow.append((1L to 40L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1))
+    val mor = morTable("mor-eq")
+
+    Seq(cow, mor).foreach(_.deleteWhere($"id" % 3 === 0))
+    assert(content(mor) === content(cow))
+    // UPDATE rewrites touched files from LIVE rows — tombstoned rows of
+    // those files must not resurrect
+    Seq(cow, mor).foreach(_.updateWhere($"id" <= 20L, Map("v" -> lit("x"))))
+    assert(content(mor) === content(cow))
+    assert(mor.snapshot().filter($"id" % 3 === 0).count() === 0L)
+    // replaceWhere over a DV'd slice likewise
+    Seq(cow, mor).foreach(t => t.overwriteWhere($"id" > 30L,
+      Seq((35L, "z")).toDF("id", "v")))
+    assert(content(mor) === content(cow))
+  }
+
+  test("OPTIMIZE materializes deletion vectors; vacuum reclaims dead DV files") {
+    val t = morTable("mor-opt")
+    assert(t.deleteWhere($"id" % 2 === 0) === Some(2L))
+    val dvDir = t.root.resolve(VersionedTable.DV_DIR)
+    assert(Files.list(dvDir).count() > 0)
+    def content = t.snapshot().as[(Long, String)].collect().sortBy(_._1).toSeq
+    val before = content
+
+    // every file is both small and DV'd -> full rewrite, tombstones gone
+    assert(t.compactSmallFiles(1000L).isDefined)
+    assert(t.latestManifest.dataFiles.forall(_.dvs.isEmpty),
+      "OPTIMIZE must materialize deletion vectors away")
+    assert(content === before)
+
+    // with no retained manifest referencing them, vacuum reclaims DVs
+    t.vacuum(1)
+    assert(Files.list(dvDir).count() === 0, "dead DV files must be deleted")
+    assert(content === before)
+  }
+
+  test("RESTORE to a tombstoned version subtracts; refuses when a DV is gone") {
+    val t = morTable("mor-res")                       // v1: 40 rows
+    assert(t.deleteWhere($"id" <= 10L) === Some(2L))  // v2: DV, 30 live
+    t.append(Seq((100L, "x")).toDF("id", "v"))        // v3: 31 live
+    t.restore(2)                                      // v4 = v2 incl. DV refs
+    assert(t.snapshot().count() === 30L)
+    assert(t.snapshot().filter($"id" <= 10L).count() === 0L)
+
+    val dv = t.manifest(2).dataFiles.flatMap(_.dvs).head
+    Files.delete(t.root.resolve(dv))
+    val e = intercept[IllegalStateException](t.restore(3))
+    assert(e.getMessage.contains("deletion vector"))
+  }
+
+  test("shallow clone of a MoR table subtracts source-owned tombstones") {
+    val src = morTable("mor-src")
+    assert(src.deleteWhere($"id" > 35L) === Some(2L))
+    val clone = VersionedTable.shallowClone(src, tmp("mor-clone"))
+    assert(clone.snapshot().count() === 35L)
+    assert(clone.snapshot().filter($"id" > 35L).count() === 0L)
+    // the clone's own MoR delete writes tombstones under ITS root only
+    assert(clone.deleteWhere($"id" === 1L) === Some(1L))
+    assert(clone.snapshot().count() === 34L)
+    assert(src.snapshot().count() === 35L)
+  }
 }
