@@ -255,14 +255,23 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
       schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      "graft tables use BucketSpec via the API, not PARTITIONED BY")
+    // `PARTITIONED BY (col, ...)` — identity transforms only (hive
+    // layout + manifest partition pruning); bucketing stays an API
+    // concern (BucketSpec), as Delta's clustering options do
+    val pcols = partitions.toSeq.map {
+      case t if t.name == "identity" && t.references().length == 1 &&
+          t.references().head.fieldNames().length == 1 =>
+        t.references().head.fieldNames().head
+      case other => throw new UnsupportedOperationException(
+        s"only PARTITIONED BY (col) identity transforms are supported: $other")
+    }
     // drop Spark-injected reserved/engine props; keep user properties
     val userProps = properties.asScala.toMap
       .filter { case (k, _) => !k.startsWith("option.") &&
         k != TableCatalog.PROP_OWNER && k != TableCatalog.PROP_PROVIDER &&
         k != TableCatalog.PROP_LOCATION && k != TableCatalog.PROP_EXTERNAL }
-    VersionedTable.create(spark, tablePath(ident), schema, userProps)
+    VersionedTable.create(spark, tablePath(ident), schema, userProps,
+      partitionBy = if (pcols.isEmpty) None else Some(pcols))
     loadTable(ident)
   }
 
@@ -326,6 +335,9 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
       read.asInstanceOf[DvRead].dvTable
     override def name(): String = read.name()
     override def schema(): StructType = vt.schema
+    override def partitioning(): Array[Transform] =
+      vt.partitionKeys.fold(Array.empty[Transform])(_.map(c =>
+        org.apache.spark.sql.connector.expressions.Expressions.identity(c)).toArray)
     override def properties(): util.Map[String, String] = vt.properties.asJava
     override def capabilities(): util.Set[TableCapability] =
       Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,

@@ -329,6 +329,30 @@ object MergeOps extends QueryModule {
 
   private val qDeleteUpdateMorSql = qDeleteUpdateSql
 
+  // -------------------------------------------- q_partition_prune (engine)
+  /** `PARTITIONED BY` table: land the event log hive-partitioned by
+    * `event_type`, then read ONE partition back through the
+    * stats-pruned [[VersionedTable.snapshotWhere]] path — the manifest
+    * holds exact min=max stats per partition file, so the predicate
+    * reduces the scan to that partition's directory before any footer
+    * opens (file-count pinned by GraftSparkCatalogSpec; the hash-match
+    * here pins content fidelity through the partitioned layout). */
+  private def qPartitionPrune(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val dir = graft.Scratch.dir("graft-part").resolve("t").toString
+    val t = VersionedTable.create(s, dir, schema,
+      partitionBy = Some(Seq("event_type")))
+    t.append(events(s, d).select($"event_id", $"event_type", $"value"))
+    t.snapshotWhere($"event_type" === "click")
+  }
+  private val qPartitionPruneSql =
+    """SELECT event_id, event_type, value
+      |FROM events WHERE event_type = 'click'""".stripMargin
+
   // -------------------------------------------------- q_restore (engine)
   /** RESTORE through the literal SQL statement: land the log in two
     * appends, `RESTORE TABLE ... TO VERSION AS OF 1`, then read — the
@@ -483,6 +507,7 @@ object MergeOps extends QueryModule {
     "q_timestamp_travel" -> qTimestampTravel _,
     "q_delete_update"  -> qDeleteUpdate _,
     "q_delete_update_mor" -> qDeleteUpdateMor _,
+    "q_partition_prune" -> qPartitionPrune _,
     "q_replace_where"  -> qReplaceWhere _,
     "q_restore"        -> qRestore _,
     "q_optimize"       -> qOptimize _,
@@ -499,6 +524,7 @@ object MergeOps extends QueryModule {
     "q_timestamp_travel" -> qTimestampTravelSql,
     "q_delete_update"  -> qDeleteUpdateSql,
     "q_delete_update_mor" -> qDeleteUpdateMorSql,
+    "q_partition_prune" -> qPartitionPruneSql,
     "q_replace_where"  -> qReplaceWhereSql,
     "q_restore"        -> qRestoreSql,
     "q_optimize"       -> qOptimizeSql,

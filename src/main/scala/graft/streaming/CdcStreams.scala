@@ -146,11 +146,30 @@ object CdcStreams {
             "fresh snapshot (new checkpoint) or vacuum with " +
             "cdfLowWatermark >= the consumer's progress.")
     }
+    // The streaming source tails the PER-COMMIT (`v*`) change files; a
+    // consumer whose progress predates the compaction watermark would
+    // find its history folded into range directories the tail can't
+    // see — fail loudly with the batch-backfill remedy, exactly like
+    // the vacuum guard above.
+    silver.cdfCompactWatermark.foreach { compacted =>
+      val consumed = gold.lastTxn(cdfProgressKey(appId))
+        .getOrElse(startingVersion - 1)
+      if (compacted > consumed)
+        throw new IllegalStateException(
+          s"Silver CDF history through version $compacted was compacted " +
+            s"into range files but consumer '$appId' has only processed " +
+            s"through $consumed — resume by backfilling through the batch " +
+            "table_changes read, then restart the tail from a fresh " +
+            "checkpoint.")
+    }
     // The CDF directory may not exist until the first merge commits;
     // the file source requires the path at stream start.
     Files.createDirectories(Paths.get(silver.changesLocation))
     spark.readStream
       .schema(silver.changeSchema)
+      // per-commit files only: compacted `r<lo>-<hi>/` spans (already
+      // consumed by any tail this guard admitted) stay invisible
+      .option("pathGlobFilter", "v*.parquet")
       .parquet(silver.changesLocation)
       .filter(org.apache.spark.sql.functions.col("_commit_version") >= startingVersion)
       .writeStream

@@ -91,7 +91,8 @@ final case class CommitManifest(
     addedFiles: Seq[String] = Seq.empty,
     removedFiles: Seq[String] = Seq.empty,
     changeFiles: Seq[String] = Seq.empty,
-    deltaOf: Option[Long] = None) {
+    deltaOf: Option[Long] = None,
+    partitionKeys: Option[Seq[String]] = None) {
   def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
 }
 
@@ -267,6 +268,11 @@ final class VersionedTable private (
 
   def isBucketed: Boolean = bucketSpec.isDefined
 
+  /** `PARTITIONED BY` columns, if the table was created with them. */
+  def partitionKeys: Option[Seq[String]] = latestManifest.partitionKeys
+
+  def isPartitioned: Boolean = partitionKeys.isDefined
+
   /** Current snapshot. */
   def snapshot(): DataFrame = snapshotAt(latestVersion)
 
@@ -373,13 +379,93 @@ final class VersionedTable private (
   def changes(fromVersion: Long, toVersion: Option[Long] = None): DataFrame = {
     healChangeFiles() // recover files a crashed committer left hidden
     val hi = toVersion.getOrElse(latestVersion)
+    // compacted spans first: a version covered by a range directory is
+    // served from it EXCLUSIVELY (its per-commit files, if a crash left
+    // any behind, are ignored — no double counting), so a long-lived
+    // table's CDF read opens O(checkpoint spans) directories plus the
+    // uncompacted tail, not one file per commit
+    val ranges = rangeDirsOnDisk.filter(r => r._2 >= fromVersion && r._1 <= hi)
+    val covered = ranges.flatMap(r => r._1 to r._2).toSet
     val files = versions
-      .filter(v => v >= fromVersion && v <= hi)
+      .filter(v => v >= fromVersion && v <= hi && !covered(v))
       .flatMap(v => manifest(v).changeFiles)
       .map(n => changesDir.resolve(n).toString)
-    if (files.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], changeSchema)
-    else spark.read.schema(changeSchema).parquet(files: _*)
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], changeSchema)
+    val tail =
+      if (files.isEmpty) empty
+      else spark.read.schema(changeSchema).parquet(files: _*)
+    val compacted =
+      if (ranges.isEmpty) empty
+      else spark.read.schema(changeSchema)
+        .parquet(ranges.map(_._3.toString): _*)
+        .filter(col("_commit_version").between(fromVersion, hi))
+    tail.unionAll(compacted)
+  }
+
+  /** Compacted CDF span directories `_changes/r<lo>-<hi>/`, parsed. */
+  private def rangeDirsOnDisk: Seq[(Long, Long, Path)] =
+    if (!Files.isDirectory(changesDir)) Seq.empty
+    else Using.resource(Files.list(changesDir)) { s =>
+      s.iterator.asScala.flatMap { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith("r") && Files.isDirectory(p))
+          n.drop(1).split('-') match {
+            case Array(lo, hiS) => Try((lo.toLong, hiS.toLong, p)).toOption
+            case _ => None
+          }
+        else None
+      }.toSeq
+    }
+
+  /** Highest version whose per-commit CDF files were folded into a
+    * range directory — a STREAMING consumer (which tails `v*` files)
+    * whose progress is at or below this must backfill via the batch
+    * [[changes]] read instead of resuming the tail. */
+  def cdfCompactWatermark: Option[Long] = {
+    val p = changesDir.resolve(COMPACT_WATERMARK)
+    if (Files.exists(p)) Try(Files.readString(p).trim.toLong).toOption else None
+  }
+
+  /** Folds the per-commit CDF files of complete checkpoint spans
+    * (`((k-1)·interval, k·interval]`, upper bound ≤ `through`) into one
+    * parquet DIRECTORY per span, atomically published by rename —
+    * ranges are deterministic and aligned, so racing compactors write
+    * identical spans and the rename loser simply retracts. Runs as a
+    * post-publish hook on every checkpoint commit (one new span at
+    * steady state), one checkpoint behind the tail so streaming
+    * consumers never see files vanish mid-read. Crash between publish
+    * and per-commit-file deletion heals on the next run (coverage makes
+    * the stale files invisible to [[changes]] meanwhile). */
+  private[table] def compactChangesBefore(through: Long): Unit = {
+    val interval = checkpointInterval(properties)
+    if (through < interval || !Files.isDirectory(changesDir)) return
+    val existing = rangeDirsOnDisk.map(r => (r._1, r._2)).toSet
+    val byVersion = changeFilesOnDisk.groupBy(_._1)
+    val maxRecords = properties.get(PROP_MAX_RECORDS).map(_.toLong)
+    (interval to through by interval)
+      .map(hiV => (hiV - interval + 1, hiV))
+      .foreach { case (lo, hiV) =>
+        val span = changesDir.resolve(s"r$lo-$hiV")
+        val files = (lo to hiV)
+          .flatMap(v => byVersion.getOrElse(v, Seq.empty)).map(_._2)
+        if (!existing.contains((lo, hiV)) && files.nonEmpty) {
+          val tmp = changesDir.resolve(s".r$lo-$hiV-${UUID.randomUUID()}")
+          val w = spark.read.schema(changeSchema)
+            .parquet(files.map(_.toString): _*)
+            .coalesce(1).write.mode("overwrite")
+          maxRecords.fold(w)(m => w.option("maxRecordsPerFile", m))
+            .parquet(tmp.toString)
+          try Files.move(tmp, span, StandardCopyOption.ATOMIC_MOVE)
+          catch { case _: Throwable => deleteRecursively(tmp) }
+        }
+        if (Files.isDirectory(span))
+          files.foreach(f => Try(Files.deleteIfExists(f)))
+      }
+    rangeDirsOnDisk.map(_._2).maxOption.foreach { w =>
+      if (w > cdfCompactWatermark.getOrElse(Long.MinValue))
+        Files.writeString(changesDir.resolve(COMPACT_WATERMARK), w.toString)
+    }
   }
 
   private def changeFilesOnDisk: Seq[(Long, Path)] =
@@ -415,6 +501,7 @@ final class VersionedTable private (
     val maxRecords = properties.get(PROP_MAX_RECORDS).map(_.toLong)
     def sized[T](w: org.apache.spark.sql.DataFrameWriter[T]) =
       maxRecords.fold(w)(m => w.option("maxRecordsPerFile", m))
+    val pkeys = latestManifest.partitionKeys
     bucketSpec match {
       case Some(BucketSpec(keys, n)) =>
         val khash = hash(keys.map(col): _*)
@@ -423,10 +510,33 @@ final class VersionedTable private (
           .repartition(col(BUCKET_COL))
           .sortWithinPartitions(col(BUCKET_COL), col(KHASH_COL))
           .write.mode("overwrite").partitionBy(BUCKET_COL)).parquet(tmp.toString)
-      case None =>
-        sized(df.write.mode("overwrite")).parquet(tmp.toString)
+      case None => pkeys match {
+        case Some(pcols) =>
+          // Hive-style `col=value/` layout via ALIAS partition columns:
+          // the real columns stay IN the data files, so reads need no
+          // directory-value recovery (explicit-schema scans keep
+          // working) and the footer min=max stats are exact per
+          // partition — FileSkipping's stats evaluation IS the
+          // directory-level pruning, applied before any file opens.
+          // The repartition clusters each batch partition-wise (Delta's
+          // optimized-write analog) so no file straddles two partition
+          // values; maxRecordsPerFile still splits huge partitions.
+          val aliased = pcols.foldLeft(df)((d, c) =>
+            d.withColumn(s"$PART_PREFIX$c", col(c)))
+          sized(aliased.repartition(pcols.map(col): _*)
+            .write.mode("overwrite")
+            .partitionBy(pcols.map(PART_PREFIX + _): _*)).parquet(tmp.toString)
+        case None =>
+          sized(df.write.mode("overwrite")).parquet(tmp.toString)
+      }
     }
-    val entries = moveIntoData(tmp, bucketSpec.isDefined, df.schema.fields.toSeq)
+    // partition columns lead the stat fields so their exact bounds are
+    // always harvested, however wide the schema (STAT_COLS_MAX cap)
+    val statFields = pkeys.fold(df.schema.fields.toSeq) { pcols =>
+      val (p, rest) = df.schema.fields.toSeq.partition(f => pcols.contains(f.name))
+      p ++ rest
+    }
+    val entries = moveIntoData(tmp, bucketSpec.isDefined, statFields)
     deleteRecursively(tmp)
     entries
   }
@@ -448,14 +558,24 @@ final class VersionedTable private (
     }
     val bucketRe = s"$BUCKET_COL=(\\d+)".r
     staged.map { p =>
-      val key = stagingRoot.relativize(p).toString
+      val rel = stagingRoot.relativize(p)
+      val key = rel.toString
       val name = s"${UUID.randomUUID()}.parquet"
-      val dest = dataDir.resolve(name)
+      // partition staging dirs (`__p_col=value/`) survive the move as
+      // `col=value/` under data/; bucket dirs flatten (the id lives in
+      // the manifest entry)
+      val partDirs = (0 until rel.getNameCount - 1)
+        .map(rel.getName(_).toString)
+        .collect { case s if s.startsWith(PART_PREFIX) => s.stripPrefix(PART_PREFIX) }
+      val destDir = partDirs.foldLeft(dataDir)(_.resolve(_))
+      Files.createDirectories(destDir)
+      val dest = destDir.resolve(name)
       Files.move(p, dest, StandardCopyOption.ATOMIC_MOVE)
       val st = footerStats(dest, statFields)
       val bucket =
         if (bucketed) bucketRe.findFirstMatchIn(key).map(_.group(1).toInt) else None
-      DataFile(s"$DATA_DIR/$name", bucket, st.khashMin, st.khashMax,
+      DataFile((DATA_DIR +: partDirs :+ name).mkString("/"), bucket,
+        st.khashMin, st.khashMax,
         Some(st.rows), st.mins, st.maxs, st.nulls)
     }
   }
@@ -561,7 +681,8 @@ final class VersionedTable private (
         dataFiles = prev.dataFiles.filterNot(f => removedSet.contains(f.path)) ++ added,
         addedFiles = added.map(_.path),
         removedFiles = removed,
-        changeFiles = changeNames)
+        changeFiles = changeNames,
+        partitionKeys = prev.partitionKeys)
       // checkpointing: most commits publish O(delta) JSON (added entries
       // + removed paths); every checkpointInterval-th version publishes
       // the full listing so resolution never walks far
@@ -571,6 +692,11 @@ final class VersionedTable private (
       try {
         publish(disk)
         manifestCache.put(v, m)
+        // post-checkpoint maintenance: fold the previous (now cold)
+        // checkpoint span's CDF scatter into one range directory —
+        // best-effort, the next checkpoint retries anything skipped
+        if (cdfEnabled && v % checkpointInterval(m.properties) == 0)
+          Try(compactChangesBefore(v - checkpointInterval(m.properties)))
         // unhide this commit's change files (crash here is healed by the
         // next commit or the next changes() read — the manifest is the
         // source of truth for what must exist; Try: a concurrent healer
@@ -817,18 +943,48 @@ final class VersionedTable private (
     * pushdown-friendly scan of the survivors pins the exact set —
     * Delta's DELETE/UPDATE find-touched-files strategy. Matching is by
     * file name (names are UUIDs, unique). */
+  /** The predicate's conjuncts resolved against `m.schema`, ready for
+    * manifest-stats evaluation (driver side, no IO). */
+  private def resolvedConjuncts(
+      m: CommitManifest, hit: org.apache.spark.sql.Column)
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = Try {
+    spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
+      .filter(hit).queryExecution.analyzed.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+      }.flatMap(FileSkipping.splitConjuncts)
+  }.getOrElse(Seq.empty)
+
+  /** Manifest entries that MAY hold a row matching `hit` by their
+    * stats: partition values (exact min=max), footer column ranges,
+    * null counts. Everything unprovable stays in. */
+  private def statsCandidates(
+      m: CommitManifest, hit: org.apache.spark.sql.Column): Seq[DataFile] = {
+    val conjuncts = resolvedConjuncts(m, hit)
+    m.dataFiles.filter(f =>
+      conjuncts.forall(c => FileSkipping.mayMatch(c, f, m.schema)))
+  }
+
+  /** Predicate-pruned snapshot read for library (non-SQL) callers: the
+    * manifest's per-file stats eliminate files BEFORE any footer opens
+    * — on a `PARTITIONED BY` table a partition-pinning predicate
+    * collapses the scan to that partition's directory (exact min=max
+    * stats), and on any table column-range conjuncts skip like the
+    * catalog's pruning scan does. The residual filter still runs (and
+    * pushes into parquet row groups), so results equal
+    * `snapshot().filter(cond)` exactly. */
+  def snapshotWhere(cond: org.apache.spark.sql.Column): DataFrame = {
+    val m = latestManifest
+    // the RAW predicate goes to stats evaluation — a null-guard wrapper
+    // (coalesce) would hide every conjunct from mayMatch; null-vs-false
+    // is immaterial for skipping (stats ignore nulls, and the residual
+    // filter applies SQL semantics)
+    readDataFiles(statsCandidates(m, cond), m.schema).filter(cond)
+  }
+
   private def touchedFiles(
       m: CommitManifest, hit: org.apache.spark.sql.Column): Seq[DataFile] = {
-    // resolve the predicate against the schema to evaluate it on stats
-    val conjuncts = Try {
-      spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
-        .filter(hit).queryExecution.analyzed.collect {
-          case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
-        }.flatMap(FileSkipping.splitConjuncts)
-    }.getOrElse(Seq.empty)
-    val candidates = m.dataFiles.filter(f =>
-      conjuncts.forall(c => FileSkipping.mayMatch(c, f, m.schema)))
+    val candidates = statsCandidates(m, hit)
     if (candidates.isEmpty) return Seq.empty
     // DV-aware scan: a file whose only matching rows are already
     // tombstoned is NOT touched (a CoW rewrite would be wasted work; a
@@ -861,7 +1017,9 @@ final class VersionedTable private (
   def deleteWhere(cond: org.apache.spark.sql.Column): Option[Long] = {
     val hit = coalesce(cond, lit(false))
     val prev = latestManifest
-    val touched = touchedFiles(prev, hit)
+    // stats see the RAW predicate (a null-guard wrapper is opaque to
+    // mayMatch; Filter null = no match = false, so scoping is identical)
+    val touched = touchedFiles(prev, cond)
     if (touched.isEmpty) return None
     if (prev.properties.get(PROP_DELETE_MODE).exists(_.equalsIgnoreCase("mor")))
       return morDelete(prev, touched, hit)
@@ -981,7 +1139,7 @@ final class VersionedTable private (
     require(newRows.filter(!hit).isEmpty,
       "replaceWhere: every incoming row must satisfy the replaced predicate")
     enforceConstraints(newRows)
-    val touched = touchedFiles(prev, hit)
+    val touched = touchedFiles(prev, cond)
     val touchedDf = readDataFiles(touched, prev.schema)
     // kept (non-matching rows of touched files) and new rows stage as
     // SEPARATE file sets so the CDF insert projection re-reads exactly
@@ -1011,7 +1169,7 @@ final class VersionedTable private (
     require(bad.isEmpty, s"SET references unknown columns: $bad")
     val hit = coalesce(cond, lit(false))
     val prev = latestManifest
-    val touched = touchedFiles(prev, hit)
+    val touched = touchedFiles(prev, cond)
     if (touched.isEmpty) return None
     val touchedDf = readDataFiles(touched, prev.schema)
     val fields = prev.schema.fields
@@ -1112,8 +1270,12 @@ final class VersionedTable private (
       .foreach(Files.deleteIfExists)
     val deadChanges = changeFilesOnDisk.filter(_._1 < cutoff)
     deadChanges.foreach(c => Files.delete(c._2))
-    if (deadChanges.nonEmpty) {
-      val newWm = deadChanges.map(_._1).max
+    // compacted CDF ranges: dead only when their WHOLE span predates
+    // the cutoff (a partially-retained span must stay readable)
+    val deadRanges = rangeDirsOnDisk.filter(_._2 < cutoff)
+    deadRanges.foreach(r => deleteRecursively(r._3))
+    if (deadChanges.nonEmpty || deadRanges.nonEmpty) {
+      val newWm = (deadChanges.map(_._1) ++ deadRanges.map(_._2)).max
       val wmPath = changesDir.resolve(VACUUM_WATERMARK)
       val old = cdfVacuumWatermark.getOrElse(Long.MinValue)
       if (newWm > old) Files.writeString(wmPath, newWm.toString)
@@ -1153,6 +1315,11 @@ object VersionedTable {
   val DATA_DIR = "data"
   /** Partition column name used transiently while clustering CoW writes. */
   val BUCKET_COL = "__bucket"
+  /** Staging-dir prefix of `PARTITIONED BY` alias columns: `ingest`
+    * partitions the write by `__p_<col>` COPIES so the real columns
+    * stay inside the data files; `moveIntoData` strips the prefix when
+    * materializing the `col=value/` layout under `data/`. */
+  val PART_PREFIX = "__p_"
   /** Materialized key-hash column in bucketed data files — source of the
     * footer-derived file-skipping stats; hidden from every reader by the
     * explicit read schemas. */
@@ -1166,6 +1333,10 @@ object VersionedTable {
   val PROP_CONSTRAINT_PREFIX = "graft.constraint."
   /** Marker file recording the highest vacuumed CDF version. */
   val VACUUM_WATERMARK = "_vacuum_watermark"
+  /** Marker file recording the highest CDF version folded into a
+    * compacted range directory (streaming tail consumers at or below it
+    * must backfill via batch [[VersionedTable.changes]]). */
+  val COMPACT_WATERMARK = "_compact_watermark"
   /** Table property toggling CDF emission, mirroring
     * `delta.enableChangeDataFeed` (demo-notebook.py:225-227). */
   val PROP_CDF = "graft.enableChangeDataFeed"
@@ -1210,7 +1381,8 @@ object VersionedTable {
       schema: StructType,
       properties: Map[String, String] = Map.empty,
       ifNotExists: Boolean = false,
-      bucketBy: Option[BucketSpec] = None): VersionedTable = {
+      bucketBy: Option[BucketSpec] = None,
+      partitionBy: Option[Seq[String]] = None): VersionedTable = {
     val root = Paths.get(path)
     if (exists(path)) {
       if (ifNotExists) return load(spark, path)
@@ -1219,6 +1391,13 @@ object VersionedTable {
     bucketBy.foreach(b => require(
       b.keys.forall(schema.fieldNames.contains),
       s"bucket keys ${b.keys} must be schema columns"))
+    partitionBy.foreach { pcols =>
+      require(pcols.nonEmpty, "PARTITIONED BY needs at least one column")
+      require(pcols.forall(schema.fieldNames.contains),
+        s"partition columns $pcols must be schema columns")
+      require(bucketBy.isEmpty,
+        "a table is either hash-bucketed (CoW merge) or partitioned, not both")
+    }
     Files.createDirectories(root)
     val t = new VersionedTable(spark, root)
     // one empty, schema-bearing file so catalog scans of version 0 have
@@ -1232,7 +1411,8 @@ object VersionedTable {
     t.publish(CommitManifest(0L, "create", System.currentTimeMillis(),
       schema.json, properties, Map.empty,
       bucketBy.map(_.keys), bucketBy.map(_.numBuckets),
-      dataFiles = files, addedFiles = files.map(_.path)))
+      dataFiles = files, addedFiles = files.map(_.path),
+      partitionKeys = partitionBy))
     t
   }
 
@@ -1260,7 +1440,8 @@ object VersionedTable {
         dvs = f.dvs.map(d => source.root.resolve(d).toAbsolutePath.toString)))
     t.publish(CommitManifest(0L, "clone", System.currentTimeMillis(),
       m.schemaJson, m.properties, Map.empty, m.bucketKeys, m.numBuckets,
-      dataFiles = refs, addedFiles = refs.map(_.path)))
+      dataFiles = refs, addedFiles = refs.map(_.path),
+      partitionKeys = m.partitionKeys))
     t
   }
 

@@ -317,6 +317,51 @@ class GraftSparkCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE graft.db6.st")
   }
 
+  test("PARTITIONED BY: hive layout, exact manifest stats, directory-level pruning") {
+    val wh = warehouse
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db7")
+    spark.sql("CREATE TABLE graft.db7.p (id BIGINT, day STRING, v DOUBLE) " +
+      "PARTITIONED BY (day)")
+    val t = VersionedTable.load(spark, s"$wh/db7/p")
+    t.append((1L to 300L).map(i => (i, s"d${i % 3}", i / 10.0))
+      .toDF("id", "day", "v"))                                       // v1
+    t.append((301L to 600L).map(i => (i, s"d${i % 3}", i / 10.0))
+      .toDF("id", "day", "v"))                                       // v2
+
+    // hive-style col=value directories under data/
+    assert(Files.isDirectory(
+      java.nio.file.Paths.get(s"$wh/db7/p/data/day=d1")))
+    // each partitioned file carries EXACT stats: min = max = its value
+    val parted = t.latestManifest.dataFiles.filter(_.path.contains("day="))
+    assert(parted.size === 6) // 3 partitions × 2 appends
+    parted.foreach(f =>
+      assert(f.colMins.get("day") === f.colMaxs.get("day")
+        && f.colMins.contains("day")))
+
+    def scannedPaths(sql: String): Int = {
+      val df = spark.sql(sql)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(df.count() >= 0) // force
+      "\\((\\d+) paths\\)".r.findFirstMatchIn(plan).map(_.group(1).toInt)
+        .getOrElse(fail(s"no file index in plan:\n$plan"))
+    }
+    // a partition-pinning predicate opens only that partition's files
+    assert(scannedPaths("SELECT id FROM graft.db7.p WHERE day = 'd1'") === 2)
+    assert(scannedPaths("SELECT id FROM graft.db7.p WHERE day IN ('d0','d2')") === 4)
+    assert(spark.sql("SELECT count(*) FROM graft.db7.p WHERE day = 'd1'")
+      .head().getLong(0) === 200L)
+
+    // the library path prunes identically (manifest math before IO)
+    val api = t.snapshotWhere($"day" === "d1")
+    assert(api.inputFiles.length === 2)
+    assert(api.count() === 200L)
+    // DML scopes to the partition: only d2's files are rewritten
+    t.deleteWhere($"day" === "d2")
+    val removed = t.latestManifest.removedFiles
+    assert(removed.size === 2 && removed.forall(_.contains("day=d2")))
+    assert(spark.sql("SELECT count(*) FROM graft.db7.p").head().getLong(0) === 400L)
+  }
+
   test("merge-on-read DELETE through SQL; reads subtract via the extension rule") {
     val wh = warehouse
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mordb")

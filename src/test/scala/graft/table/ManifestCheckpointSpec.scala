@@ -85,6 +85,39 @@ class ManifestCheckpointSpec extends SparkSpec {
     VersionedTable.deleteRecursively(Paths.get(path).getParent)
   }
 
+  test("CDF compaction folds cold spans; change reads open O(checkpoints) entries, result unchanged") {
+    import scala.jdk.CollectionConverters._
+    import scala.util.Using
+    val path = tmp("ckpt-cdf")
+    val t = VersionedTable.create(spark, path, schema,
+      Map(VersionedTable.PROP_CDF -> "true"))
+    (1 to 120).foreach(i => t.append(Seq((i.toLong, s"v$i")).toDF("id", "v")))
+
+    val changesDir = Paths.get(path).resolve(VersionedTable.CHANGES_DIR)
+    def ls = Using.resource(Files.list(changesDir))(
+      _.iterator().asScala.map(_.getFileName.toString).toSeq)
+    // spans through v110 are folded (compaction lags one checkpoint);
+    // only the hot tail v111..120 keeps per-commit files
+    val vFiles = ls.filter(_.startsWith("v"))
+    val ranges = ls.filter(n => n.startsWith("r") && !n.startsWith(".r"))
+    assert(ranges.size === 11, s"expected 11 span dirs, got $ranges")
+    assert(vFiles.size <= 12,
+      s"tail should hold ~one file per uncompacted commit, got ${vFiles.size}")
+    assert(t.cdfCompactWatermark === Some(110L))
+
+    // the batch CDF read is unchanged by the re-layout
+    val all = t.changes(1).select($"id", $"_commit_version")
+      .as[(Long, Long)].collect().sortBy(_._2)
+    assert(all.length === 120)
+    assert(all.map(_._2).toSeq === (1L to 120L))
+    assert(all.map(_._1).toSeq === (1L to 120L))
+    // windows inside a compacted span, straddling spans, and in the tail
+    assert(t.changes(5, Some(8)).count() === 4)
+    assert(t.changes(55).count() === 66)
+    assert(t.changes(115).count() === 6)
+    VersionedTable.deleteRecursively(Paths.get(path).getParent)
+  }
+
   test("endurance: 1000 manifest commits keep commit latency flat") {
     // commits through the manifest layer directly (synthetic file
     // entries, no Spark write jobs) so the timing isolates exactly what
