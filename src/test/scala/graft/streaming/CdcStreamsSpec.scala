@@ -193,12 +193,26 @@ class CdcStreamsSpec extends SparkSpec {
 
     val q = CdcStreams.startBronzeIngest(spark, landing.toString,
       s"$base/bronze", s"$base/_cp/bronze", maxFilesPerTrigger = 1)
-    q.awaitTermination()
+    q.awaitTermination() // AvailableNow: drains the backlog, then stops
     val progress = q.recentProgress
     // two files -> (at least) two micro-batches with rows, none mixing both files
     val batchRows = progress.map(_.numInputRows).filter(_ > 0)
     assert(batchRows.length === 2, s"expected 2 paced batches, got ${batchRows.toSeq}")
     assert(batchRows.toSet === Set(20L, 4L))
+
+    // the backfill is RESTARTABLE: more files land, a second
+    // AvailableNow run drains only them (checkpointed file list) and
+    // self-terminates again — the operational catch-up-then-stop mode
+    Files.copy(fixture("seed.json"), landing.resolve("c.json"))
+    val q2 = CdcStreams.startBronzeIngest(spark, landing.toString,
+      s"$base/bronze", s"$base/_cp/bronze", maxFilesPerTrigger = 1)
+    q2.awaitTermination()
+    val rows2 = q2.recentProgress.map(_.numInputRows).filter(_ > 0)
+    assert(rows2.toSeq === Seq(20L),
+      s"restart must drain ONLY the new file, got ${rows2.toSeq}")
+    // every drained row lands exactly once
+    assert(spark.read.schema(graft.pipeline.CdcPipeline.bronzeSchema)
+      .parquet(s"$base/bronze").count() === 44L)
     VersionedTable.deleteRecursively(base)
   }
 }
