@@ -218,17 +218,92 @@ object TextOps extends QueryModule {
       |SELECT doc_id, lang, n_tokens, cum_tokens
       |FROM budgeted WHERE cum_tokens <= $TOKEN_BUDGET""".stripMargin
 
+  // ------------------------------------------------------ q_doc_chunks
+  /** Sliding-window chunking — the step that turns documents into
+    * training/RAG contexts: CHUNK-token windows every STRIDE tokens
+    * (overlapping when STRIDE < CHUNK). Pure per-row array arithmetic
+    * (sequence → posexplode → slice), shuffle-free and codegen-riding;
+    * a 100 TB corpus chunks at scan speed with output partitioning
+    * inherited from the input. */
+  private val CHUNK = 30
+  private val STRIDE = 20
+
+  private def qDocChunks(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), size(col("toks")) - 1, lit(STRIDE))).as("start"))
+      .select(col("doc_id"),
+        col("start").cast("long").as("chunk_start"),
+        least(size(col("toks")) - col("start"), lit(CHUNK)).cast("long")
+          .as("n_chunk_tokens"),
+        concat_ws(" ", slice(col("toks"), col("start") + 1, lit(CHUNK)))
+          .as("chunk_text"))
+
+  private val qDocChunksSql =
+    s"""SELECT d.doc_id,
+      |       s.start AS chunk_start,
+      |       least(len(d.t) - s.start, $CHUNK) AS n_chunk_tokens,
+      |       array_to_string(
+      |         list_slice(d.t, s.start + 1, least(s.start + $CHUNK, len(d.t))),
+      |         ' ') AS chunk_text
+      |FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) d,
+      |     unnest(generate_series(0, len(d.t) - 1, $STRIDE)) AS s(start)""".stripMargin
+
+  // ------------------------------------------------------- q_top_terms
+  /** Per-document distinctive terms: rank terms by (tf DESC, df ASC,
+    * term ASC) and keep the top 3 — the TF-IDF idea with an EXACT total
+    * order (raw integer tf/df instead of a float score), so the result
+    * hashes identically cross-engine. Two hash aggregations + one
+    * broadcast-sized join + one per-doc window; the df (document
+    * frequency) side aggregates to vocabulary size, which is what makes
+    * the join broadcastable at corpus scale. */
+  private def qTopTerms(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = documents(s, d)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
+      .filter(length(col("term")) >= 4)
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(countDistinct("doc_id").as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    tf.join(broadcast(dfreq), "term")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"))
+  }
+
+  private val qTopTermsSql =
+    """WITH tf AS (
+      |  SELECT doc_id, term, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      |        FROM documents)
+      |  WHERE len(term) >= 4
+      |  GROUP BY doc_id, term),
+      |dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+      |ranked AS (
+      |  SELECT t.doc_id, t.term, t.tf, dfreq.df,
+      |         row_number() OVER (PARTITION BY t.doc_id
+      |                            ORDER BY t.tf DESC, dfreq.df ASC, t.term ASC)
+      |           AS rank
+      |  FROM tf t JOIN dfreq ON dfreq.term = t.term)
+      |SELECT doc_id, rank, term, tf, df FROM ranked WHERE rank <= 3""".stripMargin
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q_text_stats"      -> qTextStats _,
     "q_lang_id"         -> qLangId _,
     "q_token_count"     -> qTokenCount _,
     "q_doc_fingerprint" -> qDocFingerprint _,
-    "q_corpus_prep"     -> qCorpusPrep _)
+    "q_corpus_prep"     -> qCorpusPrep _,
+    "q_doc_chunks"      -> qDocChunks _,
+    "q_top_terms"       -> qTopTerms _)
 
   override val oracles: Seq[(String, String)] = Seq(
     "q_text_stats"      -> qTextStatsSql,
     "q_lang_id"         -> qLangIdSql,
     "q_token_count"     -> qTokenCountSql,
     "q_doc_fingerprint" -> qDocFingerprintSql,
-    "q_corpus_prep"     -> qCorpusPrepSql)
+    "q_corpus_prep"     -> qCorpusPrepSql,
+    "q_doc_chunks"      -> qDocChunksSql,
+    "q_top_terms"       -> qTopTermsSql)
 }

@@ -100,4 +100,44 @@ class LlmOpsSpec extends SparkSpec {
       $"avg_token_len" <= 0).count()
     assert(bad === 0L)
   }
+
+  test("dup clusters are the transitive closure of the LSH pair graph") {
+    val pairs = q("q_minhash_lsh").select($"doc_a", $"doc_b")
+      .as[(Long, Long)].collect()
+    val labels = q("q_dup_clusters").as[(Long, Long)].collect().toMap
+    // every paired doc is labeled, endpoints share a cluster
+    pairs.foreach { case (a, b) =>
+      assert(labels.contains(a) && labels.contains(b))
+      assert(labels(a) === labels(b), s"pair ($a,$b) split across clusters")
+    }
+    // labels are canonical: each cluster's id is its minimum member
+    labels.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.keys.min === cid, s"cluster $cid not labeled by min member")
+    }
+    // transitivity is non-trivial on this data: some component is larger
+    // than a single pair (A~B, B~C chains exist)
+    assert(labels.groupBy(_._2).exists(_._2.size > 2),
+      "expected at least one component larger than one pair")
+  }
+
+  test("doc chunks tile every document with stride overlap and exact token windows") {
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .select($"doc_id", size($"toks").as("n")).as[(Long, Int)].collect().toMap
+    val chunks = q("q_doc_chunks")
+      .as[(Long, Long, Long, String)].collect()
+    val byDoc = chunks.groupBy(_._1)
+    assert(byDoc.keySet === docs.keySet)
+    byDoc.foreach { case (id, cs) =>
+      val n = docs(id)
+      // one chunk per stride start below n
+      assert(cs.length === (n + 19) / 20, s"doc $id: ${cs.length} chunks for $n tokens")
+      cs.foreach { case (_, start, len, text) =>
+        assert(len === math.min(30L, n - start))
+        // the window really holds `len` tokens (empty token edge aside)
+        if (text.nonEmpty)
+          assert(text.split(" ", -1).length.toLong === len)
+      }
+    }
+  }
 }
