@@ -50,6 +50,35 @@ class PlanAuditSpec extends SparkSpec {
       s"expected pushed range bound:\n$p")
   }
 
+  test("doc chunking is a shuffle-free explode riding the scan") {
+    val p = plan("q_doc_chunks")
+    assert(!p.contains("Exchange"), s"chunking must not shuffle:\n$p")
+    assert(p.contains("Generate"), s"expected a generator (explode):\n$p")
+  }
+
+  test("distinctive-terms ranking broadcasts the vocabulary-sized df side") {
+    val p = plan("q_top_terms")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      s"df join must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"), p)
+  }
+
+  test("partition-pruned snapshot read opens only the pinned partition's files") {
+    val df = SparkEntry.queries("q_partition_prune")(spark, sf)
+    // the predicate pins event_type='click': every scanned file must sit
+    // inside that partition's directory
+    val files = df.inputFiles
+    assert(files.nonEmpty)
+    assert(files.forall(_.contains("event_type=click")),
+      s"scan escaped the pinned partition:\n${files.mkString("\n")}")
+  }
+
+  test("dup clustering builds on equi-joins only (no all-pairs anywhere)") {
+    val p = plan("q_dup_clusters")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
+      s"label propagation must stay a hash equi-join:\n$p")
+  }
+
   test("banded LSH candidates come from an equi-join, never a cross-join") {
     val p = plan("q_cosine_lsh")
     assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"),
