@@ -16,11 +16,14 @@ import graft.table.VersionedTable
   *
   * {{{
   *   VACUUM <table> [RETAIN <n> VERSIONS]
-  *   OPTIMIZE <table> [TARGET <n> ROWS] [ZORDER BY (c1, ...)]
-  *                      -- bin-packing compaction / z-order clustering
+  *   OPTIMIZE <table> [WHERE <pred>] [TARGET <n> ROWS] [ZORDER BY (c1, ...)]
+  *                      -- bin-packing compaction (optionally scoped to
+  *                      -- the predicate's partitions/files) / z-order
+  *                      -- clustering
   *   RESTORE [TABLE] <table> TO VERSION AS OF <v>
   *   UPDATE [TABLE] <table> SET c = <expr> [, ...] [WHERE <pred>]
   *   DESCRIBE HISTORY <table>
+  *   DESCRIBE DETAIL <table>
   * }}}
   *
   * `<table>` is either a `'quoted'` filesystem path of a versioned
@@ -43,23 +46,27 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val Vacuum =
     """(?is)\s*VACUUM\s+(\S+?)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*""".r
   private val Optimize =
-    """(?is)\s*OPTIMIZE\s+(\S+?)(?:\s+TARGET\s+(\d+)\s+ROWS)?(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*""".r
+    """(?is)\s*OPTIMIZE\s+(\S+?)(?:\s+WHERE\s+(.+?))?(?:\s+TARGET\s+(\d+)\s+ROWS)?(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*""".r
   private val Restore =
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?(\S+?)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
   private val Update =
     """(?is)\s*UPDATE\s+(?:TABLE\s+)?(\S+?)\s+SET\s+(.+?)\s*;?\s*""".r
   private val History =
     """(?is)\s*DESCRIBE\s+HISTORY\s+(\S+?)\s*;?\s*""".r
+  private val Detail =
+    """(?is)\s*DESCRIBE\s+DETAIL\s+(\S+?)\s*;?\s*""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case Vacuum(tbl, retain) =>
       VacuumCommand(tbl, Option(retain).map(_.toInt).getOrElse(2))
-    case Optimize(tbl, target, zcols) =>
+    case Optimize(tbl, where, target, zcols) =>
       OptimizeCommand(tbl, Option(target).map(_.toLong).getOrElse(1L << 20),
         Option(zcols).toSeq.flatMap(_.split(','))
-          .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty))
+          .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty),
+        Option(where).map(_.trim).filter(_.nonEmpty))
     case Restore(tbl, v) => RestoreCommand(tbl, v.toLong)
     case History(tbl) => HistoryCommand(tbl)
+    case Detail(tbl) => DetailCommand(tbl)
     case Update(tbl, rest) =>
       val (setPart, wherePart) = topLevelIndexOfWord(rest, "WHERE") match {
         case -1 => (rest, None)
@@ -171,14 +178,50 @@ case class VacuumCommand(table: String, retain: Int) extends LeafRunnableCommand
 case class OptimizeCommand(
     table: String,
     targetRows: Long,
-    zorderBy: Seq[String] = Nil) extends LeafRunnableCommand {
+    zorderBy: Seq[String] = Nil,
+    where: Option[String] = None) extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val t = GraftSqlParser.resolve(spark, table)
+    require(where.isEmpty || zorderBy.isEmpty,
+      "OPTIMIZE ... WHERE scopes bin-packing compaction; ZORDER BY is a " +
+        "whole-table clustering rewrite (Delta's restriction too)")
     val v = if (zorderBy.nonEmpty) t.zorder(zorderBy, targetRows)
-            else t.compactSmallFiles(targetRows)
+            else t.compactSmallFiles(targetRows,
+              where.map(org.apache.spark.sql.functions.expr))
     v.map(Row(_)).toSeq
+  }
+}
+
+/** `DESCRIBE DETAIL <table>` — one metadata row (Delta's detail
+  * surface): location, live file/row counts, on-disk bytes, layout
+  * columns, version count, and properties. Driver-side manifest math
+  * plus per-file `Files.size` — no Spark job. */
+case class DetailCommand(table: String) extends LeafRunnableCommand {
+  import org.apache.spark.sql.types.StringType
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("location", StringType, nullable = false)(),
+    AttributeReference("num_files", LongType, nullable = false)(),
+    AttributeReference("num_rows", LongType, nullable = false)(),
+    AttributeReference("size_bytes", LongType, nullable = false)(),
+    AttributeReference("partition_columns", StringType, nullable = false)(),
+    AttributeReference("bucket_columns", StringType, nullable = false)(),
+    AttributeReference("num_versions", LongType, nullable = false)(),
+    AttributeReference("properties", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    import java.nio.file.Files
+    val t = GraftSqlParser.resolve(spark, table)
+    val m = t.latestManifest
+    val size = m.dataFiles
+      .map(f => scala.util.Try(Files.size(t.root.resolve(f.path))).getOrElse(0L))
+      .sum
+    Seq(Row(t.root.toString, m.dataFiles.size.toLong,
+      m.dataFiles.flatMap(_.liveRows).sum, size,
+      m.partitionKeys.getOrElse(Nil).mkString(","),
+      m.bucketKeys.getOrElse(Nil).mkString(","),
+      t.versions.size.toLong,
+      m.properties.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(";")))
   }
 }
 
@@ -236,7 +279,8 @@ object GraftSql {
   def execute(spark: SparkSession, sqlText: String): Seq[Row] =
     new GraftSqlParser(spark.sessionState.sqlParser).parsePlan(sqlText) match {
       case c @ (_: VacuumCommand | _: OptimizeCommand |
-                _: RestoreCommand | _: UpdateCommand | _: HistoryCommand) =>
+                _: RestoreCommand | _: UpdateCommand | _: HistoryCommand |
+                _: DetailCommand) =>
         c.asInstanceOf[LeafRunnableCommand].run(spark)
       case _ => spark.sql(sqlText).collect().toSeq
     }

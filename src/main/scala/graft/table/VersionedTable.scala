@@ -846,10 +846,20 @@ final class VersionedTable private (
     * few fragmented buckets compacts in seconds, unlike [[compact]]).
     * Row counts come from the manifest (every file carries one); no
     * data is scanned to plan the rewrite. No CDF rows are emitted. */
-  def compactSmallFiles(targetRows: Long): Option[Long] = {
+  def compactSmallFiles(
+      targetRows: Long,
+      where: Option[org.apache.spark.sql.Column] = None): Option[Long] = {
     require(targetRows > 0)
     val prev = latestManifest
-    val withRows = prev.dataFiles.map(f =>
+    // optional maintenance scope (`OPTIMIZE ... WHERE`): only files
+    // whose stats may hold a matching row are considered — on a
+    // partitioned table a partition predicate compacts ONE partition's
+    // scatter and never touches (or re-clusters) the rest
+    val scoped = where.fold(prev.dataFiles)(statsCandidates(prev, _))
+    val scopedSet = scoped.map(_.path).toSet
+    val withRows = prev.dataFiles
+      .filter(f => scopedSet.contains(f.path))
+      .map(f =>
       f -> f.liveRows.getOrElse(footerRowCount(root.resolve(f.path))))
     // files carrying deletion vectors are rewrite candidates regardless
     // of size: OPTIMIZE doubles as DV materialization (Delta's PURGE),

@@ -360,6 +360,20 @@ class GraftSparkCatalogSpec extends SparkSpec {
     val removed = t.latestManifest.removedFiles
     assert(removed.size === 2 && removed.forall(_.contains("day=d2")))
     assert(spark.sql("SELECT count(*) FROM graft.db7.p").head().getLong(0) === 400L)
+
+    // partition-scoped maintenance: OPTIMIZE WHERE compacts ONLY the
+    // predicate's partition (d1's two files -> one), d0 untouched
+    val before = t.latestManifest.dataFiles.map(_.path).toSet
+    graft.catalog.GraftSql.execute(spark,
+      s"OPTIMIZE '$wh/db7/p' WHERE day = 'd1' TARGET 1000 ROWS")
+    val m2 = t.latestManifest
+    assert(m2.removedFiles.forall(_.contains("day=d1")),
+      s"scoped OPTIMIZE must not touch other partitions: ${m2.removedFiles}")
+    assert(m2.removedFiles.size === 2 && m2.addedFiles.size === 1)
+    assert(m2.dataFiles.map(_.path).toSet !== before)
+    assert(spark.sql("SELECT count(*) FROM graft.db7.p").head().getLong(0) === 400L)
+    assert(spark.sql("SELECT count(*) FROM graft.db7.p WHERE day='d1'")
+      .head().getLong(0) === 200L)
   }
 
   test("merge-on-read DELETE through SQL; reads subtract via the extension rule") {

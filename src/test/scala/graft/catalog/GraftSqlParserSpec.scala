@@ -100,6 +100,35 @@ class GraftSqlParserSpec extends SparkSpec {
     }
   }
 
+  test("DESCRIBE DETAIL reports layout, live counts, and properties in one row") {
+    withExtendedSession { s =>
+      import s.implicits._
+      val path = Files.createTempDirectory("detail").resolve("t").toString
+      val t = VersionedTable.create(s, path,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("day",
+            org.apache.spark.sql.types.StringType))),
+        properties = Map(VersionedTable.PROP_DELETE_MODE -> "mor"),
+        partitionBy = Some(Seq("day")))
+      t.append((1L to 20L).map(i => (i, s"d${i % 2}")).toDF("id", "day")) // v1
+      t.deleteWhere($"id" <= 5L)                                          // v2 (mor)
+
+      val d = s.sql(s"DESCRIBE DETAIL '$path'").collect()
+      assert(d.length === 1)
+      val row = d.head
+      assert(row.getString(0).endsWith("/t"))
+      assert(row.getLong(2) === 15L, "num_rows must be LIVE (DV-subtracted)")
+      assert(row.getLong(3) > 0L)
+      assert(row.getString(4) === "day")
+      assert(row.getString(5) === "")
+      assert(row.getLong(6) === 3L) // v0..v2
+      assert(row.getString(7).contains("graft.delete.mode=mor"))
+      VersionedTable.deleteRecursively(java.nio.file.Paths.get(path).getParent)
+    }
+  }
+
   test("UPDATE statement maps onto touched-file updateWhere with CDF rows") {
     withExtendedSession { s =>
       import s.implicits._

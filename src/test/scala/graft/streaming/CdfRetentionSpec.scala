@@ -77,4 +77,47 @@ class CdfRetentionSpec extends SparkSpec {
     assert(e.getMessage.contains("vacuumed"))
     VersionedTable.deleteRecursively(base)
   }
+
+  test("CDF span compaction fails a stale tail consumer loudly; a caught-up one resumes") {
+    val base = Files.createTempDirectory("cdf-compact-guard")
+    val landing = Files.createDirectories(base.resolve("landing"))
+    val silver = CdcPipeline.createSilver(spark, s"$base/silver")
+    val gold = CdcPipeline.createGold(spark, s"$base/gold")
+    Files.copy(fixture("seed.json"), landing.resolve("seed.json"),
+      StandardCopyOption.REPLACE_EXISTING)
+    CdcStreams.processAvailable(spark, landing.toString, base.toString, silver, gold)
+
+    // advance silver to just below the version whose checkpoint commit
+    // will fold the first span, and let gold catch up THERE — its
+    // progress must predate no folded span
+    val interval = 10
+    while (silver.latestVersion < 2L * interval - 1)
+      CdcPipeline.mergeBatchIntoSilver(silver, bumpAll(silver, 1))
+    CdcStreams.startGoldAggregate(spark, silver, gold, s"$base/_cp/gold")
+      .awaitTermination()
+    // the next commit is the v20 checkpoint: its post-commit hook folds
+    // span (1,10] into a range directory
+    CdcPipeline.mergeBatchIntoSilver(silver, bumpAll(silver, 1))
+    assert(silver.cdfCompactWatermark.exists(_ >= interval.toLong),
+      "checkpoint commits must compact the cold CDF span")
+
+    // a FRESH consumer (no progress) whose start predates the folded
+    // span cannot tail it — loud failure with the batch-backfill remedy
+    val freshGold = CdcPipeline.createGold(spark, s"$base/gold2")
+    val e = intercept[IllegalStateException] {
+      CdcStreams.startGoldAggregate(spark, silver, freshGold, s"$base/_cp/gold2")
+    }
+    assert(e.getMessage.contains("compacted"))
+    // the batch CDF read serves the folded history in full
+    assert(silver.changes(1).count() > 0)
+
+    // the caught-up consumer is untouched by the re-layout: it resumes,
+    // drains the tail, and the incremental gold equals a recompute
+    CdcStreams.startGoldAggregate(spark, silver, gold, s"$base/_cp/gold")
+      .awaitTermination()
+    assert(goldMap(gold.snapshot()) ===
+      goldMap(CdcPipeline.recomputedGold(silver)),
+      "incremental gold must equal a recompute across CDF compaction")
+    VersionedTable.deleteRecursively(base)
+  }
 }
