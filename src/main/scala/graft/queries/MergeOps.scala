@@ -353,6 +353,35 @@ object MergeOps extends QueryModule {
     """SELECT event_id, event_type, value
       |FROM events WHERE event_type = 'click'""".stripMargin
 
+  // ------------------------------------------------ q_bloom_prune (engine)
+  /** Bloom-indexed point lookup ([[graft.table.BloomIndex]]): land
+    * lineitem in an engine table with a per-file bloom sidecar on
+    * `l_orderkey` (PROP_BLOOM_COLS), written hash-scattered
+    * (repartitioned by `l_partkey`) so every file spans nearly the full
+    * orderkey range — the layout where min/max stats prune NOTHING and
+    * only the bloom can cut the scan. The point read goes through the
+    * bloom-pruned [[VersionedTable.snapshotWhere]]; BloomSkippingSpec
+    * pins the file-count reduction, this row pins content fidelity. */
+  private def qBloomPrune(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val schema = StructType(Seq(
+      StructField("l_orderkey", LongType),
+      StructField("l_partkey", LongType),
+      StructField("l_quantity", DoubleType),
+      StructField("l_extendedprice", DoubleType)))
+    val dir = graft.Scratch.dir("graft-bloomq").resolve("t").toString
+    val t = VersionedTable.create(s, dir, schema, properties = Map(
+      VersionedTable.PROP_BLOOM_COLS -> "l_orderkey",
+      VersionedTable.PROP_MAX_RECORDS -> "8000"))
+    t.append(lineitem(s, d)
+      .select($"l_orderkey", $"l_partkey", $"l_quantity", $"l_extendedprice")
+      .repartition(8, $"l_partkey"))
+    t.snapshotWhere($"l_orderkey" === 1L)
+  }
+  private val qBloomPruneSql =
+    """SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice
+      |FROM lineitem WHERE l_orderkey = 1""".stripMargin
+
   // -------------------------------------------------- q_restore (engine)
   /** RESTORE through the literal SQL statement: land the log in two
     * appends, `RESTORE TABLE ... TO VERSION AS OF 1`, then read — the
@@ -508,6 +537,7 @@ object MergeOps extends QueryModule {
     "q_delete_update"  -> qDeleteUpdate _,
     "q_delete_update_mor" -> qDeleteUpdateMor _,
     "q_partition_prune" -> qPartitionPrune _,
+    "q_bloom_prune"    -> qBloomPrune _,
     "q_replace_where"  -> qReplaceWhere _,
     "q_restore"        -> qRestore _,
     "q_optimize"       -> qOptimize _,
@@ -525,6 +555,7 @@ object MergeOps extends QueryModule {
     "q_delete_update"  -> qDeleteUpdateSql,
     "q_delete_update_mor" -> qDeleteUpdateMorSql,
     "q_partition_prune" -> qPartitionPruneSql,
+    "q_bloom_prune"    -> qBloomPruneSql,
     "q_replace_where"  -> qReplaceWhereSql,
     "q_restore"        -> qRestoreSql,
     "q_optimize"       -> qOptimizeSql,

@@ -28,7 +28,8 @@ final case class DataFile(
     colMaxs: Map[String, String] = Map.empty,
     nullCounts: Map[String, Long] = Map.empty,
     dvs: Seq[String] = Seq.empty,
-    dvRows: Option[Long] = None) {
+    dvRows: Option[Long] = None,
+    bloomPath: Option[String] = None) {
   /** A file with stats provably cannot contain key-hash `h` outside
     * [minHash, maxHash]; a file without stats can contain anything.
     *
@@ -538,7 +539,18 @@ final class VersionedTable private (
     }
     val entries = moveIntoData(tmp, bucketSpec.isDefined, statFields)
     deleteRecursively(tmp)
-    entries
+    // bloom sidecars for configured columns: one distributed job over
+    // the just-written files; entries gain their bloomPath refs before
+    // the commit publishes them (see BloomIndex)
+    val bloomCols = properties.get(PROP_BLOOM_COLS)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    if (bloomCols.isEmpty) entries
+    else {
+      val bitsPerRow = properties.get(PROP_BLOOM_BITS_PER_ROW)
+        .flatMap(s => Try(s.toInt).toOption).getOrElse(10)
+      BloomIndex.attach(spark, root, entries, df.schema, bloomCols, bitsPerRow)
+    }
   }
 
   /** Moves staged parquet files into `data/` under fresh unique names.
@@ -971,8 +983,13 @@ final class VersionedTable private (
   private def statsCandidates(
       m: CommitManifest, hit: org.apache.spark.sql.Column): Seq[DataFile] = {
     val conjuncts = resolvedConjuncts(m, hit)
-    m.dataFiles.filter(f =>
+    val survivors = m.dataFiles.filter(f =>
       conjuncts.forall(c => FileSkipping.mayMatch(c, f, m.schema)))
+    // second stage: bloom sidecars refute equality/IN probes range
+    // stats cannot (loaded lazily, only for files that survived stats)
+    val probes = BloomIndex.probes(conjuncts)
+    if (probes.isEmpty) survivors
+    else survivors.filter(f => BloomIndex.mayMatch(root, f, probes))
   }
 
   /** Predicate-pruned snapshot read for library (non-SQL) callers: the
@@ -1278,6 +1295,13 @@ final class VersionedTable private (
       removed.flatMap(v => manifest(v).dataFiles.flatMap(_.dvs)).toSet -- liveDvs
     deadDvs.map(root.resolve).filter(_.startsWith(root))
       .foreach(Files.deleteIfExists)
+    // bloom sidecars share their data file's liveness (1:1 immutable)
+    val liveBlooms =
+      retained.flatMap(v => manifest(v).dataFiles.flatMap(_.bloomPath)).toSet
+    val deadBlooms = removed.flatMap(v =>
+      manifest(v).dataFiles.flatMap(_.bloomPath)).toSet -- liveBlooms
+    deadBlooms.map(root.resolve).filter(_.startsWith(root))
+      .foreach(Files.deleteIfExists)
     val deadChanges = changeFilesOnDisk.filter(_._1 < cutoff)
     deadChanges.foreach(c => Files.delete(c._2))
     // compacted CDF ranges: dead only when their WHOLE span predates
@@ -1353,6 +1377,8 @@ object VersionedTable {
   /** Deletion-vector directory: small parquet files of
     * `(__file, __pos)` tombstones referenced by manifest entries. */
   val DV_DIR = "_dv"
+  /** Per-file bloom sidecar dir (see [[BloomIndex]]). */
+  val BLOOM_DIR = "_bloom"
   /** Table property selecting DELETE's write strategy: `cow` (default —
     * rewrite touched files without the matching rows) or `mor` —
     * merge-on-read via deletion vectors (Delta's DV feature): DELETE
@@ -1365,6 +1391,15 @@ object VersionedTable {
     * Delta's `maxRecordsPerFile` analog). Sorted bucket writes make the
     * split files cover disjoint key-hash ranges. */
   val PROP_MAX_RECORDS = "graft.write.maxRecordsPerFile"
+  /** Comma-separated columns carrying a per-file bloom-filter sidecar
+    * (Delta's bloom filter index analog): point/IN lookups on a
+    * high-cardinality un-clustered column skip files whose bloom
+    * refutes every probed value — range stats can't (a uniform hash
+    * column spans the full range in every file). See [[BloomIndex]]. */
+  val PROP_BLOOM_COLS = "graft.bloom.columns"
+  /** Bloom sizing: bits per row (default 10 → ~0.9% false positives
+    * with k=7). Per-file bit count = nextPow2(rows * bitsPerRow). */
+  val PROP_BLOOM_BITS_PER_ROW = "graft.bloom.bitsPerRow"
   /** Table property setting the manifest checkpoint cadence: every N-th
     * version embeds the full file listing; the versions between are
     * O(delta) manifests resolved on read. */
@@ -1447,7 +1482,9 @@ object VersionedTable {
     val t = new VersionedTable(source.spark, root)
     val refs = m.dataFiles.map(f =>
       f.copy(path = source.root.resolve(f.path).toAbsolutePath.toString,
-        dvs = f.dvs.map(d => source.root.resolve(d).toAbsolutePath.toString)))
+        dvs = f.dvs.map(d => source.root.resolve(d).toAbsolutePath.toString),
+        bloomPath = f.bloomPath.map(b =>
+          source.root.resolve(b).toAbsolutePath.toString)))
     t.publish(CommitManifest(0L, "clone", System.currentTimeMillis(),
       m.schemaJson, m.properties, Map.empty, m.bucketKeys, m.numBuckets,
       dataFiles = refs, addedFiles = refs.map(_.path),

@@ -73,6 +73,16 @@ class PlanAuditSpec extends SparkSpec {
       s"scan escaped the pinned partition:\n${files.mkString("\n")}")
   }
 
+  test("bloom point lookup opens only bloom-positive files") {
+    val df = SparkEntry.queries("q_bloom_prune")(spark, sf)
+    // the table lands as 8 hash-scattered files (every file spans ~the
+    // full orderkey range — stats prune nothing); orderkey 1 has 4 rows,
+    // so at most 4 true-positive files + ~0.9%-fpp strays may open
+    val opened = df.inputFiles.length
+    assert(opened >= 1 && opened <= 5,
+      s"bloom should cut the 8-file scan to the hit files: opened $opened")
+  }
+
   test("dup clustering builds on equi-joins only (no all-pairs anywhere)") {
     val p = plan("q_dup_clusters")
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
