@@ -16,6 +16,7 @@ object SparkEntry {
     graft.operators.Sketches,
     graft.streaming.EventWindows,
     graft.llm.TextOps,
+    graft.llm.CorpusQuality,
     graft.llm.DedupOps,
     graft.llm.SimilarityOps,
     graft.llm.Multimodal)

@@ -1,0 +1,196 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryModule, Tables}
+
+/** Corpus-level quality operators for LLM training-data curation — the
+  * filters that sit between raw crawl and tokenizer in every published
+  * pipeline (Gopher/MassiveText repetition rules, C4-style boilerplate
+  * removal, benchmark decontamination):
+  *
+  *   - [[qGopherQuality q_gopher_quality]]: per-document repetition
+  *     signals (duplicate-token fraction, most-frequent-token fraction,
+  *     top-bigram fraction) + a composite keep flag. Pure per-row
+  *     higher-order-function expressions: shuffle-free, codegen-riding,
+  *     linear in input — the ideal 100 TB shape.
+  *   - [[qBoilerplateNgrams q_boilerplate_ngrams]]: CORPUS-level
+  *     duplicated-phrase detection — a word 5-gram appearing in many
+  *     documents is boilerplate (headers, licenses, templates); each
+  *     document reports what fraction of its 5-grams are shared. Shape:
+  *     explode → distinct → count-per-gram → equi-join back. The gram
+  *     hash is a high-cardinality shuffle key, so the plan is two hash
+  *     aggregations + one shuffled equi-join — never all-pairs, and the
+  *     gram-frequency side can be re-used across curation runs.
+  *   - [[qDecontaminate q_decontaminate]]: benchmark decontamination —
+  *     flag training documents sharing any word 8-gram with a held-out
+  *     evaluation set (the n-gram-overlap rule GPT-3/PaLM/Llama report).
+  *     The eval side aggregates to a distinct-gram set that is tiny
+  *     relative to the corpus — broadcast-eligible at any training
+  *     scale, so the corpus-side scan stays a map-side semi-join probe.
+  *
+  * Determinism: all counts are exact integers; fractions are single
+  * IEEE divisions of identical integers on both engines.
+  */
+object CorpusQuality extends QueryModule {
+  import Tables._
+
+  private def withTokens(df: DataFrame): DataFrame =
+    df.withColumn("t", split(lower(col("text")), " "))
+
+  // -------------------------------------------------- q_gopher_quality
+  private val MIN_TOKENS = 10L
+  private val MAX_TOKENS = 100000L
+  private val MAX_TOP_TOKEN_FRAC = 0.20
+  private val MAX_DUP_TOKEN_FRAC = 0.60
+
+  private def qGopherQuality(s: SparkSession, d: String): DataFrame = {
+    val nTokens = size(col("t")).cast("long")
+    // count of the most frequent token: for each DISTINCT token, count
+    // its occurrences, take the max — O(n·distinct) per row on short
+    // token lists, still a per-row expression (no shuffle)
+    val topTokenCnt = expr(
+      "array_max(transform(array_distinct(t), x -> size(filter(t, y -> y = x))))")
+    // most frequent word bigram (guarded: <2 tokens has no bigram)
+    val bigrams = expr(
+      "transform(sequence(1, size(t) - 1), i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))")
+    val topBigramCnt = expr(
+      "array_max(transform(array_distinct(bg), x -> size(filter(bg, y -> y = x))))")
+    val base = withTokens(documents(s, d))
+      .withColumn("n_tokens", nTokens)
+      .withColumn("top_token_frac", topTokenCnt / col("n_tokens"))
+      .withColumn("dup_token_frac",
+        (col("n_tokens") - size(array_distinct(col("t")))) / col("n_tokens"))
+      .withColumn("bg", when(col("n_tokens") >= 2, bigrams))
+      .withColumn("top_bigram_frac",
+        when(col("n_tokens") >= 2, topBigramCnt / (col("n_tokens") - 1)))
+    base.select(
+      col("doc_id"), col("n_tokens"), col("top_token_frac"),
+      col("dup_token_frac"), col("top_bigram_frac"),
+      (col("n_tokens").between(MIN_TOKENS, MAX_TOKENS) &&
+        col("top_token_frac") < MAX_TOP_TOKEN_FRAC &&
+        col("dup_token_frac") < MAX_DUP_TOKEN_FRAC).as("keep"))
+  }
+  private val qGopherQualitySql =
+    s"""SELECT doc_id,
+      |  len(t) AS n_tokens,
+      |  list_max(list_transform(list_distinct(t),
+      |    x -> len(list_filter(t, y -> y = x)))) / len(t) AS top_token_frac,
+      |  (len(t) - len(list_distinct(t))) / len(t) AS dup_token_frac,
+      |  CASE WHEN len(t) >= 2 THEN
+      |    list_max(list_transform(list_distinct(bg),
+      |      x -> len(list_filter(bg, y -> y = x)))) / (len(t) - 1)
+      |  END AS top_bigram_frac,
+      |  (len(t) BETWEEN $MIN_TOKENS AND $MAX_TOKENS
+      |   AND list_max(list_transform(list_distinct(t),
+      |         x -> len(list_filter(t, y -> y = x)))) / len(t) < $MAX_TOP_TOKEN_FRAC
+      |   AND (len(t) - len(list_distinct(t))) / len(t) < $MAX_DUP_TOKEN_FRAC)
+      |    AS keep
+      |FROM (SELECT doc_id, t,
+      |        CASE WHEN len(t) >= 2 THEN
+      |          list_transform(generate_series(1, len(t) - 1),
+      |            i -> concat(t[i], ' ', t[i + 1]))
+      |        END AS bg
+      |      FROM (SELECT doc_id, string_split(lower(text), ' ') AS t
+      |            FROM documents))""".stripMargin
+
+  // ---------------------------------------------- q_boilerplate_ngrams
+  private val NGRAM = 5
+  private val SHARED_DOCS = 5L
+
+  /** Per-document boilerplate fraction: distinct word 5-grams joined
+    * against corpus-wide gram document-frequencies. */
+  private def qBoilerplateNgrams(s: SparkSession, d: String): DataFrame = {
+    val grams = withTokens(documents(s, d))
+      .filter(size(col("t")) >= NGRAM)
+      .select(col("doc_id"), explode(expr(
+        s"array_distinct(transform(sequence(1, size(t) - ${NGRAM - 1}), " +
+          s"i -> concat_ws(' ', slice(t, i, $NGRAM))))")).as("gram"))
+    val gramDf = grams.groupBy("gram")
+      .agg(count(lit(1)).cast("long").as("gram_docs"))
+    grams.join(gramDf, "gram")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).cast("long").as("n_grams"),
+        sum(when(col("gram_docs") >= SHARED_DOCS, 1L).otherwise(0L))
+          .as("n_shared_grams"))
+      .withColumn("boilerplate_frac", col("n_shared_grams") / col("n_grams"))
+  }
+  private val qBoilerplateNgramsSql =
+    s"""WITH grams AS (
+      |  SELECT DISTINCT doc_id,
+      |    array_to_string(list_slice(t, i, i + ${NGRAM - 1}), ' ') AS gram
+      |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t
+      |        FROM documents WHERE len(string_split(lower(text), ' ')) >= $NGRAM),
+      |       unnest(generate_series(1, len(t) - ${NGRAM - 1})) AS s(i)),
+      |freq AS (SELECT gram, count(*) AS gram_docs FROM grams GROUP BY gram)
+      |SELECT g.doc_id,
+      |  count(*) AS n_grams,
+      |  -- CAST: DuckDB sum(int) returns HUGEINT, Spark sum(long) BIGINT
+      |  CAST(sum(CASE WHEN f.gram_docs >= $SHARED_DOCS THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_shared_grams,
+      |  CAST(sum(CASE WHEN f.gram_docs >= $SHARED_DOCS THEN 1 ELSE 0 END) AS BIGINT)
+      |    / count(*) AS boilerplate_frac
+      |FROM grams g JOIN freq f ON f.gram = g.gram
+      |GROUP BY g.doc_id""".stripMargin
+
+  // -------------------------------------------------- q_decontaminate
+  private val EVAL_MOD = 41
+  private val DECON_N = 8
+
+  /** Benchmark decontamination: training docs sharing any word 8-gram
+    * with the (deterministic pseudo) eval split. Output: every training
+    * doc with its shared-gram count + contaminated flag, so the result
+    * is stable whether or not contamination exists. */
+  private def qDecontaminate(s: SparkSession, d: String): DataFrame = {
+    def grams(df: DataFrame): DataFrame = withTokens(df)
+      .filter(size(col("t")) >= DECON_N)
+      .select(col("doc_id"), explode(expr(
+        s"array_distinct(transform(sequence(1, size(t) - ${DECON_N - 1}), " +
+          s"i -> concat_ws(' ', slice(t, i, $DECON_N))))")).as("gram"))
+    val docs = documents(s, d)
+    val isEval: Column = col("doc_id") % EVAL_MOD === 0
+    val evalGrams = grams(docs.filter(isEval))
+      .select(col("gram")).distinct()
+    val trainGrams = grams(docs.filter(!isEval))
+    val overlap = trainGrams.join(broadcast(evalGrams), "gram")
+      .groupBy("doc_id").agg(count(lit(1)).cast("long").as("n_shared_grams"))
+    docs.filter(!isEval).select(col("doc_id"))
+      .join(overlap, Seq("doc_id"), "left_outer")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_shared_grams"), lit(0L)).as("n_shared_grams"),
+        (coalesce(col("n_shared_grams"), lit(0L)) > 0L).as("contaminated"))
+  }
+  private val qDecontaminateSql =
+    s"""WITH toks AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+      |grams AS (
+      |  SELECT DISTINCT doc_id,
+      |    array_to_string(list_slice(t, i, i + ${DECON_N - 1}), ' ') AS gram
+      |  FROM (SELECT * FROM toks WHERE len(t) >= $DECON_N),
+      |       unnest(generate_series(1, len(t) - ${DECON_N - 1})) AS s(i)),
+      |eval_grams AS (
+      |  SELECT DISTINCT gram FROM grams WHERE doc_id % $EVAL_MOD = 0),
+      |overlap AS (
+      |  SELECT g.doc_id, count(*) AS n_shared_grams
+      |  FROM grams g JOIN eval_grams e ON e.gram = g.gram
+      |  WHERE g.doc_id % $EVAL_MOD <> 0
+      |  GROUP BY g.doc_id)
+      |SELECT d.doc_id,
+      |  coalesce(o.n_shared_grams, 0) AS n_shared_grams,
+      |  coalesce(o.n_shared_grams, 0) > 0 AS contaminated
+      |FROM (SELECT doc_id FROM documents WHERE doc_id % $EVAL_MOD <> 0) d
+      |LEFT JOIN overlap o ON o.doc_id = d.doc_id""".stripMargin
+
+  override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q_gopher_quality"     -> qGopherQuality _,
+    "q_boilerplate_ngrams" -> qBoilerplateNgrams _,
+    "q_decontaminate"      -> qDecontaminate _)
+
+  override val oracles: Seq[(String, String)] = Seq(
+    "q_gopher_quality"     -> qGopherQualitySql,
+    "q_boilerplate_ngrams" -> qBoilerplateNgramsSql,
+    "q_decontaminate"      -> qDecontaminateSql)
+}

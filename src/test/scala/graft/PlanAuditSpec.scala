@@ -73,6 +73,24 @@ class PlanAuditSpec extends SparkSpec {
       s"scan escaped the pinned partition:\n${files.mkString("\n")}")
   }
 
+  test("gopher quality signals are a shuffle-free per-row scan") {
+    val p = plan("q_gopher_quality")
+    assert(!p.contains("Exchange"), s"per-row signals must not shuffle:\n$p")
+  }
+
+  test("boilerplate detection joins grams by key, never all-pairs") {
+    val p = plan("q_boilerplate_ngrams")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
+      s"gram-frequency join must be a hash equi-join:\n$p")
+  }
+
+  test("decontamination broadcasts the eval gram set into the corpus probe") {
+    val p = plan("q_decontaminate")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      s"the tiny eval side must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("bloom point lookup opens only bloom-positive files") {
     val df = SparkEntry.queries("q_bloom_prune")(spark, sf)
     // the table lands as 8 hash-scattered files (every file spans ~the

@@ -1,0 +1,53 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Invariants of the corpus-quality operators (the DuckDB oracle pins
+  * exact values; these pin the semantic contracts). */
+class CorpusQualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("gopher signals are well-formed fractions and keep is consistent") {
+    val df = run("q_gopher_quality").cache()
+    try {
+      assert(df.count() > 0)
+      assert(df.filter(
+        col("top_token_frac") < 0 || col("top_token_frac") > 1 ||
+        col("dup_token_frac") < 0 || col("dup_token_frac") > 1).count() === 0)
+      // keep must equal the published rule re-derived from the signals
+      val bad = df.filter(col("keep") =!= (
+        col("n_tokens").between(10L, 100000L) &&
+        col("top_token_frac") < 0.20 && col("dup_token_frac") < 0.60))
+      assert(bad.count() === 0)
+      // the synthetic corpus draws from a ~30-word vocabulary: repetition
+      // signals must actually fire somewhere (non-degenerate operator)
+      assert(df.filter(col("dup_token_frac") > 0).count() > 0)
+    } finally { df.unpersist(); () }
+  }
+
+  test("boilerplate fractions are bounded and shared grams exist") {
+    val df = run("q_boilerplate_ngrams").cache()
+    try {
+      assert(df.count() > 0)
+      assert(df.filter(col("n_shared_grams") > col("n_grams")).count() === 0)
+      assert(df.filter(
+        col("boilerplate_frac") < 0 || col("boilerplate_frac") > 1).count() === 0)
+    } finally { df.unpersist(); () }
+  }
+
+  test("decontamination covers every training doc exactly once") {
+    val df = run("q_decontaminate").cache()
+    try {
+      val docs = graft.Tables.documents(spark, sf)
+        .filter(col("doc_id") % 41 =!= 0).count()
+      assert(df.count() === docs)
+      assert(df.select(countDistinct("doc_id")).as[Long].head === docs)
+      val bad = df.filter(col("contaminated") =!= (col("n_shared_grams") > 0))
+      assert(bad.count() === 0)
+    } finally { df.unpersist(); () }
+  }
+}
