@@ -184,13 +184,56 @@ object CorpusQuality extends QueryModule {
       |FROM (SELECT doc_id FROM documents WHERE doc_id % $EVAL_MOD <> 0) d
       |LEFT JOIN overlap o ON o.doc_id = d.doc_id""".stripMargin
 
+  // ------------------------------------------------------- q_pii_scrub
+  /** Pattern-based redaction — the PII-scrub pass every released-data
+    * pipeline runs before training. Three RE2-safe rule tiers applied
+    * in a fixed order (emails → long digit runs → denylisted terms),
+    * each counted on the ORIGINAL text and masked in the running
+    * result. Pure per-row regex work: shuffle-free, codegen-riding,
+    * linear — and the patterns are dialect-portable (no backrefs or
+    * lookarounds), so Java regex (Spark) and RE2 (DuckDB) agree
+    * byte-for-byte. On this synthetic corpus the email/number tiers
+    * fire rarely; the denylist tier fires constantly — the operator's
+    * plumbing is what's under test, the rule list is user config. */
+  private val EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val NUM_RE = "\\d{4,}"
+  private val TERM_RE = "\\b(customer|vector)\\b"
+
+  private def qPiiScrub(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(EMAIL_RE), lit(0)))
+        .cast("long").as("n_email"),
+      size(regexp_extract_all(col("text"), lit(NUM_RE), lit(0)))
+        .cast("long").as("n_number"),
+      size(regexp_extract_all(col("text"), lit(TERM_RE), lit(0)))
+        .cast("long").as("n_term"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), EMAIL_RE, "[EMAIL]"),
+          NUM_RE, "[NUM]"),
+        TERM_RE, "[TERM]").as("clean_text"))
+  private val qPiiScrubSql =
+    s"""SELECT doc_id,
+      |  len(regexp_extract_all(text, '$EMAIL_RE')) AS n_email,
+      |  len(regexp_extract_all(text, '$NUM_RE')) AS n_number,
+      |  len(regexp_extract_all(text, '$TERM_RE')) AS n_term,
+      |  regexp_replace(
+      |    regexp_replace(
+      |      regexp_replace(text, '$EMAIL_RE', '[EMAIL]', 'g'),
+      |      '$NUM_RE', '[NUM]', 'g'),
+      |    '$TERM_RE', '[TERM]', 'g') AS clean_text
+      |FROM documents""".stripMargin
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q_gopher_quality"     -> qGopherQuality _,
     "q_boilerplate_ngrams" -> qBoilerplateNgrams _,
-    "q_decontaminate"      -> qDecontaminate _)
+    "q_decontaminate"      -> qDecontaminate _,
+    "q_pii_scrub"          -> qPiiScrub _)
 
   override val oracles: Seq[(String, String)] = Seq(
     "q_gopher_quality"     -> qGopherQualitySql,
     "q_boilerplate_ngrams" -> qBoilerplateNgramsSql,
-    "q_decontaminate"      -> qDecontaminateSql)
+    "q_decontaminate"      -> qDecontaminateSql,
+    "q_pii_scrub"          -> qPiiScrubSql)
 }

@@ -636,6 +636,59 @@ object Relational extends QueryModule {
       |  w_frame AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
       |              ROWS UNBOUNDED PRECEDING)""".stripMargin
 
+  // ------------------------------------------------------- q_range_frame
+  /** Event-time RANGE window frame: per user, the count and exact
+    * (DECIMAL) sum of activity in the trailing 10 minutes of each
+    * event — the windowed-feature shape (rolling engagement, rate
+    * limiting) that ROWS frames get wrong under irregular event
+    * spacing. The frame bound is epoch-microsecond arithmetic on both
+    * engines; peers at one timestamp are included identically. One
+    * user_id shuffle, no join. */
+  private def qRangeFrame(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tenMinUs = 600000000L
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us")
+      .rangeBetween(-tenMinUs, 0)
+    events(s, d)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"), $"value")
+      .select($"user_id", $"event_id", $"ts_us",
+        count(lit(1)).over(w).as("n_last_10m"),
+        sum($"value".cast("decimal(18,2)")).over(w)
+          .cast("double").as("sum_last_10m"))
+  }
+  private val qRangeFrameSql =
+    """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      |  count(*) OVER w AS n_last_10m,
+      |  sum(value::DECIMAL(18,2)) OVER w::DOUBLE AS sum_last_10m
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |             RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)""".stripMargin
+
+  // ---------------------------------------------------- q_grouping_sets
+  /** Arbitrary GROUPING SETS (beyond q16's ROLLUP hierarchy and
+    * q_cube's full lattice): the two one-dimension marginals plus the
+    * grand total, skipping the 2-D cell — the exact set a reporting
+    * layer asks for. One pass, Spark's Expand + partial aggregation. */
+  private def qGroupingSets(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    lineitem(s, d)
+      .groupingSets(
+        Seq(Seq($"l_returnflag"), Seq($"l_linestatus"), Seq.empty),
+        $"l_returnflag", $"l_linestatus")
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"l_quantity").as("sum_qty"),
+        grouping($"l_returnflag").cast("long").as("g_flag"),
+        grouping($"l_linestatus").cast("long").as("g_status"))
+  }
+  private val qGroupingSetsSql =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+      |  sum(l_quantity) AS sum_qty,
+      |  grouping(l_returnflag)::BIGINT AS g_flag,
+      |  grouping(l_linestatus)::BIGINT AS g_status
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin
+
   // ---------------------------------------------------------- q_asof_join
   /** Backward as-of join (graft.operators.AsofJoin): every purchase
     * picks up the same user's latest click at-or-before it — the
@@ -723,7 +776,9 @@ object Relational extends QueryModule {
     "q_asof_join"         -> qAsofJoin _,
     "q_range_join"        -> qRangeJoin _,
     "q_anti_join"         -> qAntiJoin _,
-    "q_running_total"     -> qRunningTotal _)
+    "q_running_total"     -> qRunningTotal _,
+    "q_range_frame"       -> qRangeFrame _,
+    "q_grouping_sets"     -> qGroupingSets _)
 
   override val oracles: Seq[(String, String)] = Seq(
     "q1_pricing_summary"  -> q1Sql,
@@ -754,5 +809,7 @@ object Relational extends QueryModule {
     "q_asof_join"         -> qAsofJoinSql,
     "q_range_join"        -> qRangeJoinSql,
     "q_anti_join"         -> qAntiJoinSql,
-    "q_running_total"     -> qRunningTotalSql)
+    "q_running_total"     -> qRunningTotalSql,
+    "q_range_frame"       -> qRangeFrameSql,
+    "q_grouping_sets"     -> qGroupingSetsSql)
 }
