@@ -353,6 +353,71 @@ object MergeOps extends QueryModule {
     """SELECT event_id, event_type, value
       |FROM events WHERE event_type = 'click'""".stripMargin
 
+  // -------------------------------------------------- q_join_view (engine)
+  /** Incrementally-maintained join view ([[graft.table.JoinView]]):
+    * user-state (the CDC-merged events table) LEFT JOIN customer
+    * attributes. The view is built at batch-1 / customer-v1 watermarks,
+    * then BOTH sources change (A: CDC batch 2; B: +100 balance for
+    * every 10th customer) and one delta-scoped refresh catches up. The
+    * oracle recomputes the final join declaratively — so the hash pins
+    * the whole IVM path: CDF capture on two tables, affected-key
+    * scoping, and the three-clause view merge. JoinViewSpec pins the
+    * O(affected) touch set; this row pins content. */
+  private def qJoinView(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root = graft.Scratch.dir("graft-jvq")
+    val a = VersionedTable.create(s, root.resolve("a").toString, targetSchema,
+      Map(VersionedTable.PROP_CDF -> "true"),
+      bucketBy = Some(BucketSpec(Seq("user_id"), 8)))
+    val bSchema = StructType(Seq(
+      StructField("c_custkey", LongType),
+      StructField("c_mktsegment", StringType),
+      StructField("c_acctbal", DoubleType)))
+    val b = VersionedTable.create(s, root.resolve("b").toString, bSchema,
+      Map(VersionedTable.PROP_CDF -> "true"))
+    val cust = customer(s, d).select($"c_custkey", $"c_mktsegment", $"c_acctbal")
+    val log = cdcLog(s, d)
+    val bUpsert = Seq(
+      WhenMatchedUpdate(None),
+      WhenNotMatchedInsert(None))
+
+    Merge.run(a, latestPerUser(log.filter($"event_id" % 2 === 0)),
+      Seq("user_id"), upsertClauses)
+    Merge.run(b, cust, Seq("c_custkey"), bUpsert)
+    val v = JoinView.build(a, b, root.resolve("v").toString,
+      "user_id", "user_id", "c_custkey",
+      Seq("c_mktsegment", "c_acctbal"), "left")
+    // both sources move past the view's watermarks...
+    Merge.run(a, latestPerUser(log.filter($"event_id" % 2 === 1)),
+      Seq("user_id"), upsertClauses)
+    Merge.run(b,
+      cust.filter($"c_custkey" % 10 === 0)
+        .withColumn("c_acctbal", $"c_acctbal" + 100.0),
+      Seq("c_custkey"), bUpsert)
+    // ...and one incremental refresh catches up
+    v.refresh(a, b)
+    v.table.snapshot().select(
+      $"user_id", $"event_id", $"event_type", $"value",
+      unix_micros($"ts").as("ts_us"), $"c_mktsegment", $"c_acctbal")
+  }
+  private val qJoinViewSql =
+    s"""$oracleWith,
+      |final_a AS (
+      |  SELECT coalesce(s_uid, t_uid) AS user_id,
+      |         CASE WHEN s_uid IS NOT NULL THEN s_eid ELSE t_eid END AS event_id,
+      |         CASE WHEN s_uid IS NOT NULL THEN s_et ELSE t_et END AS event_type,
+      |         CASE WHEN s_uid IS NOT NULL THEN s_v ELSE t_v END AS value,
+      |         epoch_us(CASE WHEN s_uid IS NOT NULL THEN s_ts ELSE t_ts END) AS ts_us
+      |  FROM j WHERE s_uid IS NULL OR s_op <> 'DELETE'),
+      |final_b AS (
+      |  SELECT c_custkey, c_mktsegment,
+      |         CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100.0
+      |              ELSE c_acctbal END AS c_acctbal
+      |  FROM customer)
+      |SELECT a.user_id, a.event_id, a.event_type, a.value, a.ts_us,
+      |       b.c_mktsegment, b.c_acctbal
+      |FROM final_a a LEFT JOIN final_b b ON b.c_custkey = a.user_id""".stripMargin
+
   // ------------------------------------------------ q_bloom_prune (engine)
   /** Bloom-indexed point lookup ([[graft.table.BloomIndex]]): land
     * lineitem in an engine table with a per-file bloom sidecar on
@@ -538,6 +603,7 @@ object MergeOps extends QueryModule {
     "q_delete_update_mor" -> qDeleteUpdateMor _,
     "q_partition_prune" -> qPartitionPrune _,
     "q_bloom_prune"    -> qBloomPrune _,
+    "q_join_view"      -> qJoinView _,
     "q_replace_where"  -> qReplaceWhere _,
     "q_restore"        -> qRestore _,
     "q_optimize"       -> qOptimize _,
@@ -556,6 +622,7 @@ object MergeOps extends QueryModule {
     "q_delete_update_mor" -> qDeleteUpdateMorSql,
     "q_partition_prune" -> qPartitionPruneSql,
     "q_bloom_prune"    -> qBloomPruneSql,
+    "q_join_view"      -> qJoinViewSql,
     "q_replace_where"  -> qReplaceWhereSql,
     "q_restore"        -> qRestoreSql,
     "q_optimize"       -> qOptimizeSql,

@@ -1,0 +1,159 @@
+package graft.table
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Incrementally-maintained materialized JOIN view — the natural next
+  * step past the reference's Gold table (which maintains an AGGREGATE
+  * from one table's change feed; a real reporting layer's views join
+  * first: fact enriched by dimensions). The view
+  *
+  *   `V = SELECT a.*, bCols FROM a [LEFT|INNER] JOIN b ON a.fk = b.bKey`
+  *
+  * over two CDF-enabled keyed [[VersionedTable]]s is itself a
+  * VersionedTable keyed by `aKey`, refreshed by delta-scoped partial
+  * recomputation:
+  *
+  *   1. read both sources' CDF since the view's recorded watermarks —
+  *      O(changed rows), never a source scan;
+  *   2. affected `aKey` set = keys in ΔA ∪ keys of current A rows whose
+  *      `fk` hit a ΔB key (an equi-join against the small ΔB key set —
+  *      broadcast-eligible for typical incremental batches);
+  *   3. recompute ONLY the affected block from both CURRENT snapshots
+  *      (A-side pruned by the view's bucket/file skipping);
+  *   4. three-clause [[Merge]]: vanished keys delete, survivors
+  *      update, new keys insert; source watermarks ride the commit's
+  *      `txn` map.
+  *
+  * Refresh cost is O(changed keys + touched view files) — the
+  * maintenance contract that makes a 100 TB view viable (Delta Live
+  * Tables / classic delta-join IVM re-expressed on this engine's
+  * primitives). Recomputing the affected block from CURRENT state (not
+  * replaying deltas) makes a crashed-and-rerun refresh convergent: the
+  * same block recomputes to the same rows, and the merge of identical
+  * rows is a no-op.
+  *
+  * Correctness invariant (JoinViewSpec, and the q_join_view oracle):
+  * after any refresh, `view ≡ A ⋈ B` recomputed from scratch.
+  */
+final class JoinView private (
+    val table: VersionedTable,
+    aKey: String,
+    fk: String,
+    bKey: String,
+    bCols: Seq[String],
+    joinType: String) {
+  import JoinView._
+
+  private def spark: SparkSession = table.spark
+
+  /** The join block for the given A-side rows against current B. */
+  private def joined(aRows: DataFrame, b: VersionedTable): DataFrame = {
+    val bSide = b.snapshot().select((bKey +: bCols).map(col): _*)
+    aRows.join(bSide, aRows(fk) === bSide(bKey), joinType)
+      .drop(bSide(bKey))
+  }
+
+  /** Applies all source changes the view has not seen; returns the view
+    * version committed (None when already current). */
+  def refresh(a: VersionedTable, b: VersionedTable): Option[Long] = {
+    val latestA = a.latestVersion
+    val latestB = b.latestVersion
+    val sinceA = table.lastTxn(APP_A).getOrElse(0L) + 1
+    val sinceB = table.lastTxn(APP_B).getOrElse(0L) + 1
+    if (latestA < sinceA && latestB < sinceB) return None
+    val wm = Map(APP_A -> latestA, APP_B -> latestB)
+
+    val aKeys =
+      if (latestA >= sinceA) a.changes(sinceA).select(col(aKey)).distinct()
+      else emptyKeys(spark, a.schema, aKey)
+    val bKeys =
+      if (latestB >= sinceB) b.changes(sinceB).select(col(bKey)).distinct()
+      else emptyKeys(spark, b.schema, bKey)
+    // A rows referencing a changed B key (their fk is current state —
+    // rows whose fk itself changed are already in ΔA)
+    val viaB = a.snapshot().join(bKeys, col(fk) === col(bKey))
+      .select(col(aKey))
+    val affected = aKeys.union(viaB).distinct()
+
+    val aBlock = a.snapshot()
+      .join(affected, Seq(aKey), "left_semi")
+    val recomputed = joined(aBlock, b)
+    val ups = recomputed.withColumn("__op", lit("UPSERT"))
+    // affected keys with no recomputed row: deleted from A, or (inner
+    // join) no longer matching any B row
+    val dels = affected.join(recomputed.select(col(aKey)), Seq(aKey), "left_anti")
+      .withColumn("__op", lit("DELETE"))
+    val src = ups.unionByName(dels, allowMissingColumns = true)
+    if (src.isEmpty) {
+      // nothing to change, still advance the watermarks so the next
+      // refresh does not rescan this CDF span
+      table.commitFiles(Seq.empty, Seq.empty, None, "refresh-noop",
+        extraTxn = wm)
+      return Some(table.latestVersion)
+    }
+    Merge.run(table, src, Seq(aKey), clauses, extraTxn = wm)
+    Some(table.latestVersion)
+  }
+}
+
+object JoinView {
+  val APP_A = "join-view-a"
+  val APP_B = "join-view-b"
+  /** Buckets on `aKey`: a refresh CoW-rewrites only buckets holding
+    * affected keys. */
+  val BUCKETS = 8
+
+  private val clauses = Seq(
+    WhenMatchedDelete(Some(col("source.__op") === "DELETE")),
+    WhenMatchedUpdate(Some(col("source.__op") === "UPSERT")),
+    WhenNotMatchedInsert(Some(col("source.__op") =!= "DELETE")))
+
+  private def emptyKeys(
+      spark: SparkSession, schema: StructType, key: String): DataFrame =
+    spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(schema.fields.filter(_.name == key)))
+
+  /** Creates the view table, computes it fully once, and records the
+    * source watermarks. `a` must be keyed by `aKey` (≤1 row per key)
+    * and `b` by `bKey`; both need CDF enabled for refresh. */
+  def build(
+      a: VersionedTable,
+      b: VersionedTable,
+      path: String,
+      aKey: String,
+      fk: String,
+      bKey: String,
+      bCols: Seq[String],
+      joinType: String = "left"): JoinView = {
+    require(Seq("left", "inner").contains(joinType),
+      s"unsupported view join type: $joinType")
+    require(bCols.nonEmpty, "select at least one B column into the view")
+    val aFields = a.schema.fields.map(_.name).toSet
+    require(!bCols.exists(aFields.contains),
+      s"B columns ${bCols.filter(aFields.contains)} collide with A's schema")
+    val bFieldByName = b.schema.fields.map(f => f.name -> f).toMap
+    val viewSchema = StructType(a.schema.fields ++
+      bCols.map(c => bFieldByName(c).copy(nullable = true)))
+    val t = VersionedTable.create(a.spark, path, viewSchema,
+      bucketBy = Some(BucketSpec(Seq(aKey), BUCKETS)))
+    val v = new JoinView(t, aKey, fk, bKey, bCols, joinType)
+    val full = v.joined(a.snapshot(), b).withColumn("__op", lit("UPSERT"))
+    Merge.run(t, full, Seq(aKey), clauses,
+      extraTxn = Map(APP_A -> a.latestVersion, APP_B -> b.latestVersion))
+    v
+  }
+
+  def load(
+      spark: SparkSession,
+      path: String,
+      aKey: String,
+      fk: String,
+      bKey: String,
+      bCols: Seq[String],
+      joinType: String = "left"): JoinView =
+    new JoinView(VersionedTable.load(spark, path), aKey, fk, bKey, bCols,
+      joinType)
+}

@@ -1,0 +1,139 @@
+package graft.table
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+/** Incrementally-maintained join views ([[JoinView]]): the refresh must
+  * (a) equal a from-scratch recompute after arbitrary change batches on
+  * BOTH sources, (b) touch only the affected key block, (c) converge
+  * under re-runs, for both left and inner views. */
+class JoinViewSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val upsert = Seq(
+    WhenMatchedDelete(Some(col("source.__op") === "DELETE")),
+    WhenMatchedUpdate(Some(col("source.__op") === "UPSERT")),
+    WhenNotMatchedInsert(Some(col("source.__op") =!= "DELETE")))
+
+  private val aSchema = StructType(Seq(
+    StructField("id", LongType), StructField("fk", LongType),
+    StructField("val", DoubleType)))
+  private val bSchema = StructType(Seq(
+    StructField("bid", LongType), StructField("battr", StringType)))
+
+  private def freshPair(): (VersionedTable, VersionedTable, String) = {
+    val root = graft.Scratch.dir("graft-jv")
+    val a = VersionedTable.create(spark, root.resolve("a").toString, aSchema,
+      Map(VersionedTable.PROP_CDF -> "true"),
+      bucketBy = Some(BucketSpec(Seq("id"), 4)))
+    val b = VersionedTable.create(spark, root.resolve("b").toString, bSchema,
+      Map(VersionedTable.PROP_CDF -> "true"))
+    Merge.run(a,
+      spark.range(1, 101).select($"id", ($"id" % 10).as("fk"),
+        ($"id" * 1.5).as("val"), lit("UPSERT").as("__op")),
+      Seq("id"), upsert)
+    Merge.run(b,
+      spark.range(0, 10).select($"id".as("bid"),
+        concat(lit("attr-"), $"id").as("battr"), lit("UPSERT").as("__op")),
+      Seq("bid"), upsert)
+    (a, b, root.toString)
+  }
+
+  private def mutateSources(a: VersionedTable, b: VersionedTable): Unit = {
+    // A: rewrite vals of ids 1-5, delete id 6, insert id 200 (fk 3)
+    Merge.run(a,
+      spark.range(1, 6).select($"id", ($"id" % 10).as("fk"),
+          lit(999.0).as("val"), lit("UPSERT").as("__op"))
+        .unionByName(Seq((6L, 6L, 0.0, "DELETE"), (200L, 3L, 42.0, "UPSERT"))
+          .toDF("id", "fk", "val", "__op")),
+      Seq("id"), upsert)
+    // B: rewrite battr of bid 3, delete bid 4
+    Merge.run(b,
+      Seq((3L, "attr-3-v2", "UPSERT"), (4L, null.asInstanceOf[String], "DELETE"))
+        .toDF("bid", "battr", "__op"),
+      Seq("bid"), upsert)
+  }
+
+  private def recompute(
+      a: VersionedTable, b: VersionedTable, joinType: String): DataFrame =
+    a.snapshot().join(b.snapshot(), col("fk") === col("bid"), joinType)
+      .select(col("id"), col("fk"), col("val"), col("battr"))
+
+  private def asSet(df: DataFrame) =
+    df.select(col("id"), col("fk"), col("val"), col("battr"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        Option(r.getString(3)))).toSet
+
+  test("left view ≡ recompute after changes on both sources") {
+    val (a, b, root) = freshPair()
+    val v = JoinView.build(a, b, s"$root/v", "id", "fk", "bid",
+      Seq("battr"), "left")
+    assert(asSet(v.table.snapshot()) === asSet(recompute(a, b, "left")))
+    mutateSources(a, b)
+    assert(v.refresh(a, b).isDefined)
+    assert(asSet(v.table.snapshot()) === asSet(recompute(a, b, "left")))
+    // deleted B key: its referencing rows survive with null battr
+    assert(v.table.snapshot().filter($"fk" === 4 && $"battr".isNull)
+      .count() === 10L)
+  }
+
+  test("inner view drops rows whose B side vanished") {
+    val (a, b, root) = freshPair()
+    val v = JoinView.build(a, b, s"$root/v", "id", "fk", "bid",
+      Seq("battr"), "inner")
+    mutateSources(a, b)
+    v.refresh(a, b)
+    assert(asSet(v.table.snapshot()) === asSet(recompute(a, b, "inner")))
+    assert(v.table.snapshot().filter($"fk" === 4).count() === 0L)
+  }
+
+  test("refresh touches only the affected key block") {
+    val (a, b, root) = freshPair()
+    val v = JoinView.build(a, b, s"$root/v", "id", "fk", "bid",
+      Seq("battr"), "left")
+    mutateSources(a, b)
+    val ver = v.refresh(a, b).get
+    // affected: ΔA keys {1..6, 200} ∪ fk∈{3,4} rows (20 ids) — the CDF
+    // of the refresh commit must stay within that block, nowhere near
+    // the 101-row view
+    val touched = v.table.changes(ver).select($"id").distinct().count()
+    assert(touched <= 27, s"refresh touched $touched keys (expected ≤ 27)")
+    val affectedIds = (1L to 6L).toSet + 200L ++
+      (1L to 100L).filter(i => i % 10 == 3 || i % 10 == 4)
+    val ids = v.table.changes(ver).select($"id").distinct()
+      .as[Long].collect().toSet
+    assert(ids.subsetOf(affectedIds), s"unexpected keys: ${ids -- affectedIds}")
+  }
+
+  test("refresh is idempotent and watermark-aware") {
+    val (a, b, root) = freshPair()
+    val v = JoinView.build(a, b, s"$root/v", "id", "fk", "bid",
+      Seq("battr"), "left")
+    mutateSources(a, b)
+    assert(v.refresh(a, b).isDefined)
+    val state = asSet(v.table.snapshot())
+    val verAfter = v.table.latestVersion
+    // already current: no-op, no commit
+    assert(v.refresh(a, b).isEmpty)
+    assert(v.table.latestVersion === verAfter)
+    assert(asSet(v.table.snapshot()) === state)
+    // one-sided change (B only) still applies
+    Merge.run(b, Seq((7L, "attr-7-v2", "UPSERT")).toDF("bid", "battr", "__op"),
+      Seq("bid"), upsert)
+    assert(v.refresh(a, b).isDefined)
+    assert(asSet(v.table.snapshot()) === asSet(recompute(a, b, "left")))
+  }
+
+  test("a reloaded view keeps its watermarks and refreshes correctly") {
+    val (a, b, root) = freshPair()
+    JoinView.build(a, b, s"$root/v", "id", "fk", "bid", Seq("battr"), "left")
+    mutateSources(a, b)
+    val v2 = JoinView.load(spark, s"$root/v", "id", "fk", "bid",
+      Seq("battr"), "left")
+    assert(v2.refresh(a, b).isDefined)
+    assert(asSet(v2.table.snapshot()) === asSet(recompute(a, b, "left")))
+  }
+}
