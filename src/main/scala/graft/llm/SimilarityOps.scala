@@ -450,15 +450,121 @@ object SimilarityOps extends QueryModule {
       |FROM rk WHERE rnk <= $K""".stripMargin
   }
 
+  // ------------------------------------------------------- q_sq8_cosine
+  /** Scalar-quantized (SQ8) search — the memory-compression tier every
+    * billion-vector deployment runs (FAISS SQ8): each float32 dimension
+    * compresses to one uint8 code against a per-dimension [min, max]
+    * corpus range, a 4× footprint cut (64 codes vs 256 bytes/vector)
+    * with near-exact recall on spread-out dimensions. Search scores
+    * queries against the RECONSTRUCTED (bucket-midpoint) vectors —
+    * asymmetric distance, full-precision query side.
+    *
+    * The "codebook" is 2×DIMS doubles (exact per-dim min/max — no
+    * training randomness), embedded as a broadcast literal on the Spark
+    * side and recomputed inline by the oracle; encode, reconstruct and
+    * the cosine fold use the identical IEEE expression order in both
+    * engines (`floor` bucketing — no rounding-mode ambiguity), so codes
+    * and scores agree exactly.
+    *
+    * At 100 TB: stats are one tiny aggregation (2×DIMS values),
+    * encoding is per-row map work, and search is the brute-force
+    * skeleton over 4×-smaller data — or the IVF/LSH candidate
+    * skeletons with codes in place of raw vectors. */
+  private def qSq8Cosine(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val q = emb.filter(col("vec_id") < QUERY_MAX_ID)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val c = emb.filter(col("vec_id") >= QUERY_MAX_ID)
+      .select(col("vec_id"), col("embedding").as("ce"))
+    // the SQ8 codebook: exact per-dimension corpus bounds (0-based pos)
+    val stats = c.select(posexplode(col("ce")).as(Seq("i", "x")))
+      .groupBy("i")
+      .agg(min(col("x").cast("double")).as("mn"),
+        max(col("x").cast("double")).as("mx"))
+      .orderBy("i").collect()
+    val mins = typedLit(stats.map(_.getDouble(1)).toSeq)
+    val maxs = typedLit(stats.map(_.getDouble(2)).toSeq)
+    val enc = c.withColumn("mins", mins).withColumn("maxs", maxs)
+      .withColumn("codes", expr(
+        s"""transform(sequence(1, $DIMS), i ->
+           |  CASE WHEN element_at(maxs, i) = element_at(mins, i)
+           |       THEN CAST(0 AS BIGINT)
+           |       ELSE least(CAST(floor(
+           |         (CAST(element_at(ce, i) AS DOUBLE) - element_at(mins, i))
+           |           / (element_at(maxs, i) - element_at(mins, i)) * 256.0)
+           |         AS BIGINT), CAST(255 AS BIGINT)) END)""".stripMargin))
+      .withColumn("recon", expr(
+        s"""transform(sequence(1, $DIMS), i ->
+           |  element_at(mins, i)
+           |    + (CAST(element_at(codes, i) AS DOUBLE) + 0.5) / 256.0
+           |      * (element_at(maxs, i) - element_at(mins, i)))""".stripMargin))
+    def fold(e: String) = s"aggregate(transform(sequence(1, $DIMS), i -> $e), " +
+      "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    val scored = enc.crossJoin(broadcast(q))
+      .withColumn("dot",
+        expr(fold("CAST(element_at(qe, i) AS DOUBLE) * element_at(recon, i)")))
+      .withColumn("qq",
+        expr(fold("CAST(element_at(qe, i) AS DOUBLE) * CAST(element_at(qe, i) AS DOUBLE)")))
+      .withColumn("cc",
+        expr(fold("element_at(recon, i) * element_at(recon, i)")))
+      .withColumn("cos", col("dot") / (sqrt(col("qq")) * sqrt(col("cc"))))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc_nulls_last)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= K)
+      .select(col("q_id"), col("vec_id"), col("rnk").cast("long").as("rnk"),
+        round(col("cos"), 6).as("cos"))
+  }
+  private val qSq8CosineSql =
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+      |           WHERE vec_id < $QUERY_MAX_ID),
+      |c AS (SELECT vec_id, embedding AS ce FROM embeddings
+      |      WHERE vec_id >= $QUERY_MAX_ID),
+      |ex AS (SELECT i, min(ce[i]::DOUBLE) AS mn, max(ce[i]::DOUBLE) AS mx
+      |       FROM c, unnest(generate_series(1, $DIMS)) AS s(i)
+      |       GROUP BY i),
+      |st AS (SELECT list(mn ORDER BY i) AS mins, list(mx ORDER BY i) AS maxs
+      |       FROM ex),
+      |enc AS (SELECT vec_id,
+      |  list_transform(generate_series(1, $DIMS), i ->
+      |    CASE WHEN maxs[i] = mins[i] THEN 0::BIGINT
+      |         ELSE least(floor((ce[i]::DOUBLE - mins[i])
+      |                / (maxs[i] - mins[i]) * 256.0)::BIGINT, 255::BIGINT)
+      |    END) AS codes,
+      |  mins, maxs
+      |  FROM c, st),
+      |rec AS (SELECT vec_id,
+      |  list_transform(generate_series(1, $DIMS), i ->
+      |    mins[i] + (codes[i]::DOUBLE + 0.5) / 256.0 * (maxs[i] - mins[i]))
+      |    AS recon
+      |  FROM enc),
+      |p AS (SELECT q_id, vec_id,
+      |  list_sum(list_transform(generate_series(1, $DIMS),
+      |    i -> qe[i]::DOUBLE * recon[i])) AS dot,
+      |  list_sum(list_transform(generate_series(1, $DIMS),
+      |    i -> qe[i]::DOUBLE * qe[i]::DOUBLE)) AS qq,
+      |  list_sum(list_transform(generate_series(1, $DIMS),
+      |    i -> recon[i] * recon[i])) AS cc
+      |  FROM q, rec),
+      |r AS (SELECT q_id, vec_id, dot / (sqrt(qq) * sqrt(cc)) AS cos FROM p),
+      |rk AS (SELECT q_id, vec_id, cos,
+      |         row_number() OVER (PARTITION BY q_id
+      |                            ORDER BY cos DESC, vec_id ASC) AS rnk
+      |       FROM r)
+      |SELECT q_id, vec_id, rnk, round(cos, 6) AS cos
+      |FROM rk WHERE rnk <= $K""".stripMargin
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q_topk_cosine" -> qTopkCosine _,
     "q_cosine_lsh"  -> qCosineLsh _,
     "q_ivf_cosine"  -> qIvfCosine _,
-    "q_ivf_index"   -> qIvfIndex _)
+    "q_ivf_index"   -> qIvfIndex _,
+    "q_sq8_cosine"  -> qSq8Cosine _)
 
   override val oracles: Seq[(String, String)] = Seq(
     "q_topk_cosine" -> qTopkCosineSql,
     "q_cosine_lsh"  -> qCosineLshSql,
     "q_ivf_cosine"  -> qIvfCosineSql,
-    "q_ivf_index"   -> qIvfIndexSql)
+    "q_ivf_index"   -> qIvfIndexSql,
+    "q_sq8_cosine"  -> qSq8CosineSql)
 }

@@ -44,6 +44,20 @@ class LlmRecallSpec extends SparkSpec {
       found.getOrElse(i.toLong, Set.empty).contains(1000L + i)).toDouble / nQ
   }
 
+  test("SQ8 top-k recovers >= 0.8 of exact brute-force top-k") {
+    // 8-bit scalar quantization perturbs each dimension by at most half
+    // a bucket; on the shared embeddings table its top-5 must agree
+    // with full-precision brute force for the large majority of slots
+    def slots(name: String): Set[(Long, Long)] =
+      graft.SparkEntry.queries(name)(spark, sf)
+        .select(col("q_id"), col("vec_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = slots("q_topk_cosine")
+    val sq = slots("q_sq8_cosine")
+    val recall = (exact intersect sq).size.toDouble / exact.size
+    assert(recall >= 0.8, f"SQ8 slot recall $recall%.2f < 0.8")
+  }
+
   test("banded LSH recall >= 0.9 of brute-force top-k on planted cos-0.8 neighbors") {
     graft.functions.GraftFunctions.register(spark)
     val nQ = 100
