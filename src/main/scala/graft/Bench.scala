@@ -39,7 +39,12 @@ object Bench {
     "q_embed_neardup",                                      // embedding dedup
     "q_asof_join", "q_sessionize",                          // temporal ops
     "q_optimize", "q_zorder",                               // table rewrites
-    "q_corpus_prep")                                        // text pipeline
+    "q_corpus_prep",                                        // text pipeline
+    "q_delete_update_mor",                                  // MoR deletes
+    "q_join_view",                                          // join IVM refresh
+    "q_dup_clusters",                                       // CC clustering
+    "q_boilerplate_ngrams",                                 // corpus n-grams
+    "q_sq8_cosine")                                         // quantized ANN
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

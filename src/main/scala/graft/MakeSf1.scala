@@ -96,6 +96,11 @@ object MakeSf1 {
           w => concat(w, lit("x"), col("__rep"))), " ")))
       .drop("__rep"), "documents")
 
+    // ---- customer: copied as-is — dimensions do not grow with fact
+    // volume (the realistic 10× shape: q_join_view's user_ids beyond
+    // the original range left-join to null attributes)
+    write(Tables.customer(spark, src), "customer")
+
     // ---- embeddings: original 8 queries, corpus replicated with
     // shifted ids (replicas land at vec_id >= stride > 8, so the query
     // set never grows)

@@ -212,4 +212,41 @@ object CdcStreams {
     startGoldAggregate(spark, silver, gold, s"$baseDir/_cp/gold")
       .awaitTermination()
   }
+
+  /** Continuous maintenance of a materialized join view
+    * ([[graft.table.JoinView]]): tails BOTH sources' change
+    * directories, and each micro-batch runs one `view.refresh` — the
+    * refresh reads every un-applied commit of both tables through the
+    * manifest-driven batch CDF (watermarks in the view's txn map), so
+    * the stream is purely the WAKE-UP signal: batch content, ordering,
+    * and redelivery are all immaterial (refresh recomputes affected
+    * keys from current state and is convergent; a no-change wake-up
+    * no-ops). That also means the CDF-tail vacuum/compaction guards of
+    * [[startGoldAggregate]] don't apply here — a late-starting view
+    * still catches up through the compacted range files the batch
+    * reader sees. */
+  def startViewMaintenance(
+      spark: SparkSession,
+      view: graft.table.JoinView,
+      a: VersionedTable,
+      b: VersionedTable,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    Files.createDirectories(Paths.get(a.changesLocation))
+    Files.createDirectories(Paths.get(b.changesLocation))
+    def tail(t: VersionedTable): DataFrame = spark.readStream
+      .schema(t.changeSchema)
+      .option("pathGlobFilter", "v*.parquet")
+      .parquet(t.changesLocation)
+      .select(org.apache.spark.sql.functions.col("_commit_version"))
+    tail(a).union(tail(b))
+      .writeStream
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        view.refresh(a, b)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+  }
 }

@@ -137,7 +137,11 @@ object JoinView {
     val bFieldByName = b.schema.fields.map(f => f.name -> f).toMap
     val viewSchema = StructType(a.schema.fields ++
       bCols.map(c => bFieldByName(c).copy(nullable = true)))
+    // CDF on: downstream consumers (gold aggregates, further views)
+    // chain off the view's own change feed, and the touch-set specs
+    // observe exactly which keys a refresh rewrote
     val t = VersionedTable.create(a.spark, path, viewSchema,
+      Map(VersionedTable.PROP_CDF -> "true"),
       bucketBy = Some(BucketSpec(Seq(aKey), BUCKETS)))
     val v = new JoinView(t, aKey, fk, bKey, bCols, joinType)
     val full = v.joined(a.snapshot(), b).withColumn("__op", lit("UPSERT"))

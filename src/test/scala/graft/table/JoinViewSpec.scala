@@ -136,4 +136,29 @@ class JoinViewSpec extends SparkSpec {
     assert(v2.refresh(a, b).isDefined)
     assert(asSet(v2.table.snapshot()) === asSet(recompute(a, b, "left")))
   }
+
+  test("streaming maintenance drains both sources' changes into the view") {
+    val (a, b, root) = freshPair()
+    val v = JoinView.build(a, b, s"$root/v", "id", "fk", "bid",
+      Seq("battr"), "left")
+    mutateSources(a, b)
+    graft.streaming.CdcStreams
+      .startViewMaintenance(spark, v, a, b, s"$root/_cp/view")
+      .awaitTermination()
+    assert(asSet(v.table.snapshot()) === asSet(recompute(a, b, "left")))
+    // restart with nothing new: checkpointed file progress means no new
+    // micro-batch work, and the view state is unchanged
+    val ver = v.table.latestVersion
+    graft.streaming.CdcStreams
+      .startViewMaintenance(spark, v, a, b, s"$root/_cp/view")
+      .awaitTermination()
+    assert(v.table.latestVersion === ver)
+    // further one-sided change is picked up by the next drain
+    Merge.run(b, Seq((8L, "attr-8-v2", "UPSERT")).toDF("bid", "battr", "__op"),
+      Seq("bid"), upsert)
+    graft.streaming.CdcStreams
+      .startViewMaintenance(spark, v, a, b, s"$root/_cp/view")
+      .awaitTermination()
+    assert(asSet(v.table.snapshot()) === asSet(recompute(a, b, "left")))
+  }
 }
