@@ -289,6 +289,80 @@ object TextOps extends QueryModule {
       |  FROM tf t JOIN dfreq ON dfreq.term = t.term)
       |SELECT doc_id, rank, term, tf, df FROM ranked WHERE rank <= 3""".stripMargin
 
+  // ------------------------------------------------------- q_bpe_pairs
+  /** The core BPE-training statistic: corpus-wide adjacent character
+    * pair frequencies (each training round merges the argmax pair and
+    * recounts; this op IS that count, with the exact total order a
+    * trainer needs — count DESC, pair ASC). Two generators + one hash
+    * aggregation, all counts exact integers; at corpus scale the
+    * explode is scan-proportional map work and the aggregation is
+    * partial+final over a ≤ |alphabet|² key space. */
+  private val BPE_TOP = 50
+
+  private def qBpePairs(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = documents(s, d)
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"))
+    val w = Window.orderBy(col("n").desc, col("pair").asc)
+    pairs.groupBy("pair").agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= BPE_TOP)
+      .select(col("rank"), col("pair"), col("n"))
+  }
+  private val qBpePairsSql =
+    s"""WITH pairs AS (
+      |  SELECT substr(w, i, 2) AS pair
+      |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
+      |        FROM documents),
+      |       unnest(generate_series(1, length(w) - 1)) AS s(i)
+      |  WHERE length(w) >= 2),
+      |freq AS (SELECT pair, count(*) AS n FROM pairs GROUP BY pair)
+      |SELECT row_number() OVER (ORDER BY n DESC, pair ASC) AS rank, pair, n
+      |FROM freq
+      |QUALIFY rank <= $BPE_TOP""".stripMargin
+
+  // -------------------------------------------------- q_vocab_coverage
+  /** Vocabulary coverage analysis: token frequencies ranked by the
+    * exact total order, with each prefix's cumulative share of all
+    * corpus tokens — the "what does a 32k vocab actually cover" curve
+    * every tokenizer design starts from. The global window runs over
+    * the AGGREGATED vocabulary (not the corpus), so the single-
+    * partition sort is |vocab|-sized — fine at any corpus scale. */
+  private val VOCAB_TOP = 32
+
+  private def qVocabCoverage(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freq = documents(s, d)
+      .select(explode(split(lower(col("text")), " ")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n"))
+    val order = Window.orderBy(col("n").desc, col("term").asc)
+    val all = Window.partitionBy()
+    freq
+      .withColumn("rank", row_number().over(order).cast("long"))
+      .withColumn("cum_n", sum(col("n")).over(
+        order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("coverage", col("cum_n") / sum(col("n")).over(all))
+      .filter(col("rank") <= VOCAB_TOP)
+      .select(col("rank"), col("term"), col("n"), col("cum_n"), col("coverage"))
+  }
+  private val qVocabCoverageSql =
+    s"""WITH freq AS (
+      |  SELECT term, count(*) AS n
+      |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS term
+      |        FROM documents)
+      |  GROUP BY term)
+      |SELECT row_number() OVER w AS rank, term, n,
+      |  CAST(sum(n) OVER (w ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n,
+      |  CAST(sum(n) OVER (w ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      |    / CAST(sum(n) OVER () AS BIGINT) AS coverage
+      |FROM freq
+      |WINDOW w AS (ORDER BY n DESC, term ASC)
+      |QUALIFY rank <= $VOCAB_TOP""".stripMargin
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q_text_stats"      -> qTextStats _,
     "q_lang_id"         -> qLangId _,
@@ -296,7 +370,9 @@ object TextOps extends QueryModule {
     "q_doc_fingerprint" -> qDocFingerprint _,
     "q_corpus_prep"     -> qCorpusPrep _,
     "q_doc_chunks"      -> qDocChunks _,
-    "q_top_terms"       -> qTopTerms _)
+    "q_top_terms"       -> qTopTerms _,
+    "q_bpe_pairs"       -> qBpePairs _,
+    "q_vocab_coverage"  -> qVocabCoverage _)
 
   override val oracles: Seq[(String, String)] = Seq(
     "q_text_stats"      -> qTextStatsSql,
@@ -305,5 +381,7 @@ object TextOps extends QueryModule {
     "q_doc_fingerprint" -> qDocFingerprintSql,
     "q_corpus_prep"     -> qCorpusPrepSql,
     "q_doc_chunks"      -> qDocChunksSql,
-    "q_top_terms"       -> qTopTermsSql)
+    "q_top_terms"       -> qTopTermsSql,
+    "q_bpe_pairs"       -> qBpePairsSql,
+    "q_vocab_coverage"  -> qVocabCoverageSql)
 }
