@@ -500,13 +500,16 @@ object SimilarityOps extends QueryModule {
            |      * (element_at(maxs, i) - element_at(mins, i)))""".stripMargin))
     def fold(e: String) = s"aggregate(transform(sequence(1, $DIMS), i -> $e), " +
       "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
-    val scored = enc.crossJoin(broadcast(q))
+    // norms depend on ONE side each — hoist them out of the Q×N pair
+    // space (the folds are interpreted lambdas; leaving qq/cc per-pair
+    // tripled this operator's bench time)
+    val qWithNorm = q.withColumn("qq",
+      expr(fold("CAST(element_at(qe, i) AS DOUBLE) * CAST(element_at(qe, i) AS DOUBLE)")))
+    val encWithNorm = enc.withColumn("cc",
+      expr(fold("element_at(recon, i) * element_at(recon, i)")))
+    val scored = encWithNorm.crossJoin(broadcast(qWithNorm))
       .withColumn("dot",
         expr(fold("CAST(element_at(qe, i) AS DOUBLE) * element_at(recon, i)")))
-      .withColumn("qq",
-        expr(fold("CAST(element_at(qe, i) AS DOUBLE) * CAST(element_at(qe, i) AS DOUBLE)")))
-      .withColumn("cc",
-        expr(fold("element_at(recon, i) * element_at(recon, i)")))
       .withColumn("cos", col("dot") / (sqrt(col("qq")) * sqrt(col("cc"))))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("vec_id").asc_nulls_last)
