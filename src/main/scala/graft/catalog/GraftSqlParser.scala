@@ -55,6 +55,18 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*DESCRIBE\s+HISTORY\s+(\S+?)\s*;?\s*""".r
   private val Detail =
     """(?is)\s*DESCRIBE\s+DETAIL\s+(\S+?)\s*;?\s*""".r
+  // CREATE MATERIALIZED VIEW <v> KEYED BY <aKey> AS
+  //   SELECT a.*, b.<c1>[, b.<cn>…]
+  //   FROM <a> a LEFT|INNER JOIN <b> b ON a.<fk> = b.<bKey>
+  // — the equi-join view shape graft.table.JoinView maintains
+  // incrementally (vanilla Spark has no MATERIALIZED VIEW statement,
+  // so owning the prefix collides with nothing)
+  private val CreateMatView =
+    ("""(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+(\S+?)\s+KEYED\s+BY\s+(\w+)\s+AS\s+""" +
+      """SELECT\s+a\.\*\s*,\s*(.+?)\s+FROM\s+(\S+?)\s+a\s+(LEFT|INNER)\s+JOIN\s+""" +
+      """(\S+?)\s+b\s+ON\s+a\.(\w+)\s*=\s*b\.(\w+)\s*;?\s*""").r
+  private val RefreshMatView =
+    """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(\S+?)\s*;?\s*""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case Vacuum(tbl, retain) =>
@@ -67,6 +79,13 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case Restore(tbl, v) => RestoreCommand(tbl, v.toLong)
     case History(tbl) => HistoryCommand(tbl)
     case Detail(tbl) => DetailCommand(tbl)
+    case CreateMatView(view, aKey, bColsRaw, aTbl, joinType, bTbl, fk, bKey) =>
+      val bCols = bColsRaw.split(',').map(_.trim)
+        .map(_.stripPrefix("b.").stripPrefix("`").stripSuffix("`"))
+        .filter(_.nonEmpty).toSeq
+      CreateMatViewCommand(view, aKey, bCols, aTbl,
+        joinType.toLowerCase, bTbl, fk, bKey)
+    case RefreshMatView(view) => RefreshMatViewCommand(view)
     case Update(tbl, rest) =>
       val (setPart, wherePart) = topLevelIndexOfWord(rest, "WHERE") match {
         case -1 => (rest, None)
@@ -149,11 +168,15 @@ object GraftSqlParser {
       .getOrElse(-1)
   }
 
+  /** Strips quote/backtick wrapping from a table/path token. */
+  def cleanName(token: String): String =
+    token.trim.stripPrefix("'").stripSuffix("'")
+      .stripPrefix("`").stripSuffix("`")
+
   /** `'path'` literal, or `cat.db.name` via `spark.sql.catalog.<cat>
     * .warehouse` — the same layout GraftSparkCatalog serves. */
   def resolve(spark: SparkSession, table: String): VersionedTable = {
-    val clean = table.trim.stripPrefix("'").stripSuffix("'")
-      .stripPrefix("`").stripSuffix("`")
+    val clean = cleanName(table)
     if (VersionedTable.exists(clean)) VersionedTable.load(spark, clean)
     else {
       val parts = clean.split('.')
@@ -271,6 +294,43 @@ case class UpdateCommand(
   }
 }
 
+/** `CREATE MATERIALIZED VIEW … KEYED BY … AS SELECT a.*, b.… FROM a
+  * JOIN b ON …` — builds the incrementally-maintained
+  * [[graft.table.JoinView]] (full compute once, definition + source
+  * paths persisted in the view's properties). Returns the view's
+  * committed version. */
+case class CreateMatViewCommand(
+    view: String,
+    aKey: String,
+    bCols: Seq[String],
+    aTbl: String,
+    joinType: String,
+    bTbl: String,
+    fk: String,
+    bKey: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val a = GraftSqlParser.resolve(spark, aTbl)
+    val b = GraftSqlParser.resolve(spark, bTbl)
+    val path = GraftSqlParser.cleanName(view)
+    val v = graft.table.JoinView.build(a, b, path, aKey, fk, bKey, bCols,
+      joinType)
+    Seq(Row(v.table.latestVersion))
+  }
+}
+
+/** `REFRESH MATERIALIZED VIEW <view>` — one delta-scoped refresh from
+  * the sources recorded in the view's properties. Returns the new view
+  * version, or no rows when the view was already current. */
+case class RefreshMatViewCommand(view: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    graft.table.JoinView.load(spark, GraftSqlParser.cleanName(view))
+      .refresh().map(Row(_)).toSeq
+}
+
 /** Runs a graft SQL statement without requiring the session to be built
   * with `spark.sql.extensions` (Verify and library callers on a plain
   * session): statements the [[GraftSqlParser]] grammar owns execute
@@ -280,7 +340,8 @@ object GraftSql {
     new GraftSqlParser(spark.sessionState.sqlParser).parsePlan(sqlText) match {
       case c @ (_: VacuumCommand | _: OptimizeCommand |
                 _: RestoreCommand | _: UpdateCommand | _: HistoryCommand |
-                _: DetailCommand) =>
+                _: DetailCommand | _: CreateMatViewCommand |
+                _: RefreshMatViewCommand) =>
         c.asInstanceOf[LeafRunnableCommand].run(spark)
       case _ => spark.sql(sqlText).collect().toSeq
     }

@@ -55,6 +55,16 @@ final class JoinView private (
       .drop(bSide(bKey))
   }
 
+  /** Refresh against the source tables recorded at build time (the
+    * view is self-describing — definition and source paths live in its
+    * table properties). */
+  def refresh(): Option[Long] = {
+    val p = table.latestManifest.properties
+    refresh(
+      VersionedTable.load(spark, p(PROP_SOURCE_A)),
+      VersionedTable.load(spark, p(PROP_SOURCE_B)))
+  }
+
   /** Applies all source changes the view has not seen; returns the view
     * version committed (None when already current). */
   def refresh(a: VersionedTable, b: VersionedTable): Option[Long] = {
@@ -105,6 +115,16 @@ object JoinView {
     * affected keys. */
   val BUCKETS = 8
 
+  /** View-definition properties — the view is self-describing, so
+    * `load(path)` / `REFRESH MATERIALIZED VIEW` need no parameters. */
+  val PROP_A_KEY = "graft.view.aKey"
+  val PROP_FK = "graft.view.fk"
+  val PROP_B_KEY = "graft.view.bKey"
+  val PROP_B_COLS = "graft.view.bCols"
+  val PROP_JOIN_TYPE = "graft.view.joinType"
+  val PROP_SOURCE_A = "graft.view.sourceA"
+  val PROP_SOURCE_B = "graft.view.sourceB"
+
   private val clauses = Seq(
     WhenMatchedDelete(Some(col("source.__op") === "DELETE")),
     WhenMatchedUpdate(Some(col("source.__op") === "UPSERT")),
@@ -139,9 +159,15 @@ object JoinView {
       bCols.map(c => bFieldByName(c).copy(nullable = true)))
     // CDF on: downstream consumers (gold aggregates, further views)
     // chain off the view's own change feed, and the touch-set specs
-    // observe exactly which keys a refresh rewrote
+    // observe exactly which keys a refresh rewrote. The definition +
+    // source paths ride as properties (self-describing view).
     val t = VersionedTable.create(a.spark, path, viewSchema,
-      Map(VersionedTable.PROP_CDF -> "true"),
+      Map(
+        VersionedTable.PROP_CDF -> "true",
+        PROP_A_KEY -> aKey, PROP_FK -> fk, PROP_B_KEY -> bKey,
+        PROP_B_COLS -> bCols.mkString(","), PROP_JOIN_TYPE -> joinType,
+        PROP_SOURCE_A -> a.root.toAbsolutePath.toString,
+        PROP_SOURCE_B -> b.root.toAbsolutePath.toString),
       bucketBy = Some(BucketSpec(Seq(aKey), BUCKETS)))
     val v = new JoinView(t, aKey, fk, bKey, bCols, joinType)
     val full = v.joined(a.snapshot(), b).withColumn("__op", lit("UPSERT"))
@@ -150,14 +176,13 @@ object JoinView {
     v
   }
 
-  def load(
-      spark: SparkSession,
-      path: String,
-      aKey: String,
-      fk: String,
-      bKey: String,
-      bCols: Seq[String],
-      joinType: String = "left"): JoinView =
-    new JoinView(VersionedTable.load(spark, path), aKey, fk, bKey, bCols,
-      joinType)
+  /** Loads a view from its own recorded definition. */
+  def load(spark: SparkSession, path: String): JoinView = {
+    val t = VersionedTable.load(spark, path)
+    val p = t.latestManifest.properties
+    require(p.contains(PROP_A_KEY),
+      s"$path is not a materialized join view (no ${PROP_A_KEY} property)")
+    new JoinView(t, p(PROP_A_KEY), p(PROP_FK), p(PROP_B_KEY),
+      p(PROP_B_COLS).split(',').toSeq.filter(_.nonEmpty), p(PROP_JOIN_TYPE))
+  }
 }

@@ -131,10 +131,29 @@ class JoinViewSpec extends SparkSpec {
     val (a, b, root) = freshPair()
     JoinView.build(a, b, s"$root/v", "id", "fk", "bid", Seq("battr"), "left")
     mutateSources(a, b)
-    val v2 = JoinView.load(spark, s"$root/v", "id", "fk", "bid",
-      Seq("battr"), "left")
-    assert(v2.refresh(a, b).isDefined)
+    // self-describing: load + refresh need no parameters
+    val v2 = JoinView.load(spark, s"$root/v")
+    assert(v2.refresh().isDefined)
     assert(asSet(v2.table.snapshot()) === asSet(recompute(a, b, "left")))
+  }
+
+  test("SQL surface: CREATE/REFRESH MATERIALIZED VIEW") {
+    val (a, b, root) = freshPair()
+    val created = graft.catalog.GraftSql.execute(spark,
+      s"""CREATE MATERIALIZED VIEW '$root/v' KEYED BY id AS
+         |SELECT a.*, b.battr
+         |FROM '${a.root}' a LEFT JOIN '${b.root}' b ON a.fk = b.bid""".stripMargin)
+    assert(created.nonEmpty)
+    val v = JoinView.load(spark, s"$root/v")
+    assert(asSet(v.table.snapshot()) === asSet(recompute(a, b, "left")))
+    mutateSources(a, b)
+    val refreshed = graft.catalog.GraftSql.execute(spark,
+      s"REFRESH MATERIALIZED VIEW '$root/v'")
+    assert(refreshed.nonEmpty)
+    assert(asSet(v.table.snapshot()) === asSet(recompute(a, b, "left")))
+    // already current: refresh reports no new version
+    assert(graft.catalog.GraftSql.execute(spark,
+      s"REFRESH MATERIALIZED VIEW '$root/v'").isEmpty)
   }
 
   test("streaming maintenance drains both sources' changes into the view") {
