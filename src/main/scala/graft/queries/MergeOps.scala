@@ -418,6 +418,43 @@ object MergeOps extends QueryModule {
       |       b.c_mktsegment, b.c_acctbal
       |FROM final_a a LEFT JOIN final_b b ON b.c_custkey = a.user_id""".stripMargin
 
+  // --------------------------------------------------- q_agg_view (engine)
+  /** Generalized aggregate view ([[graft.table.AggView]]): the
+    * reference's Gold signed-delta algorithm as a reusable component —
+    * per-event-type row counts and exact integer-cent value sums over
+    * the CDC-merged user state, built at the batch-1 watermark and
+    * caught up by one signed-delta refresh after batch 2 (groups that
+    * empty out are deleted, unlike the demo's grow-only gold). The
+    * oracle recomputes the final aggregate declaratively; integer cents
+    * keep the incremental sum bit-identical to the scan-order sum. */
+  private def qAggView(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root = graft.Scratch.dir("graft-aggq")
+    val a = VersionedTable.create(s, root.resolve("a").toString, targetSchema,
+      Map(VersionedTable.PROP_CDF -> "true"),
+      bucketBy = Some(BucketSpec(Seq("user_id"), 8)))
+    val log = cdcLog(s, d)
+    Merge.run(a, latestPerUser(log.filter($"event_id" % 2 === 0)),
+      Seq("user_id"), upsertClauses)
+    val v = AggView.build(a, root.resolve("v").toString,
+      Seq("event_type"),
+      Seq("cents" -> "CAST(round(value * 100) AS BIGINT)"))
+    Merge.run(a, latestPerUser(log.filter($"event_id" % 2 === 1)),
+      Seq("user_id"), upsertClauses)
+    v.refresh(a)
+    v.table.snapshot().select(
+      $"event_type", $"n_rows".cast("long").as("n_rows"), $"sum_cents")
+  }
+  private val qAggViewSql =
+    s"""$oracleWith,
+      |final_a AS (
+      |  SELECT CASE WHEN s_uid IS NOT NULL THEN s_et ELSE t_et END AS event_type,
+      |         CASE WHEN s_uid IS NOT NULL THEN s_v ELSE t_v END AS value
+      |  FROM j WHERE s_uid IS NULL OR s_op <> 'DELETE')
+      |SELECT event_type, count(*) AS n_rows,
+      |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM final_a GROUP BY event_type""".stripMargin
+
   // ------------------------------------------------ q_bloom_prune (engine)
   /** Bloom-indexed point lookup ([[graft.table.BloomIndex]]): land
     * lineitem in an engine table with a per-file bloom sidecar on
@@ -604,6 +641,7 @@ object MergeOps extends QueryModule {
     "q_partition_prune" -> qPartitionPrune _,
     "q_bloom_prune"    -> qBloomPrune _,
     "q_join_view"      -> qJoinView _,
+    "q_agg_view"       -> qAggView _,
     "q_replace_where"  -> qReplaceWhere _,
     "q_restore"        -> qRestore _,
     "q_optimize"       -> qOptimize _,
@@ -623,6 +661,7 @@ object MergeOps extends QueryModule {
     "q_partition_prune" -> qPartitionPruneSql,
     "q_bloom_prune"    -> qBloomPruneSql,
     "q_join_view"      -> qJoinViewSql,
+    "q_agg_view"       -> qAggViewSql,
     "q_replace_where"  -> qReplaceWhereSql,
     "q_restore"        -> qRestoreSql,
     "q_optimize"       -> qOptimizeSql,

@@ -1,0 +1,103 @@
+package graft.table
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+/** Incrementally-maintained aggregate views ([[AggView]]): signed-delta
+  * maintenance must equal a from-scratch recompute after inserts,
+  * updates, deletes, and whole-group disappearance — and replays must
+  * be no-ops (the additive update is not idempotent by itself). */
+class AggViewSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val upsert = Seq(
+    WhenMatchedDelete(Some(col("source.__op") === "DELETE")),
+    WhenMatchedUpdate(Some(col("source.__op") === "UPSERT")),
+    WhenNotMatchedInsert(Some(col("source.__op") =!= "DELETE")))
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("grp", StringType),
+    StructField("cents", LongType)))
+
+  private def fresh(): (VersionedTable, String) = {
+    val root = graft.Scratch.dir("graft-aggv")
+    val t = VersionedTable.create(spark, root.resolve("src").toString, schema,
+      Map(VersionedTable.PROP_CDF -> "true"))
+    Merge.run(t,
+      spark.range(1, 61).select($"id",
+        concat(lit("g"), ($"id" % 6).cast("string")).as("grp"),
+        ($"id" * 10).as("cents"), lit("UPSERT").as("__op")),
+      Seq("id"), upsert)
+    (t, root.toString)
+  }
+
+  private def recompute(t: VersionedTable): DataFrame =
+    t.snapshot().groupBy($"grp")
+      .agg(count(lit(1)).as("n_rows"), sum($"cents").as("sum_cents"))
+
+  private def asSet(df: DataFrame) =
+    df.select(col("grp"), col("n_rows").cast("long"), col("sum_cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("view ≡ recompute through updates, deletes, and group death") {
+    val (t, root) = fresh()
+    val v = AggView.build(t, s"$root/v", Seq("grp"),
+      Seq("cents" -> "cents"))
+    assert(asSet(v.table.snapshot()) === asSet(recompute(t)))
+    // batch: value changes, row deletes, a new group, and ALL of g5 dies
+    val g5Ids = (1L to 60L).filter(_ % 6 == 5)
+    val changes =
+      spark.range(1, 11).filter($"id" % 6 =!= 5) // id 5 dies below — one action per key
+        .select($"id",
+          concat(lit("g"), ($"id" % 6).cast("string")).as("grp"),
+          ($"id" * 1000).as("cents"), lit("UPSERT").as("__op"))
+        .unionByName(Seq((100L, "g9", 7L, "UPSERT")).toDF("id", "grp", "cents", "__op"))
+        .unionByName(g5Ids.map(i => (i, "g5", 0L, "DELETE"))
+          .toDF("id", "grp", "cents", "__op"))
+    Merge.run(t, changes, Seq("id"), upsert)
+    assert(v.refresh(t).isDefined)
+    assert(asSet(v.table.snapshot()) === asSet(recompute(t)))
+    assert(v.table.snapshot().filter($"grp" === "g5").count() === 0L,
+      "an emptied group must leave the view")
+    assert(v.table.snapshot().filter($"grp" === "g9").count() === 1L)
+  }
+
+  test("a row moving between groups shifts both groups' aggregates") {
+    val (t, root) = fresh()
+    val v = AggView.build(t, s"$root/v", Seq("grp"), Seq("cents" -> "cents"))
+    // id 7 moves g1 -> g2 with a new value: preimage decrements g1,
+    // postimage increments g2
+    Merge.run(t, Seq((7L, "g2", 12345L, "UPSERT")).toDF("id", "grp", "cents", "__op"),
+      Seq("id"), upsert)
+    v.refresh(t)
+    assert(asSet(v.table.snapshot()) === asSet(recompute(t)))
+  }
+
+  test("refresh is exactly-once under replay and watermark-aware") {
+    val (t, root) = fresh()
+    val v = AggView.build(t, s"$root/v", Seq("grp"), Seq("cents" -> "cents"))
+    Merge.run(t, Seq((1L, "g1", 99999L, "UPSERT")).toDF("id", "grp", "cents", "__op"),
+      Seq("id"), upsert)
+    assert(v.refresh(t).isDefined)
+    val state = asSet(v.table.snapshot())
+    val ver = v.table.latestVersion
+    // a replayed refresh (crash + rerun) must not double-apply deltas:
+    // the watermark makes it a no-op without a commit
+    assert(v.refresh(t).isEmpty)
+    assert(v.table.latestVersion === ver)
+    assert(asSet(v.table.snapshot()) === state)
+  }
+
+  test("self-describing: load + parameterless refresh from properties") {
+    val (t, root) = fresh()
+    AggView.build(t, s"$root/v", Seq("grp"), Seq("cents" -> "cents"))
+    Merge.run(t, Seq((2L, "g0", 1L, "UPSERT")).toDF("id", "grp", "cents", "__op"),
+      Seq("id"), upsert)
+    val v2 = AggView.load(spark, s"$root/v")
+    assert(v2.refresh().isDefined)
+    assert(asSet(v2.table.snapshot()) === asSet(recompute(t)))
+  }
+}
