@@ -24,6 +24,12 @@ import graft.table.VersionedTable
   *   UPDATE [TABLE] <table> SET c = <expr> [, ...] [WHERE <pred>]
   *   DESCRIBE HISTORY <table>
   *   DESCRIBE DETAIL <table>
+  *   CREATE MATERIALIZED VIEW <v> KEYED BY <k> AS
+  *     SELECT a.*, b.<c>... FROM <a> a LEFT|INNER JOIN <b> b ON a.<fk> = b.<bk>
+  *   CREATE MATERIALIZED VIEW <v> AS
+  *     SELECT <g>..., COUNT(*) AS n_rows [, SUM(<e>) AS <name>...]
+  *     FROM <t> GROUP BY <g>...
+  *   REFRESH MATERIALIZED VIEW <v>
   * }}}
   *
   * `<table>` is either a `'quoted'` filesystem path of a versioned
@@ -65,8 +71,18 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     ("""(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+(\S+?)\s+KEYED\s+BY\s+(\w+)\s+AS\s+""" +
       """SELECT\s+a\.\*\s*,\s*(.+?)\s+FROM\s+(\S+?)\s+a\s+(LEFT|INNER)\s+JOIN\s+""" +
       """(\S+?)\s+b\s+ON\s+a\.(\w+)\s*=\s*b\.(\w+)\s*;?\s*""").r
+  // CREATE MATERIALIZED VIEW <v> AS
+  //   SELECT <g1>[, <gn>…], COUNT(*) AS n_rows [, SUM(<expr>) AS <name>…]
+  //   FROM <t> GROUP BY <g1>[, <gn>…]
+  // — the signed-delta aggregate view graft.table.AggView maintains
+  // (SUM aliases become view columns `sum_<name>`)
+  private val CreateAggView =
+    ("""(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+(\S+?)\s+AS\s+SELECT\s+(.+?)\s+""" +
+      """FROM\s+(\S+?)\s+GROUP\s+BY\s+(.+?)\s*;?\s*""").r
   private val RefreshMatView =
     """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(\S+?)\s*;?\s*""".r
+  private val CountItem = """(?is)\s*COUNT\s*\(\s*\*\s*\)\s+AS\s+n_rows\s*""".r
+  private val SumItem = """(?is)\s*SUM\s*\((.+)\)\s+AS\s+(\w+)\s*""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case Vacuum(tbl, retain) =>
@@ -85,6 +101,20 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         .filter(_.nonEmpty).toSeq
       CreateMatViewCommand(view, aKey, bCols, aTbl,
         joinType.toLowerCase, bTbl, fk, bKey)
+    case CreateAggView(view, selectList, src, groupBy) =>
+      val items = topLevelSplit(selectList, ',')
+      val groupCols = groupBy.split(',').map(_.trim)
+        .map(_.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty).toSeq
+      val sums = items.collect { case SumItem(e, name) => name -> e.trim }
+      val plain = items.map(_.trim).filter(i =>
+        CountItem.findFirstIn(i).isEmpty && SumItem.findFirstIn(i).isEmpty)
+      require(items.exists(i => CountItem.findFirstIn(i).isDefined),
+        "an aggregate view SELECT must include COUNT(*) AS n_rows " +
+          "(the group-liveness column the view maintains)")
+      require(plain.map(_.stripPrefix("`").stripSuffix("`")).toSet ==
+        groupCols.toSet,
+        s"SELECT's plain columns $plain must equal GROUP BY $groupCols")
+      CreateAggViewCommand(view, src, groupCols, sums)
     case RefreshMatView(view) => RefreshMatViewCommand(view)
     case Update(tbl, rest) =>
       val (setPart, wherePart) = topLevelIndexOfWord(rest, "WHERE") match {
@@ -320,15 +350,41 @@ case class CreateMatViewCommand(
   }
 }
 
+/** `CREATE MATERIALIZED VIEW … AS SELECT g…, COUNT(*) AS n_rows,
+  * SUM(e) AS name… FROM t GROUP BY g…` — builds the signed-delta
+  * [[graft.table.AggView]] (SUM aliases become `sum_<name>` columns).
+  * Returns the view's committed version. */
+case class CreateAggViewCommand(
+    view: String,
+    src: String,
+    groupCols: Seq[String],
+    sums: Seq[(String, String)]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val source = GraftSqlParser.resolve(spark, src)
+    val v = graft.table.AggView.build(source,
+      GraftSqlParser.cleanName(view), groupCols, sums)
+    Seq(Row(v.table.latestVersion))
+  }
+}
+
 /** `REFRESH MATERIALIZED VIEW <view>` — one delta-scoped refresh from
-  * the sources recorded in the view's properties. Returns the new view
-  * version, or no rows when the view was already current. */
+  * the sources recorded in the view's properties (dispatches on the
+  * view's own definition: join view or aggregate view). Returns the
+  * new view version, or no rows when the view was already current. */
 case class RefreshMatViewCommand(view: String) extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
-  override def run(spark: SparkSession): Seq[Row] =
-    graft.table.JoinView.load(spark, GraftSqlParser.cleanName(view))
-      .refresh().map(Row(_)).toSeq
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.cleanName(view)
+    val props = VersionedTable.load(spark, path).latestManifest.properties
+    val refreshed =
+      if (props.contains(graft.table.JoinView.PROP_A_KEY))
+        graft.table.JoinView.load(spark, path).refresh()
+      else graft.table.AggView.load(spark, path).refresh()
+    refreshed.map(Row(_)).toSeq
+  }
 }
 
 /** Runs a graft SQL statement without requiring the session to be built
@@ -341,7 +397,7 @@ object GraftSql {
       case c @ (_: VacuumCommand | _: OptimizeCommand |
                 _: RestoreCommand | _: UpdateCommand | _: HistoryCommand |
                 _: DetailCommand | _: CreateMatViewCommand |
-                _: RefreshMatViewCommand) =>
+                _: CreateAggViewCommand | _: RefreshMatViewCommand) =>
         c.asInstanceOf[LeafRunnableCommand].run(spark)
       case _ => spark.sql(sqlText).collect().toSeq
     }

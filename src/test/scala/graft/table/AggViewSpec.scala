@@ -91,6 +91,23 @@ class AggViewSpec extends SparkSpec {
     assert(asSet(v.table.snapshot()) === state)
   }
 
+  test("SQL surface: CREATE (GROUP BY form) / REFRESH MATERIALIZED VIEW") {
+    val (t, root) = fresh()
+    val created = graft.catalog.GraftSql.execute(spark,
+      s"""CREATE MATERIALIZED VIEW '$root/v' AS
+         |SELECT grp, COUNT(*) AS n_rows, SUM(cents) AS cents
+         |FROM '${t.root}' GROUP BY grp""".stripMargin)
+    assert(created.nonEmpty)
+    assert(asSet(AggView.load(spark, s"$root/v").table.snapshot()) ===
+      asSet(recompute(t)))
+    Merge.run(t, Seq((3L, "g7", 777L, "UPSERT")).toDF("id", "grp", "cents", "__op"),
+      Seq("id"), upsert)
+    assert(graft.catalog.GraftSql.execute(spark,
+      s"REFRESH MATERIALIZED VIEW '$root/v'").nonEmpty)
+    assert(asSet(AggView.load(spark, s"$root/v").table.snapshot()) ===
+      asSet(recompute(t)))
+  }
+
   test("self-describing: load + parameterless refresh from properties") {
     val (t, root) = fresh()
     AggView.build(t, s"$root/v", Seq("grp"), Seq("cents" -> "cents"))
