@@ -557,17 +557,248 @@ object SimilarityOps extends QueryModule {
       |SELECT q_id, vec_id, rnk, round(cos, 6) AS cos
       |FROM rk WHERE rnk <= $K""".stripMargin
 
+  // -------------------------------------------------------- q_pq_cosine
+  /** Product quantization (PQ) — the billion-vector compression tier
+    * (FAISS IVF-PQ's second stage): the 64-dim space splits into
+    * PQ_M=8 orthogonal 8-dim subspaces, each with its own Lloyd-trained
+    * PQ_K=16-centroid codebook, so a vector stores as 8 nibble codes
+    * (4 bytes — a 64× footprint cut vs float32) and search runs
+    * asymmetric-distance (ADC):
+    *
+    *   dot(q, recon(x)) = Σ_m dot(q_m, cent[m, code_m(x)])
+    *   |recon(x)|²      = Σ_m |cent[m, code_m(x)]|²   (subspaces are
+    *                       orthogonal, so norms decompose exactly)
+    *
+    * — i.e. scoring is ONE equi-join of the codes table against a
+    * (queries × M × PQ_K)-sized lookup table of per-subspace partial
+    * dots, then an ordered fold per (query, vector). No vector
+    * arithmetic touches the corpus at query time: the 100 TB plan is a
+    * broadcast-LUT hash join over a 4-byte-per-vector codes table.
+    *
+    * ADC scores are coarse (4 bytes can only say so much), so the
+    * operator ships the DEPLOYED two-stage shape: the ADC join ranks a
+    * PQ_SHORTLIST per query — touching only codes — and an exact-cosine
+    * rerank over the shortlist (the only stage that reads raw vectors)
+    * emits the final top-k. At 100 TB the rerank reads
+    * shortlist-many vectors per query instead of the corpus — the
+    * FAISS IVF-PQ + refine pipeline re-expressed as two hash joins.
+    *
+    * Cross-engine determinism: subspace Lloyd runs the IVF oracle's
+    * replay pattern (vec_id-ordered mean folds, float-rounded, empty
+    * cells keep their centroid) with L2 assignment ties broken by
+    * c_id; the Σ_m folds run over m-sorted collected structs — the
+    * identical IEEE sequence DuckDB's ordered list_sum performs. */
+  private[llm] val PQ_M = 8
+  private[llm] val PQ_SUBDIM = DIMS / PQ_M
+  private[llm] val PQ_K = 16
+  private[llm] val PQ_ITERS = 2
+  private[llm] val PQ_SHORTLIST = 150
+
+  /** Left-to-right double fold of `e` over subspace dims. */
+  private def subFold(e: String) =
+    s"aggregate(transform(sequence(1, $PQ_SUBDIM), i -> $e), " +
+      "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+  private def subDot(a: String, b: String) = subFold(
+    s"CAST(element_at($a, i) AS DOUBLE) * CAST(element_at($b, i) AS DOUBLE)")
+  private def subL2(a: String, b: String) = subFold(
+    s"(CAST(element_at($a, i) AS DOUBLE) - CAST(element_at($b, i) AS DOUBLE))" +
+      s" * (CAST(element_at($a, i) AS DOUBLE) - CAST(element_at($b, i) AS DOUBLE))")
+
+  /** (id, m, sv): the PQ_M subspace slices of each vector. */
+  private def subvecs(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol), explode(sequence(lit(0), lit(PQ_M - 1))).as("m"),
+        col(vecCol).as("__v"))
+      .withColumn("sv", expr(s"slice(__v, m * $PQ_SUBDIM + 1, $PQ_SUBDIM)"))
+      .drop("__v")
+
+  /** Per-subspace nearest centroid (L2, c_id tiebreak). */
+  private def pqAssign(sub: DataFrame, cent: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"), col("m"))
+      .orderBy(col("__l2").asc, col("c_id").asc)
+    sub.join(broadcast(cent), "m")
+      .withColumn("__l2", expr(subL2("sv", "cent")))
+      .withColumn("__arnk", row_number().over(w))
+      .filter(col("__arnk") === 1)
+      .select(col("vec_id"), col("m"), col("sv"), col("c_id"))
+  }
+
+  /** Lloyd-trained per-subspace codebooks: (m, c_id, cent). */
+  private[llm] def pqCodebooks(sub: DataFrame): DataFrame = {
+    val wInit = Window.partitionBy(col("m")).orderBy(col("vec_id").asc)
+    var cent = sub.withColumn("__rn", row_number().over(wInit))
+      .filter(col("__rn") <= PQ_K)
+      .select(col("m"), col("vec_id").as("c_id"), col("sv").as("cent"))
+    val meanExpr = expr(
+      s"""transform(sequence(1, $PQ_SUBDIM), d -> cast(
+         |  aggregate(vs, cast(0.0 AS double),
+         |    (acc, x) -> acc + cast(element_at(x.sv, d) AS double))
+         |  / cast(n AS double) AS float))""".stripMargin)
+    for (_ <- 1 to PQ_ITERS) {
+      val means = pqAssign(sub, cent)
+        .groupBy(col("m"), col("c_id"))
+        .agg(sort_array(collect_list(struct(col("vec_id"), col("sv")))).as("vs"),
+          count(lit(1)).as("n"))
+        .select(col("m"), col("c_id"), meanExpr.as("newcent"))
+      cent = cent.join(means, Seq("m", "c_id"), "left")
+        .select(col("m"), col("c_id"),
+          coalesce(col("newcent"), col("cent")).as("cent"))
+    }
+    cent
+  }
+
+  private def qPqCosine(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val corpusSub = subvecs(
+      emb.filter(col("vec_id") >= QUERY_MAX_ID), "vec_id", "embedding")
+    // ---- train + encode: (vec_id, m, code) + per-cell norm cc
+    val cent = pqCodebooks(corpusSub)
+      .withColumn("cc", expr(subDot("cent", "cent")))
+    val codes = pqAssign(corpusSub, cent.select("m", "c_id", "cent"))
+      .select(col("vec_id"), col("m"), col("c_id"))
+    // ---- ADC lookup table: per (query, m, c_id) partial dot
+    val qSub = subvecs(
+      emb.filter(col("vec_id") < QUERY_MAX_ID), "vec_id", "embedding")
+      .withColumnRenamed("vec_id", "q_id")
+    val lut = qSub.join(broadcast(cent), "m")
+      .withColumn("pd", expr(subDot("sv", "cent")))
+      .select(col("q_id"), col("m"), col("c_id"), col("pd"), col("cc"))
+    // query norms (full 64-dim fold, like the SQ8 path)
+    val qq = emb.filter(col("vec_id") < QUERY_MAX_ID)
+      .select(col("vec_id").as("q_id"),
+        expr(s"aggregate(transform(sequence(1, $DIMS), " +
+          "i -> CAST(element_at(embedding, i) AS DOUBLE) * " +
+          "CAST(element_at(embedding, i) AS DOUBLE)), " +
+          "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)").as("qq"))
+    // ---- score: join codes to the LUT, fold partials in m order
+    val adc = codes.join(broadcast(lut), Seq("m", "c_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sort_array(collect_list(struct(col("m"), col("pd"), col("cc"))))
+        .as("ps"))
+      .withColumn("dot", expr(
+        "aggregate(ps, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.pd)"))
+      .withColumn("ccs", expr(
+        "aggregate(ps, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.cc)"))
+      .join(broadcast(qq), "q_id")
+      .withColumn("adc_cos", col("dot") / (sqrt(col("qq")) * sqrt(col("ccs"))))
+    val wAdc = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc_cos").desc, col("vec_id").asc_nulls_last)
+    val shortlist = adc.withColumn("__srnk", row_number().over(wAdc))
+      .filter(col("__srnk") <= PQ_SHORTLIST)
+      .select(col("q_id"), col("vec_id"))
+    // ---- exact rerank: raw vectors read for shortlist members only
+    graft.functions.GraftFunctions.register(s)
+    val scored = shortlist
+      .join(emb.select(col("vec_id"), col("embedding").as("ce")), "vec_id")
+      .join(broadcast(emb.filter(col("vec_id") < QUERY_MAX_ID)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"))), "q_id")
+      .withColumn("cos", expr("cosine_sim(qe, ce)"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc_nulls_last)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= K)
+      .select(col("q_id"), col("vec_id"), col("rnk").cast("long").as("rnk"),
+        round(col("cos"), 6).as("cos"))
+  }
+
+  private val qPqCosineSql = {
+    def dDot(a: String, b: String) =
+      s"""list_sum(list_transform(generate_series(1, $PQ_SUBDIM),
+         |      i -> $a[i]::DOUBLE * $b[i]::DOUBLE))""".stripMargin
+    def dL2(a: String, b: String) =
+      s"""list_sum(list_transform(generate_series(1, $PQ_SUBDIM),
+         |      i -> ($a[i]::DOUBLE - $b[i]::DOUBLE)
+         |           * ($a[i]::DOUBLE - $b[i]::DOUBLE)))""".stripMargin
+    val lloyd = (1 to PQ_ITERS).map { i =>
+      s"""a$i AS (SELECT vec_id, m, sv, c_id FROM (
+         |  SELECT s.vec_id, s.m, s.sv, c.c_id,
+         |    row_number() OVER (PARTITION BY s.vec_id, s.m
+         |      ORDER BY ${dL2("s.sv", "c.cent")} ASC, c.c_id ASC) AS arnk
+         |  FROM corpus_sub s JOIN it${i - 1} c ON c.m = s.m) WHERE arnk = 1),
+         |g$i AS (SELECT m, c_id, list(sv ORDER BY vec_id) AS vs, count(*) AS n
+         |        FROM a$i GROUP BY m, c_id),
+         |n$i AS (SELECT m, c_id, list_transform(generate_series(1, $PQ_SUBDIM),
+         |          d -> (list_reduce(list_transform(vs, v -> v[d]::DOUBLE),
+         |                            (acc, x) -> acc + x)
+         |                / n::DOUBLE)::FLOAT) AS newcent
+         |        FROM g$i),
+         |it$i AS (SELECT p.m, p.c_id, coalesce(n.newcent, p.cent) AS cent
+         |         FROM it${i - 1} p LEFT JOIN n$i n USING (m, c_id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH corpus_sub AS (
+      |  SELECT vec_id, s.m,
+      |         list_slice(embedding, s.m * $PQ_SUBDIM + 1,
+      |                    s.m * $PQ_SUBDIM + $PQ_SUBDIM) AS sv
+      |  FROM embeddings, unnest(generate_series(0, ${PQ_M - 1})) AS s(m)
+      |  WHERE vec_id >= $QUERY_MAX_ID),
+      |it0 AS (SELECT m, vec_id AS c_id, sv AS cent FROM (
+      |  SELECT m, vec_id, sv,
+      |    row_number() OVER (PARTITION BY m ORDER BY vec_id ASC) AS rn
+      |  FROM corpus_sub) WHERE rn <= $PQ_K),
+      |$lloyd,
+      |cent AS (SELECT m, c_id, cent, ${dDot("cent", "cent")} AS cc
+      |         FROM it$PQ_ITERS),
+      |codes AS (SELECT vec_id, m, c_id FROM (
+      |  SELECT s.vec_id, s.m, c.c_id,
+      |    row_number() OVER (PARTITION BY s.vec_id, s.m
+      |      ORDER BY ${dL2("s.sv", "c.cent")} ASC, c.c_id ASC) AS arnk
+      |  FROM corpus_sub s JOIN cent c ON c.m = s.m) WHERE arnk = 1),
+      |q_sub AS (
+      |  SELECT vec_id AS q_id, s.m,
+      |         list_slice(embedding, s.m * $PQ_SUBDIM + 1,
+      |                    s.m * $PQ_SUBDIM + $PQ_SUBDIM) AS sv
+      |  FROM embeddings, unnest(generate_series(0, ${PQ_M - 1})) AS s(m)
+      |  WHERE vec_id < $QUERY_MAX_ID),
+      |lut AS (SELECT q.q_id, q.m, c.c_id, ${dDot("q.sv", "c.cent")} AS pd, c.cc
+      |        FROM q_sub q JOIN cent c ON c.m = q.m),
+      |qq AS (SELECT vec_id AS q_id,
+      |         list_sum(list_transform(generate_series(1, $DIMS),
+      |           i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)) AS qq
+      |       FROM embeddings WHERE vec_id < $QUERY_MAX_ID),
+      |adc AS (
+      |  SELECT l.q_id, k.vec_id,
+      |    list_reduce(list(l.pd ORDER BY l.m), (acc, x) -> acc + x) AS dot,
+      |    list_reduce(list(l.cc ORDER BY l.m), (acc, x) -> acc + x) AS ccs
+      |  FROM codes k JOIN lut l ON l.m = k.m AND l.c_id = k.c_id
+      |  GROUP BY l.q_id, k.vec_id),
+      |shortlist AS (SELECT q_id, vec_id FROM (
+      |  SELECT a.q_id, a.vec_id,
+      |    row_number() OVER (PARTITION BY a.q_id
+      |      ORDER BY a.dot / (sqrt(q.qq) * sqrt(a.ccs)) DESC,
+      |               a.vec_id ASC) AS srnk
+      |  FROM adc a JOIN qq q USING (q_id)) WHERE srnk <= $PQ_SHORTLIST),
+      |rerank AS (
+      |  SELECT s.q_id, s.vec_id,
+      |    (list_sum(list_transform(generate_series(1, $DIMS),
+      |       i -> qv.embedding[i]::DOUBLE * cv.embedding[i]::DOUBLE)))
+      |    / (sqrt(list_sum(list_transform(generate_series(1, $DIMS),
+      |         i -> qv.embedding[i]::DOUBLE * qv.embedding[i]::DOUBLE)))
+      |       * sqrt(list_sum(list_transform(generate_series(1, $DIMS),
+      |           i -> cv.embedding[i]::DOUBLE * cv.embedding[i]::DOUBLE))))
+      |      AS cos
+      |  FROM shortlist s
+      |  JOIN embeddings cv ON cv.vec_id = s.vec_id
+      |  JOIN embeddings qv ON qv.vec_id = s.q_id),
+      |rk AS (SELECT q_id, vec_id, cos,
+      |         row_number() OVER (PARTITION BY q_id
+      |                            ORDER BY cos DESC, vec_id ASC) AS rnk
+      |       FROM rerank)
+      |SELECT q_id, vec_id, rnk, round(cos, 6) AS cos
+      |FROM rk WHERE rnk <= $K""".stripMargin
+  }
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q_topk_cosine" -> qTopkCosine _,
     "q_cosine_lsh"  -> qCosineLsh _,
     "q_ivf_cosine"  -> qIvfCosine _,
     "q_ivf_index"   -> qIvfIndex _,
-    "q_sq8_cosine"  -> qSq8Cosine _)
+    "q_sq8_cosine"  -> qSq8Cosine _,
+    "q_pq_cosine"   -> qPqCosine _)
 
   override val oracles: Seq[(String, String)] = Seq(
     "q_topk_cosine" -> qTopkCosineSql,
     "q_cosine_lsh"  -> qCosineLshSql,
     "q_ivf_cosine"  -> qIvfCosineSql,
     "q_ivf_index"   -> qIvfIndexSql,
-    "q_sq8_cosine"  -> qSq8CosineSql)
+    "q_sq8_cosine"  -> qSq8CosineSql,
+    "q_pq_cosine"   -> qPqCosineSql)
 }

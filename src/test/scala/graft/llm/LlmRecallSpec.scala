@@ -58,6 +58,22 @@ class LlmRecallSpec extends SparkSpec {
     assert(recall >= 0.8, f"SQ8 slot recall $recall%.2f < 0.8")
   }
 
+  test("PQ shortlist + exact rerank recovers >= 0.9 of exact top-k") {
+    // raw 4-byte ADC scores land only ~0.3 of exact top-5 slots
+    // (measured) — the deployed two-stage shape (ADC shortlist of 50,
+    // exact rerank) must recover nearly all of them while reading raw
+    // vectors for shortlist members only
+    def slots(name: String): Set[(Long, Long)] =
+      graft.SparkEntry.queries(name)(spark, sf)
+        .select(col("q_id"), col("vec_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = slots("q_topk_cosine")
+    val pq = slots("q_pq_cosine")
+    val recall = (exact intersect pq).size.toDouble / exact.size
+    info(f"PQ+rerank slot recall: $recall%.2f")
+    assert(recall >= 0.9, f"PQ+rerank slot recall $recall%.2f < 0.9")
+  }
+
   test("banded LSH recall >= 0.9 of brute-force top-k on planted cos-0.8 neighbors") {
     graft.functions.GraftFunctions.register(spark)
     val nQ = 100
