@@ -74,6 +74,11 @@ object Bench {
     names.foreach(force) // warmup, untimed
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val perPass: Seq[Seq[(String, Double)]] = (1 to passes).map { _ =>
+      // engine-fixture queries leave unreferenced RDD/shuffle state
+      // behind each pass; Spark's ContextCleaner only reclaims it after
+      // a driver GC, so without this later passes pay the accumulated
+      // garbage (measured: pass totals drifted 91s -> 116s)
+      System.gc()
       names.map { name =>
         val t0 = System.nanoTime()
         force(name).foreach(errors(name) = _)
