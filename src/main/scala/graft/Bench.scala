@@ -55,6 +55,15 @@ object Bench {
   private def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
   private def fmt(v: Double) = f"$v%.4f"
 
+  /** Settle the JVM between timed queries: collect, let ContextCleaner
+    * drain its async queue, collect the newly-unreferenced remainder. */
+  private def quiesce(): Unit = {
+    System.gc()
+    Thread.sleep(120)
+    System.gc()
+    Thread.sleep(30)
+  }
+
   /** Warmup + `passes` timed pass-major runs of `names` against `sfDir`.
     * Returns the JSON fields of one measured section. */
   private def measure(
@@ -73,13 +82,25 @@ object Bench {
 
     names.foreach(force) // warmup, untimed
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val perPass: Seq[Seq[(String, Double)]] = (1 to passes).map { _ =>
-      // engine-fixture queries leave unreferenced RDD/shuffle state
-      // behind each pass; Spark's ContextCleaner only reclaims it after
-      // a driver GC, so without this later passes pay the accumulated
-      // garbage (measured: pass totals drifted 91s -> 116s)
-      System.gc()
-      names.map { name =>
+    val perPass: Seq[Seq[(String, Double)]] = (1 to passes).map { pass =>
+      // Per-query isolation (VERDICT r5/r6 finding 1): engine-fixture
+      // queries leave unreferenced RDD/shuffle/broadcast state that
+      // ContextCleaner reclaims only after a driver GC, and the file
+      // deletion itself runs asynchronously — so in a fixed
+      // alphabetical order whoever runs AFTER a fixture query pays its
+      // garbage (q_json_props recorded 3x its clean cost for two
+      // rounds running right behind q_join_view; 22/85 queries showed
+      // >2.5x pass-to-pass spread). Two defenses:
+      //   - quiesce() between timers: GC promotes the cleaner's weak
+      //     refs, a short sleep lets its thread drain the queue, and a
+      //     second GC collects what the cleanup freed — predecessor
+      //     garbage is paid BETWEEN timings, not inside one;
+      //   - per-pass order randomization (deterministic seed = pass
+      //     index) decorrelates any residual neighbor effect (page
+      //     cache, async deletes) so the median discards it.
+      val order = new scala.util.Random(pass).shuffle(names)
+      order.map { name =>
+        quiesce()
         val t0 = System.nanoTime()
         force(name).foreach(errors(name) = _)
         name -> (System.nanoTime() - t0) / 1e9

@@ -229,6 +229,30 @@ class TableLifecycleSpec extends SparkSpec {
     assert(t.snapshot().filter($"id" === 7L).count() === 1L)
   }
 
+  test("a multi-file MoR delete maps each deletion vector to its own data file") {
+    val t = morTable("mor-split")
+    // one matching row in each of the 4 files (ids 1, 11, 21, 31)
+    assert(t.deleteWhere($"id" % 10L === 1L).nonEmpty)
+    val entries = t.latestManifest.dataFiles
+    assert(entries.count(_.dvs.nonEmpty) === 4)
+    entries.filter(_.dvs.nonEmpty).foreach { f =>
+      val name = f.path.split('/').last
+      // reading THIS entry's DV refs must surface only tombstones aimed
+      // at this file — attaching the whole commit's DV set to every
+      // touched entry would make every read open every tombstone file
+      val dvFiles = spark.read
+        .parquet(f.dvs.map(d => t.root.resolve(d).toString): _*)
+        .select("__file").distinct().as[String].collect().toSeq
+      assert(dvFiles === Seq(name),
+        s"entry $name references DVs for files $dvFiles")
+      assert(f.dvRows === Some(1L))
+    }
+    // DV refs across entries are disjoint (no shared tombstone files)
+    val allRefs = entries.flatMap(_.dvs)
+    assert(allRefs.distinct.size === allRefs.size)
+    assert(t.snapshot().count() === 36L)
+  }
+
   test("MoR and CoW deletes are read-equivalent; later DML sees only live rows") {
     def content(t: VersionedTable) =
       t.snapshot().as[(Long, String)].collect().sortBy(_._1).toSeq
