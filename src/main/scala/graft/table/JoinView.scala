@@ -18,10 +18,13 @@ import org.apache.spark.sql.types.StructType
   *   1. read both sources' CDF since the view's recorded watermarks —
   *      O(changed rows), never a source scan;
   *   2. affected `aKey` set = keys in ΔA ∪ keys of current A rows whose
-  *      `fk` hit a ΔB key (an equi-join against the small ΔB key set —
-  *      broadcast-eligible for typical incremental batches);
-  *   3. recompute ONLY the affected block from both CURRENT snapshots
-  *      (A-side pruned by the view's bucket/file skipping);
+  *      `fk` hit a ΔB key — bounded ΔB key sets (≤ KEY_PRUNE_MAX) push
+  *      down as an IN-list so the A read opens only files whose stats /
+  *      bucket hash ranges / blooms admit one of the changed fks, never
+  *      a full fact scan;
+  *   3. recompute ONLY the affected block from both CURRENT snapshots —
+  *      both sides read through [[VersionedTable.snapshotWhere]]'s file
+  *      skipping keyed on the (bounded) affected key sets;
   *   4. three-clause [[Merge]]: vanished keys delete, survivors
   *      update, new keys insert; source watermarks ride the commit's
   *      `txn` map.
@@ -48,9 +51,10 @@ final class JoinView private (
 
   private def spark: SparkSession = table.spark
 
-  /** The join block for the given A-side rows against current B. */
-  private def joined(aRows: DataFrame, b: VersionedTable): DataFrame = {
-    val bSide = b.snapshot().select((bKey +: bCols).map(col): _*)
+  /** The join block for the given A-side rows against the given B-side
+    * rows (the full snapshot at build; a key-pruned read at refresh). */
+  private def joined(aRows: DataFrame, bRows: DataFrame): DataFrame = {
+    val bSide = bRows.select((bKey +: bCols).map(col): _*)
     aRows.join(bSide, aRows(fk) === bSide(bKey), joinType)
       .drop(bSide(bKey))
   }
@@ -81,30 +85,78 @@ final class JoinView private (
     val bKeys =
       if (latestB >= sinceB) b.changes(sinceB).select(col(bKey)).distinct()
       else emptyKeys(spark, b.schema, bKey)
-    // A rows referencing a changed B key (their fk is current state —
-    // rows whose fk itself changed are already in ΔA)
-    val viaB = a.snapshot().join(bKeys, col(fk) === col(bKey))
-      .select(col(aKey))
-    val affected = aKeys.union(viaB).distinct()
 
-    val aBlock = a.snapshot()
-      .join(affected, Seq(aKey), "left_semi")
-    val recomputed = joined(aBlock, b)
-    val ups = recomputed.withColumn("__op", lit("UPSERT"))
-    // affected keys with no recomputed row: deleted from A, or (inner
-    // join) no longer matching any B row
-    val dels = affected.join(recomputed.select(col(aKey)), Seq(aKey), "left_anti")
-      .withColumn("__op", lit("DELETE"))
-    val src = ups.unionByName(dels, allowMissingColumns = true)
-    if (src.isEmpty) {
-      // nothing to change, still advance the watermarks so the next
-      // refresh does not rescan this CDF span
-      table.commitFiles(Seq.empty, Seq.empty, None, "refresh-noop",
-        extraTxn = wm)
-      return Some(table.latestVersion)
+    // A rows referencing a changed B key (their fk is current state —
+    // rows whose fk itself changed are already in ΔA). The ΔB key set
+    // is bounded by the dimension-change batch, so up to KEY_PRUNE_MAX
+    // keys become an IN-list predicate and the A read goes through
+    // [[VersionedTable.snapshotWhere]]'s file skipping (column stats,
+    // bucket hash ranges, blooms) instead of a full fact scan — the
+    // one-updated-dimension-row refresh touches O(files holding those
+    // fks), not O(A). A dimension rewrite beyond the cap falls back to
+    // the scan-join (most of A is affected then anyway).
+    val bKeyVals = keyValues(bKeys)
+    val viaB = bKeyVals match {
+      case Some(Seq()) => emptyKeys(spark, a.schema, aKey)
+      case Some(vals) =>
+        a.snapshotWhere(col(fk).isin(vals: _*)).select(col(aKey))
+      case None =>
+        a.snapshot().join(bKeys, col(fk) === col(bKey)).select(col(aKey))
     }
-    Merge.run(table, src, Seq(aKey), clauses, extraTxn = wm)
-    Some(table.latestVersion)
+    val affected = aKeys.union(viaB).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // the affected-key set also drives the noop check (the CDF span
+      // may net out to zero keys) — evaluating it here costs the delta
+      // scans only, never the recompute plan (the old `src.isEmpty`
+      // evaluated the full join block a second time)
+      val affVals = keyValues(affected)
+      if (affVals.contains(Seq.empty)) {
+        // nothing to change, still advance the watermarks so the next
+        // refresh does not rescan this CDF span
+        table.commitFiles(Seq.empty, Seq.empty, None, "refresh-noop",
+          extraTxn = wm)
+        return Some(table.latestVersion)
+      }
+      // the affected A block: an IN-list pruned read when the key set
+      // is bounded (bucket hash ranges make this O(affected buckets) on
+      // a bucketed A), else the full-scan semi-join
+      val aBlock = affVals match {
+        case Some(vals) => a.snapshotWhere(col(aKey).isin(vals: _*))
+        case None => a.snapshot().join(affected, Seq(aKey), "left_semi")
+      }
+      // B side of the recompute: the affected block references a
+      // bounded fk set whenever the affected keys are bounded — prune
+      // B's read the same way (ΔB alone doesn't cover it: ΔA rows join
+      // against UNCHANGED B keys too)
+      val aBlockP = aBlock
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val bSide = keyValues(aBlockP.select(col(fk)).distinct()) match {
+          case Some(Seq()) => b.snapshot().limit(0)
+          case Some(fks) => b.snapshotWhere(col(bKey).isin(fks: _*))
+          case None => b.snapshot()
+        }
+        val recomputed = joined(aBlockP, bSide)
+        val ups = recomputed.withColumn("__op", lit("UPSERT"))
+        // affected keys with no recomputed row: deleted from A, or
+        // (inner join) no longer matching any B row
+        val dels = affected
+          .join(recomputed.select(col(aKey)), Seq(aKey), "left_anti")
+          .withColumn("__op", lit("DELETE"))
+        val src = ups.unionByName(dels, allowMissingColumns = true)
+        Merge.run(table, src, Seq(aKey), clauses, extraTxn = wm)
+        Some(table.latestVersion)
+      } finally aBlockP.unpersist()
+    } finally affected.unpersist()
+  }
+
+  /** The single-column key set of `keys` as literal values, when it is
+    * small enough to push as an IN-list (Some(values), complete), or
+    * None past KEY_PRUNE_MAX (callers fall back to a scan-join). */
+  private def keyValues(keys: DataFrame): Option[Seq[Any]] = {
+    val rows = keys.limit(KEY_PRUNE_MAX + 1).collect()
+    if (rows.length > KEY_PRUNE_MAX) None else Some(rows.toSeq.map(_.get(0)))
   }
 }
 
@@ -114,6 +166,11 @@ object JoinView {
   /** Buckets on `aKey`: a refresh CoW-rewrites only buckets holding
     * affected keys. */
   val BUCKETS = 8
+  /** Largest key set pushed to the sources as an IN-list read predicate
+    * (file skipping: stats + bucket hash ranges + blooms). Incremental
+    * batches sit far below this; past it a refresh is a near-rebuild
+    * and the full-scan join is the better plan anyway. */
+  val KEY_PRUNE_MAX = 10000
 
   /** View-definition properties — the view is self-describing, so
     * `load(path)` / `REFRESH MATERIALIZED VIEW` need no parameters. */
@@ -170,7 +227,8 @@ object JoinView {
         PROP_SOURCE_B -> b.root.toAbsolutePath.toString),
       bucketBy = Some(BucketSpec(Seq(aKey), BUCKETS)))
     val v = new JoinView(t, aKey, fk, bKey, bCols, joinType)
-    val full = v.joined(a.snapshot(), b).withColumn("__op", lit("UPSERT"))
+    val full = v.joined(a.snapshot(), b.snapshot())
+      .withColumn("__op", lit("UPSERT"))
     Merge.run(t, full, Seq(aKey), clauses,
       extraTxn = Map(APP_A -> a.latestVersion, APP_B -> b.latestVersion))
     v

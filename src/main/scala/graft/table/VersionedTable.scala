@@ -985,11 +985,58 @@ final class VersionedTable private (
     val conjuncts = resolvedConjuncts(m, hit)
     val survivors = m.dataFiles.filter(f =>
       conjuncts.forall(c => FileSkipping.mayMatch(c, f, m.schema)))
-    // second stage: bloom sidecars refute equality/IN probes range
+    // second stage: bucket-key hash ranges refute equality/IN probes on
+    // the bucket key that value stats cannot (bucketed files cluster by
+    // key HASH, so their key-value ranges are wide but their hash
+    // ranges are tight — the same lossless proof Merge's write-side
+    // candidate selection uses: key equality implies hash equality)
+    val hashPruned = bucketHashSurvivors(m, conjuncts, survivors)
+    // third stage: bloom sidecars refute equality/IN probes range
     // stats cannot (loaded lazily, only for files that survived stats)
     val probes = BloomIndex.probes(conjuncts)
-    if (probes.isEmpty) survivors
-    else survivors.filter(f => BloomIndex.mayMatch(root, f, probes))
+    if (probes.isEmpty) hashPruned
+    else hashPruned.filter(f => BloomIndex.mayMatch(root, f, probes))
+  }
+
+  /** Files of `files` that may contain one of the bucket-key values an
+    * equality/IN conjunct lists, by (bucket id, `hash(key)` range) —
+    * single-key bucketed tables only. Driver-side hashing runs the
+    * identical Catalyst Murmur3 expression the write path's `hash()`
+    * call compiles to, so probe and ingest hashing can never drift; a
+    * literal whose type differs from the key's stays conservative
+    * (Murmur3 hashes numeric widths differently). */
+  private def bucketHashSurvivors(
+      m: CommitManifest,
+      conjuncts: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+      files: Seq[DataFile]): Seq[DataFile] = {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, In, Literal, Murmur3Hash}
+    val (key, n) = (m.bucketKeys, m.numBuckets) match {
+      case (Some(Seq(k)), Some(n0)) => (k, n0)
+      case _ => return files
+    }
+    val keyDt = m.schema.fields.find(_.name == key).map(_.dataType)
+      .getOrElse(return files)
+    val lits: Seq[Literal] = conjuncts.collectFirst {
+      case EqualTo(a: AttributeReference, l: Literal) if a.name == key => Seq(l)
+      case EqualTo(l: Literal, a: AttributeReference) if a.name == key => Seq(l)
+      case In(a: AttributeReference, vs)
+          if a.name == key && vs.forall(_.isInstanceOf[Literal]) =>
+        vs.map(_.asInstanceOf[Literal])
+    }.getOrElse(return files)
+    if (lits.exists(l => l.value != null && l.dataType != keyDt)) return files
+    val hs = lits.filter(_.value != null).map(l =>
+      Murmur3Hash(Seq(l), 42)
+        .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+        .asInstanceOf[Int])
+    if (hs.isEmpty) return Seq.empty // `key = NULL` is never true
+    val byBucket = hs.groupBy(h => java.lang.Math.floorMod(h, n))
+    files.filter { f =>
+      f.bucket match {
+        case None => true // no bucket info: can contain anything
+        case Some(b) => byBucket.get(b)
+          .exists(_.exists(h => f.mayContainHash(h.toLong)))
+      }
+    }
   }
 
   /** Predicate-pruned snapshot read for library (non-SQL) callers: the

@@ -171,6 +171,30 @@ class BucketedTableSpec extends SparkSpec {
     assert(t.snapshot().count() === 400L)
   }
 
+  test("snapshotWhere prunes bucketed reads by key-hash range") {
+    val t = mk(tmp("cow-prune"), bucketed = true)
+    Merge.run(t, (1L to 400L).map(i => (i, s"v$i", "INSERT")).toDF("id", "v", "op"),
+      Seq("id"), clauses)
+    val allFiles = t.snapshot().inputFiles.toSet
+    assert(allFiles.size >= 8, s"expected >=8 bucket files, got ${allFiles.size}")
+    // single-key equality: only files whose (bucket, hash range) admit
+    // the key's Murmur3 hash are opened — a point lookup on a bucketed
+    // key reads one bucket, not the table
+    val one = t.snapshotWhere($"id" === 37L)
+    assert(one.as[(Long, String)].collect().toSeq === Seq((37L, "v37")))
+    val oneFiles = one.inputFiles.toSet
+    assert(oneFiles.subsetOf(allFiles) && oneFiles.size < allFiles.size / 2,
+      s"expected a pruned read, opened ${oneFiles.size}/${allFiles.size}")
+    // IN-list: same proof per listed value, union of admitted files
+    val few = t.snapshotWhere($"id".isin(5L, 37L, 222L))
+    assert(few.select("id").as[Long].collect().sorted.toSeq === Seq(5L, 37L, 222L))
+    assert(few.inputFiles.toSet.subsetOf(allFiles) &&
+      few.inputFiles.length < allFiles.size,
+      s"IN-list read opened ${few.inputFiles.length}/${allFiles.size}")
+    // mismatched literal type must stay conservative, never wrong
+    assert(t.snapshotWhere($"id" === lit(37)).count() === 1L)
+  }
+
   test("append is rejected on bucketed tables") {
     val t = mk(tmp("cow-append"), bucketed = true)
     intercept[IllegalArgumentException] {

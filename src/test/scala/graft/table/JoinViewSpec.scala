@@ -108,6 +108,69 @@ class JoinViewSpec extends SparkSpec {
     assert(ids.subsetOf(affectedIds), s"unexpected keys: ${ids -- affectedIds}")
   }
 
+  test("a one-key refresh reads O(affected), never a full fact scan") {
+    // 2000-row fact table over 16 buckets (~125 rows/file): a refresh
+    // that scanned A even once would show up as >=2000 input records
+    val root = graft.Scratch.dir("graft-jv-pin")
+    val a = VersionedTable.create(spark, root.resolve("a").toString, aSchema,
+      Map(VersionedTable.PROP_CDF -> "true"),
+      bucketBy = Some(BucketSpec(Seq("id"), 16)))
+    val b = VersionedTable.create(spark, root.resolve("b").toString, bSchema,
+      Map(VersionedTable.PROP_CDF -> "true"))
+    Merge.run(a,
+      spark.range(1, 2001).select($"id", ($"id" % 10).as("fk"),
+        ($"id" * 1.5).as("val"), lit("UPSERT").as("__op")),
+      Seq("id"), upsert)
+    Merge.run(b,
+      spark.range(0, 10).select($"id".as("bid"),
+        concat(lit("attr-"), $"id").as("battr"), lit("UPSERT").as("__op")),
+      Seq("bid"), upsert)
+    val v = JoinView.build(a, b, root.resolve("v").toString,
+      "id", "fk", "bid", Seq("battr"), "left")
+    // one changed A key, no B changes
+    Merge.run(a, Seq((500L, 0L, -1.0, "UPSERT")).toDF("id", "fk", "val", "__op"),
+      Seq("id"), upsert)
+
+    // input records of the refresh's jobs only (scoped by job group —
+    // the suite's session is shared)
+    val group = "jv-refresh-pin"
+    val groupStages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    val records = new java.util.concurrent.atomic.LongAdder
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        if (js.properties != null &&
+            group == js.properties.getProperty("spark.jobGroup.id"))
+          js.stageIds.foreach(groupStages.add(_))
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        if (groupStages.contains(sc.stageInfo.stageId))
+          records.add(sc.stageInfo.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      spark.sparkContext.setJobGroup(group, "refresh under metering")
+      assert(v.refresh(a, b).isDefined)
+      spark.sparkContext.clearJobGroup()
+      // let the async listener bus drain before reading the counter
+      val deadline = System.nanoTime() + 10e9.toLong
+      var last = -1L
+      while (System.nanoTime() < deadline &&
+          { val c = records.sum(); val moved = c != last; last = c; moved })
+        Thread.sleep(300)
+      val total = records.sum()
+      assert(total > 0L, "metering captured no refresh input")
+      assert(total < 2000L,
+        s"refresh read $total records — at least one full 2000-row A scan")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+    }
+    // and the refresh was still correct
+    assert(asSet(v.table.snapshot()) === asSet(recompute(a, b, "left")))
+    assert(v.table.snapshot().filter($"id" === 500L).select("val")
+      .as[Double].head() === -1.0)
+  }
+
   test("refresh is idempotent and watermark-aware") {
     val (a, b, root) = freshPair()
     val v = JoinView.build(a, b, s"$root/v", "id", "fk", "bid",
