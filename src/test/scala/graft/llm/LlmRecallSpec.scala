@@ -101,6 +101,25 @@ class LlmRecallSpec extends SparkSpec {
     assert(recall >= 0.9, s"LSH recall $recall < 0.9 — banding insufficient")
   }
 
+  test("codebook training reads a bounded, deterministic sample") {
+    val corpus = planted.filter(col("vec_id") >= 100)
+      .select(col("vec_id").as("__vid"), col("embedding").as("ce"))
+    assert(corpus.count() > SimilarityOps.TRAIN_MAX,
+      "fixture must exceed the bound to exercise sampling")
+    val sample = SimilarityOps.trainingSample(corpus, "__vid")
+    // bounded: TRAIN_MAX rows exactly, however large the corpus
+    val ids1 = sample.select("__vid").as[Long].collect().toSeq
+    assert(ids1.length === SimilarityOps.TRAIN_MAX)
+    // deterministic: the same subset every evaluation
+    val ids2 = SimilarityOps.trainingSample(corpus, "__vid")
+      .select("__vid").as[Long].collect().toSeq
+    assert(ids1 === ids2)
+    // plan shape: a top-K over the corpus (no global sort shuffle)
+    val plan = sample.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"sampling should plan as a top-K, got:\n$plan")
+  }
+
   test("IVF (16 cells, nprobe 4, Lloyd-trained) reaches banded-LSH recall parity") {
     graft.functions.GraftFunctions.register(spark)
     val nQ = 100
