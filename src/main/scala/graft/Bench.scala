@@ -44,7 +44,8 @@ object Bench {
     "q_join_view",                                          // join IVM refresh
     "q_dup_clusters",                                       // CC clustering
     "q_boilerplate_ngrams",                                 // corpus n-grams
-    "q_sq8_cosine", "q_pq_cosine")                          // quantized ANN
+    "q_sq8_cosine", "q_pq_cosine",                          // quantized ANN
+    "q_pq_index", "q_sq8_index")                            // persisted quantized indexes
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -191,6 +191,204 @@ object SignatureIndex {
 
   def load(spark: SparkSession, path: String): SignatureIndex =
     new SignatureIndex(VersionedTable.load(spark, path))
+}
+
+/** A persisted product-quantization index over a source table with
+  * (`vec_id: long`, `embedding: array<float>`): the PQ codebooks
+  * ([[SimilarityOps.pqCodebooks]], sample-bounded Lloyd per subspace)
+  * freeze at build under `<index>/_codebook`, and the index table rows
+  * carry each vector's PQ_M nibble codes (plus the raw vector, which
+  * the exact-rerank stage reads for shortlist members only — FAISS's
+  * IVF-PQ + refine storage layout). Refresh encodes only CDF-changed
+  * vectors against the frozen codebooks; search runs the ADC LUT join
+  * over the PERSISTED codes — queries never pay training or encoding.
+  *
+  * == 100 TB design ==
+  * The codes column is 4 bytes/vector: the ADC scan touches ~1/64 of
+  * the raw-vector bytes and the rerank reads PQ_SHORTLIST raw vectors
+  * per query. Encode cost on refresh is O(changed rows); the merge
+  * rewrites only buckets holding changed vec_ids. */
+final class PqIndex private (val table: VersionedTable) {
+  import PqIndex._
+
+  private def spark: SparkSession = table.spark
+  private def codebookDir: String = table.root.resolve(CODEBOOK_DIR).toString
+
+  /** The frozen per-subspace codebooks: (m, c_id, cent, cc). */
+  def codebook: DataFrame = spark.read.parquet(codebookDir)
+
+  /** Encode rows against the frozen codebooks: per-subspace nearest
+    * centroid, codes packed in subspace order. */
+  private def encode(rows: DataFrame): DataFrame = {
+    val sub = SimilarityOps.subvecs(
+      rows.select(col("vec_id"), col("embedding")), "vec_id", "embedding")
+    val codes = SimilarityOps.pqAssign(sub, codebook.select("m", "c_id", "cent"))
+      .groupBy(col("vec_id"))
+      .agg(expr("transform(sort_array(collect_list(struct(m, c_id)))," +
+        " x -> x.c_id)").as("codes"))
+    rows.join(codes, Seq("vec_id"))
+      .select(col("vec_id"), col("embedding"), col("codes"), col("__op"))
+  }
+
+  /** Apply source changes since the last refresh (frozen codebooks). */
+  def refresh(source: VersionedTable): Option[Long] =
+    IncrementalIndex.refresh(table, source, "vec_id", encode, APP_ID)
+
+  /** Top-`k` per query vector via ADC over the persisted codes + exact
+    * rerank over the persisted raw vectors. `queries`: (q_id, qe). */
+  def search(queries: DataFrame, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val snap = table.snapshot()
+    val codes = snap.select(col("vec_id"),
+      posexplode(col("codes")).as(Seq("m", "c_id")))
+    SimilarityOps.pqSearch(codes,
+      snap.select(col("vec_id"), col("embedding").as("ce")),
+      queries, codebook, k)
+  }
+}
+
+object PqIndex {
+  val APP_ID = "pq-index"
+  val CODEBOOK_DIR = "_codebook"
+  val BUCKETS = 8
+
+  private def indexSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("codes", ArrayType(LongType))))
+
+  /** Train on the source's current snapshot, freeze the codebooks, and
+    * encode the snapshot. The source must have CDF enabled. */
+  def build(source: VersionedTable, path: String): PqIndex = {
+    val spark = source.spark
+    val t = VersionedTable.create(spark, path, indexSchema,
+      bucketBy = Some(BucketSpec(Seq("vec_id"), BUCKETS)))
+    val idx = new PqIndex(t)
+    val corpusSub = SimilarityOps.subvecs(
+      source.snapshot().select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding")
+    SimilarityOps.pqCodebooks(corpusSub)
+      .withColumn("cc", expr(SimilarityOps.subDot("cent", "cent")))
+      .write.mode("overwrite").parquet(idx.codebookDir)
+    idx.refresh(source)
+    idx
+  }
+
+  def load(spark: SparkSession, path: String): PqIndex =
+    new PqIndex(VersionedTable.load(spark, path))
+}
+
+/** A persisted SQ8 (8-bit scalar quantization) index: per-dimension
+  * [min, max] corpus stats freeze at build under `<index>/_stats`, the
+  * index table stores each vector's DIMS uint8 codes (4× smaller than
+  * float32), refresh encodes only CDF-changed vectors against the
+  * frozen stats (values outside the frozen range clamp to the edge
+  * buckets — the standard frozen-quantizer behavior), and search
+  * scores queries against reconstructed bucket-midpoint vectors read
+  * from the PERSISTED codes. */
+final class Sq8Index private (val table: VersionedTable) {
+  import Sq8Index._
+
+  private def spark: SparkSession = table.spark
+  private def statsDir: String = table.root.resolve(STATS_DIR).toString
+
+  /** The frozen per-dimension bounds: (i, mn, mx), i 1-based. */
+  def stats: DataFrame = spark.read.parquet(statsDir)
+
+  /** (mins, maxs) literal columns from the frozen stats. */
+  private def bounds: (Column, Column) = {
+    val rows = stats.orderBy("i").collect()
+    (typedLit(rows.map(_.getDouble(1)).toSeq),
+      typedLit(rows.map(_.getDouble(2)).toSeq))
+  }
+
+  private def encode(rows: DataFrame): DataFrame = {
+    val (mins, maxs) = bounds
+    rows.withColumn("mins", mins).withColumn("maxs", maxs)
+      .withColumn("codes", expr(encodeExpr("embedding")))
+      .select(col("vec_id"), col("codes"), col("__op"))
+  }
+
+  def refresh(source: VersionedTable): Option[Long] =
+    IncrementalIndex.refresh(table, source, "vec_id", encode, APP_ID)
+
+  /** Top-`k` per query vector over reconstructed codes (asymmetric
+    * distance: full-precision query side). `queries`: (q_id, qe). */
+  def search(queries: DataFrame, k: Int): DataFrame = {
+    val (mins, maxs) = bounds
+    val rec = table.snapshot()
+      .withColumn("mins", mins).withColumn("maxs", maxs)
+      .withColumn("recon", expr(reconExpr))
+      .withColumn("cc", expr(fold("element_at(recon, i) * element_at(recon, i)")))
+    val q = queries.withColumn("qq",
+      expr(fold("CAST(element_at(qe, i) AS DOUBLE)" +
+        " * CAST(element_at(qe, i) AS DOUBLE)")))
+    val scored = rec.crossJoin(broadcast(q))
+      .withColumn("dot",
+        expr(fold("CAST(element_at(qe, i) AS DOUBLE) * element_at(recon, i)")))
+      .withColumn("cos", col("dot") / (sqrt(col("qq")) * sqrt(col("cc"))))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc_nulls_last)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("vec_id"), col("rnk").cast("long").as("rnk"),
+        round(col("cos"), 6).as("cos"))
+  }
+}
+
+object Sq8Index {
+  val APP_ID = "sq8-index"
+  val STATS_DIR = "_stats"
+  val BUCKETS = 8
+  private val DIMS = 64
+
+  private def fold(e: String) =
+    s"aggregate(transform(sequence(1, $DIMS), i -> $e), " +
+      "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+
+  /** uint8 bucket codes against frozen per-dim bounds; out-of-range
+    * values (a refresh-time vector exceeding the build-time corpus
+    * range) clamp to the edge buckets on BOTH sides. */
+  private def encodeExpr(vecCol: String) =
+    s"""transform(sequence(1, $DIMS), i ->
+       |  CASE WHEN element_at(maxs, i) = element_at(mins, i)
+       |       THEN CAST(0 AS BIGINT)
+       |       ELSE greatest(CAST(0 AS BIGINT), least(CAST(floor(
+       |         (CAST(element_at($vecCol, i) AS DOUBLE) - element_at(mins, i))
+       |           / (element_at(maxs, i) - element_at(mins, i)) * 256.0)
+       |         AS BIGINT), CAST(255 AS BIGINT))) END)""".stripMargin
+
+  private val reconExpr =
+    s"""transform(sequence(1, $DIMS), i ->
+       |  element_at(mins, i)
+       |    + (CAST(element_at(codes, i) AS DOUBLE) + 0.5) / 256.0
+       |      * (element_at(maxs, i) - element_at(mins, i)))""".stripMargin
+
+  private def indexSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("codes", ArrayType(LongType))))
+
+  /** Compute + freeze per-dimension stats over the source's current
+    * snapshot, then encode it. The source must have CDF enabled. */
+  def build(source: VersionedTable, path: String): Sq8Index = {
+    val spark = source.spark
+    val t = VersionedTable.create(spark, path, indexSchema,
+      bucketBy = Some(BucketSpec(Seq("vec_id"), BUCKETS)))
+    val idx = new Sq8Index(t)
+    source.snapshot()
+      .select(posexplode(col("embedding")).as(Seq("i0", "x")))
+      .select((col("i0") + 1).as("i"), col("x"))
+      .groupBy("i")
+      .agg(min(col("x").cast("double")).as("mn"),
+        max(col("x").cast("double")).as("mx"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(idx.statsDir)
+    idx.refresh(source)
+    idx
+  }
+
+  def load(spark: SparkSession, path: String): Sq8Index =
+    new Sq8Index(VersionedTable.load(spark, path))
 }
 
 object VectorIndex {

@@ -636,21 +636,21 @@ object SimilarityOps extends QueryModule {
   private def subFold(e: String) =
     s"aggregate(transform(sequence(1, $PQ_SUBDIM), i -> $e), " +
       "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
-  private def subDot(a: String, b: String) = subFold(
+  private[llm] def subDot(a: String, b: String) = subFold(
     s"CAST(element_at($a, i) AS DOUBLE) * CAST(element_at($b, i) AS DOUBLE)")
   private def subL2(a: String, b: String) = subFold(
     s"(CAST(element_at($a, i) AS DOUBLE) - CAST(element_at($b, i) AS DOUBLE))" +
       s" * (CAST(element_at($a, i) AS DOUBLE) - CAST(element_at($b, i) AS DOUBLE))")
 
   /** (id, m, sv): the PQ_M subspace slices of each vector. */
-  private def subvecs(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+  private[llm] def subvecs(df: DataFrame, idCol: String, vecCol: String): DataFrame =
     df.select(col(idCol), explode(sequence(lit(0), lit(PQ_M - 1))).as("m"),
         col(vecCol).as("__v"))
       .withColumn("sv", expr(s"slice(__v, m * $PQ_SUBDIM + 1, $PQ_SUBDIM)"))
       .drop("__v")
 
   /** Per-subspace nearest centroid (L2, c_id tiebreak). */
-  private def pqAssign(sub: DataFrame, cent: DataFrame): DataFrame = {
+  private[llm] def pqAssign(sub: DataFrame, cent: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("vec_id"), col("m"))
       .orderBy(col("__l2").asc, col("c_id").asc)
     sub.join(broadcast(cent), "m")
@@ -697,28 +697,26 @@ object SimilarityOps extends QueryModule {
       org.apache.spark.sql.types.StructType(cent.schema.fields))
   }
 
-  private def qPqCosine(s: SparkSession, d: String): DataFrame = {
-    val emb = embeddings(s, d)
-    val corpusSub = subvecs(
-      emb.filter(col("vec_id") >= QUERY_MAX_ID), "vec_id", "embedding")
-    // ---- train + encode: (vec_id, m, code) + per-cell norm cc
-    val cent = pqCodebooks(corpusSub)
-      .withColumn("cc", expr(subDot("cent", "cent")))
-    val codes = pqAssign(corpusSub, cent.select("m", "c_id", "cent"))
-      .select(col("vec_id"), col("m"), col("c_id"))
+  /** ADC scoring + exact rerank over an already-encoded corpus — the
+    * query-time half of PQ, shared by [[qPqCosine]] (which trains and
+    * encodes inline) and [[PqIndex.search]] (which reads persisted
+    * codes). `codes`: (vec_id, m, c_id); `vecs`: (vec_id, ce) raw
+    * vectors for the rerank; `queries`: (q_id, qe); `cent`:
+    * (m, c_id, cent, cc). Needs `cosine_sim` registered. */
+  private[llm] def pqSearch(
+      codes: DataFrame, vecs: DataFrame, queries: DataFrame,
+      cent: DataFrame, k: Int): DataFrame = {
     // ---- ADC lookup table: per (query, m, c_id) partial dot
-    val qSub = subvecs(
-      emb.filter(col("vec_id") < QUERY_MAX_ID), "vec_id", "embedding")
-      .withColumnRenamed("vec_id", "q_id")
+    val qSub = subvecs(queries, "q_id", "qe")
     val lut = qSub.join(broadcast(cent), "m")
       .withColumn("pd", expr(subDot("sv", "cent")))
       .select(col("q_id"), col("m"), col("c_id"), col("pd"), col("cc"))
     // query norms (full 64-dim fold, like the SQ8 path)
-    val qq = emb.filter(col("vec_id") < QUERY_MAX_ID)
-      .select(col("vec_id").as("q_id"),
+    val qq = queries
+      .select(col("q_id"),
         expr(s"aggregate(transform(sequence(1, $DIMS), " +
-          "i -> CAST(element_at(embedding, i) AS DOUBLE) * " +
-          "CAST(element_at(embedding, i) AS DOUBLE)), " +
+          "i -> CAST(element_at(qe, i) AS DOUBLE) * " +
+          "CAST(element_at(qe, i) AS DOUBLE)), " +
           "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)").as("qq"))
     // ---- score: join codes to the LUT, fold partials in m order
     val adc = codes.join(broadcast(lut), Seq("m", "c_id"))
@@ -737,21 +735,41 @@ object SimilarityOps extends QueryModule {
       .filter(col("__srnk") <= PQ_SHORTLIST)
       .select(col("q_id"), col("vec_id"))
     // ---- exact rerank: raw vectors read for shortlist members only
-    graft.functions.GraftFunctions.register(s)
     val scored = shortlist
-      .join(emb.select(col("vec_id"), col("embedding").as("ce")), "vec_id")
-      .join(broadcast(emb.filter(col("vec_id") < QUERY_MAX_ID)
-        .select(col("vec_id").as("q_id"), col("embedding").as("qe"))), "q_id")
+      .join(vecs, "vec_id")
+      .join(broadcast(queries), "q_id")
       .withColumn("cos", expr("cosine_sim(qe, ce)"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("vec_id").asc_nulls_last)
     scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= K)
+      .filter(col("rnk") <= k)
       .select(col("q_id"), col("vec_id"), col("rnk").cast("long").as("rnk"),
         round(col("cos"), 6).as("cos"))
   }
 
-  private val qPqCosineSql = {
+  private def qPqCosine(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val emb = embeddings(s, d)
+    val corpusSub = subvecs(
+      emb.filter(col("vec_id") >= QUERY_MAX_ID), "vec_id", "embedding")
+    // ---- train + encode: (vec_id, m, code) + per-cell norm cc
+    val cent = pqCodebooks(corpusSub)
+      .withColumn("cc", expr(subDot("cent", "cent")))
+    val codes = pqAssign(corpusSub, cent.select("m", "c_id", "cent"))
+      .select(col("vec_id"), col("m"), col("c_id"))
+    pqSearch(codes,
+      emb.filter(col("vec_id") >= QUERY_MAX_ID)
+        .select(col("vec_id"), col("embedding").as("ce")),
+      emb.filter(col("vec_id") < QUERY_MAX_ID)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe")),
+      cent, K)
+  }
+
+  /** PQ oracle builder: `trainWhere` restricts the id set codebook
+    * training samples from ("" = whole corpus; the index oracle trains
+    * on the build-time half). Scoring always covers the full corpus —
+    * exactly what frozen-codebook build-then-refresh produces. */
+  private def pqOracleSql(trainWhere: String) = {
     def dDot(a: String, b: String) =
       s"""list_sum(list_transform(generate_series(1, $PQ_SUBDIM),
          |      i -> $a[i]::DOUBLE * $b[i]::DOUBLE))""".stripMargin
@@ -782,7 +800,8 @@ object SimilarityOps extends QueryModule {
       |  FROM embeddings, unnest(generate_series(0, ${PQ_M - 1})) AS s(m)
       |  WHERE vec_id >= $QUERY_MAX_ID),
       |train_ids AS (${trainSql(
-             "(SELECT DISTINCT vec_id FROM corpus_sub)", "vec_id", "vec_id")}),
+             s"(SELECT DISTINCT vec_id FROM corpus_sub $trainWhere)",
+             "vec_id", "vec_id")}),
       |train_sub AS (SELECT s.* FROM corpus_sub s JOIN train_ids USING (vec_id)),
       |it0 AS (SELECT m, vec_id AS c_id, sv AS cent FROM (
       |  SELECT m, vec_id, sv,
@@ -840,13 +859,129 @@ object SimilarityOps extends QueryModule {
       |FROM rk WHERE rnk <= $K""".stripMargin
   }
 
+  private val qPqCosineSql = pqOracleSql("")
+
+  // ------------------------------------------------------- q_pq_index
+  /** The PERSISTED-PQ path ([[PqIndex]], VERDICT r5/r6 next #4): the
+    * even corpus half lands in a CDF source, the index builds (frozen
+    * sample-trained codebooks + encoded snapshot), the odd half lands
+    * and an incremental refresh encodes ONLY the new vectors with the
+    * frozen codebooks; search runs ADC + rerank over the persisted
+    * codes. Cached per (session, sfDir) like the IVF index — the bench
+    * times SEARCH, which is what an index exists for. */
+  private val pqIndexCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), PqIndex]
+
+  private def builtPqIndex(s: SparkSession, d: String): PqIndex =
+    pqIndexCache.synchronized {
+      pqIndexCache.getOrElseUpdate((s, d), {
+        import org.apache.spark.sql.types._
+        val dir = graft.Scratch.dir("graft-pq-index")
+        val srcSchema = StructType(Seq(
+          StructField("vec_id", LongType),
+          StructField("embedding", ArrayType(FloatType))))
+        val src = graft.table.VersionedTable.create(s, dir.resolve("src").toString,
+          srcSchema, Map(graft.table.VersionedTable.PROP_CDF -> "true"))
+        val corpus = embeddings(s, d).filter(col("vec_id") >= QUERY_MAX_ID)
+        src.append(corpus.filter(col("vec_id") % 2 === 0))
+        val idx = PqIndex.build(src, dir.resolve("idx").toString)
+        src.append(corpus.filter(col("vec_id") % 2 === 1))
+        idx.refresh(src)
+        idx
+      })
+    }
+
+  private def qPqIndex(s: SparkSession, d: String): DataFrame =
+    builtPqIndex(s, d).search(
+      embeddings(s, d).filter(col("vec_id") < QUERY_MAX_ID)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe")), K)
+
+  /** Oracle: codebooks train on the even half (the build snapshot),
+    * ALL vectors encode with the final frozen codebooks — exactly the
+    * build-then-refresh protocol. */
+  private val qPqIndexSql = pqOracleSql("WHERE vec_id % 2 = 0")
+
+  // ------------------------------------------------------ q_sq8_index
+  private val sq8IndexCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Sq8Index]
+
+  private def builtSq8Index(s: SparkSession, d: String): Sq8Index =
+    sq8IndexCache.synchronized {
+      sq8IndexCache.getOrElseUpdate((s, d), {
+        import org.apache.spark.sql.types._
+        val dir = graft.Scratch.dir("graft-sq8-index")
+        val srcSchema = StructType(Seq(
+          StructField("vec_id", LongType),
+          StructField("embedding", ArrayType(FloatType))))
+        val src = graft.table.VersionedTable.create(s, dir.resolve("src").toString,
+          srcSchema, Map(graft.table.VersionedTable.PROP_CDF -> "true"))
+        val corpus = embeddings(s, d).filter(col("vec_id") >= QUERY_MAX_ID)
+        src.append(corpus.filter(col("vec_id") % 2 === 0))
+        val idx = Sq8Index.build(src, dir.resolve("idx").toString)
+        src.append(corpus.filter(col("vec_id") % 2 === 1))
+        idx.refresh(src)
+        idx
+      })
+    }
+
+  private def qSq8Index(s: SparkSession, d: String): DataFrame =
+    builtSq8Index(s, d).search(
+      embeddings(s, d).filter(col("vec_id") < QUERY_MAX_ID)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe")), K)
+
+  /** Oracle: per-dim bounds from the even half only (the build
+    * snapshot — frozen), every vector encoded against them with
+    * edge-bucket clamping for values outside the frozen range. */
+  private val qSq8IndexSql =
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+      |           WHERE vec_id < $QUERY_MAX_ID),
+      |c AS (SELECT vec_id, embedding AS ce FROM embeddings
+      |      WHERE vec_id >= $QUERY_MAX_ID),
+      |ex AS (SELECT i, min(ce[i]::DOUBLE) AS mn, max(ce[i]::DOUBLE) AS mx
+      |       FROM c, unnest(generate_series(1, $DIMS)) AS s(i)
+      |       WHERE vec_id % 2 = 0
+      |       GROUP BY i),
+      |st AS (SELECT list(mn ORDER BY i) AS mins, list(mx ORDER BY i) AS maxs
+      |       FROM ex),
+      |enc AS (SELECT vec_id,
+      |  list_transform(generate_series(1, $DIMS), i ->
+      |    CASE WHEN maxs[i] = mins[i] THEN 0::BIGINT
+      |         ELSE greatest(0::BIGINT,
+      |                least(floor((ce[i]::DOUBLE - mins[i])
+      |                  / (maxs[i] - mins[i]) * 256.0)::BIGINT, 255::BIGINT))
+      |    END) AS codes,
+      |  mins, maxs
+      |  FROM c, st),
+      |rec AS (SELECT vec_id,
+      |  list_transform(generate_series(1, $DIMS), i ->
+      |    mins[i] + (codes[i]::DOUBLE + 0.5) / 256.0 * (maxs[i] - mins[i]))
+      |    AS recon
+      |  FROM enc),
+      |p AS (SELECT q_id, vec_id,
+      |  list_sum(list_transform(generate_series(1, $DIMS),
+      |    i -> qe[i]::DOUBLE * recon[i])) AS dot,
+      |  list_sum(list_transform(generate_series(1, $DIMS),
+      |    i -> qe[i]::DOUBLE * qe[i]::DOUBLE)) AS qq,
+      |  list_sum(list_transform(generate_series(1, $DIMS),
+      |    i -> recon[i] * recon[i])) AS cc
+      |  FROM q, rec),
+      |r AS (SELECT q_id, vec_id, dot / (sqrt(qq) * sqrt(cc)) AS cos FROM p),
+      |rk AS (SELECT q_id, vec_id, cos,
+      |         row_number() OVER (PARTITION BY q_id
+      |                            ORDER BY cos DESC, vec_id ASC) AS rnk
+      |       FROM r)
+      |SELECT q_id, vec_id, rnk, round(cos, 6) AS cos
+      |FROM rk WHERE rnk <= $K""".stripMargin
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q_topk_cosine" -> qTopkCosine _,
     "q_cosine_lsh"  -> qCosineLsh _,
     "q_ivf_cosine"  -> qIvfCosine _,
     "q_ivf_index"   -> qIvfIndex _,
     "q_sq8_cosine"  -> qSq8Cosine _,
-    "q_pq_cosine"   -> qPqCosine _)
+    "q_pq_cosine"   -> qPqCosine _,
+    "q_pq_index"    -> qPqIndex _,
+    "q_sq8_index"   -> qSq8Index _)
 
   override val oracles: Seq[(String, String)] = Seq(
     "q_topk_cosine" -> qTopkCosineSql,
@@ -854,5 +989,7 @@ object SimilarityOps extends QueryModule {
     "q_ivf_cosine"  -> qIvfCosineSql,
     "q_ivf_index"   -> qIvfIndexSql,
     "q_sq8_cosine"  -> qSq8CosineSql,
-    "q_pq_cosine"   -> qPqCosineSql)
+    "q_pq_cosine"   -> qPqCosineSql,
+    "q_pq_index"    -> qPqIndexSql,
+    "q_sq8_index"   -> qSq8IndexSql)
 }

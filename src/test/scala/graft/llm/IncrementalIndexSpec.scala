@@ -63,6 +63,82 @@ class IncrementalIndexSpec extends SparkSpec {
     VersionedTable.deleteRecursively(base)
   }
 
+  test("PQ index: refresh encodes only the delta with frozen codebooks; search matches the inline path") {
+    graft.functions.GraftFunctions.register(spark)
+    val base = Files.createTempDirectory("pq-index")
+    val src = VersionedTable.create(spark, s"$base/src", srcSchema,
+      Map(VersionedTable.PROP_CDF -> "true"))
+    val corpus = Tables.embeddings(spark, sf).filter($"vec_id" >= 8)
+    src.append(corpus.filter($"vec_id" % 2 === 0))
+    val idx = PqIndex.build(src, s"$base/idx")
+    def snapCodebook() = idx.codebook.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Float](2))).toSet
+    val frozen = snapCodebook()
+
+    src.append(corpus.filter($"vec_id" % 2 === 1))
+    assert(idx.refresh(src).isDefined)
+    assert(idx.table.latestManifest.addedFiles.size <= PqIndex.BUCKETS,
+      "refresh must be a bucket-scoped CoW merge")
+    // the codebook did NOT retrain on refresh
+    assert(snapCodebook() === frozen)
+    // every corpus vector is encoded: PQ_M codes, each a codebook cell
+    assert(idx.table.snapshot().count() === corpus.count())
+    val cells = idx.codebook.select($"c_id").distinct().as[Long].collect().toSet
+    val allCodes = idx.table.snapshot().select($"codes")
+      .as[Seq[Long]].collect()
+    assert(allCodes.forall(cs =>
+      cs.length === SimilarityOps.PQ_M && cs.forall(cells.contains)))
+
+    // idempotence + delete propagation
+    val v = idx.table.latestVersion
+    assert(idx.refresh(src).isEmpty)
+    assert(idx.table.latestVersion === v)
+    val victim = corpus.orderBy($"vec_id").limit(1)
+      .select($"vec_id").as[Long].head()
+    src.deleteWhere($"vec_id" === victim)
+    assert(idx.refresh(src).isDefined)
+    val res = idx.search(
+      Tables.embeddings(spark, sf).filter($"vec_id" < 8)
+        .select($"vec_id".as("q_id"), $"embedding".as("qe")), 5)
+    assert(res.filter($"vec_id" === victim).count() === 0L)
+    assert(res.groupBy($"q_id").count().filter($"count" =!= 5).count() === 0L)
+    VersionedTable.deleteRecursively(base)
+  }
+
+  test("SQ8 index: frozen stats survive refresh; out-of-range values clamp to edge buckets") {
+    val base = Files.createTempDirectory("sq8-index")
+    val src = VersionedTable.create(spark, s"$base/src", srcSchema,
+      Map(VersionedTable.PROP_CDF -> "true"))
+    // build corpus spans [-1, 1] per dim; the refresh batch exceeds it
+    val dims = 64
+    def vec(x: Float) = Array.fill(dims)(x)
+    src.append(Seq((100L, vec(-1.0f)), (101L, vec(1.0f)), (102L, vec(0.0f)))
+      .toDF("vec_id", "embedding"))
+    val idx = Sq8Index.build(src, s"$base/idx")
+    val frozen = idx.stats.orderBy("i").collect()
+      .map(r => (r.getDouble(1), r.getDouble(2))).toSeq
+    assert(frozen.forall { case (mn, mx) => mn === -1.0 && mx === 1.0 })
+
+    src.append(Seq((103L, vec(5.0f)), (104L, vec(-5.0f)))
+      .toDF("vec_id", "embedding"))
+    assert(idx.refresh(src).isDefined)
+    // stats did not recompute; out-of-range vectors clamp to the edges
+    assert(idx.stats.orderBy("i").collect()
+      .map(r => (r.getDouble(1), r.getDouble(2))).toSeq === frozen)
+    val codes = idx.table.snapshot()
+      .select($"vec_id", $"codes") .as[(Long, Seq[Long])].collect().toMap
+    assert(codes(103L).forall(_ === 255L), s"above-range must clamp to 255")
+    assert(codes(104L).forall(_ === 0L), s"below-range must clamp to 0")
+    assert(codes(100L).forall(_ === 0L) && codes(101L).forall(_ === 255L))
+
+    // search ranks the identical-direction clamped vector by cosine of
+    // its RECONSTRUCTION — still well-ordered, no failures on clamps
+    val res = idx.search(
+      Seq((0L, vec(1.0f))).toDF("q_id", "qe"), 3)
+    assert(res.count() === 3L)
+    VersionedTable.deleteRecursively(base)
+  }
+
   test("signature index: update re-signs a document; too-short docs index a null signature") {
     val base = Files.createTempDirectory("sig-index")
     val srcSchema = StructType(Seq(
