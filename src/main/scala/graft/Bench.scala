@@ -41,7 +41,8 @@ object Bench {
     "q_optimize", "q_zorder",                               // table rewrites
     "q_corpus_prep",                                        // text pipeline
     "q_delete_update_mor",                                  // MoR deletes
-    "q_join_view",                                          // join IVM refresh
+    "q_join_view",                                          // join IVM lifecycle
+    "q_join_view_refresh",                                  // steady-state IVM refresh
     "q_dup_clusters",                                       // CC clustering
     "q_boilerplate_ngrams",                                 // corpus n-grams
     "q_sq8_cosine", "q_pq_cosine",                          // quantized ANN

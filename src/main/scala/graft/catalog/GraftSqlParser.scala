@@ -83,6 +83,11 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(\S+?)\s*;?\s*""".r
   private val CountItem = """(?is)\s*COUNT\s*\(\s*\*\s*\)\s+AS\s+n_rows\s*""".r
   private val SumItem = """(?is)\s*SUM\s*\((.+)\)\s+AS\s+(\w+)\s*""".r
+  private val MinItem = """(?is)\s*MIN\s*\((.+)\)\s+AS\s+(\w+)\s*""".r
+  private val MaxItem = """(?is)\s*MAX\s*\((.+)\)\s+AS\s+(\w+)\s*""".r
+  /** Any other aggregate-shaped item — caught to give a real boundary
+    * error instead of the confusing plain-column mismatch. */
+  private val OtherAggItem = """(?is)\s*(\w+)\s*\(.*\)\s+AS\s+\w+\s*""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case Vacuum(tbl, retain) =>
@@ -106,15 +111,28 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       val groupCols = groupBy.split(',').map(_.trim)
         .map(_.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty).toSeq
       val sums = items.collect { case SumItem(e, name) => name -> e.trim }
-      val plain = items.map(_.trim).filter(i =>
-        CountItem.findFirstIn(i).isEmpty && SumItem.findFirstIn(i).isEmpty)
+      val mins = items.collect { case MinItem(e, name) => name -> e.trim }
+      val maxs = items.collect { case MaxItem(e, name) => name -> e.trim }
+      def recognized(i: String) =
+        CountItem.findFirstIn(i).isDefined || SumItem.findFirstIn(i).isDefined ||
+          MinItem.findFirstIn(i).isDefined || MaxItem.findFirstIn(i).isDefined
+      val plain = items.map(_.trim).filterNot(recognized)
+      // explicit maintenance boundary: anything aggregate-shaped beyond
+      // the incrementally-maintainable set is a clear error, not a
+      // confusing plain-column mismatch downstream
+      plain.collectFirst { case OtherAggItem(fn) => fn }.foreach { fn =>
+        throw new IllegalArgumentException(
+          s"aggregate view cannot maintain $fn(...): supported aggregates " +
+            "are COUNT(*) AS n_rows, SUM(expr) AS name, MIN(expr) AS name, " +
+            "MAX(expr) AS name")
+      }
       require(items.exists(i => CountItem.findFirstIn(i).isDefined),
         "an aggregate view SELECT must include COUNT(*) AS n_rows " +
           "(the group-liveness column the view maintains)")
       require(plain.map(_.stripPrefix("`").stripSuffix("`")).toSet ==
         groupCols.toSet,
         s"SELECT's plain columns $plain must equal GROUP BY $groupCols")
-      CreateAggViewCommand(view, src, groupCols, sums)
+      CreateAggViewCommand(view, src, groupCols, sums, mins, maxs)
     case RefreshMatView(view) => RefreshMatViewCommand(view)
     case Update(tbl, rest) =>
       val (setPart, wherePart) = topLevelIndexOfWord(rest, "WHERE") match {
@@ -351,20 +369,23 @@ case class CreateMatViewCommand(
 }
 
 /** `CREATE MATERIALIZED VIEW … AS SELECT g…, COUNT(*) AS n_rows,
-  * SUM(e) AS name… FROM t GROUP BY g…` — builds the signed-delta
-  * [[graft.table.AggView]] (SUM aliases become `sum_<name>` columns).
-  * Returns the view's committed version. */
+  * SUM(e) AS name…, MIN(e) AS name…, MAX(e) AS name… FROM t GROUP BY
+  * g…` — builds the signed-delta [[graft.table.AggView]] (aliases
+  * become `sum_/min_/max_<name>` columns). Returns the view's
+  * committed version. */
 case class CreateAggViewCommand(
     view: String,
     src: String,
     groupCols: Seq[String],
-    sums: Seq[(String, String)]) extends LeafRunnableCommand {
+    sums: Seq[(String, String)],
+    mins: Seq[(String, String)] = Seq.empty,
+    maxs: Seq[(String, String)] = Seq.empty) extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val source = GraftSqlParser.resolve(spark, src)
     val v = graft.table.AggView.build(source,
-      GraftSqlParser.cleanName(view), groupCols, sums)
+      GraftSqlParser.cleanName(view), groupCols, sums, mins, maxs)
     Seq(Row(v.table.latestVersion))
   }
 }

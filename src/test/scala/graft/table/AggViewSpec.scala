@@ -91,6 +91,87 @@ class AggViewSpec extends SparkSpec {
     assert(asSet(v.table.snapshot()) === state)
   }
 
+  test("MIN/MAX ≡ recompute: extreme deletion recomputes, growth combines") {
+    val (t, root) = fresh()
+    val v = AggView.build(t, s"$root/v", Seq("grp"),
+      Seq("cents" -> "cents"),
+      mins = Seq("cents" -> "cents"), maxs = Seq("cents" -> "cents"))
+    def expected() = t.snapshot().groupBy($"grp")
+      .agg(count(lit(1)).as("n_rows"), sum($"cents").as("sum_cents"),
+        min($"cents").as("min_cents"), max($"cents").as("max_cents"))
+    def asMmSet(df: DataFrame) = df
+      .select($"grp", $"n_rows".cast("long"), $"sum_cents",
+        $"min_cents", $"max_cents")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(asMmSet(v.table.snapshot()) === asMmSet(expected()))
+
+    // growth only: combine path (no source recompute needed for g0)
+    Merge.run(t, Seq((200L, "g0", 5L, "UPSERT"), (201L, "g0", 99999L, "UPSERT"))
+      .toDF("id", "grp", "cents", "__op"), Seq("id"), upsert)
+    assert(v.refresh(t).isDefined)
+    assert(asMmSet(v.table.snapshot()) === asMmSet(expected()))
+    assert(v.table.snapshot().filter($"grp" === "g0")
+      .select($"min_cents", $"max_cents").as[(Long, Long)].head()
+      === ((5L, 99999L)))
+
+    // delete BOTH extremes of g0: only a source recompute can find the
+    // new min/max — the batch alone cannot
+    Merge.run(t, Seq((200L, "g0", 0L, "DELETE"), (201L, "g0", 0L, "DELETE"))
+      .toDF("id", "grp", "cents", "__op"), Seq("id"), upsert)
+    assert(v.refresh(t).isDefined)
+    assert(asMmSet(v.table.snapshot()) === asMmSet(expected()))
+
+    // update that moves the max DOWN (preimage forces recompute)
+    val maxId = t.snapshot().filter($"grp" === "g1")
+      .orderBy($"cents".desc).select($"id").as[Long].head()
+    Merge.run(t, Seq((maxId, "g1", 1L, "UPSERT")).toDF("id", "grp", "cents", "__op"),
+      Seq("id"), upsert)
+    assert(v.refresh(t).isDefined)
+    assert(asMmSet(v.table.snapshot()) === asMmSet(expected()))
+
+    // group death with extremes still deletes the group row
+    val g2Ids = t.snapshot().filter($"grp" === "g2").select($"id")
+      .as[Long].collect().toSeq
+    Merge.run(t, g2Ids.map(i => (i, "g2", 0L, "DELETE"))
+      .toDF("id", "grp", "cents", "__op"), Seq("id"), upsert)
+    assert(v.refresh(t).isDefined)
+    assert(v.table.snapshot().filter($"grp" === "g2").count() === 0L)
+    assert(asMmSet(v.table.snapshot()) === asMmSet(expected()))
+  }
+
+  test("unsupported aggregates fail with a clear boundary error") {
+    val (t, root) = fresh()
+    val e = intercept[IllegalArgumentException] {
+      graft.catalog.GraftSql.execute(spark,
+        s"""CREATE MATERIALIZED VIEW '$root/v' AS
+           |SELECT grp, COUNT(*) AS n_rows, AVG(cents) AS cents
+           |FROM '${t.root}' GROUP BY grp""".stripMargin)
+    }
+    assert(e.getMessage.contains("AVG") &&
+      e.getMessage.contains("MIN(expr)"),
+      s"boundary error must name the offender and the supported set: $e")
+  }
+
+  test("SQL surface: MIN/MAX columns create and refresh correctly") {
+    val (t, root) = fresh()
+    assert(graft.catalog.GraftSql.execute(spark,
+      s"""CREATE MATERIALIZED VIEW '$root/v' AS
+         |SELECT grp, COUNT(*) AS n_rows, SUM(cents) AS cents,
+         |       MIN(cents) AS cents, MAX(cents) AS cents
+         |FROM '${t.root}' GROUP BY grp""".stripMargin).nonEmpty)
+    Merge.run(t, Seq((1L, "g1", 0L, "DELETE")).toDF("id", "grp", "cents", "__op"),
+      Seq("id"), upsert)
+    assert(graft.catalog.GraftSql.execute(spark,
+      s"REFRESH MATERIALIZED VIEW '$root/v'").nonEmpty)
+    val expected = t.snapshot().groupBy($"grp")
+      .agg(min($"cents").as("min_cents"), max($"cents").as("max_cents"))
+    val got = AggView.load(spark, s"$root/v").table.snapshot()
+      .select($"grp", $"min_cents", $"max_cents")
+    assert(got.exceptAll(expected.select($"grp", $"min_cents", $"max_cents"))
+      .isEmpty)
+  }
+
   test("SQL surface: CREATE (GROUP BY form) / REFRESH MATERIALIZED VIEW") {
     val (t, root) = fresh()
     val created = graft.catalog.GraftSql.execute(spark,
