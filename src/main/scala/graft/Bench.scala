@@ -66,8 +66,8 @@ object Bench {
     Thread.sleep(30)
   }
 
-  /** Warmup + `passes` timed pass-major runs of `names` against `sfDir`.
-    * Returns the JSON fields of one measured section. */
+  /** Warmups + `passes` timed pass-major runs of `names` against
+    * `sfDir`. Returns the JSON fields of one measured section. */
   private def measure(
       spark: SparkSession,
       sfDir: String,
@@ -82,7 +82,12 @@ object Bench {
         Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
       }
 
-    names.foreach(force) // warmup, untimed
+    // TWO untimed warmup passes: the first pays fixture builds, parquet
+    // footers, and codegen; the second (much cheaper) lets C2
+    // compilation finish so timed pass 1 isn't systematically slower
+    // than pass 3 (r7 observed pass totals drift ~10% from JIT warm-in
+    // with a single warmup)
+    (1 to 2).foreach(_ => names.foreach(force))
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val perPass: Seq[Seq[(String, Double)]] = (1 to passes).map { pass =>
       // Per-query isolation (VERDICT r5/r6 finding 1): engine-fixture
