@@ -249,4 +249,35 @@ object CdcStreams {
       .trigger(trigger)
       .start()
   }
+
+  /** Continuous INDEX maintenance: tails the source's change log and
+    * applies one incremental `refresh` per micro-batch — the
+    * [[startViewMaintenance]] pattern generalized to any CDF-maintained
+    * index ([[graft.llm.VectorIndex]], [[graft.llm.PqIndex]],
+    * [[graft.llm.Sq8Index]], [[graft.llm.SignatureIndex]], or an
+    * [[graft.table.AggView]]'s parameterless refresh). The refresh
+    * itself is exactly-once via the index's txn watermark, so the
+    * stream is purely a wake-up signal: a replayed batch after a crash
+    * re-invokes refresh, which sees nothing new and commits nothing. */
+  def startIndexMaintenance(
+      spark: SparkSession,
+      source: VersionedTable,
+      refresh: () => Option[Long],
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    Files.createDirectories(Paths.get(source.changesLocation))
+    spark.readStream
+      .schema(source.changeSchema)
+      .option("pathGlobFilter", "v*.parquet")
+      .parquet(source.changesLocation)
+      .select(org.apache.spark.sql.functions.col("_commit_version"))
+      .writeStream
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        refresh()
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
+  }
 }

@@ -123,6 +123,24 @@ class PlanAuditSpec extends SparkSpec {
       s"cell-partitioned candidates must never cross-join the corpus:\n$p")
   }
 
+  test("persisted-index searches broadcast the query-derived sides, never cross-join the codes") {
+    // PQ: the ADC LUT (queries x M x PQ_K) and the query norms must
+    // broadcast into the codes join; the only corpus-wide work is the
+    // codes scan + the per-(query,vector) fold
+    val pq = plan("q_pq_index")
+    assert(pq.contains("BroadcastHashJoin"),
+      s"ADC must be a broadcast-LUT hash join over the codes:\n$pq")
+    assert(!pq.contains("CartesianProduct"),
+      s"PQ search must never cross-join raw vectors:\n$pq")
+    // SQ8: brute-force over reconstructed codes with the query side
+    // broadcast (the one legitimate broadcast nested loop: Q is tiny)
+    val sq = plan("q_sq8_index")
+    assert(sq.contains("BroadcastNestedLoopJoin") || sq.contains("BroadcastHashJoin"),
+      s"SQ8 search must broadcast the query side:\n$sq")
+    assert(!sq.contains("CartesianProduct"),
+      s"SQ8 search must not plan a cartesian product:\n$sq")
+  }
+
   test("the deliberately skewed join stays a shuffle join (the skew is real)") {
     val p = plan("q17_skew_aqe")
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),

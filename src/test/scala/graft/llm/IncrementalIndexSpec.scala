@@ -139,6 +139,40 @@ class IncrementalIndexSpec extends SparkSpec {
     VersionedTable.deleteRecursively(base)
   }
 
+  test("streaming maintenance drains source changes into an index") {
+    graft.functions.GraftFunctions.register(spark)
+    val base = Files.createTempDirectory("stream-index")
+    val src = VersionedTable.create(spark, s"$base/src", srcSchema,
+      Map(VersionedTable.PROP_CDF -> "true"))
+    val corpus = Tables.embeddings(spark, sf).filter($"vec_id" >= 8)
+    src.append(corpus.filter($"vec_id" % 2 === 0))
+    val idx = PqIndex.build(src, s"$base/idx")
+
+    src.append(corpus.filter($"vec_id" % 2 === 1))
+    graft.streaming.CdcStreams
+      .startIndexMaintenance(spark, src, () => idx.refresh(src), s"$base/_cp")
+      .awaitTermination()
+    assert(idx.table.snapshot().count() === corpus.count())
+
+    // restart with nothing new: checkpointed progress + the txn
+    // watermark mean no new index version
+    val v = idx.table.latestVersion
+    graft.streaming.CdcStreams
+      .startIndexMaintenance(spark, src, () => idx.refresh(src), s"$base/_cp")
+      .awaitTermination()
+    assert(idx.table.latestVersion === v)
+
+    // a further source change is picked up by the next drain
+    val victim = corpus.orderBy($"vec_id").limit(1)
+      .select($"vec_id").as[Long].head()
+    src.deleteWhere($"vec_id" === victim)
+    graft.streaming.CdcStreams
+      .startIndexMaintenance(spark, src, () => idx.refresh(src), s"$base/_cp")
+      .awaitTermination()
+    assert(idx.table.snapshot().filter($"vec_id" === victim).count() === 0L)
+    VersionedTable.deleteRecursively(base)
+  }
+
   test("signature index: update re-signs a document; too-short docs index a null signature") {
     val base = Files.createTempDirectory("sig-index")
     val srcSchema = StructType(Seq(
