@@ -83,9 +83,104 @@ object Sketches extends QueryModule {
       |UNION ALL
       |SELECT 'ALL', count(DISTINCT l_orderkey), TRUE FROM lineitem""".stripMargin
 
+  // ---------------------------------------------------- q_hist_quantiles
+  /** Mergeable histogram quantile sketch — the single-pass answer to
+    * "what's the p99" at 100 TB, where the exact answer
+    * (q15_percentiles) sorts every group. A fixed 256-bucket equi-width
+    * histogram over the column's global [min, max]:
+    *
+    *   - '''one scan''': bucket assignment is per-row arithmetic and
+    *     the (group, bucket) counts aggregate with map-side partials
+    *     like any sum;
+    *   - '''mergeable''': a histogram is a count vector, so partial
+    *     histograms add — the ALL row here is derived by RE-AGGREGATING
+    *     the per-group histogram (never a second scan), exactly like
+    *     the HLL union above, and daily histograms roll up into monthly
+    *     ones the same way;
+    *   - '''bounded error''': the returned bucket-midpoint estimate is
+    *     within one bucket width, (max−min)/256, of a true quantile
+    *     value (SketchesSpec pins it against the exact percentiles).
+    *
+    * Unlike HLL (engine-private register states), every step here is
+    * deterministic IEEE arithmetic both engines replay identically —
+    * so the oracle hashes the ESTIMATES exactly, not just an accuracy
+    * flag. The global [min, max] is one tiny pre-aggregation (2
+    * doubles to the driver — metadata-scale, like the SQ8 stats). */
+  private val HIST_BUCKETS = 256
+  private val HIST_QS = Seq(0.5, 0.9, 0.99)
+
+  private def qHistQuantiles(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = lineitem(s, d).select($"l_returnflag", $"l_extendedprice")
+    val Array(mnR) = li.agg(
+      min($"l_extendedprice").cast("double"),
+      max($"l_extendedprice").cast("double")).collect()
+    val (mn, mx) = (mnR.getDouble(0), mnR.getDouble(1))
+    val bucket =
+      if (mx == mn) lit(0L)
+      else least(floor(($"l_extendedprice".cast("double") - lit(mn))
+          / lit(mx - mn) * HIST_BUCKETS).cast("long"),
+        lit((HIST_BUCKETS - 1).toLong))
+    // ---- the sketch: one scan -> per-(group, bucket) counts
+    val hist = li.withColumn("b", bucket)
+      .groupBy($"l_returnflag", $"b").agg(count(lit(1)).as("c"))
+    // ---- ALL row: merge the per-group histograms (count-vector add)
+    val merged = hist.unionAll(
+      hist.groupBy($"b").agg(sum($"c").as("c"))
+        .select(lit("ALL").as("l_returnflag"), $"b", $"c"))
+    // ---- quantile extraction from the histogram
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"l_returnflag").orderBy($"b")
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy($"l_returnflag")
+    val cum = merged.withColumn("cum", sum($"c").over(w))
+      .withColumn("n", sum($"c").over(wAll))
+    val qs = HIST_QS.toDF("q")
+    cum.join(broadcast(qs), $"cum" >= ceil($"q" * $"n"))
+      .groupBy($"l_returnflag", $"q", $"n")
+      .agg(min($"b").as("qb"))
+      .select($"l_returnflag", $"q",
+        round(lit(mn) + ($"qb".cast("double") + 0.5) / HIST_BUCKETS
+          * lit(mx - mn), 6).as("est"),
+        $"n")
+  }
+
+  private val qHistQuantilesSql = {
+    // ::DOUBLE on the quantile literals (DuckDB would infer DECIMAL —
+    // a schema mismatch against Spark's double column), ::BIGINT on n
+    // (DuckDB window sum of BIGINT is HUGEINT)
+    val qsValues = HIST_QS.map(q => s"($q::DOUBLE)").mkString(", ")
+    s"""WITH st AS (SELECT min(l_extendedprice)::DOUBLE AS mn,
+      |                   max(l_extendedprice)::DOUBLE AS mx FROM lineitem),
+      |h AS (SELECT l_returnflag,
+      |        CASE WHEN mx = mn THEN 0::BIGINT
+      |             ELSE least(floor((l_extendedprice::DOUBLE - mn)
+      |                    / (mx - mn) * $HIST_BUCKETS)::BIGINT,
+      |                  ${HIST_BUCKETS - 1}::BIGINT) END AS b,
+      |        count(*) AS c
+      |      FROM lineitem, st GROUP BY 1, 2),
+      |merged AS (SELECT l_returnflag, b, c FROM h
+      |           UNION ALL
+      |           SELECT 'ALL', b, sum(c) FROM h GROUP BY b),
+      |cum AS (SELECT l_returnflag, b,
+      |          sum(c) OVER (PARTITION BY l_returnflag ORDER BY b) AS cum,
+      |          sum(c) OVER (PARTITION BY l_returnflag) AS n
+      |        FROM merged),
+      |qs AS (SELECT * FROM (VALUES $qsValues) AS t(q)),
+      |sel AS (SELECT l_returnflag, q, n, min(b) AS qb
+      |        FROM cum JOIN qs ON cum >= ceil(q * n)
+      |        GROUP BY l_returnflag, q, n)
+      |SELECT l_returnflag, q,
+      |       round(mn + (qb::DOUBLE + 0.5) / $HIST_BUCKETS * (mx - mn), 6) AS est,
+      |       n::BIGINT AS n
+      |FROM sel, st""".stripMargin
+  }
+
   override def queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
-    "q_hll_distinct" -> (qHllDistinct _))
+    "q_hll_distinct" -> (qHllDistinct _),
+    "q_hist_quantiles" -> (qHistQuantiles _))
 
   override def oracles: Seq[(String, String)] = Seq(
-    "q_hll_distinct" -> qHllDistinctSql)
+    "q_hll_distinct" -> qHllDistinctSql,
+    "q_hist_quantiles" -> qHistQuantilesSql)
 }

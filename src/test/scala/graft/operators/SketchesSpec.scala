@@ -74,4 +74,31 @@ class SketchesSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(math.abs(rank - 0.5 * n) <= eps * n + 1,
       s"rank $rank of approx median vs target ${0.5 * n} (n=$n)")
   }
+
+  test("histogram quantile estimates land within one bucket width of exact") {
+    val (mn, mx) = li
+      .agg(min($"l_extendedprice").cast("double"),
+        max($"l_extendedprice").cast("double"))
+      .as[(Double, Double)].head()
+    val width = (mx - mn) / 256
+    val exact = li.groupBy($"l_returnflag")
+      .agg(expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").as("ps"))
+      .as[(String, Seq[Double])].collect().toMap
+    val rows = graft.SparkEntry.queries("q_hist_quantiles")(spark, sf)
+      .filter($"l_returnflag" =!= "ALL")
+      .select($"l_returnflag", $"q", $"est")
+      .as[(String, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (flag, q, est) =>
+      val idx = Seq(0.5, 0.9, 0.99).indexOf(q)
+      val truth = exact(flag)(idx)
+      assert(math.abs(est - truth) <= width + 1e-9,
+        f"$flag p$q: est $est%.2f vs exact $truth%.2f exceeds bucket width $width%.2f")
+    }
+    // and the ALL row merges the group histograms, not a rescan: its n
+    // equals the total row count
+    val allN = graft.SparkEntry.queries("q_hist_quantiles")(spark, sf)
+      .filter($"l_returnflag" === "ALL").select($"n").as[Long].head()
+    assert(allN === li.count())
+  }
 }
