@@ -43,6 +43,7 @@ object Bench {
     "q_delete_update_mor",                                  // MoR deletes
     "q_join_view",                                          // join IVM lifecycle
     "q_join_view_refresh",                                  // steady-state IVM refresh
+    "q_agg_view_minmax",                                    // MIN/MAX view maintenance
     "q_dup_clusters",                                       // CC clustering
     "q_boilerplate_ngrams",                                 // corpus n-grams
     "q_sq8_cosine", "q_pq_cosine",                          // quantized ANN

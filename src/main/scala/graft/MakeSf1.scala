@@ -96,10 +96,14 @@ object MakeSf1 {
           w => concat(w, lit("x"), col("__rep"))), " ")))
       .drop("__rep"), "documents")
 
-    // ---- customer: copied as-is — dimensions do not grow with fact
+    // ---- dimensions: copied as-is — they do not grow with fact
     // volume (the realistic 10× shape: q_join_view's user_ids beyond
-    // the original range left-join to null attributes)
+    // the original range left-join to null attributes). supplier/part/
+    // nation/region ride along so EVERY SparkEntry query runs at sf1
+    // (the r7 whole-surface scale smoke), not just the curated subset.
     write(Tables.customer(spark, src), "customer")
+    for (t <- Seq("supplier", "part", "nation", "region"))
+      write(spark.read.parquet(s"$src/$t.parquet"), t)
 
     // ---- embeddings: original 8 queries, corpus replicated with
     // shifted ids (replicas land at vec_id >= stride > 8, so the query
