@@ -33,4 +33,10 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     modules.flatMap(_.oracles).toMap
+
+  /** Untimed per-invocation staging for steady-state queries — run by
+    * Bench/Verify right before the like-named query; results must not
+    * depend on whether it ran (see [[QueryModule.prepares]]). */
+  def prepares: Map[String, (SparkSession, String) => Unit] =
+    modules.flatMap(_.prepares).toMap
 }

@@ -52,4 +52,12 @@ object Tables {
 trait QueryModule {
   def queries: Seq[(String, (SparkSession, String) => DataFrame)]
   def oracles: Seq[(String, String)]
+
+  /** Optional UNTIMED per-invocation staging, keyed like [[queries]]:
+    * steady-state bench rows (e.g. one incremental view refresh) stage
+    * their source delta here so the timed body measures the refresh
+    * alone, not fixture mutation (VERDICT r7 #3). Harnesses run a
+    * query's prepare immediately before its timed invocation; queries
+    * must stay correct (same oracle result) when it never runs. */
+  def prepares: Seq[(String, (SparkSession, String) => Unit)] = Seq.empty
 }

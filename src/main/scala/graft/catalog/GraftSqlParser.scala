@@ -85,6 +85,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val SumItem = """(?is)\s*SUM\s*\((.+)\)\s+AS\s+(\w+)\s*""".r
   private val MinItem = """(?is)\s*MIN\s*\((.+)\)\s+AS\s+(\w+)\s*""".r
   private val MaxItem = """(?is)\s*MAX\s*\((.+)\)\s+AS\s+(\w+)\s*""".r
+  private val AvgItem = """(?is)\s*AVG\s*\((.+)\)\s+AS\s+(\w+)\s*""".r
   /** Any other aggregate-shaped item — caught to give a real boundary
     * error instead of the confusing plain-column mismatch. */
   private val OtherAggItem = """(?is)\s*(\w+)\s*\(.*\)\s+AS\s+\w+\s*""".r
@@ -113,9 +114,14 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       val sums = items.collect { case SumItem(e, name) => name -> e.trim }
       val mins = items.collect { case MinItem(e, name) => name -> e.trim }
       val maxs = items.collect { case MaxItem(e, name) => name -> e.trim }
+      val avgs = items.collect { case AvgItem(e, name) => name -> e.trim }
+      // full-string matches, NOT findFirstIn: `checksum(x) AS c` holds
+      // "sum(x) AS c" as a substring and would silently vanish — it
+      // must fall through to the OtherAggItem boundary error below
+      // (ADVICE r7)
       def recognized(i: String) =
-        CountItem.findFirstIn(i).isDefined || SumItem.findFirstIn(i).isDefined ||
-          MinItem.findFirstIn(i).isDefined || MaxItem.findFirstIn(i).isDefined
+        CountItem.matches(i) || SumItem.matches(i) || MinItem.matches(i) ||
+          MaxItem.matches(i) || AvgItem.matches(i)
       val plain = items.map(_.trim).filterNot(recognized)
       // explicit maintenance boundary: anything aggregate-shaped beyond
       // the incrementally-maintainable set is a clear error, not a
@@ -124,15 +130,15 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         throw new IllegalArgumentException(
           s"aggregate view cannot maintain $fn(...): supported aggregates " +
             "are COUNT(*) AS n_rows, SUM(expr) AS name, MIN(expr) AS name, " +
-            "MAX(expr) AS name")
+            "MAX(expr) AS name, AVG(expr) AS name")
       }
-      require(items.exists(i => CountItem.findFirstIn(i).isDefined),
+      require(items.exists(i => CountItem.matches(i)),
         "an aggregate view SELECT must include COUNT(*) AS n_rows " +
           "(the group-liveness column the view maintains)")
       require(plain.map(_.stripPrefix("`").stripSuffix("`")).toSet ==
         groupCols.toSet,
         s"SELECT's plain columns $plain must equal GROUP BY $groupCols")
-      CreateAggViewCommand(view, src, groupCols, sums, mins, maxs)
+      CreateAggViewCommand(view, src, groupCols, sums, mins, maxs, avgs)
     case RefreshMatView(view) => RefreshMatViewCommand(view)
     case Update(tbl, rest) =>
       val (setPart, wherePart) = topLevelIndexOfWord(rest, "WHERE") match {
@@ -379,13 +385,14 @@ case class CreateAggViewCommand(
     groupCols: Seq[String],
     sums: Seq[(String, String)],
     mins: Seq[(String, String)] = Seq.empty,
-    maxs: Seq[(String, String)] = Seq.empty) extends LeafRunnableCommand {
+    maxs: Seq[(String, String)] = Seq.empty,
+    avgs: Seq[(String, String)] = Seq.empty) extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val source = GraftSqlParser.resolve(spark, src)
     val v = graft.table.AggView.build(source,
-      GraftSqlParser.cleanName(view), groupCols, sums, mins, maxs)
+      GraftSqlParser.cleanName(view), groupCols, sums, mins, maxs, avgs)
     Seq(Row(v.table.latestVersion))
   }
 }

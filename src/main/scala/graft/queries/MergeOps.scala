@@ -438,12 +438,17 @@ object MergeOps extends QueryModule {
       Seq("user_id"), upsertClauses)
     val v = AggView.build(a, root.resolve("v").toString,
       Seq("event_type"),
-      Seq("cents" -> "CAST(round(value * 100) AS BIGINT)"))
+      Seq("cents" -> "CAST(round(value * 100) AS BIGINT)"),
+      // AVG maintains through its exact components (asum/acnt) and
+      // re-derives the double per merge — one division over exact
+      // operands hashes identically cross-engine (VERDICT r7 next #7)
+      avgs = Seq("cents" -> "CAST(round(value * 100) AS BIGINT)"))
     Merge.run(a, latestPerUser(log.filter($"event_id" % 2 === 1)),
       Seq("user_id"), upsertClauses)
     v.refresh(a)
     v.table.snapshot().select(
-      $"event_type", $"n_rows".cast("long").as("n_rows"), $"sum_cents")
+      $"event_type", $"n_rows".cast("long").as("n_rows"), $"sum_cents",
+      $"avg_cents")
   }
   private val qAggViewSql =
     s"""$oracleWith,
@@ -452,7 +457,9 @@ object MergeOps extends QueryModule {
       |         CASE WHEN s_uid IS NOT NULL THEN s_v ELSE t_v END AS value
       |  FROM j WHERE s_uid IS NULL OR s_op <> 'DELETE')
       |SELECT event_type, count(*) AS n_rows,
-      |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+      |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) /
+      |         count(CAST(round(value * 100) AS BIGINT)) AS avg_cents
       |FROM final_a GROUP BY event_type""".stripMargin
 
   // ---------------------------------------- q_join_view_refresh (engine)
@@ -461,20 +468,23 @@ object MergeOps extends QueryModule {
     * two source merges + refresh) is a one-off; the number that
     * matters at 100 TB is ONE incremental refresh against an existing
     * view. The fixture builds A, B, and the view once per (session,
-    * sfDir); every invocation merges a small alternating delta into A
-    * (the `user_id % 50` block's values flip between two states, so
-    * consecutive calls do identical incremental work instead of
-    * degenerating to a noop) and runs one refresh. The result EXCLUDES
-    * the toggled block, so its content is independent of toggle parity
-    * and the oracle recomputes it declaratively. */
+    * sfDir); the UNTIMED [[jvrPrepare]] staging merges a small
+    * alternating delta into A (the `user_id % 50` block's values flip
+    * between two states, so consecutive calls do identical incremental
+    * work instead of degenerating to a noop), and the timed body is
+    * one refresh + the snapshot read (VERDICT r7 #3). The result
+    * EXCLUDES the toggled block, so its content is independent of
+    * toggle parity and the oracle recomputes it declaratively. */
   private val jvrCache = scala.collection.concurrent.TrieMap.empty[
     (SparkSession, String),
     (VersionedTable, VersionedTable, graft.table.JoinView,
       java.util.concurrent.atomic.AtomicLong)]
 
-  private def qJoinViewRefresh(s: SparkSession, d: String): DataFrame = {
+  private def jvrFixture(s: SparkSession, d: String)
+      : (VersionedTable, VersionedTable, graft.table.JoinView,
+        java.util.concurrent.atomic.AtomicLong) = {
     import s.implicits._
-    val (a, b, v, calls) = jvrCache.synchronized {
+    jvrCache.synchronized {
       jvrCache.getOrElseUpdate((s, d), {
         val root = graft.Scratch.dir("graft-jvr")
         val a = VersionedTable.create(s, root.resolve("a").toString,
@@ -497,15 +507,32 @@ object MergeOps extends QueryModule {
         (a, b, v, new java.util.concurrent.atomic.AtomicLong)
       })
     }
-    // the steady-state delta: toggled users flip between two values
-    // (distinct data_hash each way, so the change guard passes and the
-    // merge emits real CDF rows every call)
+  }
+
+  /** UNTIMED staging ([[graft.QueryModule.prepares]], VERDICT r7 #3):
+    * merges the steady-state delta — toggled users flip between two
+    * values (distinct data_hash each way, so the change guard passes
+    * and the merge emits real CDF rows every call). Kept out of the
+    * timed body: the number that matters at 100 TB is one incremental
+    * refresh, not the fixture mutation that feeds it. */
+  private def jvrPrepare(s: SparkSession, d: String): Unit = {
+    import s.implicits._
+    val (a, _, _, calls) = jvrFixture(s, d)
     val bump = if (calls.getAndIncrement() % 2 == 0) 1000.0 else 2000.0
     val delta = latestPerUser(cdcLog(s, d)).filter($"user_id" % 50 === 0)
       .withColumn("value", $"value" + lit(bump))
       .withColumn("data_hash", md5($"value".cast("string")))
       .withColumn("op", lit("UPSERT"))
     Merge.run(a, delta, Seq("user_id"), upsertClauses)
+  }
+
+  private def qJoinViewRefresh(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (a, b, v, _) = jvrFixture(s, d)
+    // timed body: ONE incremental refresh + the view snapshot. If the
+    // staging never ran (plain Verify, first call) the refresh is a
+    // cheap noop and the result is unchanged — it excludes the toggled
+    // block, so content is independent of staging parity.
     v.refresh(a, b)
     v.table.snapshot().filter($"user_id" % 50 =!= 0).select(
       $"user_id", $"event_id", $"event_type", $"value",
@@ -783,4 +810,7 @@ object MergeOps extends QueryModule {
     "q_zorder"         -> qZorderSql,
     "q_clone"          -> qCloneSql,
     "q_json_scan"      -> qJsonScanSql)
+
+  override val prepares: Seq[(String, (SparkSession, String) => Unit)] =
+    Seq("q_join_view_refresh" -> (jvrPrepare _))
 }

@@ -26,6 +26,14 @@ import org.apache.spark.sql.functions._
   *      a correct general view must), surviving groups update
   *      additively, new groups insert.
   *
+  * == AVG ==
+  * AVG is fully self-maintainable THROUGH its exact components: the
+  * view stores `asum_<name>` (exact numerator, same integer/DECIMAL
+  * rule as sums) and `acnt_<name>` (non-null count), maintains both
+  * additively, and re-derives the double `avg_<name>` at every merge —
+  * one double division over exact operands is portable across engines,
+  * while folding doubles incrementally would not be.
+  *
   * == MIN/MAX ==
   * MIN/MAX are only SEMI-maintainable: growth combines freely
   * (`least(current, batch_min)`), but a delete/update may remove the
@@ -57,7 +65,8 @@ final class AggView private (
     groupCols: Seq[String],
     sums: Seq[(String, String)],
     mins: Seq[(String, String)],
-    maxs: Seq[(String, String)]) {
+    maxs: Seq[(String, String)],
+    avgs: Seq[(String, String)]) {
   import AggView._
 
   private def spark: SparkSession = table.spark
@@ -66,6 +75,15 @@ final class AggView private (
   private def extremes: Seq[(String, String, Boolean)] =
     mins.map { case (n, e) => (s"min_$n", e, true) } ++
       maxs.map { case (n, e) => (s"max_$n", e, false) }
+
+  /** `avg_<name>` from its exact numerator/denominator, null for an
+    * empty denominator (no non-null source values). Both operands are
+    * BIGINT so the one double division happens identically in any
+    * engine — the stored avg is portable even though doubles are not
+    * additively maintainable. */
+  private def avgExpr(name: String): Column =
+    when(col(s"acnt_$name") === 0L, lit(null))
+      .otherwise(col(s"asum_$name").cast("double") / col(s"acnt_$name"))
 
   /** Per-group deltas of one change batch (`sums` exprs evaluate
     * against source-shaped change rows). For extremes: the batch's
@@ -83,6 +101,13 @@ final class AggView private (
         sums.map { case (name, e) =>
           sum(col("__sign") * expr(e)).as(s"d_$name")
         } ++
+        avgs.flatMap { case (name, e) =>
+          // numerator and non-null count maintain additively; the
+          // stored avg re-derives from them at merge time
+          Seq(sum(col("__sign") * expr(e)).as(s"d_asum_$name"),
+            sum(when(expr(e).isNotNull, col("__sign")).otherwise(lit(0L)))
+              .as(s"d_acnt_$name"))
+        } ++
         extremes.map { case (alias, e, isMin) =>
           val grown = when(col("__sign") === 1L, expr(e))
           (if (isMin) min(grown) else max(grown)).as(s"b_$alias")
@@ -92,29 +117,62 @@ final class AggView private (
            .otherwise(lit(false))).as("__shrunk"))): _*)
   }
 
-  private def clauses: Seq[MergeClause] = Seq(
-    WhenMatchedDelete(Some(col("target.n_rows") + col("source.d_n") === 0L)),
-    WhenMatchedUpdate(set =
-      Map("n_rows" -> (col("target.n_rows") + col("source.d_n"))) ++
-        sums.map { case (name, _) =>
-          s"sum_$name" ->
-            (coalesce(col(s"target.sum_$name"), lit(0L)) +
-              coalesce(col(s"source.d_$name"), lit(0L)))
-        } ++
-        extremes.map { case (alias, _, isMin) =>
-          // shrunk groups carry the recomputed absolute value; grown
-          // groups combine (least/greatest skip nulls, matching
-          // min/max null semantics: min(A ∪ B) = least(minA, minB))
-          alias -> when(col("source.__shrunk"), col(s"source.b_$alias"))
-            .otherwise(
-              if (isMin) least(col(s"target.$alias"), col(s"source.b_$alias"))
-              else greatest(col(s"target.$alias"), col(s"source.b_$alias")))
-        }),
-    WhenNotMatchedInsert(values =
-      groupCols.map(g => g -> col(s"source.$g")).toMap ++
-        Map("n_rows" -> col("source.d_n")) ++
-        sums.map { case (name, _) => s"sum_$name" -> col(s"source.d_$name") } ++
-        extremes.map { case (alias, _, _) => alias -> col(s"source.b_$alias") }))
+  private def clauses: Seq[MergeClause] = {
+    // the post-merge exact avg components, shared by the derived avg
+    def upAsum(name: String) =
+      coalesce(col(s"target.asum_$name"), lit(0L)) +
+        coalesce(col(s"source.d_asum_$name"), lit(0L))
+    def upAcnt(name: String) =
+      coalesce(col(s"target.acnt_$name"), lit(0L)) +
+        coalesce(col(s"source.d_acnt_$name"), lit(0L))
+    Seq(
+      WhenMatchedDelete(Some(col("target.n_rows") + col("source.d_n") === 0L)),
+      WhenMatchedUpdate(set =
+        Map("n_rows" -> (col("target.n_rows") + col("source.d_n"))) ++
+          sums.map { case (name, _) =>
+            s"sum_$name" ->
+              (coalesce(col(s"target.sum_$name"), lit(0L)) +
+                coalesce(col(s"source.d_$name"), lit(0L)))
+          } ++
+          avgs.flatMap { case (name, _) =>
+            Seq(s"asum_$name" -> upAsum(name),
+              s"acnt_$name" -> upAcnt(name),
+              s"avg_$name" -> when(upAcnt(name) === 0L, lit(null))
+                .otherwise(upAsum(name).cast("double") / upAcnt(name)))
+          } ++
+          extremes.map { case (alias, _, isMin) =>
+            // shrunk groups carry the recomputed absolute value; grown
+            // groups combine (least/greatest skip nulls, matching
+            // min/max null semantics: min(A ∪ B) = least(minA, minB))
+            alias -> when(col("source.__shrunk"), col(s"source.b_$alias"))
+              .otherwise(
+                if (isMin) least(col(s"target.$alias"), col(s"source.b_$alias"))
+                else greatest(col(s"target.$alias"), col(s"source.b_$alias")))
+          }),
+      // d_n > 0 guard: a group created AND fully deleted inside one CDF
+      // span nets to zero — without the guard it would insert a phantom
+      // n_rows=0 row (ADVICE r7)
+      WhenNotMatchedInsert(
+        condition = Some(col("source.d_n") > 0L),
+        values =
+          groupCols.map(g => g -> col(s"source.$g")).toMap ++
+            Map("n_rows" -> col("source.d_n")) ++
+            sums.map { case (name, _) =>
+              s"sum_$name" -> col(s"source.d_$name")
+            } ++
+            avgs.flatMap { case (name, _) =>
+              Seq(s"asum_$name" -> coalesce(col(s"source.d_asum_$name"), lit(0L)),
+                s"acnt_$name" -> coalesce(col(s"source.d_acnt_$name"), lit(0L)),
+                s"avg_$name" ->
+                  when(coalesce(col(s"source.d_acnt_$name"), lit(0L)) === 0L,
+                    lit(null))
+                    .otherwise(col(s"source.d_asum_$name").cast("double") /
+                      col(s"source.d_acnt_$name")))
+            } ++
+            extremes.map { case (alias, _, _) =>
+              alias -> col(s"source.b_$alias")
+            }))
+  }
 
   /** Applies all source changes the view has not seen; a replayed
     * refresh (crash + rerun) is a no-op via the txn guard. */
@@ -123,10 +181,17 @@ final class AggView private (
     val since = table.lastTxn(APP).getOrElse(0L) + 1
     if (latest < since) return None
     val d = deltas(source.changes(since))
-    val src =
-      if (extremes.isEmpty) d
-      else {
-        val dp = d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (extremes.isEmpty) {
+      Merge.run(table, d, groupCols, clauses, txn = Some(APP -> latest))
+      return Some(table.latestVersion)
+    }
+    val dp = d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // unpersist after the merge consumes the recompute join — Spark's
+    // CacheManager holds cached plans until explicit release, so a
+    // leaked persist per refresh grows without bound under continuous
+    // maintenance (ADVICE r7)
+    try {
+      val src = {
         // recompute extremes from CURRENT source state for exactly the
         // groups the batch shrank — the batch can't know what value
         // replaces a removed extreme
@@ -159,7 +224,8 @@ final class AggView private (
             .drop(s"r_$alias")
         }
       }
-    Merge.run(table, src, groupCols, clauses, txn = Some(APP -> latest))
+      Merge.run(table, src, groupCols, clauses, txn = Some(APP -> latest))
+    } finally dp.unpersist()
     Some(table.latestVersion)
   }
 
@@ -175,6 +241,7 @@ object AggView {
   val PROP_SUMS = "graft.aggview.sums"
   val PROP_MINS = "graft.aggview.mins"
   val PROP_MAXS = "graft.aggview.maxs"
+  val PROP_AVGS = "graft.aggview.avgs"
   val PROP_SOURCE = "graft.aggview.source"
   /** Largest shrunk-group key set pushed as an IN-list read predicate
     * (same rationale as [[JoinView.KEY_PRUNE_MAX]]). */
@@ -200,16 +267,29 @@ object AggView {
       groupCols: Seq[String],
       sums: Seq[(String, String)],
       mins: Seq[(String, String)] = Seq.empty,
-      maxs: Seq[(String, String)] = Seq.empty): AggView = {
+      maxs: Seq[(String, String)] = Seq.empty,
+      avgs: Seq[(String, String)] = Seq.empty): AggView = {
     require(groupCols.nonEmpty, "an aggregate view needs group columns")
     val spark = source.spark
-    val full = source.snapshot()
+    val full0 = source.snapshot()
       .groupBy(groupCols.map(col): _*)
       .agg(
         count(lit(1)).as("n_rows"),
         sums.map { case (name, e) => sum(expr(e)).as(s"sum_$name") } ++
+        // AVG stores its exact numerator (same integer/DECIMAL rule as
+        // sums) and non-null count; the double `avg_<name>` re-derives
+        // from them so the incremental view never folds doubles
+        avgs.flatMap { case (name, e) =>
+          Seq(coalesce(sum(expr(e)), lit(0L)).as(s"asum_$name"),
+            count(expr(e)).as(s"acnt_$name"))
+        } ++
         mins.map { case (name, e) => min(expr(e)).as(s"min_$name") } ++
         maxs.map { case (name, e) => max(expr(e)).as(s"max_$name") }: _*)
+    val full = avgs.foldLeft(full0) { case (df, (name, _)) =>
+      df.withColumn(s"avg_$name",
+        when(col(s"acnt_$name") === 0L, lit(null))
+          .otherwise(col(s"asum_$name").cast("double") / col(s"acnt_$name")))
+    }
     // all-nullable view schema: count(*) infers NOT NULL, which the
     // merge's conditional action struct (nullable by construction)
     // cannot cast into
@@ -222,8 +302,9 @@ object AggView {
         PROP_SUMS -> packProp(sums),
         PROP_MINS -> packProp(mins),
         PROP_MAXS -> packProp(maxs),
+        PROP_AVGS -> packProp(avgs),
         PROP_SOURCE -> source.root.toAbsolutePath.toString))
-    val v = new AggView(t, groupCols, sums, mins, maxs)
+    val v = new AggView(t, groupCols, sums, mins, maxs, avgs)
     t.append(full)
     // watermark: everything up to the source's current version is in
     // the full compute
@@ -241,6 +322,7 @@ object AggView {
     new AggView(t, p(PROP_GROUP_COLS).split(',').toSeq,
       unpackProp(p(PROP_SUMS)),
       unpackProp(p.getOrElse(PROP_MINS, "")),
-      unpackProp(p.getOrElse(PROP_MAXS, "")))
+      unpackProp(p.getOrElse(PROP_MAXS, "")),
+      unpackProp(p.getOrElse(PROP_AVGS, "")))
   }
 }

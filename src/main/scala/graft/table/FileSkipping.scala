@@ -45,6 +45,75 @@ object FileSkipping {
     case other => Seq(other)
   }
 
+  /** Types whose stat strings [[compareStats]] can order. */
+  private def statComparable(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | DateType |
+         TimestampType | TimestampNTZType | FloatType | DoubleType |
+         StringType => true
+    case _ => false
+  }
+
+  /** IN-lists at least this long get the sorted binary-search probe;
+    * below it the per-literal scan costs less than the sort. */
+  private val SortedProbeMin = 32
+
+  /** Compiles a conjunct set into one per-file probe. Results match
+    * `conjuncts.forall(mayMatch(_, f, schema))`; the point is cost —
+    * a large IN/INSET literal list is encoded and sorted ONCE, and
+    * each file is probed by binary search for [min, max] overlap, so a
+    * KEY_PRUNE_MAX-sized refresh IN-list costs O(log k) per manifest
+    * entry instead of an O(k) rescan per file (ADVICE r7). */
+  def compile(
+      conjuncts: Seq[Expression],
+      schema: StructType): DataFile => Boolean = {
+    val probes: Seq[DataFile => Boolean] = conjuncts.map {
+      case In(a: AttributeReference, vs)
+          if vs.length >= SortedProbeMin && vs.forall(_.isInstanceOf[Literal]) =>
+        sortedInProbe(a.name, vs.map(_.asInstanceOf[Literal]), schema)
+      case InSet(a: AttributeReference, vs) if vs.size >= SortedProbeMin =>
+        schema.fields.find(_.name == a.name).map(_.dataType) match {
+          case Some(dt) =>
+            sortedInProbe(a.name, vs.toSeq.map(v => Literal(v, dt)), schema)
+          case None => (f: DataFile) => !f.rows.contains(0L)
+        }
+      case c => (f: DataFile) => mayMatch(c, f, schema)
+    }
+    f => probes.forall(_(f))
+  }
+
+  /** One-time sort + per-file binary search for an IN-list conjunct:
+    * the file survives iff some listed value falls inside its
+    * [min, max]. Conservative (file kept) whenever the type or stats
+    * cannot prove absence, mirroring [[eqMay]]. */
+  private def sortedInProbe(
+      name: String, lits: Seq[Literal], schema: StructType)
+      : DataFile => Boolean = {
+    val dtOpt = schema.fields.find(_.name == name).map(_.dataType)
+    val nonNull = lits.filter(_.value != null)
+    if (nonNull.isEmpty) return (_: DataFile) => false // IN (NULL…): no match
+    val enc = nonNull.map(encodeLiteral)
+    val dt = dtOpt.orNull
+    if (dt == null || !statComparable(dt) || enc.exists(_.isEmpty))
+      return (f: DataFile) => !f.rows.contains(0L) // unprovable: keep
+    val sorted = enc.flatten.distinct
+      .sortWith((x, y) => compareStats(x, y, dt).get < 0).toIndexedSeq
+    f => {
+      if (f.rows.contains(0L)) false
+      else (f.colMins.get(name), f.colMaxs.get(name)) match {
+        case (Some(mn), Some(mx)) =>
+          var lo = 0
+          var hi = sorted.length
+          while (lo < hi) {
+            val mid = (lo + hi) >>> 1
+            if (compareStats(sorted(mid), mn, dt).get < 0) lo = mid + 1
+            else hi = mid
+          }
+          lo < sorted.length && compareStats(sorted(lo), mx, dt).get <= 0
+        case _ => true
+      }
+    }
+  }
+
   /** false => `f` provably contains no row satisfying `conjunct`. */
   def mayMatch(conjunct: Expression, f: DataFile, schema: StructType): Boolean = {
     if (f.rows.contains(0L)) return false // empty file matches nothing

@@ -983,8 +983,10 @@ final class VersionedTable private (
   private def statsCandidates(
       m: CommitManifest, hit: org.apache.spark.sql.Column): Seq[DataFile] = {
     val conjuncts = resolvedConjuncts(m, hit)
-    val survivors = m.dataFiles.filter(f =>
-      conjuncts.forall(c => FileSkipping.mayMatch(c, f, m.schema)))
+    // compiled probe: IN-lists sort once and binary-search per file
+    // instead of rescanning the literal list per manifest entry
+    val probe = FileSkipping.compile(conjuncts, m.schema)
+    val survivors = m.dataFiles.filter(probe)
     // second stage: bucket-key hash ranges refute equality/IN probes on
     // the bucket key that value stats cannot (bucketed files cluster by
     // key HASH, so their key-value ranges are wide but their hash
@@ -1029,12 +1031,27 @@ final class VersionedTable private (
         .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
         .asInstanceOf[Int])
     if (hs.isEmpty) return Seq.empty // `key = NULL` is never true
+    // sorted per-bucket hash lists: each file's [minHash, maxHash] is
+    // probed by binary search instead of rescanning its bucket's whole
+    // probe list (ADVICE r7 — KEY_PRUNE_MAX-sized IN refreshes)
     val byBucket = hs.groupBy(h => java.lang.Math.floorMod(h, n))
+      .map { case (b, v) => b -> v.map(_.toLong).distinct.sorted.toIndexedSeq }
     files.filter { f =>
       f.bucket match {
         case None => true // no bucket info: can contain anything
-        case Some(b) => byBucket.get(b)
-          .exists(_.exists(h => f.mayContainHash(h.toLong)))
+        case Some(b) => byBucket.get(b).exists { sorted =>
+          (f.minHash, f.maxHash) match {
+            case (Some(mn), Some(mx)) =>
+              var lo = 0
+              var hi = sorted.length
+              while (lo < hi) {
+                val mid = (lo + hi) >>> 1
+                if (sorted(mid) < mn) lo = mid + 1 else hi = mid
+              }
+              lo < sorted.length && sorted(lo) <= mx
+            case _ => true // no stats: can contain anything
+          }
+        }
       }
     }
   }

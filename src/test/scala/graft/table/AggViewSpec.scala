@@ -145,12 +145,67 @@ class AggViewSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException] {
       graft.catalog.GraftSql.execute(spark,
         s"""CREATE MATERIALIZED VIEW '$root/v' AS
-           |SELECT grp, COUNT(*) AS n_rows, AVG(cents) AS cents
+           |SELECT grp, COUNT(*) AS n_rows, STDDEV(cents) AS cents
            |FROM '${t.root}' GROUP BY grp""".stripMargin)
     }
-    assert(e.getMessage.contains("AVG") &&
+    assert(e.getMessage.contains("STDDEV") &&
       e.getMessage.contains("MIN(expr)"),
       s"boundary error must name the offender and the supported set: $e")
+  }
+
+  test("an agg-alike SUBSTRING item is not silently eaten as SUM") {
+    // `checksum(x) AS c` contains "sum(x) AS c"; an unanchored
+    // recognizer dropped such items silently instead of raising the
+    // boundary error (ADVICE r7)
+    val (t, root) = fresh()
+    val e = intercept[IllegalArgumentException] {
+      graft.catalog.GraftSql.execute(spark,
+        s"""CREATE MATERIALIZED VIEW '$root/v' AS
+           |SELECT grp, COUNT(*) AS n_rows, CHECKSUM(cents) AS c
+           |FROM '${t.root}' GROUP BY grp""".stripMargin)
+    }
+    assert(e.getMessage.contains("CHECKSUM"),
+      s"boundary error must name the offender: $e")
+  }
+
+  test("AVG maintains through exact components ≡ recompute") {
+    val (t, root) = fresh()
+    val v = AggView.build(t, s"$root/v", Seq("grp"),
+      Seq("cents" -> "cents"), avgs = Seq("cents" -> "cents"))
+    def expected() = t.snapshot().groupBy($"grp")
+      .agg(count(lit(1)).as("n_rows"), sum($"cents").as("sum_cents"),
+        (sum($"cents").cast("double") / count($"cents")).as("avg_cents"))
+    def asAvgSet(df: DataFrame) = df
+      .select($"grp", $"n_rows".cast("long"), $"sum_cents", $"avg_cents")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(asAvgSet(v.table.snapshot()) === asAvgSet(expected()))
+    // updates + deletes + group death, then the incremental avg must
+    // still be BIT-identical to a from-scratch divide (exact operands)
+    val g5Ids = (1L to 60L).filter(_ % 6 == 5)
+    Merge.run(t,
+      Seq((1L, "g1", 777L, "UPSERT"), (100L, "g9", 7L, "UPSERT"))
+        .toDF("id", "grp", "cents", "__op")
+        .unionByName(g5Ids.map(i => (i, "g5", 0L, "DELETE"))
+          .toDF("id", "grp", "cents", "__op")),
+      Seq("id"), upsert)
+    assert(v.refresh(t).isDefined)
+    assert(asAvgSet(v.table.snapshot()) === asAvgSet(expected()))
+    assert(v.table.snapshot().filter($"grp" === "g5").count() === 0L)
+  }
+
+  test("a group created and deleted inside one span inserts no phantom") {
+    val (t, root) = fresh()
+    val v = AggView.build(t, s"$root/v", Seq("grp"), Seq("cents" -> "cents"))
+    // gX never existed in the view; create + delete in one CDF span
+    Merge.run(t, Seq((300L, "gX", 1L, "UPSERT")).toDF("id", "grp", "cents", "__op"),
+      Seq("id"), upsert)
+    Merge.run(t, Seq((300L, "gX", 0L, "DELETE")).toDF("id", "grp", "cents", "__op"),
+      Seq("id"), upsert)
+    assert(v.refresh(t).isDefined)
+    assert(v.table.snapshot().filter($"grp" === "gX").count() === 0L,
+      "net-zero new group must not materialize a phantom n_rows=0 row")
+    assert(asSet(v.table.snapshot()) === asSet(recompute(t)))
   }
 
   test("SQL surface: MIN/MAX columns create and refresh correctly") {
