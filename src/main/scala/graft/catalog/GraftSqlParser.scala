@@ -81,6 +81,20 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       """FROM\s+(\S+?)\s+GROUP\s+BY\s+(.+?)\s*;?\s*""").r
   private val RefreshMatView =
     """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(\S+?)\s*;?\s*""".r
+  // CREATE VECTOR INDEX <i> ON <t> (embedding) USING IVF|PQ|SQ8
+  // CREATE SIGNATURE INDEX <i> ON <t> (text) USING MINHASH
+  // — persisted incremental indexes (graft.llm.IncrementalIndex);
+  // REFRESH/DESCRIBE/REINDEX resolve everything from the index's own
+  // recorded properties, like the materialized views
+  private val CreateIndex =
+    ("""(?is)\s*CREATE\s+(VECTOR|SIGNATURE)\s+INDEX\s+(\S+?)\s+ON\s+(\S+?)""" +
+      """\s*\(\s*`?(\w+)`?\s*\)\s+USING\s+(IVF|PQ|SQ8|MINHASH)\s*;?\s*""").r
+  private val RefreshIndex =
+    """(?is)\s*REFRESH\s+INDEX\s+(\S+?)\s*;?\s*""".r
+  private val DescribeIndex =
+    """(?is)\s*DESCRIBE\s+INDEX\s+(\S+?)\s*;?\s*""".r
+  private val Reindex =
+    """(?is)\s*REINDEX\s+INDEX\s+(\S+?)\s*;?\s*""".r
   private val CountItem = """(?is)\s*COUNT\s*\(\s*\*\s*\)\s+AS\s+n_rows\s*""".r
   private val SumItem = """(?is)\s*SUM\s*\((.+)\)\s+AS\s+(\w+)\s*""".r
   private val MinItem = """(?is)\s*MIN\s*\((.+)\)\s+AS\s+(\w+)\s*""".r
@@ -140,6 +154,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         s"SELECT's plain columns $plain must equal GROUP BY $groupCols")
       CreateAggViewCommand(view, src, groupCols, sums, mins, maxs, avgs)
     case RefreshMatView(view) => RefreshMatViewCommand(view)
+    case CreateIndex(kind, name, tbl, colName, method) =>
+      CreateIndexCommand(kind.toUpperCase, name, tbl,
+        colName, method.toLowerCase)
+    case RefreshIndex(name) => RefreshIndexCommand(name)
+    case DescribeIndex(name) => DescribeIndexCommand(name)
+    case Reindex(name) => ReindexCommand(name)
     case Update(tbl, rest) =>
       val (setPart, wherePart) = topLevelIndexOfWord(rest, "WHERE") match {
         case -1 => (rest, None)
@@ -415,6 +435,129 @@ case class RefreshMatViewCommand(view: String) extends LeafRunnableCommand {
   }
 }
 
+/** Shared dispatch for the index DDL commands: resolves an index path
+  * to its recorded method and source (the index is self-describing —
+  * its build wrote `graft.index.*` properties). */
+private[catalog] object IndexDdl {
+  import graft.llm.IncrementalIndex._
+
+  def methodOf(t: VersionedTable): String =
+    t.latestManifest.properties.getOrElse(PROP_METHOD,
+      throw new IllegalArgumentException(
+        s"${t.root} is not an index (no $PROP_METHOD property)"))
+
+  def sourceOf(spark: SparkSession, t: VersionedTable): VersionedTable =
+    VersionedTable.load(spark, t.latestManifest.properties(PROP_SOURCE))
+}
+
+/** `CREATE [VECTOR|SIGNATURE] INDEX <i> ON <t> (<col>) USING <method>`
+  * — builds a persisted incremental index ([[graft.llm]]) whose
+  * properties record method/source/column, making it a self-describing
+  * SQL object: REFRESH/DESCRIBE/REINDEX INDEX need only the name.
+  * Returns the index table's committed version. */
+case class CreateIndexCommand(
+    kind: String, name: String, tbl: String,
+    colName: String, method: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val expectKind = if (method == "minhash") "SIGNATURE" else "VECTOR"
+    require(kind == expectKind,
+      s"USING ${method.toUpperCase} requires CREATE $expectKind INDEX")
+    // derivations are fixed-schema in this engine revision: vector
+    // methods index (vec_id, embedding), MinHash indexes (doc_id, text)
+    val expectCol = if (method == "minhash") "text" else "embedding"
+    require(colName == expectCol,
+      s"USING ${method.toUpperCase} indexes the '$expectCol' column; " +
+        s"got '$colName'")
+    val source = GraftSqlParser.resolve(spark, tbl)
+    val path = GraftSqlParser.cleanName(name)
+    val t = method match {
+      case "ivf" => graft.llm.VectorIndex.build(source, path).table
+      case "pq" => graft.llm.PqIndex.build(source, path).table
+      case "sq8" => graft.llm.Sq8Index.build(source, path).table
+      case "minhash" => graft.llm.SignatureIndex.build(source, path).table
+    }
+    Seq(Row(t.latestVersion))
+  }
+}
+
+/** `REFRESH INDEX <i>`: applies source changes since the last refresh
+  * with the FROZEN quantizer; method + source come from the index's
+  * properties. Returns the committed version (the current one when
+  * already up to date). */
+case class RefreshIndexCommand(name: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.cleanName(name)
+    val t = VersionedTable.load(spark, path)
+    val source = IndexDdl.sourceOf(spark, t)
+    val v = IndexDdl.methodOf(t) match {
+      case "ivf" => graft.llm.VectorIndex.load(spark, path).refresh(source)
+      case "pq" => graft.llm.PqIndex.load(spark, path).refresh(source)
+      case "sq8" => graft.llm.Sq8Index.load(spark, path).refresh(source)
+      case "minhash" =>
+        graft.llm.SignatureIndex.load(spark, path).refresh(source)
+    }
+    Seq(Row(v.getOrElse(t.latestVersion)))
+  }
+}
+
+/** `REINDEX INDEX <i>`: retrains the quantizer on the CURRENT corpus
+  * and re-encodes everything — the rebuild path a drifted frozen
+  * quantizer calls for; starts a new drift-baseline epoch. */
+case class ReindexCommand(name: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.cleanName(name)
+    val t = VersionedTable.load(spark, path)
+    val source = IndexDdl.sourceOf(spark, t)
+    val v = IndexDdl.methodOf(t) match {
+      case "ivf" => graft.llm.VectorIndex.load(spark, path).reindex(source)
+      case "pq" => graft.llm.PqIndex.load(spark, path).reindex(source)
+      case "sq8" => graft.llm.Sq8Index.load(spark, path).reindex(source)
+      case "minhash" =>
+        graft.llm.SignatureIndex.load(spark, path).reindex(source)
+    }
+    Seq(Row(v))
+  }
+}
+
+/** `DESCRIBE INDEX <i>`: the index's recorded definition plus its
+  * quantizer-drift summary (baseline vs latest refresh batch — the
+  * REINDEX decision input). */
+case class DescribeIndexCommand(name: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("info_name", org.apache.spark.sql.types.StringType,
+      nullable = false)(),
+    AttributeReference("info_value", org.apache.spark.sql.types.StringType,
+      nullable = true)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    import graft.llm.IncrementalIndex._
+    val path = GraftSqlParser.cleanName(name)
+    val t = VersionedTable.load(spark, path)
+    val p = t.latestManifest.properties
+    val base = Seq(
+      "method" -> IndexDdl.methodOf(t),
+      "source" -> p.getOrElse(PROP_SOURCE, null),
+      "column" -> p.getOrElse(PROP_COLUMN, null),
+      "key" -> p.getOrElse(PROP_KEY, null),
+      "version" -> t.latestVersion.toString)
+    val drift = graft.llm.IndexDrift.summary(t) match {
+      case Some((metric, b, latest)) => Seq(
+        "drift_metric" -> metric,
+        "drift_baseline" -> b.toString,
+        "drift_latest" -> latest.toString,
+        "drift_ratio" ->
+          (if (b != 0.0) (latest / b).toString else null))
+      case None => Seq("drift_metric" -> null)
+    }
+    (base ++ drift).map { case (k, v) => Row(k, v) }
+  }
+}
+
 /** Runs a graft SQL statement without requiring the session to be built
   * with `spark.sql.extensions` (Verify and library callers on a plain
   * session): statements the [[GraftSqlParser]] grammar owns execute
@@ -425,7 +568,9 @@ object GraftSql {
       case c @ (_: VacuumCommand | _: OptimizeCommand |
                 _: RestoreCommand | _: UpdateCommand | _: HistoryCommand |
                 _: DetailCommand | _: CreateMatViewCommand |
-                _: CreateAggViewCommand | _: RefreshMatViewCommand) =>
+                _: CreateAggViewCommand | _: RefreshMatViewCommand |
+                _: CreateIndexCommand | _: RefreshIndexCommand |
+                _: ReindexCommand | _: DescribeIndexCommand) =>
         c.asInstanceOf[LeafRunnableCommand].run(spark)
       case _ => spark.sql(sqlText).collect().toSeq
     }

@@ -33,6 +33,22 @@ import graft.table._
   */
 object IncrementalIndex {
 
+  /** Self-description properties every index build records — REFRESH /
+    * DESCRIBE / REINDEX INDEX resolve the method, source table, and
+    * indexed column from the index itself, like the views do. */
+  val PROP_METHOD = "graft.index.method"
+  val PROP_SOURCE = "graft.index.source"
+  val PROP_COLUMN = "graft.index.column"
+  val PROP_KEY = "graft.index.key"
+
+  private[llm] def indexProps(
+      method: String, source: VersionedTable,
+      column: String, key: String): Map[String, String] = Map(
+    PROP_METHOD -> method,
+    PROP_SOURCE -> source.root.toAbsolutePath.toString,
+    PROP_COLUMN -> column,
+    PROP_KEY -> key)
+
   /** Clauses applying a net CDC batch: delete wins, upserts rewrite. */
   private val clauses = Seq(
     WhenMatchedDelete(Some(col("source.__op") === "DELETE")),
@@ -54,26 +70,76 @@ object IncrementalIndex {
 
   /** Applies all source changes the index has not seen. `derive` adds
     * the index's derived columns to a batch of source-shaped rows (it
-    * sees only UPSERT rows). Returns the index version committed, or
-    * None when the index was already current. Requires the source to
-    * have CDF enabled. */
+    * sees only UPSERT rows). `observe` runs on the same raw upsert
+    * batch BEFORE derivation — quantized indexes compute their drift
+    * metric there (O(batch), broadcast quantizer). Returns the index
+    * version committed, or None when the index was already current.
+    * Requires the source to have CDF enabled. */
   def refresh(
       index: VersionedTable,
       source: VersionedTable,
       key: String,
       derive: DataFrame => DataFrame,
-      appId: String): Option[Long] = {
+      appId: String,
+      observe: DataFrame => Unit = _ => ()): Option[Long] = {
     val latest = source.latestVersion
     val since = index.lastTxn(appId).getOrElse(0L) + 1
     if (latest < since) return None
     val net = netChanges(source.changes(since), key)
     if (net.isEmpty) return None
-    val ups = derive(net.filter(col("__op") === "UPSERT"))
+    val rawUps = net.filter(col("__op") === "UPSERT")
+    observe(rawUps)
+    val ups = derive(rawUps)
     val src = ups.unionByName(net.filter(col("__op") === "DELETE"),
       allowMissingColumns = true)
     Merge.run(index, src, Seq(key), clauses, txn = Some(appId -> latest))
     Some(index.latestVersion)
   }
+}
+
+/** Append-only quantizer-drift log under `<index>/_drift`: a FROZEN
+  * quantizer (IVF/PQ codebook, SQ8 stats) silently degrades as the
+  * corpus churns away from its training distribution, so every refresh
+  * appends its batch's fit metric beside the build-time baseline —
+  * FAISS's own maintenance contract (monitor, rebuild when drifted).
+  * `DESCRIBE INDEX` surfaces baseline / latest / ratio; `REINDEX`
+  * retrains and starts a new baseline epoch. */
+object IndexDrift {
+  val DIR = "_drift"
+
+  private def dirPath(t: VersionedTable) = t.root.resolve(DIR)
+
+  def append(
+      t: VersionedTable, metric: String, value: Double, nRows: Long,
+      atVersion: Long, baseline: Boolean): Unit = {
+    val s = t.spark
+    import s.implicits._
+    // seq orders the log by WRITE time: a REINDEX baseline lands at the
+    // same source version as the refresh preceding it, so at_version
+    // alone cannot order epochs
+    Seq((System.nanoTime(), atVersion, metric, value, nRows, baseline))
+      .toDF("seq", "at_version", "metric", "value", "n_rows", "baseline")
+      .coalesce(1).write.mode("append").parquet(dirPath(t).toString)
+  }
+
+  /** Full per-refresh history, oldest first; None before any record. */
+  def history(t: VersionedTable): Option[DataFrame] =
+    if (!java.nio.file.Files.isDirectory(dirPath(t))) None
+    else Some(t.spark.read.parquet(dirPath(t).toString).orderBy(col("seq")))
+
+  /** (metric, baseline value, latest value) — the baseline is the most
+    * recent baseline-epoch row (build or last REINDEX). */
+  def summary(t: VersionedTable): Option[(String, Double, Double)] =
+    history(t).flatMap { h =>
+      val rows = h.select(col("metric"), col("value"), col("baseline"))
+        .collect()
+      if (rows.isEmpty) None
+      else {
+        val base = rows.filter(_.getBoolean(2)).lastOption.getOrElse(rows.head)
+        val last = rows.last
+        Some((last.getString(0), base.getDouble(1), last.getDouble(1)))
+      }
+    }
 }
 
 /** A persisted IVF (inverted-file) vector index over a source table
@@ -109,22 +175,70 @@ final class VectorIndex private (val table: VersionedTable) {
       .select(col("__vid").as("vec_id"), col("embedding"),
         col("c_id"), col("__op"))
 
-  /** Apply source changes since the last refresh (frozen codebook). */
-  def refresh(source: VersionedTable): Option[Long] = {
+  /** Batch mean assigned-centroid distance (1 − best cosine) — rises
+    * as new vectors land far from the frozen centroids. O(batch) with
+    * the codebook broadcast; appended to the [[IndexDrift]] log. */
+  private def observeDrift(
+      raw: DataFrame, atVersion: Long, baseline: Boolean): Unit = {
+    val r = raw.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(codebook))
+      .withColumn("__c", expr("cosine_sim(embedding, cent)"))
+      .groupBy(col("vec_id")).agg(max(col("__c")).as("best"))
+      .agg(avg(lit(1.0) - col("best")).as("d"), count(lit(1)).as("n"))
+      .collect()(0)
+    if (r.getLong(1) > 0 && !r.isNullAt(0))
+      IndexDrift.append(table, "mean_assign_dist", r.getDouble(0),
+        r.getLong(1), atVersion, baseline)
+  }
+
+  private def refreshObserved(
+      source: VersionedTable, baseline: Boolean): Option[Long] = {
     graft.functions.GraftFunctions.register(spark)
-    IncrementalIndex.refresh(table, source, "vec_id", assign, APP_ID)
+    val latest = source.latestVersion
+    IncrementalIndex.refresh(table, source, "vec_id", assign, APP_ID,
+      observeDrift(_, latest, baseline))
+  }
+
+  /** Apply source changes since the last refresh (frozen codebook). */
+  def refresh(source: VersionedTable): Option[Long] =
+    refreshObserved(source, baseline = false)
+
+  /** Retrain against the CURRENT corpus and re-encode everything: new
+    * frozen codebook (adaptive cell count for the corpus as it now
+    * is), full re-assignment, new drift-baseline epoch. O(corpus) by
+    * design — this is the rebuild the drift metric calls for, not
+    * maintenance. */
+  def reindex(source: VersionedTable): Long = {
+    graft.functions.GraftFunctions.register(spark)
+    val latest = source.latestVersion
+    val snap = source.snapshot()
+    val corpus = snap
+      .select(col("vec_id").as("__vid"), col("embedding").as("ce"))
+    val k = SimilarityOps.adaptiveCells(snap.count())
+    SimilarityOps.lloydCodebook(corpus, k, SimilarityOps.adaptiveTrainLimit(k))
+      .write.mode("overwrite").parquet(codebookDir)
+    table.overwriteWhere(lit(true),
+      assign(snap.withColumn("__op", lit("UPSERT"))).drop("__op"))
+    table.commitFiles(Seq.empty, Seq.empty, None, "reindex-watermark",
+      extraTxn = Map(APP_ID -> latest))
+    observeDrift(snap, latest, baseline = true)
+    table.latestVersion
   }
 
   /** Top-`k` per query vector over the indexed corpus, probing the
-    * `nprobe` nearest cells. `queries`: (`q_id`, `qe: array<float>`).
-    * Output: (q_id, vec_id, rnk, cos) — same shape as the query-path
-    * ANN operators. */
-  def search(queries: DataFrame, k: Int,
-      nprobe: Int = SimilarityOps.NPROBE): DataFrame = {
+    * `nprobe` nearest cells — `nprobe <= 0` (the default) probes ~1/4
+    * of the codebook's cells (read from the codebook itself, never a
+    * constant: cell count is chosen at build time). `queries`:
+    * (`q_id`, `qe: array<float>`). Output: (q_id, vec_id, rnk, cos) —
+    * same shape as the query-path ANN operators. */
+  def search(queries: DataFrame, k: Int, nprobe: Int = 0): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
+    val np =
+      if (nprobe > 0) nprobe
+      else SimilarityOps.adaptiveNprobe(codebook.count())
     val probes = SimilarityOps.nearest(
         queries.select(col("q_id").as("__vid"), col("qe")),
-        codebook, "qe", nprobe, "__prnk")
+        codebook, "qe", np, "__prnk")
       .select(col("__vid").as("q_id"), col("qe"), col("c_id"))
     val cells = table.snapshot()
       .select(col("vec_id"), col("embedding").as("ce"), col("c_id"))
@@ -165,6 +279,20 @@ final class SignatureIndex private (val table: VersionedTable) {
   def refresh(source: VersionedTable): Option[Long] =
     IncrementalIndex.refresh(table, source, "doc_id", derive, APP_ID)
 
+  /** Full re-derivation of the current snapshot. Signatures are exact
+    * per-row derivations, so this reproduces incremental state — it
+    * exists for `REINDEX INDEX` uniformity (there is no quantizer to
+    * drift), and as the recovery path for a corrupted index table. */
+  def reindex(source: VersionedTable): Long = {
+    val latest = source.latestVersion
+    table.overwriteWhere(lit(true),
+      derive(source.snapshot().withColumn("__op", lit("UPSERT")))
+        .drop("__op"))
+    table.commitFiles(Seq.empty, Seq.empty, None, "reindex-watermark",
+      extraTxn = Map(APP_ID -> latest))
+    table.latestVersion
+  }
+
   /** All near-dup candidate pairs (doc_a, doc_b, est_sim) at the LSH
     * threshold, from the persisted signatures. */
   def pairs: DataFrame =
@@ -183,6 +311,7 @@ object SignatureIndex {
   /** Index the source's current snapshot. Source needs CDF enabled. */
   def build(source: VersionedTable, path: String): SignatureIndex = {
     val t = VersionedTable.create(source.spark, path, indexSchema,
+      IncrementalIndex.indexProps("minhash", source, "text", "doc_id"),
       bucketBy = Some(BucketSpec(Seq("doc_id"), BUCKETS)))
     val idx = new SignatureIndex(t)
     idx.refresh(source)
@@ -230,9 +359,52 @@ final class PqIndex private (val table: VersionedTable) {
       .select(col("vec_id"), col("embedding"), col("codes"), col("__op"))
   }
 
+  /** Batch mean per-subspace L2 to the assigned sub-centroid — the PQ
+    * quantization error; rises as the corpus drifts from the frozen
+    * codebooks. */
+  private def observeDrift(
+      raw: DataFrame, atVersion: Long, baseline: Boolean): Unit = {
+    val sub = SimilarityOps.subvecs(
+      raw.select(col("vec_id"), col("embedding")), "vec_id", "embedding")
+    val r = sub.join(broadcast(codebook.select("m", "c_id", "cent")), "m")
+      .withColumn("__l2", expr(SimilarityOps.subL2("sv", "cent")))
+      .groupBy(col("vec_id"), col("m")).agg(min(col("__l2")).as("best"))
+      .agg(avg(col("best")).as("d"), count(lit(1)).as("n"))
+      .collect()(0)
+    if (r.getLong(1) > 0 && !r.isNullAt(0))
+      IndexDrift.append(table, "mean_subspace_l2", r.getDouble(0),
+        r.getLong(1), atVersion, baseline)
+  }
+
+  private def refreshObserved(
+      source: VersionedTable, baseline: Boolean): Option[Long] = {
+    val latest = source.latestVersion
+    IncrementalIndex.refresh(table, source, "vec_id", encode, APP_ID,
+      observeDrift(_, latest, baseline))
+  }
+
   /** Apply source changes since the last refresh (frozen codebooks). */
   def refresh(source: VersionedTable): Option[Long] =
-    IncrementalIndex.refresh(table, source, "vec_id", encode, APP_ID)
+    refreshObserved(source, baseline = false)
+
+  /** Retrain the subspace codebooks on the CURRENT corpus (sample-
+    * bounded) and re-encode everything; starts a new drift-baseline
+    * epoch. O(corpus) by design. */
+  def reindex(source: VersionedTable): Long = {
+    val latest = source.latestVersion
+    val snap = source.snapshot()
+    val corpusSub = SimilarityOps.subvecs(
+      snap.select(col("vec_id"), col("embedding")), "vec_id", "embedding")
+    SimilarityOps.pqCodebooks(corpusSub)
+      .withColumn("cc", expr(SimilarityOps.subDot("cent", "cent")))
+      .write.mode("overwrite").parquet(codebookDir)
+    table.overwriteWhere(lit(true),
+      encode(snap.withColumn("__op", lit("UPSERT"))).drop("__op"))
+    table.commitFiles(Seq.empty, Seq.empty, None, "reindex-watermark",
+      extraTxn = Map(APP_ID -> latest))
+    observeDrift(snap, latest, baseline = true)
+    table.latestVersion
+  }
 
   /** Top-`k` per query vector via ADC over the persisted codes + exact
     * rerank over the persisted raw vectors. `queries`: (q_id, qe). */
@@ -262,6 +434,7 @@ object PqIndex {
   def build(source: VersionedTable, path: String): PqIndex = {
     val spark = source.spark
     val t = VersionedTable.create(spark, path, indexSchema,
+      IncrementalIndex.indexProps("pq", source, "embedding", "vec_id"),
       bucketBy = Some(BucketSpec(Seq("vec_id"), BUCKETS)))
     val idx = new PqIndex(t)
     val corpusSub = SimilarityOps.subvecs(
@@ -270,7 +443,7 @@ object PqIndex {
     SimilarityOps.pqCodebooks(corpusSub)
       .withColumn("cc", expr(SimilarityOps.subDot("cent", "cent")))
       .write.mode("overwrite").parquet(idx.codebookDir)
-    idx.refresh(source)
+    idx.refreshObserved(source, baseline = true)
     idx
   }
 
@@ -309,8 +482,48 @@ final class Sq8Index private (val table: VersionedTable) {
       .select(col("vec_id"), col("codes"), col("__op"))
   }
 
+  /** Batch CLAMP RATE — the fraction of (vector, dimension) values
+    * falling outside the frozen per-dim [min, max]: such values clamp
+    * to the edge buckets and lose resolution, so a rising rate means
+    * the frozen stats no longer cover the corpus. */
+  private def observeDrift(
+      raw: DataFrame, atVersion: Long, baseline: Boolean): Unit = {
+    val (mins, maxs) = bounds
+    val r = raw.select(col("vec_id"), col("embedding"))
+      .withColumn("mins", mins).withColumn("maxs", maxs)
+      .withColumn("__oor", expr(oorExpr("embedding")))
+      .agg(sum(col("__oor")).as("oor"), count(lit(1)).as("n"))
+      .collect()(0)
+    if (r.getLong(1) > 0 && !r.isNullAt(0))
+      IndexDrift.append(table, "clamp_rate",
+        r.getLong(0).toDouble / (r.getLong(1).toDouble * DIMS),
+        r.getLong(1), atVersion, baseline)
+  }
+
+  private def refreshObserved(
+      source: VersionedTable, baseline: Boolean): Option[Long] = {
+    val latest = source.latestVersion
+    IncrementalIndex.refresh(table, source, "vec_id", encode, APP_ID,
+      observeDrift(_, latest, baseline))
+  }
+
   def refresh(source: VersionedTable): Option[Long] =
-    IncrementalIndex.refresh(table, source, "vec_id", encode, APP_ID)
+    refreshObserved(source, baseline = false)
+
+  /** Recompute the per-dim stats over the CURRENT corpus and re-encode
+    * everything; starts a new drift-baseline epoch (whose clamp rate
+    * is 0 by construction — fresh stats cover the corpus). */
+  def reindex(source: VersionedTable): Long = {
+    val latest = source.latestVersion
+    val snap = source.snapshot()
+    Sq8Index.writeStats(snap, statsDir)
+    table.overwriteWhere(lit(true),
+      encode(snap.withColumn("__op", lit("UPSERT"))).drop("__op"))
+    table.commitFiles(Seq.empty, Seq.empty, None, "reindex-watermark",
+      extraTxn = Map(APP_ID -> latest))
+    observeDrift(snap, latest, baseline = true)
+    table.latestVersion
+  }
 
   /** Top-`k` per query vector over reconstructed codes (asymmetric
     * distance: full-precision query side). `queries`: (q_id, qe). */
@@ -364,6 +577,26 @@ object Sq8Index {
        |    + (CAST(element_at(codes, i) AS DOUBLE) + 0.5) / 256.0
        |      * (element_at(maxs, i) - element_at(mins, i)))""".stripMargin
 
+  /** Count of a vector's dimensions outside the frozen [min, max]. */
+  private[llm] def oorExpr(vecCol: String) =
+    s"""aggregate(transform(sequence(1, $DIMS), i ->
+       |  CASE WHEN CAST(element_at($vecCol, i) AS DOUBLE)
+       |              < element_at(mins, i)
+       |         OR CAST(element_at($vecCol, i) AS DOUBLE)
+       |              > element_at(maxs, i)
+       |       THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END),
+       |  CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin
+
+  /** Exact per-dimension [min, max] over `snap`, frozen to `dir`. */
+  private[llm] def writeStats(snap: DataFrame, dir: String): Unit =
+    snap.select(posexplode(col("embedding")).as(Seq("i0", "x")))
+      .select((col("i0") + 1).as("i"), col("x"))
+      .groupBy("i")
+      .agg(min(col("x").cast("double")).as("mn"),
+        max(col("x").cast("double")).as("mx"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+
   private def indexSchema: StructType = StructType(Seq(
     StructField("vec_id", LongType),
     StructField("codes", ArrayType(LongType))))
@@ -373,17 +606,11 @@ object Sq8Index {
   def build(source: VersionedTable, path: String): Sq8Index = {
     val spark = source.spark
     val t = VersionedTable.create(spark, path, indexSchema,
+      IncrementalIndex.indexProps("sq8", source, "embedding", "vec_id"),
       bucketBy = Some(BucketSpec(Seq("vec_id"), BUCKETS)))
     val idx = new Sq8Index(t)
-    source.snapshot()
-      .select(posexplode(col("embedding")).as(Seq("i0", "x")))
-      .select((col("i0") + 1).as("i"), col("x"))
-      .groupBy("i")
-      .agg(min(col("x").cast("double")).as("mn"),
-        max(col("x").cast("double")).as("mx"))
-      .coalesce(1)
-      .write.mode("overwrite").parquet(idx.statsDir)
-    idx.refresh(source)
+    writeStats(source.snapshot(), idx.statsDir)
+    idx.refreshObserved(source, baseline = true)
     idx
   }
 
@@ -403,20 +630,25 @@ object VectorIndex {
     StructField("embedding", ArrayType(FloatType)),
     StructField("c_id", LongType)))
 
-  /** Train on the source's current snapshot, freeze the codebook, and
-    * index the snapshot. The source must have CDF enabled (refresh
-    * reads it). */
+  /** Train on the source's current snapshot (cell count ~√N, clamped —
+    * [[SimilarityOps.adaptiveCells]]), freeze the codebook, and index
+    * the snapshot; the initial whole-corpus assignment records the
+    * drift BASELINE. The source must have CDF enabled (refresh reads
+    * it). */
   def build(source: VersionedTable, path: String): VectorIndex = {
     val spark = source.spark
     graft.functions.GraftFunctions.register(spark)
     val t = VersionedTable.create(spark, path, indexSchema,
+      IncrementalIndex.indexProps("ivf", source, "embedding", "vec_id"),
       bucketBy = Some(BucketSpec(Seq("vec_id"), BUCKETS)))
     val idx = new VectorIndex(t)
-    val corpus = source.snapshot()
+    val snap = source.snapshot()
+    val corpus = snap
       .select(col("vec_id").as("__vid"), col("embedding").as("ce"))
-    SimilarityOps.lloydCodebook(corpus)
+    val k = SimilarityOps.adaptiveCells(snap.count())
+    SimilarityOps.lloydCodebook(corpus, k, SimilarityOps.adaptiveTrainLimit(k))
       .write.mode("overwrite").parquet(idx.codebookDir)
-    idx.refresh(source)
+    idx.refreshObserved(source, baseline = true)
     idx
   }
 

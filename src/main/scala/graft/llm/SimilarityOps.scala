@@ -203,9 +203,29 @@ object SimilarityOps extends QueryModule {
     * (TakeOrderedAndProject), never a full sort; DuckDB replays the
     * identical ORDER BY md5 LIMIT, so both engines train on the same
     * vectors and centroids agree exactly. */
-  private[llm] def trainingSample(rows: DataFrame, idCol: String): DataFrame =
+  private[llm] def trainingSample(
+      rows: DataFrame, idCol: String, limit: Int = TRAIN_MAX): DataFrame =
     rows.orderBy(md5(concat(lit("t|"), col(idCol).cast("string"))), col(idCol))
-      .limit(TRAIN_MAX)
+      .limit(limit)
+
+  /** IVF cell count for a corpus of `n` vectors: ~√N clamped to
+    * [CENTROIDS, 4096] — FAISS's sizing rule. Chosen at BUILD time and
+    * persisted implicitly as the codebook's row count; the probe path
+    * reads the codebook, never a constant (VERDICT r7 next #5). */
+  private[llm] def adaptiveCells(n: Long): Int =
+    math.min(4096, math.max(CENTROIDS,
+      math.ceil(math.sqrt(n.toDouble)).toInt))
+
+  /** Training-sample bound for `k` cells: at least 128 training points
+    * per centroid (the TRAIN_MAX rationale), still corpus-independent
+    * in the worst case (≤ 128·4096). */
+  private[llm] def adaptiveTrainLimit(k: Int): Int =
+    math.max(TRAIN_MAX, 128 * k)
+
+  /** Probe count for a `cells`-cell codebook: the same ~1/4 coverage
+    * NPROBE/CENTROIDS gives at the default size. */
+  private[llm] def adaptiveNprobe(cells: Long): Int =
+    math.max(NPROBE, math.ceil(cells / 4.0).toInt)
 
   /** The training-sample CTE body in oracle SQL form. */
   private def trainSql(from: String, idCol: String, cols: String) =
@@ -253,11 +273,14 @@ object SimilarityOps extends QueryModule {
     * per-row). The final centroids are collected (CENTROIDS rows) so
     * callers get a small local plan instead of the deep iterative
     * lineage. */
-  private[llm] def lloydCodebook(corpus: DataFrame): DataFrame = {
+  private[llm] def lloydCodebook(
+      corpus: DataFrame,
+      k: Int = CENTROIDS,
+      trainLimit: Int = TRAIN_MAX): DataFrame = {
     val spark = corpus.sparkSession
-    val train = trainingSample(corpus, "__vid")
+    val train = trainingSample(corpus, "__vid", trainLimit)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var cent = train.orderBy(col("__vid")).limit(CENTROIDS)
+    var cent = train.orderBy(col("__vid")).limit(k)
       .select(col("__vid").as("c_id"), col("ce").as("cent"))
     val meanExpr = expr(
       s"""transform(sequence(1, $DIMS), d -> cast(
@@ -417,10 +440,16 @@ object SimilarityOps extends QueryModule {
           srcSchema, Map(graft.table.VersionedTable.PROP_CDF -> "true"))
         val corpus = embeddings(s, d).filter(col("vec_id") >= QUERY_MAX_ID)
         src.append(corpus.filter(col("vec_id") % 2 === 0))
-        val idx = VectorIndex.build(src, dir.resolve("idx").toString)
+        // build + catch-up THROUGH THE SQL DDL surface (VERDICT r7 next
+        // #2): the oracle row now gates the index as a SQL object —
+        // CREATE trains + freezes the codebook, REFRESH assigns only
+        // the second half with it
+        val idxPath = dir.resolve("idx").toString
+        graft.catalog.GraftSql.execute(s,
+          s"CREATE VECTOR INDEX '$idxPath' ON '${src.root}' (embedding) USING IVF")
         src.append(corpus.filter(col("vec_id") % 2 === 1))
-        idx.refresh(src)
-        idx
+        graft.catalog.GraftSql.execute(s, s"REFRESH INDEX '$idxPath'")
+        VectorIndex.load(s, idxPath)
       })
     }
 
@@ -429,7 +458,7 @@ object SimilarityOps extends QueryModule {
     builtIvfIndex(s, d).search(
       embeddings(s, d).filter(col("vec_id") < QUERY_MAX_ID)
         .select(col("vec_id").as("q_id"), col("embedding").as("qe")),
-      K, NPROBE)
+      K)
   }
 
   private val qIvfIndexSql = {
@@ -461,9 +490,18 @@ object SimilarityOps extends QueryModule {
       |           WHERE vec_id >= $QUERY_MAX_ID AND vec_id % 2 = 0),
       |corpus AS (SELECT vec_id, embedding AS ce FROM embeddings
       |           WHERE vec_id >= $QUERY_MAX_ID),
-      |train AS (${trainSql("corpus0", "vec_id", "vec_id, ce")}),
-      |it0 AS (SELECT vec_id AS c_id, ce AS cent FROM train
-      |        ORDER BY vec_id LIMIT $CENTROIDS),
+      |kv AS (SELECT least(greatest(CAST(ceil(sqrt(count(*))) AS BIGINT),
+      |                             $CENTROIDS), 4096) AS k
+      |       FROM corpus0),
+      |trainr AS (SELECT vec_id, ce, row_number() OVER (
+      |             ORDER BY md5('t|' || vec_id::VARCHAR), vec_id) AS trn
+      |           FROM corpus0),
+      |train AS (SELECT vec_id, ce FROM trainr, kv
+      |          WHERE trn <= greatest($TRAIN_MAX, 128 * k)),
+      |it0 AS (SELECT vec_id AS c_id, ce AS cent FROM (
+      |          SELECT vec_id, ce, row_number() OVER (ORDER BY vec_id) AS rn
+      |          FROM train), kv
+      |        WHERE rn <= k),
       |$lloyd,
       |cent AS (SELECT c_id, cent FROM it$LLOYD_ITERS),
       |acell AS (SELECT vec_id, ce, c_id,
@@ -477,7 +515,9 @@ object SimilarityOps extends QueryModule {
       |         row_number() OVER (PARTITION BY q_id
       |           ORDER BY ${cos("qe", "cent")} DESC, c_id ASC) AS prnk
       |       FROM q, cent),
-      |probes AS (SELECT q_id, qe, c_id FROM pr WHERE prnk <= $NPROBE),
+      |probes AS (SELECT q_id, qe, c_id FROM pr, kv
+      |           WHERE prnk <= greatest($NPROBE,
+      |                                  CAST(ceil(k / 4.0) AS BIGINT))),
       |scored AS (SELECT q_id, vec_id, ${cos("qe", "ce")} AS cos
       |           FROM cells JOIN probes USING (c_id)),
       |rk AS (SELECT q_id, vec_id, cos,
@@ -638,7 +678,7 @@ object SimilarityOps extends QueryModule {
       "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
   private[llm] def subDot(a: String, b: String) = subFold(
     s"CAST(element_at($a, i) AS DOUBLE) * CAST(element_at($b, i) AS DOUBLE)")
-  private def subL2(a: String, b: String) = subFold(
+  private[llm] def subL2(a: String, b: String) = subFold(
     s"(CAST(element_at($a, i) AS DOUBLE) - CAST(element_at($b, i) AS DOUBLE))" +
       s" * (CAST(element_at($a, i) AS DOUBLE) - CAST(element_at($b, i) AS DOUBLE))")
 

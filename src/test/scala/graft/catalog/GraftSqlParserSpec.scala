@@ -171,4 +171,61 @@ class GraftSqlParserSpec extends SparkSpec {
       VersionedTable.deleteRecursively(java.nio.file.Paths.get(path).getParent)
     }
   }
+
+  test("index DDL: CREATE / REFRESH / DESCRIBE / REINDEX INDEX round-trip") {
+    withExtendedSession { s =>
+      import s.implicits._
+      val base = Files.createTempDirectory("sqlidx")
+      val src = VersionedTable.create(s, base.resolve("docs").toString,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType))),
+        Map(VersionedTable.PROP_CDF -> "true"))
+      src.append((1L to 20L).map(i => (i, s"alpha beta gamma delta token$i end"))
+        .toDF("doc_id", "text"))
+      val idxPath = base.resolve("idx").toString
+
+      val v0 = s.sql(s"CREATE SIGNATURE INDEX '$idxPath' " +
+        s"ON '${src.root}' (text) USING MINHASH").collect()
+      assert(v0.head.getLong(0) >= 1L)
+      assert(graft.llm.SignatureIndex.load(s, idxPath)
+        .table.snapshot().count() === 20L)
+
+      // self-describing: REFRESH INDEX finds the source in the
+      // index's own properties and drains new changes
+      src.append(Seq((21L, "alpha beta gamma delta extra end"))
+        .toDF("doc_id", "text"))
+      s.sql(s"REFRESH INDEX '$idxPath'").collect()
+      assert(graft.llm.SignatureIndex.load(s, idxPath)
+        .table.snapshot().count() === 21L)
+
+      val d = s.sql(s"DESCRIBE INDEX '$idxPath'").collect()
+        .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+      assert(d("method") === Some("minhash"))
+      assert(d("column") === Some("text"))
+      assert(d("key") === Some("doc_id"))
+      assert(d("source") === Some(src.root.toAbsolutePath.toString))
+
+      // REINDEX: full re-derivation reproduces incremental state
+      // (signatures are exact)
+      s.sql(s"REINDEX INDEX '$idxPath'").collect()
+      assert(graft.llm.SignatureIndex.load(s, idxPath)
+        .table.snapshot().count() === 21L)
+
+      // boundary errors: kind/method and column mismatches refuse
+      val e1 = intercept[Exception] {
+        s.sql(s"CREATE VECTOR INDEX '${base.resolve("x1")}' " +
+          s"ON '${src.root}' (text) USING MINHASH").collect()
+      }
+      assert(e1.getMessage.contains("SIGNATURE"), e1.getMessage)
+      val e2 = intercept[Exception] {
+        s.sql(s"CREATE SIGNATURE INDEX '${base.resolve("x2")}' " +
+          s"ON '${src.root}' (body) USING MINHASH").collect()
+      }
+      assert(e2.getMessage.contains("text"), e2.getMessage)
+      VersionedTable.deleteRecursively(base)
+    }
+  }
 }

@@ -206,4 +206,72 @@ class IncrementalIndexSpec extends SparkSpec {
       .count() === 1L)
     VersionedTable.deleteRecursively(base)
   }
+
+  /** Deterministic synthetic vectors with 10 planted clusters: the
+    * `id % 10` frequency dominates, per-id noise stays small. Offset
+    * `centerBase` plants a DIFFERENT cluster family (distribution
+    * shift) for the drift tests. */
+  private def clustered(from: Long, until: Long, centerBase: Long = 1) =
+    spark.range(from, until).select($"id".as("vec_id"),
+      expr(s"transform(sequence(1, 64), i -> CAST(" +
+        s"sin((id % 10 + $centerBase) * i) * 4.0 + sin(id * i) * 0.1" +
+        " AS FLOAT))").as("embedding"))
+
+  test("adaptive IVF cells: ~sqrt(N) clamped at 16; probes follow the codebook") {
+    graft.functions.GraftFunctions.register(spark)
+    val base = Files.createTempDirectory("vec-adaptive")
+    val small = VersionedTable.create(spark, s"$base/s", srcSchema,
+      Map(VersionedTable.PROP_CDF -> "true"))
+    small.append(clustered(1, 101))
+    assert(VectorIndex.build(small, s"$base/si").codebook.count() === 16L,
+      "100 vectors: the 16-cell floor")
+    val big = VersionedTable.create(spark, s"$base/b", srcSchema,
+      Map(VersionedTable.PROP_CDF -> "true"))
+    big.append(clustered(1, 2501))
+    val bi = VectorIndex.build(big, s"$base/bi")
+    assert(bi.codebook.count() === 50L, "2500 vectors: ceil(sqrt(N)) = 50")
+    // search probes are sized from the codebook (never a constant):
+    // indexed vectors must find themselves exactly
+    val res = bi.search(clustered(7, 10)
+      .select($"vec_id".as("q_id"), $"embedding".as("qe")), 1)
+    assert(res.filter($"rnk" === 1).count() === 3L)
+    assert(res.filter($"q_id" === $"vec_id").count() === 3L,
+      "each query IS an indexed vector - exact self-match at rnk 1")
+    VersionedTable.deleteRecursively(base)
+  }
+
+  test("drift: a shifted refresh batch raises the metric; REINDEX resets it and re-fits") {
+    graft.functions.GraftFunctions.register(spark)
+    val base = Files.createTempDirectory("vec-drift")
+    val src = VersionedTable.create(spark, s"$base/src", srcSchema,
+      Map(VersionedTable.PROP_CDF -> "true"))
+    src.append(clustered(1, 301))
+    val idx = VectorIndex.build(src, s"$base/idx")
+    val (m0, b0, l0) = IndexDrift.summary(idx.table).get
+    assert(m0 === "mean_assign_dist")
+    assert(l0 === b0, "at build, latest IS the baseline")
+
+    // churn from a DIFFERENT cluster family: the frozen codebook has
+    // no centroids near it, so the batch's assignment distance jumps
+    src.append(clustered(1001, 1301, centerBase = 11))
+    assert(idx.refresh(src).isDefined)
+    val (_, b1, l1) = IndexDrift.summary(idx.table).get
+    assert(b1 === b0, "baseline unchanged by refreshes")
+    assert(l1 > b1 * 1.5 && l1 > b1 + 0.05,
+      s"shifted batch must raise drift: baseline $b1, latest $l1")
+
+    // REINDEX: retrain on the corpus as it now is — new baseline
+    // epoch, and the refit covers both cluster families
+    idx.reindex(src)
+    val (_, b2, l2) = IndexDrift.summary(idx.table).get
+    assert(l2 === b2, "REINDEX starts a fresh baseline epoch")
+    assert(l2 < l1, s"retrained codebook must fit better: $l2 vs $l1")
+    // planted neighbor from the shifted family: exact self-match
+    val q = src.snapshot().filter($"vec_id" === 1100)
+      .select($"vec_id".as("q_id"), $"embedding".as("qe"))
+    val top = idx.search(q, 1).collect()
+    assert(top.length === 1 && top.head.getLong(1) === 1100L,
+      "REINDEX restores planted-neighbor recall for the shifted family")
+    VersionedTable.deleteRecursively(base)
+  }
 }
