@@ -49,7 +49,8 @@ object Bench {
     "q_sq8_cosine", "q_pq_cosine",                          // quantized ANN
     "q_pq_index", "q_sq8_index",                            // persisted quantized indexes
     "q_minhash_index",                                      // persisted signature index
-    "q_agg_view")                                           // agg IVM lifecycle
+    "q_agg_view",                                           // agg IVM lifecycle
+    "q_seq_pack")                                           // sequence packing
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

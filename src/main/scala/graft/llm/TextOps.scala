@@ -363,6 +363,55 @@ object TextOps extends QueryModule {
       |WINDOW w AS (ORDER BY n DESC, term ASC)
       |QUALIFY rank <= $VOCAB_TOP""".stripMargin
 
+  // --------------------------------------------------------- q_seq_pack
+  /** Context-window tokens per packed training sequence. Small so the
+    * test corpus spans many chunks; the arithmetic is capacity-
+    * independent. */
+  private val PACK_CAP = 256L
+
+  /** SEQUENCE PACKING — the last step before a training run: documents
+    * are concatenated in a deterministic order and cut into fixed
+    * `PACK_CAP`-token context windows (the standard concat-and-chunk
+    * layout; a document crossing a boundary spans two chunks, recorded
+    * as [chunk_first, chunk_last]). The running token offset is a
+    * window sum PARTITIONED BY lang: packing is per-shard by
+    * construction (each language's stream packs independently), so at
+    * 100 TB the window never funnels the corpus into one partition —
+    * the partition key mirrors how corpora are actually sharded.
+    * Offsets and chunk ids are integer arithmetic over exact token
+    * counts, so the oracle replays them bit-for-bit. */
+  private def qSeqPack(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    withTokens(documents(s, d))
+      .select(col("doc_id"), col("lang"),
+        size(col("tokens")).cast("long").as("n_tok"))
+      .withColumn("offset", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      // integer `div`, not `/`: float division would round offsets past
+      // 2^53 (a 100 TB corpus's token count), integral division cannot
+      .withColumn("chunk_first", expr(s"`offset` div $PACK_CAP"))
+      .withColumn("chunk_last", expr(s"(`offset` + n_tok - 1) div $PACK_CAP"))
+      .withColumn("n_chunks", col("chunk_last") - col("chunk_first") + 1)
+  }
+  private val qSeqPackSql =
+    s"""WITH toks AS (
+      |  SELECT doc_id, lang,
+      |         CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |off AS (
+      |  SELECT doc_id, lang, n_tok,
+      |         CAST(coalesce(sum(n_tok) OVER (PARTITION BY lang
+      |           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+      |           AND 1 PRECEDING), 0) AS BIGINT) AS "offset"
+      |  FROM toks)
+      |SELECT doc_id, lang, n_tok, "offset",
+      |       "offset" // $PACK_CAP AS chunk_first,
+      |       ("offset" + n_tok - 1) // $PACK_CAP AS chunk_last,
+      |       ("offset" + n_tok - 1) // $PACK_CAP - "offset" // $PACK_CAP + 1
+      |         AS n_chunks
+      |FROM off""".stripMargin
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q_text_stats"      -> qTextStats _,
     "q_lang_id"         -> qLangId _,
@@ -372,7 +421,8 @@ object TextOps extends QueryModule {
     "q_doc_chunks"      -> qDocChunks _,
     "q_top_terms"       -> qTopTerms _,
     "q_bpe_pairs"       -> qBpePairs _,
-    "q_vocab_coverage"  -> qVocabCoverage _)
+    "q_vocab_coverage"  -> qVocabCoverage _,
+    "q_seq_pack"        -> qSeqPack _)
 
   override val oracles: Seq[(String, String)] = Seq(
     "q_text_stats"      -> qTextStatsSql,
@@ -383,5 +433,6 @@ object TextOps extends QueryModule {
     "q_doc_chunks"      -> qDocChunksSql,
     "q_top_terms"       -> qTopTermsSql,
     "q_bpe_pairs"       -> qBpePairsSql,
-    "q_vocab_coverage"  -> qVocabCoverageSql)
+    "q_vocab_coverage"  -> qVocabCoverageSql,
+    "q_seq_pack"        -> qSeqPackSql)
 }
