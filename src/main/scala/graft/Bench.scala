@@ -49,6 +49,7 @@ object Bench {
     "q_sq8_cosine", "q_pq_cosine",                          // quantized ANN
     "q_pq_index", "q_sq8_index",                            // persisted quantized indexes
     "q_minhash_index",                                      // persisted signature index
+    "q_ivf_index",                                          // adaptive-cell IVF index
     "q_agg_view",                                           // agg IVM lifecycle
     "q_seq_pack")                                           // sequence packing
 

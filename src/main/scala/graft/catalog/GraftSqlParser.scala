@@ -95,6 +95,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*DESCRIBE\s+INDEX\s+(\S+?)\s*;?\s*""".r
   private val Reindex =
     """(?is)\s*REINDEX\s+INDEX\s+(\S+?)\s*;?\s*""".r
+  private val DropIndex =
+    """(?is)\s*DROP\s+INDEX\s+(\S+?)\s*;?\s*""".r
   private val CountItem = """(?is)\s*COUNT\s*\(\s*\*\s*\)\s+AS\s+n_rows\s*""".r
   private val SumItem = """(?is)\s*SUM\s*\((.+)\)\s+AS\s+(\w+)\s*""".r
   private val MinItem = """(?is)\s*MIN\s*\((.+)\)\s+AS\s+(\w+)\s*""".r
@@ -160,6 +162,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case RefreshIndex(name) => RefreshIndexCommand(name)
     case DescribeIndex(name) => DescribeIndexCommand(name)
     case Reindex(name) => ReindexCommand(name)
+    case DropIndex(name) => DropIndexCommand(name)
     case Update(tbl, rest) =>
       val (setPart, wherePart) = topLevelIndexOfWord(rest, "WHERE") match {
         case -1 => (rest, None)
@@ -558,6 +561,21 @@ case class DescribeIndexCommand(name: String) extends LeafRunnableCommand {
   }
 }
 
+/** `DROP INDEX <i>`: removes the index table AND its quantizer/drift
+  * sidecars (they live under the index root). Refuses a non-index table
+  * — dropping a data table through the index path would be silent data
+  * loss behind the wrong verb. */
+case class DropIndexCommand(name: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq.empty
+  override def run(spark: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.cleanName(name)
+    val t = VersionedTable.load(spark, path)
+    IndexDdl.methodOf(t) // asserts it IS an index
+    VersionedTable.deleteRecursively(t.root)
+    Seq.empty
+  }
+}
+
 /** Runs a graft SQL statement without requiring the session to be built
   * with `spark.sql.extensions` (Verify and library callers on a plain
   * session): statements the [[GraftSqlParser]] grammar owns execute
@@ -570,7 +588,8 @@ object GraftSql {
                 _: DetailCommand | _: CreateMatViewCommand |
                 _: CreateAggViewCommand | _: RefreshMatViewCommand |
                 _: CreateIndexCommand | _: RefreshIndexCommand |
-                _: ReindexCommand | _: DescribeIndexCommand) =>
+                _: ReindexCommand | _: DescribeIndexCommand |
+                _: DropIndexCommand) =>
         c.asInstanceOf[LeafRunnableCommand].run(spark)
       case _ => spark.sql(sqlText).collect().toSeq
     }

@@ -225,6 +225,16 @@ class GraftSqlParserSpec extends SparkSpec {
           s"ON '${src.root}' (body) USING MINHASH").collect()
       }
       assert(e2.getMessage.contains("text"), e2.getMessage)
+
+      // DROP INDEX removes the index + sidecars, and refuses to drop
+      // a table that is not an index
+      s.sql(s"DROP INDEX '$idxPath'").collect()
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(idxPath)))
+      val e3 = intercept[Exception] {
+        s.sql(s"DROP INDEX '${src.root}'").collect()
+      }
+      assert(e3.getMessage.contains("not an index"), e3.getMessage)
+      assert(src.snapshot().count() === 21L, "the refused drop must not touch data")
       VersionedTable.deleteRecursively(base)
     }
   }
