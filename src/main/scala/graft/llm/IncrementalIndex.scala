@@ -298,6 +298,14 @@ final class SignatureIndex private (val table: VersionedTable) {
   def pairs: DataFrame =
     DedupOps.lshPairsFromSignatures(
       table.snapshot().select(col("doc_id"), col("mhs")))
+
+  /** Near-dup pairs INVOLVING `deltaKeys` (one `doc_id` column) only —
+    * the steady-state query after a refresh: the delta's signatures
+    * band-join the whole persisted index, O(Δ × band bucket) instead
+    * of a corpus-wide pair pass. */
+  def pairsFor(deltaKeys: DataFrame): DataFrame =
+    DedupOps.lshPairsFor(
+      table.snapshot().select(col("doc_id"), col("mhs")), deltaKeys)
 }
 
 object SignatureIndex {

@@ -200,4 +200,28 @@ class PlanAuditSpec extends SparkSpec {
         s"expected an injected runtime bloom filter on the fact side:\n$p")
     } finally saved.foreach { case (k, v) => conf.set(k, v) }
   }
+
+  test("sequence packing is one window shuffle on the shard key, no global window") {
+    val p = plan("q_seq_pack")
+    // exactly one exchange: hashpartitioning on lang for the running
+    // offset; a GLOBAL (partition-less) window would single-partition
+    // the corpus at 100 TB
+    assert(p.contains("hashpartitioning(lang"),
+      s"the offset window must partition by the shard key:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"packing must never funnel into one partition:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("ppjoin jaccard candidates come from equi-joins, never a cross-join") {
+    val p = plan("q_ngram_jaccard")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
+      s"prefix-filter candidates must stay an equi-join:\n$p")
+  }
+
+  test("incremental dedup pairs are equi-joins against the persisted index") {
+    val p = plan("q_incr_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
+      s"delta-vs-index banding must stay an equi-join:\n$p")
+  }
 }
