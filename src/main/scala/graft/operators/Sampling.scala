@@ -78,9 +78,71 @@ object Sampling extends QueryModule {
       |                 WHEN '2-HIGH'   THEN 13107
       |                 ELSE 3277 END""".stripMargin
 
+  // ---------------------------------------------------------- q_mix_epochs
+  // TRAINING-MIX construction with OVERSAMPLING — the other half of
+  // deterministic sampling: a mixture weight w > 1 replicates each
+  // document floor(w) or ceil(w) times so the EXPECTED copy count is w
+  // (LLaMA/DoReMi-style source weighting: scarce high-quality sources
+  // run multiple epochs, bulk sources fractions of one). Weights are
+  // stored as (whole copies, fractional threshold/65536) INTEGER pairs
+  // so every decision is exact integer arithmetic:
+  //   copy n survives iff n ≤ whole, or n = whole+1 and
+  //   bucket16(doc_id) < frac
+  // — per-row deterministic (same mix every run/retry/cluster size)
+  // and shuffle-free: an explode + filter riding the scan, so building
+  // a 100 TB mix is one read-and-replicate pass with no exchange.
+  private val MIX: Seq[(String, Int, Int)] = Seq(
+    ("en", 2, 32768), // w = 2.5: premium source, 2–3 epochs
+    ("zh", 1, 0),     // w = 1.0: keep as-is
+    ("de", 0, 26214)) // w ≈ 0.4: downsample
+  private val MIX_DEFAULT = (0, 13107) // w ≈ 0.2 for unlisted sources
+
+  private def qMixEpochs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val whole = MIX.foldLeft(when(lit(false), lit(0))) {
+      case (acc, (v, w, _)) => acc.when($"lang" === v, lit(w))
+    }.otherwise(lit(MIX_DEFAULT._1))
+    val frac = MIX.foldLeft(when(lit(false), lit(0))) {
+      case (acc, (v, _, f)) => acc.when($"lang" === v, lit(f))
+    }.otherwise(lit(MIX_DEFAULT._2))
+    documents(s, d)
+      .withColumn("__whole", whole).withColumn("__frac", frac)
+      // greatest(…, 1): Spark's sequence(1, 0) DESCENDS to [1, 0]
+      // rather than producing an empty array — the keep predicate then
+      // drops the phantom copies of weight-0 strata
+      .withColumn("copy",
+        explode(sequence(lit(1), greatest($"__whole" +
+          when($"__frac" > 0, 1).otherwise(0), lit(1)))))
+      .filter($"copy" <= $"__whole" ||
+        ($"copy" === $"__whole" + 1 && hashBucket16($"doc_id") < $"__frac"))
+      .select($"doc_id", $"lang", $"copy".cast("long").as("copy"))
+  }
+  private val qMixEpochsSql = {
+    val bucket = (1 to 4).map(i =>
+      s"(strpos('0123456789abcdef', substring(md5(doc_id::VARCHAR), $i, 1)) - 1) * ${math.pow(16, 4 - i).toLong}")
+      .mkString(" + ")
+    val wholeCase = MIX.map { case (v, w, _) => s"WHEN '$v' THEN $w" }
+      .mkString("CASE lang ", " ", s" ELSE ${MIX_DEFAULT._1} END")
+    val fracCase = MIX.map { case (v, _, f) => s"WHEN '$v' THEN $f" }
+      .mkString("CASE lang ", " ", s" ELSE ${MIX_DEFAULT._2} END")
+    s"""SELECT doc_id, lang, copy
+      |FROM (
+      |  SELECT doc_id, lang, whole, frac, bucket,
+      |         unnest(generate_series(1, greatest(
+      |           whole + CASE WHEN frac > 0 THEN 1 ELSE 0 END, 1))) AS copy
+      |  FROM (SELECT doc_id, lang,
+      |          $wholeCase AS whole,
+      |          $fracCase AS frac,
+      |          $bucket AS bucket
+      |        FROM documents))
+      |WHERE copy <= whole OR (copy = whole + 1 AND bucket < frac)""".stripMargin
+  }
+
   override def queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
-    "q_stratified_sample" -> (qStratifiedSample _))
+    "q_stratified_sample" -> (qStratifiedSample _),
+    "q_mix_epochs"        -> (qMixEpochs _))
 
   override def oracles: Seq[(String, String)] = Seq(
-    "q_stratified_sample" -> qStratifiedSampleSql)
+    "q_stratified_sample" -> qStratifiedSampleSql,
+    "q_mix_epochs"        -> qMixEpochsSql)
 }
