@@ -325,6 +325,194 @@ object TextOps extends QueryModule {
       |FROM freq
       |QUALIFY rank <= $BPE_TOP""".stripMargin
 
+  // ------------------------------------------------------- q_bpe_train
+  /** BPE TRAINING — the actual iterative loop `q_bpe_pairs` is one step
+    * of: `BPE_ITERS` rounds of (count adjacent symbol pairs over the
+    * word-type table, merge the argmax pair everywhere it occurs),
+    * producing the ranked merge table a tokenizer ships. Words start as
+    * character sequences; each round the globally most frequent
+    * adjacent pair (count DESC, then pair ASC — a total order) becomes
+    * one symbol, applied greedily left-to-right within each word (the
+    * reference BPE convention; `aaaa` + merge (a,a) → `aa aa`).
+    *
+    * == 100 TB design ==
+    * Training runs on the WORD-TYPE table, not the corpus: one
+    * distributed explode+groupBy collapses any corpus to its
+    * (word, count) vocabulary — the only corpus-scale pass — and each
+    * merge round is then a pair-explode + hash-agg over that bounded
+    * table. Here the trainer keeps the `BPE_TYPES` most frequent types
+    * (count DESC, word ASC — deterministic), a constant-bounded set
+    * collected like [[SimilarityOps.lloydCodebook]]'s TRAIN_MAX sample;
+    * a production run would keep the full type table (~10M rows at
+    * 100 TB — still tiny next to the corpus) and leave it distributed.
+    * Each round's argmax is a 1-row collect; the merge rewrite is a
+    * left-to-right fold (`aggregate` HOF) per word.
+    *
+    * == Cross-engine determinism ==
+    * Counts are exact integers; the argmax order is total; the greedy
+    * rewrite is the IDENTICAL fold in both engines (Spark `aggregate`
+    * and DuckDB `list_reduce` over a space-sentineled accumulator —
+    * a pair merges only where ` a` is the full trailing symbol, so no
+    * substring aliasing). Words are restricted to `[a-z]{2,}` so
+    * symbols never collide with the space sentinel or SQL quoting. */
+  private[llm] val BPE_ITERS = 8
+  private[llm] val BPE_TYPES = 256
+
+  /** The fold rewriting one word's symbol list under merge (a, b):
+    * symbols accumulate space-joined; when the accumulator's trailing
+    * symbol is exactly `a` and the next is `b`, appending `b` directly
+    * fuses them. Greedy left-to-right by construction. `in` is any
+    * ARRAY<STRING> symbol-list expression. */
+  private def mergeFoldSql(a: String, b: String, in: String): String =
+    s"""split(ltrim(aggregate($in, '', (acc, x) ->
+       |  CASE WHEN endswith(acc, ' $a') AND x = '$b'
+       |       THEN concat(acc, '$b') ELSE concat(acc, ' ', x) END)), ' ')"""
+      .stripMargin
+
+  /** Ranked merge table: (rank, pair_left, pair_right, merged, n). The
+    * merge list is deterministic, so it is cached per (session, sfDir)
+    * for [[qBpeEncode]] to reuse (fixture-sharing as elsewhere). */
+  private val bpeMergeCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Seq[(Long, String, String, String, Long)]]
+
+  private[llm] def trainBpeMerges(
+      s: SparkSession, d: String): Seq[(Long, String, String, String, Long)] =
+    bpeMergeCache.synchronized {
+      bpeMergeCache.getOrElseUpdate((s, d), {
+        val types = documents(s, d)
+          .select(explode(split(lower(col("text")), " ")).as("w"))
+          .filter(col("w").rlike("^[a-z]{2,}$"))
+          .groupBy("w").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("w").asc)
+          .limit(BPE_TYPES)
+        // the one corpus-scale pass; the collected type table is bounded
+        // by the BPE_TYPES constant (same rationale as TRAIN_MAX)
+        val localTypes = types.collect().toIndexedSeq
+        var words = s.createDataFrame(
+            s.sparkContext.parallelize(localTypes, 1), types.schema)
+          .select(col("cnt"), expr(
+            "transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+            .as("syms"))
+        val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+        for (it <- 1 to BPE_ITERS) {
+          val best = words
+            .filter(size(col("syms")) >= 2)
+            .select(col("cnt"), explode(expr(
+              "transform(sequence(1, size(syms) - 1)," +
+                " i -> struct(syms[i-1] AS a, syms[i] AS b))")).as("p"))
+            .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+            .agg(sum(col("cnt")).as("n"))
+            .orderBy(col("n").desc, col("a").asc, col("b").asc)
+            .limit(1).collect()(0)
+          val (a, b, n) = (best.getString(0), best.getString(1), best.getLong(2))
+          merges += ((it.toLong, a, b, a + b, n))
+          words = words.withColumn("syms", expr(mergeFoldSql(a, b, "syms")))
+        }
+        merges.result()
+      })
+    }
+
+  private def qBpeTrain(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    trainBpeMerges(s, d)
+      .toDF("rank", "pair_left", "pair_right", "merged", "n")
+  }
+
+  /** The oracle replays every round as an unrolled CTE pair: `b$i` is
+    * the argmax over `w${i-1}`'s adjacent pairs, `w$i` the fold-merged
+    * type table (DuckDB `list_reduce` = the Spark `aggregate` fold).
+    * MATERIALIZED pins each round to evaluate once (the chain is
+    * referenced twice per round; inlined it would re-derive w0 2^8
+    * times). `len(syms) >= 2` guards fully-merged words from both the
+    * pair zip (DuckDB pads short zips with NULL) and Spark's
+    * descending `sequence(1, 0)`. */
+  /** The shared training CTE chain (`w0`, then `b$i`/`w$i` per round),
+    * reused verbatim by the train and encode oracles. */
+  private val bpeCtesSql = {
+    val base =
+      s"""w0 AS MATERIALIZED (
+        |  SELECT cnt, [substr(w, i, 1) for i in range(1, length(w) + 1)] AS syms
+        |  FROM (SELECT w, count(*) AS cnt
+        |        FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
+        |              FROM documents)
+        |        WHERE regexp_full_match(w, '[a-z]{2,}')
+        |        GROUP BY w
+        |        ORDER BY cnt DESC, w ASC LIMIT $BPE_TYPES))""".stripMargin
+    val iters = (1 to BPE_ITERS).map { i =>
+      s"""b$i AS (
+        |  SELECT u.p[1] AS a, u.p[2] AS b, CAST(sum(cnt) AS BIGINT) AS n
+        |  FROM w${i - 1}, unnest(list_zip(syms[1:-2], syms[2:-1])) AS u(p)
+        |  WHERE len(syms) >= 2
+        |  GROUP BY 1, 2
+        |  ORDER BY n DESC, a ASC, b ASC LIMIT 1),
+        |w$i AS MATERIALIZED (
+        |  SELECT cnt, string_split(ltrim(list_reduce(list_prepend('', syms),
+        |    (acc, x) -> CASE WHEN ends_with(acc, ' ' || b$i.a) AND x = b$i.b
+        |                THEN acc || b$i.b ELSE acc || ' ' || x END)), ' ') AS syms
+        |  FROM w${i - 1}, b$i)""".stripMargin
+    }.mkString(",\n")
+    s"$base,\n$iters"
+  }
+
+  private val qBpeTrainSql = {
+    val out = (1 to BPE_ITERS).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS rank, a AS pair_left, b AS pair_right," +
+        s" a || b AS merged, n FROM b$i").mkString("\nUNION ALL\n")
+    s"WITH $bpeCtesSql\n$out"
+  }
+
+  // ------------------------------------------------------ q_bpe_encode
+  /** BPE ENCODING — applying [[trainBpeMerges]]'s learned merge table
+    * to the corpus: every `[a-z]{2,}` word is segmented by replaying
+    * the `BPE_ITERS` merges in training order (the standard apply-time
+    * rule), all other tokens count as one piece, and each document
+    * reports its token and piece totals — the tokens-per-document
+    * statistic a training run budgets context windows with.
+    *
+    * == 100 TB design ==
+    * Pure per-row map work: the merges are a collected constant (the
+    * trained table), so encoding is a chain of `BPE_ITERS` folds inside
+    * one `transform` lambda — no shuffle, no join, rides whole-stage
+    * codegen next to the scan. The oracle cannot inline the learned
+    * merges (they are data-dependent), so it re-derives them with the
+    * shared training CTEs and applies the same folds with correlated
+    * `b$i` references, exploded per word then re-aggregated per doc —
+    * same arithmetic, shuffle shape irrelevant to equality. */
+  private def qBpeEncode(s: SparkSession, d: String): DataFrame = {
+    val merges = trainBpeMerges(s, d)
+    val chars = "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+    val folded = merges.foldLeft(chars) { case (e, (_, a, b, _, _)) =>
+      mergeFoldSql(a, b, e)
+    }
+    withTokens(documents(s, d)).select(
+      col("doc_id"),
+      size(col("tokens")).cast("long").as("n_tokens"),
+      expr(s"""aggregate(transform(tokens, w ->
+        |  CASE WHEN w RLIKE '^[a-z]{2,}$$' THEN size($folded) ELSE 1 END),
+        |  0, (acc, x) -> acc + x)""".stripMargin).cast("long").as("n_pieces"))
+  }
+
+  private val qBpeEncodeSql = {
+    val chars = "[substr(w, i, 1) for i in range(1, length(w) + 1)]"
+    val folded = (1 to BPE_ITERS).foldLeft(chars) { (e, i) =>
+      s"""string_split(ltrim(list_reduce(list_prepend('', $e),
+         |  (acc, x) -> CASE WHEN ends_with(acc, ' ' || b$i.a) AND x = b$i.b
+         |              THEN acc || b$i.b ELSE acc || ' ' || x END)), ' ')"""
+        .stripMargin
+    }
+    val bs = (1 to BPE_ITERS).map("b" + _).mkString(", ")
+    s"""WITH $bpeCtesSql,
+      |enc AS (
+      |  SELECT doc_id,
+      |    CASE WHEN regexp_full_match(w, '[a-z]{2,}')
+      |         THEN len($folded) ELSE 1 END AS pieces
+      |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+      |        FROM documents), $bs)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |       CAST(sum(pieces) AS BIGINT) AS n_pieces
+      |FROM enc GROUP BY doc_id""".stripMargin
+  }
+
   // -------------------------------------------------- q_vocab_coverage
   /** Vocabulary coverage analysis: token frequencies ranked by the
     * exact total order, with each prefix's cumulative share of all
@@ -421,6 +609,8 @@ object TextOps extends QueryModule {
     "q_doc_chunks"      -> qDocChunks _,
     "q_top_terms"       -> qTopTerms _,
     "q_bpe_pairs"       -> qBpePairs _,
+    "q_bpe_train"       -> qBpeTrain _,
+    "q_bpe_encode"      -> qBpeEncode _,
     "q_vocab_coverage"  -> qVocabCoverage _,
     "q_seq_pack"        -> qSeqPack _)
 
@@ -433,6 +623,8 @@ object TextOps extends QueryModule {
     "q_doc_chunks"      -> qDocChunksSql,
     "q_top_terms"       -> qTopTermsSql,
     "q_bpe_pairs"       -> qBpePairsSql,
+    "q_bpe_train"       -> qBpeTrainSql,
+    "q_bpe_encode"      -> qBpeEncodeSql,
     "q_vocab_coverage"  -> qVocabCoverageSql,
     "q_seq_pack"        -> qSeqPackSql)
 }
