@@ -355,21 +355,28 @@ object SimilarityOps extends QueryModule {
     ivfTopK(embeddings(s, d), col("vec_id") < QUERY_MAX_ID, K)
   }
 
-  private val qIvfCosineSql = {
-    def dot(a: String, b: String) =
-      s"""list_sum(list_transform(generate_series(1, $DIMS),
-         |    i -> $a[i]::DOUBLE * $b[i]::DOUBLE))""".stripMargin
-    def cos(a: String, b: String) =
-      s"(${dot(a, b)}) / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
-    // Lloyd training replayed exactly: per-cell, per-dim mean as a
-    // left-to-right double fold over vectors in vec_id order (the
-    // identical IEEE sequence the Spark `aggregate` HOF performs),
-    // rounded to float; empty cells keep the previous centroid.
+  /** DuckDB dot / cosine over `DIMS`-wide float lists — the exact
+    * left-to-right double fold the codegen'd `cosine_sim` performs. */
+  private[llm] def dotSql(a: String, b: String): String =
+    s"""list_sum(list_transform(generate_series(1, $DIMS),
+       |    i -> $a[i]::DOUBLE * $b[i]::DOUBLE))""".stripMargin
+  private[llm] def cosSql(a: String, b: String): String =
+    s"(${dotSql(a, b)}) / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  /** Oracle CTE chain replaying [[lloydCodebook]] (fixed CENTROIDS) over
+    * a `corpus(vec_id, ce)` CTE, then assigning EVERY corpus vector to
+    * its nearest cell: emits `train`, `it0..it$LLOYD_ITERS`, `cent`,
+    * and `cells(vec_id, ce, c_id)`. Lloyd training replayed exactly:
+    * per-cell, per-dim mean as a left-to-right double fold over vectors
+    * in vec_id order (the identical IEEE sequence the Spark `aggregate`
+    * HOF performs), rounded to float; empty cells keep the previous
+    * centroid. Shared by the IVF and SemDeDup oracles. */
+  private[llm] val lloydCellsCtesSql: String = {
     val lloyd = (1 to LLOYD_ITERS).map { i =>
       s"""a$i AS (SELECT vec_id, ce, c_id FROM (
          |  SELECT vec_id, ce, c_id,
          |    row_number() OVER (PARTITION BY vec_id
-         |      ORDER BY ${cos("ce", "cent")} DESC, c_id ASC) AS arnk
+         |      ORDER BY ${cosSql("ce", "cent")} DESC, c_id ASC) AS arnk
          |  FROM train, it${i - 1}) WHERE arnk = 1),
          |g$i AS (SELECT c_id, list(ce ORDER BY vec_id) AS vs, count(*) AS n
          |        FROM a$i GROUP BY c_id),
@@ -381,18 +388,23 @@ object SimilarityOps extends QueryModule {
          |it$i AS (SELECT p.c_id, coalesce(n.newcent, p.cent) AS cent
          |         FROM it${i - 1} p LEFT JOIN n$i n USING (c_id))""".stripMargin
     }.mkString(",\n")
-    s"""WITH corpus AS (SELECT vec_id, embedding AS ce FROM embeddings
-      |           WHERE vec_id >= $QUERY_MAX_ID),
-      |train AS (${trainSql("corpus", "vec_id", "vec_id, ce")}),
+    s"""train AS (${trainSql("corpus", "vec_id", "vec_id, ce")}),
       |it0 AS (SELECT vec_id AS c_id, ce AS cent FROM train
       |        ORDER BY vec_id LIMIT $CENTROIDS),
       |$lloyd,
       |cent AS (SELECT c_id, cent FROM it$LLOYD_ITERS),
       |acell AS (SELECT vec_id, ce, c_id,
       |            row_number() OVER (PARTITION BY vec_id
-      |              ORDER BY ${cos("ce", "cent")} DESC, c_id ASC) AS arnk
+      |              ORDER BY ${cosSql("ce", "cent")} DESC, c_id ASC) AS arnk
       |          FROM corpus, cent),
-      |cells AS (SELECT vec_id, ce, c_id FROM acell WHERE arnk = 1),
+      |cells AS (SELECT vec_id, ce, c_id FROM acell WHERE arnk = 1)""".stripMargin
+  }
+
+  private val qIvfCosineSql = {
+    def cos(a: String, b: String) = cosSql(a, b)
+    s"""WITH corpus AS (SELECT vec_id, embedding AS ce FROM embeddings
+      |           WHERE vec_id >= $QUERY_MAX_ID),
+      |$lloydCellsCtesSql,
       |q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
       |      WHERE vec_id < $QUERY_MAX_ID),
       |pr AS (SELECT q_id, qe, c_id,

@@ -394,7 +394,10 @@ object TextOps extends QueryModule {
             "transform(sequence(1, length(w)), i -> substring(w, i, 1))")
             .as("syms"))
         val merges = Seq.newBuilder[(Long, String, String, String, Long)]
-        for (it <- 1 to BPE_ITERS) {
+        var exhausted = false
+        for (it <- 1 to BPE_ITERS if !exhausted) {
+          // a tiny corpus can run out of adjacent pairs before
+          // BPE_ITERS rounds — stop early instead of throwing
           val best = words
             .filter(size(col("syms")) >= 2)
             .select(col("cnt"), explode(expr(
@@ -403,10 +406,14 @@ object TextOps extends QueryModule {
             .groupBy(col("p.a").as("a"), col("p.b").as("b"))
             .agg(sum(col("cnt")).as("n"))
             .orderBy(col("n").desc, col("a").asc, col("b").asc)
-            .limit(1).collect()(0)
-          val (a, b, n) = (best.getString(0), best.getString(1), best.getLong(2))
-          merges += ((it.toLong, a, b, a + b, n))
-          words = words.withColumn("syms", expr(mergeFoldSql(a, b, "syms")))
+            .limit(1).collect().headOption
+          best match {
+            case Some(r) =>
+              val (a, b, n) = (r.getString(0), r.getString(1), r.getLong(2))
+              merges += ((it.toLong, a, b, a + b, n))
+              words = words.withColumn("syms", expr(mergeFoldSql(a, b, "syms")))
+            case None => exhausted = true
+          }
         }
         merges.result()
       })

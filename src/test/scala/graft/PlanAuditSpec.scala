@@ -115,6 +115,17 @@ class PlanAuditSpec extends SparkSpec {
       s"signatures must use the codegen'd expression:\n$p")
   }
 
+  test("semantic dedup pairs only within clusters (equi-join on c_id)") {
+    val p = plan("q_semantic_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
+      s"cluster-scoped pair generation must be a c_id equi-join:\n$p")
+    assert(p.contains("cosinesimilarity"),
+      s"verification must use the codegen'd cosine expression:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+        p.contains("ShuffledHashJoin"),
+      s"pair generation must be a hash/merge equi-join on c_id:\n$p")
+  }
+
   test("IVF probes broadcast against the materialized cell index") {
     val p = plan("q_ivf_cosine")
     assert(p.contains("BroadcastHashJoin"),
