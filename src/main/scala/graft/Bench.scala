@@ -51,7 +51,12 @@ object Bench {
     "q_minhash_index",                                      // persisted signature index
     "q_ivf_index",                                          // adaptive-cell IVF index
     "q_agg_view",                                           // agg IVM lifecycle
-    "q_seq_pack")                                           // sequence packing
+    "q_seq_pack",                                           // sequence packing
+    "q_bpe_train", "q_bpe_encode")                          // BPE tokenizer
+  // q_semantic_dedup stays sf0.1-only: its oracle-replayable form fixes
+  // CENTROIDS=16, so per-cell pair cost grows ~(N/16)² — the sf1 scale
+  // path is the adaptive-cell VectorIndex (cells ~ √N), already timed
+  // via q_ivf_index.
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted

@@ -370,58 +370,63 @@ object TextOps extends QueryModule {
       .stripMargin
 
   /** Ranked merge table: (rank, pair_left, pair_right, merged, n). The
-    * merge list is deterministic, so it is cached per (session, sfDir)
-    * for [[qBpeEncode]] to reuse (fixture-sharing as elsewhere). */
+    * merge list is deterministic, so [[qBpeEncode]] reuses one cached
+    * training per (session, sfDir) — train once, encode forever, the
+    * real deployment shape. [[qBpeTrain]] itself always retrains: the
+    * trainer is the operation that bench row exists to measure. */
   private val bpeMergeCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), Seq[(Long, String, String, String, Long)]]
 
   private[llm] def trainBpeMerges(
       s: SparkSession, d: String): Seq[(Long, String, String, String, Long)] =
     bpeMergeCache.synchronized {
-      bpeMergeCache.getOrElseUpdate((s, d), {
-        val types = documents(s, d)
-          .select(explode(split(lower(col("text")), " ")).as("w"))
-          .filter(col("w").rlike("^[a-z]{2,}$"))
-          .groupBy("w").agg(count(lit(1)).as("cnt"))
-          .orderBy(col("cnt").desc, col("w").asc)
-          .limit(BPE_TYPES)
-        // the one corpus-scale pass; the collected type table is bounded
-        // by the BPE_TYPES constant (same rationale as TRAIN_MAX)
-        val localTypes = types.collect().toIndexedSeq
-        var words = s.createDataFrame(
-            s.sparkContext.parallelize(localTypes, 1), types.schema)
-          .select(col("cnt"), expr(
-            "transform(sequence(1, length(w)), i -> substring(w, i, 1))")
-            .as("syms"))
-        val merges = Seq.newBuilder[(Long, String, String, String, Long)]
-        var exhausted = false
-        for (it <- 1 to BPE_ITERS if !exhausted) {
-          // a tiny corpus can run out of adjacent pairs before
-          // BPE_ITERS rounds — stop early instead of throwing
-          val best = words
-            .filter(size(col("syms")) >= 2)
-            .select(col("cnt"), explode(expr(
-              "transform(sequence(1, size(syms) - 1)," +
-                " i -> struct(syms[i-1] AS a, syms[i] AS b))")).as("p"))
-            .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-            .agg(sum(col("cnt")).as("n"))
-            .orderBy(col("n").desc, col("a").asc, col("b").asc)
-            .limit(1).collect().headOption
-          best match {
-            case Some(r) =>
-              val (a, b, n) = (r.getString(0), r.getString(1), r.getLong(2))
-              merges += ((it.toLong, a, b, a + b, n))
-              words = words.withColumn("syms", expr(mergeFoldSql(a, b, "syms")))
-            case None => exhausted = true
-          }
-        }
-        merges.result()
-      })
+      bpeMergeCache.getOrElseUpdate((s, d), computeBpeMerges(s, d))
     }
+
+  private[llm] def computeBpeMerges(
+      s: SparkSession, d: String): Seq[(Long, String, String, String, Long)] = {
+    val types = documents(s, d)
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .filter(col("w").rlike("^[a-z]{2,}$"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w").asc)
+      .limit(BPE_TYPES)
+    // the one corpus-scale pass; the collected type table is bounded
+    // by the BPE_TYPES constant (same rationale as TRAIN_MAX)
+    val localTypes = types.collect().toIndexedSeq
+    var words = s.createDataFrame(
+        s.sparkContext.parallelize(localTypes, 1), types.schema)
+      .select(col("cnt"), expr(
+        "transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+        .as("syms"))
+    val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+    var exhausted = false
+    for (it <- 1 to BPE_ITERS if !exhausted) {
+      // a tiny corpus can run out of adjacent pairs before
+      // BPE_ITERS rounds — stop early instead of throwing
+      val best = words
+        .filter(size(col("syms")) >= 2)
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(1, size(syms) - 1)," +
+            " i -> struct(syms[i-1] AS a, syms[i] AS b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("cnt")).as("n"))
+        .orderBy(col("n").desc, col("a").asc, col("b").asc)
+        .limit(1).collect().headOption
+      best match {
+        case Some(r) =>
+          val (a, b, n) = (r.getString(0), r.getString(1), r.getLong(2))
+          merges += ((it.toLong, a, b, a + b, n))
+          words = words.withColumn("syms", expr(mergeFoldSql(a, b, "syms")))
+        case None => exhausted = true
+      }
+    }
+    merges.result()
+  }
 
   private def qBpeTrain(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    trainBpeMerges(s, d)
+    computeBpeMerges(s, d)
       .toDF("rank", "pair_left", "pair_right", "merged", "n")
   }
 
