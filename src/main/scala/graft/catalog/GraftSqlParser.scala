@@ -24,6 +24,8 @@ import graft.table.VersionedTable
   *   UPDATE [TABLE] <table> SET c = <expr> [, ...] [WHERE <pred>]
   *   DESCRIBE HISTORY <table>
   *   DESCRIBE DETAIL <table>
+  *   ANALYZE TABLE <table> [FOR COLUMNS (c1, ...)] [EXACT]
+  *   DESCRIBE STATS <table>
   *   CREATE MATERIALIZED VIEW <v> KEYED BY <k> AS
   *     SELECT a.*, b.<c>... FROM <a> a LEFT|INNER JOIN <b> b ON a.<fk> = b.<bk>
   *   CREATE MATERIALIZED VIEW <v> AS
@@ -97,6 +99,16 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*REINDEX\s+INDEX\s+(\S+?)\s*;?\s*""".r
   private val DropIndex =
     """(?is)\s*DROP\s+INDEX\s+(\S+?)\s*;?\s*""".r
+  // ANALYZE TABLE <t> [FOR COLUMNS (c1, ...)] [EXACT]
+  //   — one-pass column stats persisted to a _stats/ sidecar
+  //   (graft.table.TableStats); default NDV is HLL-approximate (the
+  //   100 TB mode), EXACT opts into count(DISTINCT)
+  // DESCRIBE STATS <t> — the persisted stats plus staleness
+  private val Analyze =
+    ("""(?is)\s*ANALYZE\s+TABLE\s+(\S+?)""" +
+      """(?:\s+FOR\s+COLUMNS\s*\(([^)]*)\))?(\s+EXACT)?\s*;?\s*""").r
+  private val DescribeStats =
+    """(?is)\s*DESCRIBE\s+STATS\s+(\S+?)\s*;?\s*""".r
   private val CountItem = """(?is)\s*COUNT\s*\(\s*\*\s*\)\s+AS\s+n_rows\s*""".r
   private val SumItem = """(?is)\s*SUM\s*\((.+)\)\s+AS\s+(\w+)\s*""".r
   private val MinItem = """(?is)\s*MIN\s*\((.+)\)\s+AS\s+(\w+)\s*""".r
@@ -163,6 +175,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case DescribeIndex(name) => DescribeIndexCommand(name)
     case Reindex(name) => ReindexCommand(name)
     case DropIndex(name) => DropIndexCommand(name)
+    case Analyze(tbl, cols, exact) =>
+      AnalyzeCommand(tbl,
+        Option(cols).toSeq.flatMap(_.split(','))
+          .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty),
+        exact != null)
+    case DescribeStats(tbl) => DescribeStatsCommand(tbl)
     case Update(tbl, rest) =>
       val (setPart, wherePart) = topLevelIndexOfWord(rest, "WHERE") match {
         case -1 => (rest, None)
@@ -323,6 +341,51 @@ case class DetailCommand(table: String) extends LeafRunnableCommand {
       t.versions.size.toLong,
       m.properties.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(";")))
   }
+}
+
+/** `ANALYZE TABLE <t> [FOR COLUMNS (...)] [EXACT]` — computes and
+  * persists one-pass column stats ([[graft.table.TableStats]]) and
+  * returns them, one row per analyzed column. */
+case class AnalyzeCommand(table: String, cols: Seq[String], exact: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = StatsRows.schema
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftSqlParser.resolve(spark, table)
+    val stats = graft.table.TableStats.analyze(t, cols, exact)
+    StatsRows.rows(stats, stale = false)
+  }
+}
+
+/** `DESCRIBE STATS <table>` — the persisted stats sidecar (empty when
+  * the table was never analyzed), with staleness = analyzed version
+  * behind the current one. */
+case class DescribeStatsCommand(table: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = StatsRows.schema
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftSqlParser.resolve(spark, table)
+    graft.table.TableStats.read(t).toSeq.flatMap { s =>
+      StatsRows.rows(s, stale = s.version < t.latestVersion)
+    }
+  }
+}
+
+private object StatsRows {
+  import org.apache.spark.sql.types.{BooleanType, StringType}
+  def schema: Seq[Attribute] = Seq(
+    AttributeReference("col_name", StringType, nullable = false)(),
+    AttributeReference("n_rows", LongType, nullable = false)(),
+    AttributeReference("n_nulls", LongType, nullable = false)(),
+    AttributeReference("n_distinct", LongType, nullable = false)(),
+    AttributeReference("min_value", StringType, nullable = true)(),
+    AttributeReference("max_value", StringType, nullable = true)(),
+    AttributeReference("analyzed_version", LongType, nullable = false)(),
+    AttributeReference("exact", BooleanType, nullable = false)(),
+    AttributeReference("stale", BooleanType, nullable = false)())
+  def rows(s: graft.table.TableStats, stale: Boolean): Seq[Row] =
+    s.columns.map { c =>
+      Row(c.name, s.nRows, c.nNulls, c.nDistinct,
+        c.min.orNull, c.max.orNull, s.version, s.exact, stale)
+    }
 }
 
 /** `DESCRIBE HISTORY <table>` — the commit log as rows, newest first
@@ -589,7 +652,8 @@ object GraftSql {
                 _: CreateAggViewCommand | _: RefreshMatViewCommand |
                 _: CreateIndexCommand | _: RefreshIndexCommand |
                 _: ReindexCommand | _: DescribeIndexCommand |
-                _: DropIndexCommand) =>
+                _: DropIndexCommand | _: AnalyzeCommand |
+                _: DescribeStatsCommand) =>
         c.asInstanceOf[LeafRunnableCommand].run(spark)
       case _ => spark.sql(sqlText).collect().toSeq
     }

@@ -644,6 +644,48 @@ object MergeOps extends QueryModule {
   private val qRestoreSql =
     """SELECT event_id, user_id, value FROM events WHERE event_id % 2 = 0""".stripMargin
 
+  // ---------------------------------------------- q_table_stats (engine)
+  /** ANALYZE TABLE end-to-end through the SQL surface: lineitem lands
+    * in a versioned table, `ANALYZE TABLE ... FOR COLUMNS ... EXACT`
+    * computes + persists the one-pass column-stats sidecar
+    * ([[graft.table.TableStats]]), and `DESCRIBE STATS` reads it back.
+    * The oracle recomputes the identical stats declaratively from the
+    * raw parquet. EXACT keeps NDV cross-engine-checkable; the default
+    * HLL mode (the 100 TB shape — no per-column expand) and staleness
+    * surfacing are spec-pinned in GraftSqlParserSpec. */
+  private val statCols = Seq("l_orderkey", "l_returnflag", "l_linestatus")
+
+  private def qTableStats(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.Scratch.dir("graft-stats").resolve("t").toString
+    val li = lineitem(s, d).select(statCols.map(col): _*)
+    val t = VersionedTable.create(s, dir, li.schema)
+    t.append(li)
+    graft.catalog.GraftSql.execute(s,
+      s"ANALYZE TABLE '$dir' FOR COLUMNS (${statCols.mkString(", ")}) EXACT")
+    val rows = graft.catalog.GraftSql.execute(s, s"DESCRIBE STATS '$dir'")
+    val schema = StructType(Seq(
+      StructField("col_name", StringType, nullable = false),
+      StructField("n_rows", LongType, nullable = false),
+      StructField("n_nulls", LongType, nullable = false),
+      StructField("n_distinct", LongType, nullable = false),
+      StructField("min_value", StringType),
+      StructField("max_value", StringType),
+      StructField("analyzed_version", LongType, nullable = false),
+      StructField("exact", BooleanType, nullable = false),
+      StructField("stale", BooleanType, nullable = false)))
+    s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
+      .select("col_name", "n_rows", "n_nulls", "n_distinct",
+        "min_value", "max_value")
+  }
+  private val qTableStatsSql = statCols.map { c =>
+    s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+      |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+      |  CAST(min($c) AS VARCHAR) AS min_value,
+      |  CAST(max($c) AS VARCHAR) AS max_value
+      |FROM lineitem""".stripMargin
+  }.mkString("\nUNION ALL\n")
+
   // ------------------------------------------------- q_optimize (engine)
   /** OPTIMIZE through the literal SQL statement: many small appends,
     * bin-packing compaction, then read — compaction must preserve the
@@ -785,6 +827,7 @@ object MergeOps extends QueryModule {
     "q_replace_where"  -> qReplaceWhere _,
     "q_restore"        -> qRestore _,
     "q_optimize"       -> qOptimize _,
+    "q_table_stats"    -> qTableStats _,
     "q_zorder"         -> qZorder _,
     "q_clone"          -> qClone _,
     "q_json_scan"      -> qJsonScan _)
@@ -807,6 +850,7 @@ object MergeOps extends QueryModule {
     "q_replace_where"  -> qReplaceWhereSql,
     "q_restore"        -> qRestoreSql,
     "q_optimize"       -> qOptimizeSql,
+    "q_table_stats"    -> qTableStatsSql,
     "q_zorder"         -> qZorderSql,
     "q_clone"          -> qCloneSql,
     "q_json_scan"      -> qJsonScanSql)

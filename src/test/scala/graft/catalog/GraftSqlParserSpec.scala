@@ -238,4 +238,56 @@ class GraftSqlParserSpec extends SparkSpec {
       VersionedTable.deleteRecursively(base)
     }
   }
+
+  test("ANALYZE TABLE / DESCRIBE STATS: persisted sidecar, approx default, staleness") {
+    withExtendedSession { s =>
+      import s.implicits._
+      val base = Files.createTempDirectory("sqlstats")
+      val dir = base.resolve("t").toString
+      val t = VersionedTable.create(s, dir,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("v",
+            org.apache.spark.sql.types.StringType))))
+      t.append((1L to 1000L).map(i => (i, if (i % 10 == 0) null else s"v${i % 7}"))
+        .toDF("k", "v"))
+
+      // never analyzed: DESCRIBE STATS is empty, not an error
+      assert(s.sql(s"DESCRIBE STATS '$dir'").collect().isEmpty)
+
+      // default mode is approximate NDV (HLL): close, not necessarily
+      // exact, and flagged exact=false
+      val approx = s.sql(s"ANALYZE TABLE '$dir'").collect()
+        .map(r => r.getString(0) -> r).toMap
+      assert(approx.keySet === Set("k", "v"))
+      assert(approx("k").getLong(1) === 1000L)             // n_rows
+      assert(approx("v").getLong(2) === 100L)              // n_nulls
+      assert(math.abs(approx("k").getLong(3) - 1000L) <= 50L,
+        "HLL NDV should be within a few percent")
+      assert(!approx("k").getBoolean(7), "default mode must record exact=false")
+
+      // EXACT mode: NDV exact, min/max as strings
+      val exact = s.sql(s"ANALYZE TABLE '$dir' FOR COLUMNS (k, v) EXACT")
+        .collect().map(r => r.getString(0) -> r).toMap
+      assert(exact("k").getLong(3) === 1000L)
+      assert(exact("v").getLong(3) === 7L)                 // v0..v6
+      assert(exact("k").getString(4) === "1")
+      assert(exact("k").getString(5) === "1000")
+      assert(exact("k").getBoolean(7))
+
+      // staleness: a write after ANALYZE flips stale=true, stats kept
+      t.append(Seq((1001L, "fresh")).toDF("k", "v"))
+      val described = s.sql(s"DESCRIBE STATS '$dir'").collect()
+      assert(described.forall(_.getBoolean(8)), "stats must read as stale")
+      assert(described.map(_.getString(0)).toSet === Set("k", "v"))
+
+      // unknown column is a named error
+      val e = intercept[Exception] {
+        s.sql(s"ANALYZE TABLE '$dir' FOR COLUMNS (nope)").collect()
+      }
+      assert(e.getMessage.contains("nope"), e.getMessage)
+      VersionedTable.deleteRecursively(base)
+    }
+  }
 }
