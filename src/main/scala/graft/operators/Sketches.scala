@@ -176,11 +176,89 @@ object Sketches extends QueryModule {
       |FROM sel, st""".stripMargin
   }
 
+  // -------------------------------------------------------- q_cms_counts
+  /** Count-Min sketch point-frequency estimation — the third mergeable
+    * sketch beside HLL (distinct counts) and the histogram (quantiles):
+    * "how often does this token appear in 100 TB" from a CMS_D×256
+    * counter grid instead of a full frequency table.
+    *
+    *   - '''one scan''': each token increments CMS_D counters chosen by
+    *     independent md5-derived hashes (bucket = first two hex chars —
+    *     256 buckets, no numeric conversion, portable to any engine);
+    *     the grid aggregates with map-side partials like any groupBy;
+    *   - '''mergeable''': the grid is a count matrix, so per-shard
+    *     sketches ADD — the queried sketch here is the RE-AGGREGATION
+    *     of per-lang sketches (never a second scan), the same roll-up
+    *     contract as the HLL union and histogram add;
+    *   - '''one-sided bounded error''': estimates = min over the CMS_D
+    *     counters ≥ true count, with overshoot ~2N/W per row
+    *     (SketchesSpec pins both against exact counts).
+    *
+    * Every step is md5 + integer arithmetic, so unlike HLL the oracle
+    * hashes the ESTIMATES exactly. Probes are the CMS_K most frequent
+    * tokens (count DESC, token ASC — a total order). */
+  private val CMS_D = 4
+  private val CMS_K = 15
+
+  /** (i, bucket) pairs for a token column expression. */
+  private def cmsEntries(t: String) =
+    expr(s"""transform(sequence(0, ${CMS_D - 1}), i -> struct(i AS i,
+       |  substring(md5(concat(cast(i AS string), '|', $t)), 1, 2) AS b))"""
+      .stripMargin)
+
+  private def qCmsCounts(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = documents(s, d)
+      .select(explode(split(lower($"text"), " ")).as("t"), $"lang")
+      .filter(length($"t") > 0)
+    // ---- the sketch: one scan -> per-(lang, row, bucket) counters
+    val perLang = toks.select($"lang", explode(cmsEntries("t")).as("e"))
+      .groupBy($"lang", $"e.i".as("i"), $"e.b".as("b"))
+      .agg(count(lit(1)).as("c"))
+    // ---- merged global sketch: count-matrix add over the shards
+    val merged = perLang.groupBy($"i", $"b").agg(sum($"c").as("c"))
+    // ---- probes: exact top-K tokens, estimated from the sketch alone
+    val exact = toks.groupBy($"t").agg(count(lit(1)).as("n_exact"))
+    val probes = exact.orderBy($"n_exact".desc, $"t".asc).limit(CMS_K)
+    val probeBuckets = probes
+      .select($"t", $"n_exact", explode(cmsEntries("t")).as("e"))
+      .select($"t", $"n_exact", $"e.i".as("i"), $"e.b".as("b"))
+    merged.join(broadcast(probeBuckets), Seq("i", "b"))
+      .groupBy($"t", $"n_exact").agg(min($"c").as("n_est"))
+      .select($"t".as("term"), $"n_exact", $"n_est")
+  }
+
+  private val qCmsCountsSql =
+    s"""WITH toks AS (
+      |  SELECT lang, t
+      |  FROM (SELECT lang, unnest(string_split(lower(text), ' ')) AS t
+      |        FROM documents)
+      |  WHERE length(t) > 0),
+      |perlang AS (
+      |  SELECT lang, i, substr(md5(i::VARCHAR || '|' || t), 1, 2) AS b,
+      |         count(*) AS c
+      |  FROM toks, generate_series(0, ${CMS_D - 1}) AS g(i)
+      |  GROUP BY 1, 2, 3),
+      |merged AS (
+      |  SELECT i, b, CAST(sum(c) AS BIGINT) AS c
+      |  FROM perlang GROUP BY 1, 2),
+      |exact AS (SELECT t, count(*) AS n_exact FROM toks GROUP BY t),
+      |probes AS (SELECT t, n_exact FROM exact
+      |           ORDER BY n_exact DESC, t ASC LIMIT $CMS_K),
+      |pb AS (
+      |  SELECT t, n_exact, i, substr(md5(i::VARCHAR || '|' || t), 1, 2) AS b
+      |  FROM probes, generate_series(0, ${CMS_D - 1}) AS g(i))
+      |SELECT pb.t AS term, pb.n_exact, CAST(min(merged.c) AS BIGINT) AS n_est
+      |FROM pb JOIN merged USING (i, b)
+      |GROUP BY 1, 2""".stripMargin
+
   override def queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q_hll_distinct" -> (qHllDistinct _),
-    "q_hist_quantiles" -> (qHistQuantiles _))
+    "q_hist_quantiles" -> (qHistQuantiles _),
+    "q_cms_counts" -> (qCmsCounts _))
 
   override def oracles: Seq[(String, String)] = Seq(
     "q_hll_distinct" -> qHllDistinctSql,
-    "q_hist_quantiles" -> qHistQuantilesSql)
+    "q_hist_quantiles" -> qHistQuantilesSql,
+    "q_cms_counts" -> qCmsCountsSql)
 }

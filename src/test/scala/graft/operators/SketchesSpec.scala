@@ -101,4 +101,22 @@ class SketchesSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       .filter($"l_returnflag" === "ALL").select($"n").as[Long].head()
     assert(allN === li.count())
   }
+
+  test("count-min estimates are one-sided and within the CMS error bound") {
+    val rows = graft.SparkEntry.queries("q_cms_counts")(spark, sf)
+      .select("term", "n_exact", "n_est")
+      .as[(String, Long, Long)].collect()
+    assert(rows.length === 15)
+    val totalTokens = graft.Tables.documents(spark, sf)
+      .select(explode(split(lower($"text"), " ")).as("t"))
+      .filter(length($"t") > 0).count()
+    rows.foreach { case (term, exact, est) =>
+      // CMS never undercounts
+      assert(est >= exact, s"'$term': estimate $est under exact $exact")
+      // overshoot bound: expected collision mass per counter is N/256;
+      // the min over 4 independent rows stays well under 4x that
+      assert(est - exact <= totalTokens * 4 / 256,
+        s"'$term': overshoot ${est - exact} breaks the CMS bound")
+    }
+  }
 }
