@@ -195,6 +195,64 @@ object CorpusQuality extends QueryModule {
       |FROM (SELECT doc_id FROM documents WHERE doc_id % $EVAL_MOD <> 0) d
       |LEFT JOIN overlap o ON o.doc_id = d.doc_id""".stripMargin
 
+  // --------------------------------------------------- q_lm_perplexity
+  /** CCNet-style unigram language-model scoring — the MODEL-based
+    * quality filter that complements the rule-based Gopher gate: train
+    * a unigram LM on the corpus itself (token → count, one groupBy),
+    * then score every document by its mean negative log-likelihood
+    * `nll = -Σ tf·ln(c/N) / Σ tf`. CCNet buckets crawl text into
+    * head/middle/tail by exactly this statistic (wiki-LM perplexity);
+    * here the LM is the corpus's own unigram distribution so the
+    * operator is self-contained and every token is in-vocabulary (no
+    * smoothing constant to tune).
+    *
+    * 100 TB shape: explode → (doc, token) tf aggregate (map-side
+    * partials collapse repeated tokens before the shuffle) → equi-join
+    * on token against the vocab aggregate (vocab rows ≪ corpus rows;
+    * the join key is high-cardinality and skew-free after lowercasing)
+    * → per-doc re-aggregate. Three hash aggregations + one shuffled
+    * equi-join, never all-pairs; the vocab side is reusable across
+    * curation runs exactly like the boilerplate gram-frequency table.
+    *
+    * Determinism: counts are exact integers; `c/N` is one IEEE
+    * division of identical integers; both engines' `ln` is
+    * correctly-rounded libm on the same doubles; the final mean is
+    * rounded to 4dp to absorb summation-order ulps (the established
+    * double-aggregate grid, see Relational q15). */
+  private def qLmPerplexity(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = withTokens(documents(s, d))
+      .select($"doc_id", explode($"t").as("tok"))
+      .filter(length($"tok") > 0)
+    val tf = toks.groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+    val vocab = tf.groupBy($"tok").agg(sum($"tf").as("c"))
+    val total = vocab.agg(sum($"c").as("n_total"))
+    tf.join(vocab, "tok")
+      .crossJoin(broadcast(total))
+      .groupBy($"doc_id")
+      .agg(
+        sum($"tf").as("n_tok"),
+        round(-sum($"tf" * log($"c" / $"n_total")) / sum($"tf"), 4).as("nll"))
+      .select($"doc_id", $"n_tok", $"nll")
+  }
+  private val qLmPerplexitySql =
+    """WITH toks AS (
+      |  SELECT doc_id, tok
+      |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+      |        FROM documents)
+      |  WHERE length(tok) > 0),
+      |tf AS (
+      |  SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |vocab AS (
+      |  SELECT tok, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY tok),
+      |total AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM vocab)
+      |SELECT tf.doc_id,
+      |  CAST(sum(tf.tf) AS BIGINT) AS n_tok,
+      |  round(-sum(tf.tf * ln(vocab.c / total.n_total)) / sum(tf.tf), 4)
+      |    AS nll
+      |FROM tf JOIN vocab USING (tok), total
+      |GROUP BY tf.doc_id""".stripMargin
+
   // ------------------------------------------------------- q_pii_scrub
   /** Pattern-based redaction — the PII-scrub pass every released-data
     * pipeline runs before training. Three RE2-safe rule tiers applied
@@ -240,11 +298,13 @@ object CorpusQuality extends QueryModule {
     "q_gopher_quality"     -> qGopherQuality _,
     "q_boilerplate_ngrams" -> qBoilerplateNgrams _,
     "q_decontaminate"      -> qDecontaminate _,
+    "q_lm_perplexity"      -> qLmPerplexity _,
     "q_pii_scrub"          -> qPiiScrub _)
 
   override val oracles: Seq[(String, String)] = Seq(
     "q_gopher_quality"     -> qGopherQualitySql,
     "q_boilerplate_ngrams" -> qBoilerplateNgramsSql,
     "q_decontaminate"      -> qDecontaminateSql,
+    "q_lm_perplexity"      -> qLmPerplexitySql,
     "q_pii_scrub"          -> qPiiScrubSql)
 }

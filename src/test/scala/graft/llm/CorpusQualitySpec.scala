@@ -50,4 +50,29 @@ class CorpusQualitySpec extends SparkSpec {
       assert(bad.count() === 0)
     } finally { df.unpersist(); () }
   }
+
+  test("unigram LM nll covers every doc, is positive, and ranks rare text high") {
+    val df = run("q_lm_perplexity").cache()
+    try {
+      val docs = graft.Tables.documents(spark, sf).count()
+      assert(df.count() === docs)
+      // every token is in-vocabulary (LM trained on the same corpus), so
+      // p(token) < 1 for any vocab with ≥2 types → nll strictly positive
+      assert(df.filter(col("nll") <= 0).count() === 0)
+      // a doc made ONLY of the corpus's single most frequent token would
+      // score the minimum possible nll; the corpus minimum can't beat it
+      val topCnt = graft.Tables.documents(spark, sf)
+        .select(explode(split(lower(col("text")), " ")).as("t"))
+        .filter(length(col("t")) > 0)
+        .groupBy("t").count()
+        .agg(max("count")).as[Long].head
+      val total = graft.Tables.documents(spark, sf)
+        .select(explode(split(lower(col("text")), " ")).as("t"))
+        .filter(length(col("t")) > 0).count()
+      val floor = -math.log(topCnt.toDouble / total)
+      val minNll = df.agg(min("nll")).as[Double].head
+      assert(minNll >= floor - 1e-4,
+        s"min nll $minNll beats the most-frequent-token floor $floor")
+    } finally { df.unpersist(); () }
+  }
 }
