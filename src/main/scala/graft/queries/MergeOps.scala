@@ -593,6 +593,85 @@ object MergeOps extends QueryModule {
       |       CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS max_cents
       |FROM final_a GROUP BY event_type""".stripMargin
 
+  // ------------------------------------------------- q_view_chain (engine)
+  /** CHAINED incremental view maintenance — the DLT-pipeline shape:
+    * `A ⋈ B → V` ([[graft.table.JoinView]]) feeding
+    * `V GROUP BY → G` ([[graft.table.AggView]]). Because a JoinView's
+    * table is itself a CDF-enabled [[VersionedTable]] maintained
+    * through [[Merge]], the aggregate view composes over it with ZERO
+    * new engine machinery: V's refresh merge EMITS the change feed G's
+    * signed-delta refresh CONSUMES. Both sources then move (CDC batch
+    * 2 into A; +100 balance for every 10th customer in B) and the
+    * chain catches up with one refresh per level — each O(changed
+    * keys), never a source scan, so a 100 TB silver→gold reporting
+    * DAG refreshes at delta cost end-to-end. The oracle recomputes
+    * the final join+aggregate declaratively, pinning the whole
+    * two-level delta propagation (CDF → join IVM → CDF → agg IVM). */
+  private def qViewChain(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root = graft.Scratch.dir("graft-chainq")
+    val a = VersionedTable.create(s, root.resolve("a").toString, targetSchema,
+      Map(VersionedTable.PROP_CDF -> "true"),
+      bucketBy = Some(BucketSpec(Seq("user_id"), 8)))
+    val bSchema = StructType(Seq(
+      StructField("c_custkey", LongType),
+      StructField("c_mktsegment", StringType),
+      StructField("c_acctbal", DoubleType)))
+    val b = VersionedTable.create(s, root.resolve("b").toString, bSchema,
+      Map(VersionedTable.PROP_CDF -> "true"))
+    val cust = customer(s, d).select($"c_custkey", $"c_mktsegment", $"c_acctbal")
+    val log = cdcLog(s, d)
+    val bUpsert = Seq(WhenMatchedUpdate(None), WhenNotMatchedInsert(None))
+
+    Merge.run(a, latestPerUser(log.filter($"event_id" % 2 === 0)),
+      Seq("user_id"), upsertClauses)
+    Merge.run(b, cust, Seq("c_custkey"), bUpsert)
+    // level 1: fact ⋈ dimension (inner: aggregate groups by a B column)
+    val v = JoinView.build(a, b, root.resolve("v").toString,
+      "user_id", "user_id", "c_custkey",
+      Seq("c_mktsegment", "c_acctbal"), "inner")
+    // level 2: per-segment rollup over the JOIN VIEW's own change feed
+    val g = AggView.build(v.table, root.resolve("g").toString,
+      Seq("c_mktsegment"),
+      Seq("cents" -> "CAST(round(value * 100) AS BIGINT)"),
+      mins = Seq("bal" -> "c_acctbal"),
+      maxs = Seq("bal" -> "c_acctbal"),
+      avgs = Seq("cents" -> "CAST(round(value * 100) AS BIGINT)"))
+    // both base tables move past the chain's watermarks...
+    Merge.run(a, latestPerUser(log.filter($"event_id" % 2 === 1)),
+      Seq("user_id"), upsertClauses)
+    Merge.run(b,
+      cust.filter($"c_custkey" % 10 === 0)
+        .withColumn("c_acctbal", $"c_acctbal" + 100.0),
+      Seq("c_custkey"), bUpsert)
+    // ...and the chain catches up level by level at delta cost
+    v.refresh(a, b)
+    g.refresh(v.table)
+    g.table.snapshot().select(
+      $"c_mktsegment", $"n_rows".cast("long").as("n_rows"), $"sum_cents",
+      $"avg_cents", $"min_bal", $"max_bal")
+  }
+  private val qViewChainSql =
+    s"""$oracleWith,
+      |final_a AS (
+      |  SELECT coalesce(s_uid, t_uid) AS user_id,
+      |         CASE WHEN s_uid IS NOT NULL THEN s_v ELSE t_v END AS value
+      |  FROM j WHERE s_uid IS NULL OR s_op <> 'DELETE'),
+      |final_b AS (
+      |  SELECT c_custkey, c_mktsegment,
+      |         CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100.0
+      |              ELSE c_acctbal END AS c_acctbal
+      |  FROM customer)
+      |SELECT b.c_mktsegment, count(*) AS n_rows,
+      |       CAST(sum(CAST(round(a.value * 100) AS BIGINT)) AS BIGINT)
+      |         AS sum_cents,
+      |       CAST(sum(CAST(round(a.value * 100) AS BIGINT)) AS DOUBLE) /
+      |         count(CAST(round(a.value * 100) AS BIGINT)) AS avg_cents,
+      |       min(b.c_acctbal) AS min_bal,
+      |       max(b.c_acctbal) AS max_bal
+      |FROM final_a a JOIN final_b b ON b.c_custkey = a.user_id
+      |GROUP BY b.c_mktsegment""".stripMargin
+
   // ------------------------------------------------ q_bloom_prune (engine)
   /** Bloom-indexed point lookup ([[graft.table.BloomIndex]]): land
     * lineitem in an engine table with a per-file bloom sidecar on
@@ -824,6 +903,7 @@ object MergeOps extends QueryModule {
     "q_join_view_refresh" -> qJoinViewRefresh _,
     "q_agg_view"       -> qAggView _,
     "q_agg_view_minmax" -> qAggViewMinmax _,
+    "q_view_chain"     -> qViewChain _,
     "q_replace_where"  -> qReplaceWhere _,
     "q_restore"        -> qRestore _,
     "q_optimize"       -> qOptimize _,
@@ -847,6 +927,7 @@ object MergeOps extends QueryModule {
     "q_join_view_refresh" -> qJoinViewRefreshSql,
     "q_agg_view"       -> qAggViewSql,
     "q_agg_view_minmax" -> qAggViewMinmaxSql,
+    "q_view_chain"     -> qViewChainSql,
     "q_replace_where"  -> qReplaceWhereSql,
     "q_restore"        -> qRestoreSql,
     "q_optimize"       -> qOptimizeSql,

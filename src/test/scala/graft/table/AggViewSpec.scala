@@ -253,4 +253,55 @@ class AggViewSpec extends SparkSpec {
     assert(v2.refresh().isDefined)
     assert(asSet(v2.table.snapshot()) === asSet(recompute(t)))
   }
+
+  test("chained IVM: agg view over a join view's CDF stays ≡ recompute") {
+    // A ⋈ B → V (JoinView) → GROUP BY → G (AggView over V's table):
+    // every level's refresh consumes only the level below's change
+    // feed. Run TWO change/refresh cycles — including a dimension
+    // update and a fact delete that must propagate through both
+    // levels — and G must equal the from-scratch join+aggregate.
+    val (a, root) = fresh()
+    val bSchema = StructType(Seq(
+      StructField("grp", StringType), StructField("region", StringType)))
+    val b = VersionedTable.create(spark, s"$root/b", bSchema,
+      Map(VersionedTable.PROP_CDF -> "true"))
+    Merge.run(b,
+      Seq(("g0", "r0"), ("g1", "r0"), ("g2", "r1"), ("g3", "r1"),
+        ("g4", "r2"), ("g5", "r2")).toDF("grp", "region"),
+      Seq("grp"), Seq(WhenMatchedUpdate(None), WhenNotMatchedInsert(None)))
+    val v = JoinView.build(a, b, s"$root/v", "id", "grp", "grp",
+      Seq("region"), "inner")
+    val g = AggView.build(v.table, s"$root/g", Seq("region"),
+      Seq("cents" -> "cents"))
+    def expected: Set[(String, Long, Long)] =
+      a.snapshot().join(b.snapshot(), "grp")
+        .groupBy($"region")
+        .agg(count(lit(1)).as("n_rows"), sum($"cents").as("sum_cents"))
+        .select($"region", $"n_rows".cast("long"), $"sum_cents")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    def chainUp(): Unit = { v.refresh(a, b); g.refresh(v.table); () }
+
+    // cycle 1: fact churn (update + delete) and a dimension move
+    Merge.run(a,
+      Seq((1L, "g1", 999L, "UPSERT"), (2L, "g2", 0L, "DELETE"))
+        .toDF("id", "grp", "cents", "__op"),
+      Seq("id"), upsert)
+    Merge.run(b, Seq(("g4", "r9")).toDF("grp", "region"),
+      Seq("grp"), Seq(WhenMatchedUpdate(None), WhenNotMatchedInsert(None)))
+    chainUp()
+    assert(asSet(g.table.snapshot().select($"region".as("grp"),
+      $"n_rows", $"sum_cents")) ===
+      expected.map { case (r, n, s) => (r, n, s) })
+
+    // cycle 2: kill every g5 fact row — the r2 group shrinks through
+    // the join level and the agg level in one chained refresh each
+    Merge.run(a,
+      a.snapshot().filter($"grp" === "g5")
+        .select($"id", $"grp", $"cents", lit("DELETE").as("__op")),
+      Seq("id"), upsert)
+    chainUp()
+    assert(asSet(g.table.snapshot().select($"region".as("grp"),
+      $"n_rows", $"sum_cents")) ===
+      expected.map { case (r, n, s) => (r, n, s) })
+  }
 }
