@@ -33,6 +33,38 @@ class LlmOpsSpec extends SparkSpec {
     assert(missed.isEmpty, s"LSH missed exact near-dup pairs: $missed")
   }
 
+  test("containment prefix filter finds exactly the brute-force pairs at t=0.9") {
+    val got = q("q_containment").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // exhaustive all-pairs reference: same shingle definition, no prefix
+    // filter — any candidate the pigeonhole prefix drops is a recall bug
+    val sh = Tables.documents(spark, sf)
+      .withColumn("tokens", split(lower(col("text")), " "))
+      .filter(size(col("tokens")) >= 3)
+      .withColumn("s", expr(
+        """array_distinct(transform(sequence(1, size(tokens)-2),
+          |  i -> concat(element_at(tokens, i), ' ',
+          |              element_at(tokens, i+1), ' ',
+          |              element_at(tokens, i+2))))""".stripMargin))
+      .select(col("doc_id"), col("lang"), col("s"), size(col("s")).as("n"))
+    val brute = sh.alias("a").join(sh.alias("b"),
+        col("a.lang") === col("b.lang") &&
+        (col("a.n") < col("b.n") ||
+          (col("a.n") === col("b.n") && col("a.doc_id") < col("b.doc_id"))))
+      .withColumn("c",
+        size(array_intersect(col("a.s"), col("b.s"))) / col("a.n"))
+      .filter(col("c") >= 0.9)
+      .select(col("a.doc_id"), col("b.doc_id"), col("c"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, c) => (a, b) -> c }.toMap
+    assert(brute.nonEmpty, "fixture should contain embedded-document pairs")
+    assert(got.keySet === brute.keySet,
+      s"prefix filter disagrees with brute force: missed=${brute.keySet -- got.keySet} extra=${got.keySet -- brute.keySet}")
+    got.foreach { case (k, c) =>
+      assert(math.abs(c - brute(k)) < 1e-12 && c >= 0.9 && c <= 1.0)
+    }
+  }
+
   test("simhash puts near-dup pairs within small Hamming distance") {
     val sig = q("q_simhash").as[(Long, Long)].collect().toMap
     val pairs = q("q_ngram_jaccard")
