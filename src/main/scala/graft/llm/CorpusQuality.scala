@@ -294,11 +294,96 @@ object CorpusQuality extends QueryModule {
       |    '$TERM_RE', '[TERM]', 'g') AS clean_text
       |FROM documents""".stripMargin
 
+  // ---------------------------------------------------- q_dsir_weights
+  /** DSIR-style data-selection scoring (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): score
+    * every document by the log importance weight
+    * `log w(x) = Σ_features tf·[ln p_target(b) − ln p_raw(b)]` under
+    * hashed-bigram bag-of-words models with Laplace smoothing. The
+    * target distribution is fitted on the in-domain subset (here the
+    * English documents — the "quality corpus" stand-in); the raw
+    * distribution on the whole corpus. High-weight documents look like
+    * the target and get kept/up-sampled during selection.
+    *
+    * Features are word bigrams hashed into a 2^16 bucket space via the
+    * library's portable md5 bucket ([[graft.operators.Sampling
+    * .hashBucket16]] — the DuckDB oracle recomputes it with hex-digit
+    * arithmetic), so the "model" is two 65536-cell count vectors.
+    *
+    * 100 TB shape: one explode → two hash aggregations (per-bucket
+    * corpus counts with a conditional target sum — ONE pass fits both
+    * models; per-(doc,bucket) tf with map-side partials) → a broadcast
+    * join of the ≤2^16-row weight table back onto the doc-side tf
+    * stream → per-doc re-aggregate. The model table is corpus-level
+    * metadata (≤65536 rows regardless of corpus size), reusable across
+    * selection runs; the corpus side is never shuffled except by
+    * doc_id.
+    *
+    * Determinism: counts are exact integers; each bucket's λ is
+    * ln/division of identical integers (correctly-rounded libm on
+    * identical doubles, the q_lm_perplexity precedent); the per-doc
+    * sum is rounded to 4dp to absorb summation-order ulps. */
+  private val DSIR_B = 65536L
+
+  private def qDsirWeights(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bg = withTokens(documents(s, d))
+      .filter(size($"t") >= 2)
+      .select($"doc_id", $"lang", explode(expr(
+        """transform(sequence(1, size(t)-1),
+          |  i -> concat(element_at(t, i), ' ', element_at(t, i+1)))"""
+          .stripMargin)).as("bg"))
+      .withColumn("b", graft.operators.Sampling.hashBucket16($"bg"))
+    val model = bg.groupBy($"b").agg(
+        count(lit(1)).as("c_r"),
+        sum(when($"lang" === "en", 1L).otherwise(0L)).as("c_t"))
+    val totals = model.agg(sum($"c_r").as("r_tot"), sum($"c_t").as("t_tot"))
+    val lam = model.crossJoin(broadcast(totals)).select($"b",
+      (log(($"c_t" + 1L) / ($"t_tot" + DSIR_B)) -
+        log(($"c_r" + 1L) / ($"r_tot" + DSIR_B))).as("lam"))
+    val tf = bg.groupBy($"doc_id", $"b").agg(count(lit(1)).as("tf"))
+    tf.join(broadcast(lam), "b")
+      .groupBy($"doc_id")
+      .agg(sum($"tf").as("n_feat"),
+        round(sum($"tf" * $"lam"), 4).as("log_w"))
+      .select($"doc_id", $"n_feat", $"log_w")
+  }
+  private val qDsirWeightsSql = {
+    val hex = (i: Int) =>
+      s"(strpos('0123456789abcdef', substring(md5(bg), $i, 1)) - 1)"
+    s"""WITH toks AS (
+      |  SELECT doc_id, lang, string_split(lower(text), ' ') AS t
+      |  FROM documents WHERE len(string_split(lower(text), ' ')) >= 2),
+      |bi AS (
+      |  SELECT doc_id, lang, unnest(list_transform(
+      |    generate_series(1, len(t)-1),
+      |    i -> t[i] || ' ' || t[i+1])) AS bg
+      |  FROM toks),
+      |bh AS (
+      |  SELECT doc_id, lang,
+      |    ${hex(1)} * 4096 + ${hex(2)} * 256 + ${hex(3)} * 16 + ${hex(4)} AS b
+      |  FROM bi),
+      |model AS (
+      |  SELECT b, count(*) AS c_r,
+      |         coalesce(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END), 0) AS c_t
+      |  FROM bh GROUP BY b),
+      |tot AS (SELECT sum(c_r) AS r_tot, sum(c_t) AS t_tot FROM model),
+      |lam AS (
+      |  SELECT b, ln((c_t + 1) / (t_tot + $DSIR_B))
+      |           - ln((c_r + 1) / (r_tot + $DSIR_B)) AS lam
+      |  FROM model, tot),
+      |tf AS (SELECT doc_id, b, count(*) AS tf FROM bh GROUP BY 1, 2)
+      |SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_feat,
+      |       round(sum(tf.tf * lam.lam), 4) AS log_w
+      |FROM tf JOIN lam USING (b) GROUP BY tf.doc_id""".stripMargin
+  }
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q_gopher_quality"     -> qGopherQuality _,
     "q_boilerplate_ngrams" -> qBoilerplateNgrams _,
     "q_decontaminate"      -> qDecontaminate _,
     "q_lm_perplexity"      -> qLmPerplexity _,
+    "q_dsir_weights"       -> qDsirWeights _,
     "q_pii_scrub"          -> qPiiScrub _)
 
   override val oracles: Seq[(String, String)] = Seq(
@@ -306,5 +391,6 @@ object CorpusQuality extends QueryModule {
     "q_boilerplate_ngrams" -> qBoilerplateNgramsSql,
     "q_decontaminate"      -> qDecontaminateSql,
     "q_lm_perplexity"      -> qLmPerplexitySql,
+    "q_dsir_weights"       -> qDsirWeightsSql,
     "q_pii_scrub"          -> qPiiScrubSql)
 }

@@ -75,4 +75,30 @@ class CorpusQualitySpec extends SparkSpec {
         s"min nll $minNll beats the most-frequent-token floor $floor")
     } finally { df.unpersist(); () }
   }
+
+  test("DSIR weights rank the target language above the others") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"))
+    val df = run("q_dsir_weights").join(docs, "doc_id").cache()
+    try {
+      // every doc with >= 2 tokens is scored, n_feat = n_tokens - 1
+      val expected = graft.Tables.documents(spark, sf)
+        .filter(size(split(lower(col("text")), " ")) >= 2).count()
+      assert(df.count() === expected)
+      val bad = df.join(
+        graft.Tables.documents(spark, sf).select(col("doc_id"),
+          (size(split(lower(col("text")), " ")) - 1).cast("long").as("nb")),
+        "doc_id").filter(col("n_feat") =!= col("nb"))
+      assert(bad.count() === 0)
+      // the importance model is fitted with target = English: the mean
+      // log-weight of English docs must exceed every other language's
+      // (the whole point of DSIR — target-looking data scores high)
+      val means = df.groupBy("lang").agg(avg("log_w").as("m"))
+        .as[(String, Double)].collect().toMap
+      val en = means("en")
+      (means - "en").foreach { case (lang, m) =>
+        assert(en > m, s"target-lang mean $en not above $lang mean $m")
+      }
+    } finally { df.unpersist(); () }
+  }
 }
