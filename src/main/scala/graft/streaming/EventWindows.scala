@@ -311,15 +311,121 @@ object EventWindows extends QueryModule {
       |FROM s GROUP BY user_id, sid""".stripMargin
   }
 
+  // ---------------------------------------------------------- q_funnel
+  /** Ordered conversion funnel view → click → purchase: how many users
+    * reach each step, where a step only counts if it happens at-or-
+    * after the previous step's first completion (the product-analytics
+    * staple; same semantics as windowFunnel-style operators).
+    *
+    * ONE shuffle: events group to their user, each user's (ts, step)
+    * pairs sort in-memory, and a linear `aggregate` fold walks the
+    * timeline advancing the stage counter — per-user event counts are
+    * human-activity-bounded, so the sorted list is small regardless of
+    * corpus scale. The naive formulation (one aggregation + self-join
+    * PER STEP, each reshuffling the full event set) is what the oracle
+    * runs; deeper funnels only grow the fold's CASE, not the shuffle
+    * count. Ties: the sort key is (ts, step-rank), so a click in the
+    * same microsecond as the first view counts as progression —
+    * exactly the oracle's `t >= t_prev` semantics. All outputs are
+    * exact integer counts. */
+  private def qFunnel(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val stage = Tables.events(s, d)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select($"user_id", unix_micros($"ts").as("t"),
+        when($"event_type" === "view", 1)
+          .when($"event_type" === "click", 2)
+          .otherwise(3).as("o"))
+      .groupBy($"user_id")
+      .agg(sort_array(collect_list(struct($"t", $"o"))).as("evs"))
+      .select(expr(
+        """aggregate(evs, 0, (acc, e) -> CASE
+          |  WHEN acc = 0 AND e.o = 1 THEN 1
+          |  WHEN acc = 1 AND e.o = 2 THEN 2
+          |  WHEN acc = 2 AND e.o = 3 THEN 3
+          |  ELSE acc END)""".stripMargin).as("stage"))
+    stage.agg(
+        sum(when($"stage" >= 1, 1L).otherwise(0L)).as("n1"),
+        sum(when($"stage" >= 2, 1L).otherwise(0L)).as("n2"),
+        sum(when($"stage" >= 3, 1L).otherwise(0L)).as("n3"))
+      .select(explode(expr(
+        """array(named_struct('step', 1, 'step_name', 'view',     'n_users', n1),
+          |      named_struct('step', 2, 'step_name', 'click',    'n_users', n2),
+          |      named_struct('step', 3, 'step_name', 'purchase', 'n_users', n3))"""
+          .stripMargin)).as("r"))
+      .select($"r.step", $"r.step_name", $"r.n_users")
+  }
+  private val qFunnelSql =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(ts) AS t, event_type FROM events
+      |  WHERE event_type IN ('view', 'click', 'purchase')),
+      |s1 AS (SELECT user_id, min(t) AS t1 FROM ev
+      |       WHERE event_type = 'view' GROUP BY 1),
+      |s2 AS (SELECT e.user_id, min(e.t) AS t2 FROM ev e JOIN s1 USING (user_id)
+      |       WHERE e.event_type = 'click' AND e.t >= s1.t1 GROUP BY 1),
+      |s3 AS (SELECT e.user_id, min(e.t) AS t3 FROM ev e JOIN s2 USING (user_id)
+      |       WHERE e.event_type = 'purchase' AND e.t >= s2.t2 GROUP BY 1)
+      |SELECT 1 AS step, 'view' AS step_name,
+      |       (SELECT count(*) FROM s1) AS n_users
+      |UNION ALL SELECT 2, 'click',    (SELECT count(*) FROM s2)
+      |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)""".stripMargin
+
+  // ------------------------------------------------------- q_retention
+  /** Cohort retention: users bucket into epoch-aligned 7-day cohorts by
+    * their FIRST event, and each (cohort, week-offset) cell counts the
+    * cohort's users active that week — the classic retention triangle.
+    * Weeks are epoch-aligned microsecond buckets (`t - t % 7d`), pure
+    * integer arithmetic with no calendar/timezone semantics to diverge
+    * across engines.
+    *
+    * ONE wide shuffle: events group to their user and `collect_set`
+    * dedups active weeks map-side (partial aggregation collapses the
+    * per-partition repeats before the exchange), then the exploded
+    * (cohort, offset) pairs — already ≤ a few hundred per user — feed
+    * the small triangle aggregate. The naive three-shuffle formulation
+    * (first-event aggregate ⋈ distinct user-weeks, then re-aggregate)
+    * is what the oracle runs. */
+  private val WEEK_US = 604800000000L
+
+  private def qRetention(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .select($"user_id", unix_micros($"ts").as("t"))
+      .groupBy($"user_id")
+      .agg(min($"t").as("t0"),
+        collect_set($"t" - $"t" % WEEK_US).as("weeks"))
+      .select(($"t0" - $"t0" % WEEK_US).as("cohort_week_us"),
+        explode($"weeks").as("week_us"))
+      .select($"cohort_week_us",
+        expr(s"(week_us - cohort_week_us) div ${WEEK_US}L").as("week_offset"))
+      .groupBy($"cohort_week_us", $"week_offset")
+      .agg(count(lit(1)).as("n_users"))
+  }
+  private val qRetentionSql =
+    s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+      |first AS (
+      |  SELECT user_id, min(t) - (min(t) % $WEEK_US) AS cohort_week_us
+      |  FROM ev GROUP BY 1),
+      |act AS (SELECT DISTINCT user_id, t - (t % $WEEK_US) AS week_us FROM ev)
+      |SELECT f.cohort_week_us,
+      |       (a.week_us - f.cohort_week_us) // $WEEK_US AS week_offset,
+      |       count(*) AS n_users
+      |FROM first f JOIN act a USING (user_id)
+      |GROUP BY 1, 2""".stripMargin
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q_event_windows"   -> qEventWindows _,
     "q_sliding_windows" -> qSlidingWindows _,
     "q_sessionize"      -> qSessionize _,
+    "q_funnel"          -> qFunnel _,
+    "q_retention"       -> qRetention _,
     "q_enrich"          -> qEnrich _)
 
   override val oracles: Seq[(String, String)] = Seq(
     "q_event_windows"   -> qEventWindowsSql,
     "q_sliding_windows" -> qSlidingWindowsSql,
     "q_sessionize"      -> qSessionizeSql,
+    "q_funnel"          -> qFunnelSql,
+    "q_retention"       -> qRetentionSql,
     "q_enrich"          -> qEnrichSql)
 }

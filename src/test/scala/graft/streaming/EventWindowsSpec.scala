@@ -239,4 +239,38 @@ class EventWindowsSpec extends SparkSpec {
         col("a.session_start_us") < col("b.session_start_us")).count()
     assert(overlaps === 0L)
   }
+
+  test("funnel steps are monotone and bounded by per-type user counts") {
+    val events = Tables.events(spark, sf)
+    val steps = graft.SparkEntry.queries("q_funnel")(spark, sf)
+      .orderBy("step").select("n_users").as[Long].collect()
+    assert(steps.length === 3)
+    // each step's population is a subset of the previous step's
+    assert(steps(0) >= steps(1) && steps(1) >= steps(2))
+    // step 1 is exactly the users with any 'view'; later steps can never
+    // exceed the users that have the step's event type at all
+    val byType = events.groupBy("event_type")
+      .agg(countDistinct("user_id").as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(steps(0) === byType("view"))
+    assert(steps(1) <= byType("click") && steps(2) <= byType("purchase"))
+  }
+
+  test("retention triangle: offsets are non-negative, week 0 covers every user") {
+    val events = Tables.events(spark, sf)
+    val ret = graft.SparkEntry.queries("q_retention")(spark, sf).cache()
+    try {
+      assert(ret.filter(col("week_offset") < 0).count() === 0)
+      // every user is active in their own cohort week, so the offset-0
+      // diagonal sums to the total user population
+      val diag = ret.filter(col("week_offset") === 0)
+        .agg(sum("n_users")).head().getLong(0)
+      assert(diag === events.select("user_id").distinct().count())
+      // no (cohort, offset) cell can exceed its cohort's diagonal size
+      val d = ret.filter(col("week_offset") === 0)
+        .select(col("cohort_week_us"), col("n_users").as("cohort_size"))
+      assert(ret.join(d, "cohort_week_us")
+        .filter(col("n_users") > col("cohort_size")).count() === 0)
+    } finally { ret.unpersist(); () }
+  }
 }
