@@ -612,6 +612,75 @@ object TextOps extends QueryModule {
       |         AS n_chunks
       |FROM off""".stripMargin
 
+  // ------------------------------------------------------------ q_bm25
+  /** Okapi BM25 keyword scoring over the corpus for a fixed query-term
+    * set — the IR retrieval primitive beside the vector-similarity
+    * family (`SimilarityOps`): lexical search needs no index build and
+    * is the usual first-stage retriever in a hybrid stack.
+    * `score(d) = Σ_q idf(q) · tf·(k1+1) / (tf + k1·(1−b+b·|d|/avgdl))`
+    * with the standard k1=1.2, b=0.75 and the +1-smoothed idf.
+    *
+    * 100 TB shape: the token stream filters to the broadcast query-term
+    * set BEFORE any shuffle (the semi-join rides the scan — corpus-size
+    * work is one projected pass), then per-(doc,term) tf aggregates and
+    * the |Q|-row df table broadcasts back. Corpus stats (N, Σ|d|) are
+    * one 1-row aggregate. Every score input is an exact integer; all
+    * floating arithmetic is forced DOUBLE in both engines with the
+    * identical expression shape, and the per-doc sum rounds to the 4dp
+    * grid (summation-order ulps, the q_lm_perplexity precedent). No
+    * top-k cut: the full scored posting set is returned, so no
+    * ulp-at-the-boundary rank instability across engines. */
+  private val BM25_TERMS = Seq("vector", "stream", "window")
+
+  private def qBm25(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dl = documents(s, d)
+      .select($"doc_id", size(split(lower($"text"), " ")).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum($"dl").as("sum_dl"))
+    val tf = withTokens(documents(s, d))
+      .select($"doc_id", explode($"tokens").as("tok"))
+      .filter($"tok".isin(BM25_TERMS: _*))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df_), "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(($"n_docs" - $"df" + lit(0.5)) / ($"df" + lit(0.5)) + lit(1.0)))
+      .withColumn("part",
+        $"idf" * ($"tf" * lit(2.2)) /
+          ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * $"dl" * $"n_docs" / $"sum_dl")))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).cast("long").as("n_terms"),
+        round(sum($"part"), 4).as("score"))
+  }
+  private val qBm25Sql = {
+    val terms = BM25_TERMS.map(t => s"'$t'").mkString(", ")
+    """WITH dl AS (
+      |  SELECT doc_id, CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS dl
+      |  FROM documents),
+      |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |                 CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+      |tf AS (
+      |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+      |        FROM documents)
+      |  WHERE tok IN (TERMS_LIST) GROUP BY 1, 2),
+      |df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      |part AS (
+      |  SELECT tf.doc_id,
+      |    ln((n_docs - df.df + 0.5::DOUBLE) / (df.df + 0.5::DOUBLE)
+      |       + 1.0::DOUBLE)
+      |      * (tf.tf * 2.2::DOUBLE)
+      |      / (tf.tf + 1.2::DOUBLE
+      |         * (0.25::DOUBLE + 0.75::DOUBLE * dl.dl * n_docs / sum_dl)) AS p
+      |  FROM tf JOIN df USING (tok) JOIN dl USING (doc_id), stats)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+      |       round(sum(p), 4) AS score
+      |FROM part GROUP BY doc_id""".stripMargin
+      .replace("TERMS_LIST", terms)
+  }
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q_text_stats"      -> qTextStats _,
     "q_lang_id"         -> qLangId _,
@@ -624,7 +693,8 @@ object TextOps extends QueryModule {
     "q_bpe_train"       -> qBpeTrain _,
     "q_bpe_encode"      -> qBpeEncode _,
     "q_vocab_coverage"  -> qVocabCoverage _,
-    "q_seq_pack"        -> qSeqPack _)
+    "q_seq_pack"        -> qSeqPack _,
+    "q_bm25"            -> qBm25 _)
 
   override val oracles: Seq[(String, String)] = Seq(
     "q_text_stats"      -> qTextStatsSql,
@@ -638,5 +708,6 @@ object TextOps extends QueryModule {
     "q_bpe_train"       -> qBpeTrainSql,
     "q_bpe_encode"      -> qBpeEncodeSql,
     "q_vocab_coverage"  -> qVocabCoverageSql,
-    "q_seq_pack"        -> qSeqPackSql)
+    "q_seq_pack"        -> qSeqPackSql,
+    "q_bm25"            -> qBm25Sql)
 }

@@ -65,6 +65,21 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("bm25 scores exactly the docs matching a query term, positively") {
+    val out = q("q_bm25").cache()
+    val docs = Tables.documents(spark, sf)
+    try {
+      // result set = docs containing >= 1 query term (no silent top-k cut)
+      val matching = docs.filter(
+        arrays_overlap(split(lower(col("text")), " "),
+          array(lit("vector"), lit("stream"), lit("window")))).count()
+      assert(out.count() === matching)
+      // +1-smoothed idf is strictly positive, so every score is
+      assert(out.filter(col("score") <= 0).count() === 0)
+      assert(out.filter(col("n_terms") < 1 || col("n_terms") > 3).count() === 0)
+    } finally { out.unpersist(); () }
+  }
+
   test("simhash puts near-dup pairs within small Hamming distance") {
     val sig = q("q_simhash").as[(Long, Long)].collect().toMap
     val pairs = q("q_ngram_jaccard")
