@@ -163,6 +163,50 @@ object MergeOps extends QueryModule {
       |SELECT s_uid, s_eid, s_et, s_v, epoch_us(s_ts), 'insert', 2::BIGINT
       |FROM j WHERE t_uid IS NULL AND s_op <> 'DELETE'""".stripMargin
 
+  // ------------------------------------------------------------ q_scd2
+  /** Slowly-changing-dimension type 2 built FROM THE CHANGE FEED: every
+    * row version a key ever held becomes an interval
+    * `[valid_from, valid_to)` in commit versions, open (`NULL`) while
+    * current — the standard dimension-history layout, derived here
+    * without rescanning any snapshot. Interval starts are the feed's
+    * `insert`/`update_postimage` rows; an interval closes at its key's
+    * NEXT change version (the delete's version, or the succeeding
+    * postimage's), found with one `lead()` per key over the
+    * version-ordered feed.
+    *
+    * 100 TB shape: reads O(changes), never O(table) — the CDF spans are
+    * version-pruned files ([[VersionedTable.changes]]), and the only
+    * shuffle is the per-key window whose partition count is the
+    * changed-key count. Downstream as-of joins against the dimension
+    * (`q_asof_join` machinery) then hit a materialized interval table
+    * instead of replaying history per query. */
+  private def qScd2(s: SparkSession, d: String): DataFrame = {
+    val t = replayedTable(s, d)
+    val ch = t.changes(1)
+    val evs = ch.filter(col("_change_type").isin("insert", "update_postimage"))
+      .withColumn("__start", lit(true))
+      .unionByName(ch.filter(col("_change_type") === "delete")
+        .withColumn("__start", lit(false)))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("_commit_version"))
+    evs
+      .withColumn("valid_to", lead(col("_commit_version"), 1).over(w))
+      .filter(col("__start"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), unix_micros(col("ts")).as("ts_us"),
+        col("_commit_version").as("valid_from"), col("valid_to"))
+  }
+  private val qScd2Sql =
+    s"""$oracleWith
+      |SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
+      |       1::BIGINT AS valid_from,
+      |       CASE WHEN user_id IN (SELECT user_id FROM b2)
+      |            THEN 2::BIGINT ELSE NULL::BIGINT END AS valid_to
+      |FROM t1
+      |UNION ALL
+      |SELECT s_uid, s_eid, s_et, s_v, epoch_us(s_ts),
+      |       2::BIGINT, NULL::BIGINT
+      |FROM j WHERE s_op = 'UPSERT'""".stripMargin
+
   // ------------------------------------------------- q_time_travel (S8)
   private def qTimeTravel(s: SparkSession, d: String): DataFrame = {
     val t = replayedTable(s, d)
@@ -891,6 +935,7 @@ object MergeOps extends QueryModule {
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q_merge_upsert"   -> qMergeUpsert _,
     "q_cdf_batch"      -> qCdfBatch _,
+    "q_scd2"           -> qScd2 _,
     "q_time_travel"    -> qTimeTravel _,
     "q_merge_additive" -> qMergeAdditive _,
     "q_insert_append"  -> qInsertAppend _,
@@ -915,6 +960,7 @@ object MergeOps extends QueryModule {
   override val oracles: Seq[(String, String)] = Seq(
     "q_merge_upsert"   -> qMergeUpsertSql,
     "q_cdf_batch"      -> qCdfBatchSql,
+    "q_scd2"           -> qScd2Sql,
     "q_time_travel"    -> qTimeTravelSql,
     "q_merge_additive" -> qMergeAdditiveSql,
     "q_insert_append"  -> qInsertAppendSql,
