@@ -27,6 +27,16 @@ final case class WhenMatchedUpdate(
 final case class WhenNotMatchedInsert(
     condition: Option[Column] = None,
     values: Map[String, Column] = Map.empty) extends MergeClause
+/** `WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE SET ...` — fires
+  * for TARGET rows with no source match (the sync-mirror direction SQL
+  * MERGE otherwise can't express). There is no source row, so `set` must
+  * be explicit and may reference only `target.*` columns. */
+final case class WhenNotMatchedBySourceUpdate(
+    condition: Option[Column],
+    set: Map[String, Column]) extends MergeClause
+/** `WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE`. */
+final case class WhenNotMatchedBySourceDelete(
+    condition: Option[Column] = None) extends MergeClause
 
 final case class MergeStats(
     version: Option[Long],
@@ -54,7 +64,8 @@ final case class MergeStats(
   *     (`current_timestamp` audit columns) are computed exactly once,
   *     and a commit failure can always be retried from the staging.
   *
-  * Unmatched target rows pass through untouched; matched rows matching
+  * Unmatched target rows pass through untouched unless a
+  * NOT-MATCHED-BY-SOURCE clause claims them; matched rows matching
   * no clause are kept (that is how the `data_hash` guard suppresses
   * inter-batch duplicates: the UPDATE clause's condition fails and no
   * CDF row is emitted, demo-notebook.py:273-277); source rows matching
@@ -83,6 +94,13 @@ final case class MergeStats(
   * NOT-MATCHED decisions made against candidates alone are exact.
   * Unbucketed tables keep the simple full-snapshot rewrite (right for
   * small aggregates like Gold).
+  *
+  * NOT-MATCHED-BY-SOURCE merges disable candidate-file pruning: the
+  * clause's semantics require evaluating EVERY target row (a row in a
+  * file no source key hashes into may still be unmatched-by-source), so
+  * the merge reads and rewrites the full table — the same full-scan
+  * contract Delta's own `whenNotMatchedBySource` carries. Use them for
+  * periodic mirror-syncs, not per-batch CDC upserts.
   *
   * == Concurrency ==
   * Merges are optimistic: the commit CAS detects a concurrent winner,
@@ -174,7 +192,14 @@ object Merge {
       // conflict scope (left join: a touched bucket with no candidate
       // file still conflicts with concurrent adds there). Files without
       // stats (e.g. the create-time empty file) are always candidates.
-      val bucketed = table.bucketSpec.map { case BucketSpec(bkeys, n) =>
+      // by-source clauses must see every target row — candidate-file
+      // pruning would hide prunable files' rows from them (scaladoc)
+      val hasBySource = clauses.exists {
+        case _: WhenNotMatchedBySourceUpdate | _: WhenNotMatchedBySourceDelete => true
+        case _ => false
+      }
+      val bucketed = (if (hasBySource) None else table.bucketSpec).map {
+        case BucketSpec(bkeys, n) =>
         require(bkeys == onKeys,
           s"merge keys $onKeys must equal the table's bucket keys $bkeys")
         // candidate pruning hashes the SOURCE's key columns and compares
