@@ -134,14 +134,21 @@ object Bench {
         name -> (System.nanoTime() - t0) / 1e9
       }
     }
-    val byQuery = names.map(n => n -> perPass.map(_.toMap.apply(n)))
+    // An errored query's fail-fast ~0.1s "timings" must not leak into
+    // queries/total — they read as impossibly-fast rows and corrupt
+    // cross-round totals (ADVICE r8). Errored names live ONLY in
+    // "errors"; the medians/passes sections carry clean queries.
+    val byQuery = names.filterNot(errors.contains)
+      .map(n => n -> perPass.map(_.toMap.apply(n)))
     val medians = byQuery.map { case (n, xs) => n -> median(xs) }
     val passJson = byQuery.map { case (k, xs) =>
       "\"" + k + "\":" + xs.map(fmt).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v) + "\"" }
       .mkString("{", ",", "}")
-    (medians, passJson, perPass.map(_.map(_._2).sum), errJson)
+    (medians, passJson,
+      perPass.map(_.collect { case (n, t) if !errors.contains(n) => t }.sum),
+      errJson)
   }
 
   def main(args: Array[String]): Unit = {
@@ -182,8 +189,8 @@ object Bench {
 
     // sf1 scale point (only when the MakeSf1 dataset has been built)
     val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", MakeSf1.DefaultOut)
-    val sf1Json =
-      if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(sf1Dir))) ""
+    val (sf1Json, sf1HadErrors) =
+      if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(sf1Dir))) ("", false)
       else {
         // 3 passes so the median discards the cold pass: at sf1 the
         // first timed pass pays first-touch engine-table builds that
@@ -194,7 +201,8 @@ object Bench {
         val (m1, p1, _, e1) = measure(spark, sf1Dir, sf1Names, sf1Passes)
         val q1 = m1.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
           .mkString("{", ",", "}")
-        s""","sf1":{"value":${fmt(m1.map(_._2).sum)},"queries":$q1,"passes":$p1,"n_passes":$sf1Passes,"errors":$e1,"dir":"${esc(sf1Dir)}"}"""
+        (s""","sf1":{"value":${fmt(m1.map(_._2).sum)},"queries":$q1,"passes":$p1,"n_passes":$sf1Passes,"errors":$e1,"dir":"${esc(sf1Dir)}"}""",
+          e1 != "{}")
       }
 
     val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"passes":$passJson,"pass_totals":${passTotals.map(fmt).mkString("[", ",", "]")},"spread_pct":${fmt(spreadPct)},"n_passes":$passes,"errors":$errJson,"sf":"$sfDir"$sf1Json}"""
@@ -210,5 +218,12 @@ object Bench {
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
+    // A bench with analysis/runtime errors must FAIL the invocation, not
+    // exit 0 with a shorter-looking total (ADVICE r8): rc=1 makes the
+    // driver snapshot record the round as broken instead of fast.
+    if (errJson != "{}" || sf1HadErrors) {
+      System.err.println(s"bench: errors present, failing: $errJson")
+      sys.exit(1)
+    }
   }
 }

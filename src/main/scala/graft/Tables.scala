@@ -19,24 +19,36 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame     = table(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame     = table(s, d, "region")
-  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark
-    * cannot read natively. Read it as a long (nanos since epoch) and
-    * truncate to a microsecond TIMESTAMP with integer division — the
-    * exact truncation DuckDB applies when it reads the same file, so
-    * oracle comparisons see identical values. (Integer `div`, not `/`:
-    * 2024 epoch-nanos ≈ 1.7e18 exceeds a double's 53-bit mantissa.)
+  /** `events.ts` has been written by the driver both as parquet
+    * TIMESTAMP(NANOS) (earlier rounds) and as plain timestamp[us]
+    * (current). Branch on the dtype Spark actually loaded so either
+    * generation works (VERDICT r8 #1):
     *
-    * REQUIRES `spark.sql.legacy.parquet.nanosAsLong=true` set at session
-    * build (Verify / Bench / TestSpark all do). Deliberately NOT set here:
-    * mutating shared session conf from a loader leaks into unrelated
-    * reads and races concurrent callers (ADVICE r1).
+    *  - LongType: the file is TIMESTAMP(NANOS) read under
+    *    `spark.sql.legacy.parquet.nanosAsLong=true` (required, and
+    *    checked, only on this branch). Truncate nanos → micros with
+    *    integer division — the exact truncation DuckDB applies to the
+    *    same file, so oracle comparisons see identical values.
+    *    (Integer `div`, not `/`: 2024 epoch-nanos ≈ 1.7e18 exceeds a
+    *    double's 53-bit mantissa.)
+    *  - TimestampNTZType: timestamp[us] without timezone; cast to the
+    *    session-local TIMESTAMP all query code expects. Sessions run
+    *    UTC, matching DuckDB's naive reading of the same values.
+    *  - TimestampType: pass through.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    require(s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
-      "session must set spark.sql.legacy.parquet.nanosAsLong=true to read events.parquet")
-    table(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        require(s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
+          "session must set spark.sql.legacy.parquet.nanosAsLong=true to read nanos events.parquet")
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => raw
+      case other => sys.error(s"events.ts: unsupported loaded dtype $other")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

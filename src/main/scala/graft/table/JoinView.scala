@@ -98,8 +98,7 @@ final class JoinView private (
     val bKeyVals = keyValues(bKeys)
     val viaB = bKeyVals match {
       case Some(Seq()) => emptyKeys(spark, a.schema, aKey)
-      case Some(vals) =>
-        a.snapshotWhere(col(fk).isin(vals: _*)).select(col(aKey))
+      case Some(vals) => keyedRead(a, fk, vals).select(col(aKey))
       case None =>
         a.snapshot().join(bKeys, col(fk) === col(bKey)).select(col(aKey))
     }
@@ -122,7 +121,7 @@ final class JoinView private (
       // is bounded (bucket hash ranges make this O(affected buckets) on
       // a bucketed A), else the full-scan semi-join
       val aBlock = affVals match {
-        case Some(vals) => a.snapshotWhere(col(aKey).isin(vals: _*))
+        case Some(vals) => keyedRead(a, aKey, vals)
         case None => a.snapshot().join(affected, Seq(aKey), "left_semi")
       }
       // B side of the recompute: the affected block references a
@@ -134,7 +133,7 @@ final class JoinView private (
       try {
         val bSide = keyValues(aBlockP.select(col(fk)).distinct()) match {
           case Some(Seq()) => b.snapshot().limit(0)
-          case Some(fks) => b.snapshotWhere(col(bKey).isin(fks: _*))
+          case Some(fks) => keyedRead(b, bKey, fks)
           case None => b.snapshot()
         }
         val recomputed = joined(aBlockP, bSide)
@@ -152,12 +151,25 @@ final class JoinView private (
   }
 
   /** The single-column key set of `keys` as literal values, when it is
-    * small enough to push as an IN-list (Some(values), complete), or
+    * small enough to drive file skipping (Some(values), complete), or
     * None past KEY_PRUNE_MAX (callers fall back to a scan-join). */
   private def keyValues(keys: DataFrame): Option[Seq[Any]] = {
     val rows = keys.limit(KEY_PRUNE_MAX + 1).collect()
     if (rows.length > KEY_PRUNE_MAX) None else Some(rows.toSeq.map(_.get(0)))
   }
+
+  /** Key-pruned snapshot read for a bounded key set (VERDICT r8 #7):
+    * up to IN_LIST_MAX values go in as a literal IN — file skipping
+    * plus parquet row-group pushdown, the best plan for incremental
+    * batches — while larger (but still ≤ KEY_PRUNE_MAX) sets switch to
+    * [[VersionedTable.snapshotForKeys]], whose plan size stays O(1) in
+    * the key count: the same three file-skipping stages driven by a
+    * driver-side conjunct, with a broadcast semi-join as the row
+    * filter instead of a k-literal expression tree. */
+  private def keyedRead(
+      t: VersionedTable, keyCol: String, vals: Seq[Any]): DataFrame =
+    if (vals.length <= IN_LIST_MAX) t.snapshotWhere(col(keyCol).isin(vals: _*))
+    else t.snapshotForKeys(keyCol, vals)
 }
 
 object JoinView {
@@ -166,11 +178,17 @@ object JoinView {
   /** Buckets on `aKey`: a refresh CoW-rewrites only buckets holding
     * affected keys. */
   val BUCKETS = 8
-  /** Largest key set pushed to the sources as an IN-list read predicate
-    * (file skipping: stats + bucket hash ranges + blooms). Incremental
-    * batches sit far below this; past it a refresh is a near-rebuild
-    * and the full-scan join is the better plan anyway. */
+  /** Largest key set that drives file skipping (stats + bucket hash
+    * ranges + blooms). Incremental batches sit far below this; past it
+    * a refresh is a near-rebuild and the full-scan join is the better
+    * plan anyway. */
   val KEY_PRUNE_MAX = 10000
+  /** Largest key set pushed as a LITERAL IN-list into the row filter —
+    * beyond it the analyzed/codegen'd expression tree grows O(k), so
+    * bigger (≤ KEY_PRUNE_MAX) sets read via
+    * [[VersionedTable.snapshotForKeys]]'s broadcast semi-join instead
+    * (VERDICT r8 #7). */
+  val IN_LIST_MAX = 1000
 
   /** View-definition properties — the view is self-describing, so
     * `load(path)` / `REFRESH MATERIALIZED VIEW` need no parameters. */

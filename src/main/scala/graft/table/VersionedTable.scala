@@ -981,8 +981,13 @@ final class VersionedTable private (
     * stats: partition values (exact min=max), footer column ranges,
     * null counts. Everything unprovable stays in. */
   private def statsCandidates(
-      m: CommitManifest, hit: org.apache.spark.sql.Column): Seq[DataFile] = {
-    val conjuncts = resolvedConjuncts(m, hit)
+      m: CommitManifest, hit: org.apache.spark.sql.Column): Seq[DataFile] =
+    statsCandidatesFromConjuncts(m, resolvedConjuncts(m, hit))
+
+  private def statsCandidatesFromConjuncts(
+      m: CommitManifest,
+      conjuncts: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Seq[DataFile] = {
     // compiled probe: IN-lists sort once and binary-search per file
     // instead of rescanning the literal list per manifest entry
     val probe = FileSkipping.compile(conjuncts, m.schema)
@@ -998,6 +1003,43 @@ final class VersionedTable private (
     val probes = BloomIndex.probes(conjuncts)
     if (probes.isEmpty) hashPruned
     else hashPruned.filter(f => BloomIndex.mayMatch(root, f, probes))
+  }
+
+  /** Snapshot read scoped to `keyCol ∈ values` for a bounded but LARGE
+    * key set (ADVICE r7 / VERDICT r8 #7): semantically
+    * `snapshot().filter(col(keyCol).isin(values…))`, but the plan stays
+    * O(1) in the key count —
+    *
+    *   - file pruning gets ONE driver-side `In(keyCol, literals)`
+    *     conjunct built directly from the pre-collected values, so all
+    *     three skipping stages fire (sorted-stats binary search, bucket
+    *     hash ranges, bloom sidecars) without a k-literal Column ever
+    *     entering analysis;
+    *   - the residual row filter is a broadcast LEFT SEMI join against
+    *     the same values, not a k-literal IN expression — no k-node
+    *     expression tree to analyze/codegen, and a hashed lookup per
+    *     row at execution.
+    *
+    * Null values never match (IN semantics). Callers with SMALL key
+    * sets should keep `snapshotWhere(isin)` — a literal IN pushes into
+    * parquet row-group filtering, which the semi-join cannot. */
+  def snapshotForKeys(keyCol: String, values: Seq[Any]): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, In, Literal}
+    val m = latestManifest
+    val field = m.schema.fields.find(_.name == keyCol)
+      .getOrElse(sys.error(s"snapshotForKeys: no column $keyCol"))
+    val nonNull = values.filter(_ != null)
+    if (nonNull.isEmpty)
+      return readDataFiles(Seq.empty, m.schema)
+    val lits = nonNull.map(v => Literal.create(v, field.dataType))
+    val conjunct = In(
+      AttributeReference(field.name, field.dataType, field.nullable)(), lits)
+    val files = statsCandidatesFromConjuncts(m, Seq(conjunct))
+    val keyDf = spark.createDataFrame(
+      java.util.Arrays.asList(nonNull.distinct.map(org.apache.spark.sql.Row(_)): _*),
+      org.apache.spark.sql.types.StructType(Seq(field.copy(nullable = false))))
+    readDataFiles(files, m.schema)
+      .join(broadcast(keyDf), Seq(keyCol), "left_semi")
   }
 
   /** Files of `files` that may contain one of the bucket-key values an
