@@ -56,7 +56,9 @@ object Bench {
     "q_cms_counts", "q_lm_perplexity",                      // corpus-scale sketch/LM scoring
     "q_containment",                                        // asymmetric prefix join
     "q_dsir_weights", "q_bm25",                             // corpus model fit / lexical IR
-    "q_funnel", "q_retention")                              // event analytics
+    "q_funnel", "q_retention",                              // event analytics
+    "q_funnel_incr", "q_retention_incr",                    // incremental event views
+    "q_funnel_refresh")                                     // steady-state funnel refresh
   // q_semantic_dedup stays sf0.1-only: its oracle-replayable form fixes
   // CENTROIDS=16, so per-cell pair cost grows ~(N/16)² — the sf1 scale
   // path is the adaptive-cell VectorIndex (cells ~ √N), already timed

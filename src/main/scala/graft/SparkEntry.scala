@@ -15,6 +15,7 @@ object SparkEntry {
     graft.operators.Sampling,
     graft.operators.Sketches,
     graft.streaming.EventWindows,
+    graft.streaming.EventStateViews,
     graft.llm.TextOps,
     graft.llm.CorpusQuality,
     graft.llm.DedupOps,

@@ -1,0 +1,357 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+
+import graft.{QueryModule, Tables}
+import graft.table.{AggView, BucketSpec, Merge, VersionedTable,
+  WhenMatchedDelete, WhenMatchedUpdate, WhenNotMatchedInsert}
+
+/** Incrementally-maintained FUNNEL and RETENTION views over a
+  * CDF-enabled events table (VERDICT r8 #8): the batch formulations
+  * ([[EventWindows]] `q_funnel` / `q_retention`) recompute every
+  * user's state from the full event history each run; these views
+  * refresh in O(Δ users) instead —
+  *
+  *   1. read the events CDF since the view's recorded watermark —
+  *      O(new events), never a source scan;
+  *   2. re-derive ONLY the changed users' per-user state
+  *      ([[EventWindows.userStages]] / [[EventWindows.userCohortWeeks]])
+  *      from the events snapshot scoped to those users (stats-pruned
+  *      IN read below [[graft.table.JoinView.IN_LIST_MAX]], plan-
+  *      bounded [[VersionedTable.snapshotForKeys]] up to
+  *      KEY_PRUNE_MAX, full semi-join past it — ingest batches are
+  *      range-clustered by `user_id`, so a user's history lives in
+  *      few files);
+  *   3. three-clause [[Merge]] into a compact per-user STATE table
+  *      (bucketed by the state key: one CoW rewrite per touched
+  *      bucket), watermark riding the commit's `txn` map;
+  *   4. the reporting aggregate (3-row funnel histogram / retention
+  *      triangle) is an [[AggView]] chained off the state table's OWN
+  *      change feed — the signed-delta maintenance the Gold layer
+  *      already uses, so the readout costs O(groups), not O(users).
+  *
+  * Per-user funnel state cannot be folded forward from deltas alone
+  * (a late-arriving early `view` can re-qualify older clicks), so the
+  * delta-scoped per-user RE-read is the exact-and-scalable shape —
+  * the same affected-block recomputation [[graft.table.JoinView]]
+  * uses, applied to event analytics. Correctness invariant (spec +
+  * oracle rows): after any refresh, state ≡ the batch recompute over
+  * the full events snapshot.
+  */
+final class FunnelView private[streaming] (
+    val state: VersionedTable, val counts: AggView) {
+  import EventStateViews._
+
+  /** Applies all events-table changes the view has not seen. Returns
+    * the state version committed (None when already current). */
+  def refresh(events: VersionedTable): Option[Long] = {
+    val latest = events.latestVersion
+    val since = state.lastTxn(FUNNEL_APP).getOrElse(0L) + 1
+    val out =
+      if (latest < since) None
+      else {
+        val users = events.changes(since).select(col("user_id")).distinct()
+        stateDelta(events, users,
+          ev => EventWindows.userStages(
+            ev.select(col("user_id"), col("t"), col("event_type"))),
+          state, Seq("user_id"), Map(FUNNEL_APP -> latest))
+      }
+    counts.refresh(state)
+    out
+  }
+
+  /** The funnel readout `(step, step_name, n_users)`: suffix sums over
+    * the maintained ≤3-row stage histogram — O(1), never an O(users)
+    * state scan. */
+  def funnel(): DataFrame = {
+    val s = state.spark
+    import s.implicits._
+    val steps = Seq((1, "view"), (2, "click"), (3, "purchase"))
+      .toDF("step", "step_name")
+    val h = counts.table.snapshot().select(col("stage"), col("n_rows"))
+    steps.join(h, h("stage") >= steps("step"), "left")
+      .groupBy(col("step"), col("step_name"))
+      .agg(coalesce(sum(col("n_rows")), lit(0L)).cast("long").as("n_users"))
+  }
+}
+
+/** See [[FunnelView]] — same maintenance contract for the cohort
+  * retention triangle. State: one row per (user, active week). */
+final class RetentionView private[streaming] (
+    val state: VersionedTable, val counts: AggView) {
+  import EventStateViews._
+
+  def refresh(events: VersionedTable): Option[Long] = {
+    val latest = events.latestVersion
+    val since = state.lastTxn(RETENTION_APP).getOrElse(0L) + 1
+    val out =
+      if (latest < since) None
+      else {
+        val users = events.changes(since).select(col("user_id")).distinct()
+        stateDelta(events, users,
+          ev => EventWindows.userCohortWeeks(
+            ev.select(col("user_id"), col("t"))),
+          state, Seq("user_id", "week_us"), Map(RETENTION_APP -> latest))
+      }
+    counts.refresh(state)
+    out
+  }
+
+  /** The retention triangle `(cohort_week_us, week_offset, n_users)`
+    * from the maintained aggregate — O(cells). */
+  def triangle(): DataFrame =
+    counts.table.snapshot().select(col("cohort_week_us"),
+      col("week_offset"), col("n_rows").cast("long").as("n_users"))
+}
+
+object EventStateViews extends QueryModule {
+  val FUNNEL_APP = "funnel-view"
+  val RETENTION_APP = "retention-view"
+  private val STATE_BUCKETS = 8
+
+  private val stateClauses = Seq(
+    WhenMatchedDelete(Some(col("source.__op") === "DELETE")),
+    WhenMatchedUpdate(Some(col("source.__op") === "UPSERT")),
+    WhenNotMatchedInsert(Some(col("source.__op") =!= "DELETE")))
+
+  /** Events snapshot scoped to the given (bounded or not) user set —
+    * the JoinView keyed-read ladder: literal IN below IN_LIST_MAX,
+    * plan-bounded snapshotForKeys to KEY_PRUNE_MAX, semi-join past. */
+  private def eventsForUsers(
+      events: VersionedTable, users: DataFrame,
+      userVals: Option[Seq[Any]]): DataFrame = userVals match {
+    case Some(Seq())  => events.snapshot().limit(0)
+    case Some(vals) if vals.length <= graft.table.JoinView.IN_LIST_MAX =>
+      events.snapshotWhere(col("user_id").isin(vals: _*))
+    case Some(vals)   => events.snapshotForKeys("user_id", vals)
+    case None         => events.snapshot().join(users, Seq("user_id"), "left_semi")
+  }
+
+  private def boundedKeys(keys: DataFrame): Option[Seq[Any]] = {
+    val rows = keys.limit(graft.table.JoinView.KEY_PRUNE_MAX + 1).collect()
+    if (rows.length > graft.table.JoinView.KEY_PRUNE_MAX) None
+    else Some(rows.toSeq.map(_.get(0)))
+  }
+
+  /** Shared refresh step 2-3: recompute `derive` for the changed users
+    * only and merge upserts + per-key deletes (rows the recompute no
+    * longer produces) into `state`. Returns the committed version, or
+    * None when the CDF span netted out to zero users (watermark still
+    * advances so the span is never rescanned). */
+  private[streaming] def stateDelta(
+      events: VersionedTable,
+      users: DataFrame,
+      derive: DataFrame => DataFrame,
+      state: VersionedTable,
+      stateKeys: Seq[String],
+      wm: Map[String, Long]): Option[Long] = {
+    val userVals = boundedKeys(users)
+    if (userVals.contains(Seq.empty)) {
+      state.commitFiles(Seq.empty, Seq.empty, None, "refresh-noop",
+        extraTxn = wm)
+      return Some(state.latestVersion)
+    }
+    val fresh = derive(eventsForUsers(events, users, userVals))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // state rows of changed users the recompute no longer produces
+      // (user vanished, or a (user, week) pair no longer active):
+      // read old rows stats-pruned by user, anti-join the fresh set
+      val oldRows = (userVals match {
+        case Some(vals) if vals.length <= graft.table.JoinView.IN_LIST_MAX =>
+          state.snapshotWhere(col("user_id").isin(vals: _*))
+        case Some(vals) => state.snapshotForKeys("user_id", vals)
+        case None => state.snapshot().join(users, Seq("user_id"), "left_semi")
+      }).select(stateKeys.map(col): _*)
+      val dels = oldRows.join(fresh, stateKeys, "left_anti")
+        .withColumn("__op", lit("DELETE"))
+      val src = fresh.withColumn("__op", lit("UPSERT"))
+        .unionByName(dels, allowMissingColumns = true)
+      Merge.run(state, src, stateKeys, stateClauses, extraTxn = wm)
+      Some(state.latestVersion)
+    } finally fresh.unpersist()
+  }
+
+  // ---------------------------------------------------------- builders
+
+  /** Creates the state + histogram tables and computes them fully once
+    * from the events snapshot, recording the watermark. */
+  def buildFunnel(events: VersionedTable, root: String): FunnelView = {
+    val spark = events.spark
+    val stateSchema = StructType(Seq(
+      StructField("user_id", LongType),
+      StructField("stage", IntegerType)))
+    val state = VersionedTable.create(spark, s"$root/state", stateSchema,
+      Map(VersionedTable.PROP_CDF -> "true"),
+      bucketBy = Some(BucketSpec(Seq("user_id"), STATE_BUCKETS)))
+    val latest = events.latestVersion
+    Merge.run(state,
+      EventWindows.userStages(events.snapshot()
+          .select(col("user_id"), col("t"), col("event_type")))
+        .withColumn("__op", lit("UPSERT")),
+      Seq("user_id"), stateClauses, extraTxn = Map(FUNNEL_APP -> latest))
+    val counts = AggView.build(state, s"$root/counts", Seq("stage"), Seq.empty)
+    new FunnelView(state, counts)
+  }
+
+  def buildRetention(events: VersionedTable, root: String): RetentionView = {
+    val spark = events.spark
+    val stateSchema = StructType(Seq(
+      StructField("user_id", LongType),
+      StructField("week_us", LongType),
+      StructField("cohort_week_us", LongType),
+      StructField("week_offset", LongType)))
+    val state = VersionedTable.create(spark, s"$root/state", stateSchema,
+      Map(VersionedTable.PROP_CDF -> "true"),
+      bucketBy = Some(BucketSpec(Seq("user_id", "week_us"), STATE_BUCKETS)))
+    val latest = events.latestVersion
+    Merge.run(state,
+      EventWindows.userCohortWeeks(
+          events.snapshot().select(col("user_id"), col("t")))
+        .withColumn("__op", lit("UPSERT")),
+      Seq("user_id", "week_us"), stateClauses,
+      extraTxn = Map(RETENTION_APP -> latest))
+    val counts = AggView.build(state, s"$root/counts",
+      Seq("cohort_week_us", "week_offset"), Seq.empty)
+    new RetentionView(state, counts)
+  }
+
+  // ------------------------------------------------------ query fixtures
+
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", org.apache.spark.sql.types.StringType),
+    StructField("t", LongType)))
+
+  /** The sf events rows in the engine-table shape: epoch-micros `t`
+    * (cross-engine-stable), RANGE-clustered by `user_id` at ingest so
+    * a user's history lands in few contiguous-stat files — what makes
+    * the refresh's per-user re-read file-skippable. */
+  private def eventRows(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(col("event_id"), col("user_id"),
+      col("event_type"), unix_micros(col("ts")).as("t"))
+
+  private def appendClustered(t: VersionedTable, rows: DataFrame): Unit =
+    t.append(rows.repartitionByRange(STATE_BUCKETS, col("user_id"))): Unit
+
+  // ---------------------------------------------------- q_funnel_incr
+  /** Incremental-funnel LIFECYCLE: events land in two append batches;
+    * the view builds at the batch-1 watermark and ONE refresh catches
+    * up batch 2 — the oracle recomputes the funnel declaratively over
+    * the full events table, so the signed-delta path must land
+    * bit-identical to the from-scratch batch formulation. */
+  private def qFunnelIncr(s: SparkSession, d: String): DataFrame = {
+    val root = graft.Scratch.dir("graft-funnel-incr")
+    val ev = VersionedTable.create(s, root.resolve("ev").toString,
+      eventsSchema, Map(VersionedTable.PROP_CDF -> "true"))
+    val all = eventRows(s, d)
+    appendClustered(ev, all.filter(col("event_id") % 2 === 0))
+    val v = buildFunnel(ev, root.resolve("v").toString)
+    appendClustered(ev, all.filter(col("event_id") % 2 === 1))
+    v.refresh(ev)
+    v.funnel()
+  }
+
+  // ------------------------------------------------- q_retention_incr
+  private def qRetentionIncr(s: SparkSession, d: String): DataFrame = {
+    val root = graft.Scratch.dir("graft-retention-incr")
+    val ev = VersionedTable.create(s, root.resolve("ev").toString,
+      eventsSchema, Map(VersionedTable.PROP_CDF -> "true"))
+    val all = eventRows(s, d)
+    appendClustered(ev, all.filter(col("event_id") % 2 === 0))
+    val v = buildRetention(ev, root.resolve("v").toString)
+    appendClustered(ev, all.filter(col("event_id") % 2 === 1))
+    v.refresh(ev)
+    v.triangle()
+  }
+
+  // -------------------------------------------------- q_funnel_refresh
+  /** STEADY-STATE incremental-funnel cost: the fixture builds the view
+    * over the full events table once per (session, sf dir); each
+    * UNTIMED staging call re-appends a small block of events (new
+    * event_ids, duplicate content for `user_id % 50 = 0` users), so
+    * the timed body is ONE refresh — CDF scan, per-user re-derive for
+    * the ~2% changed users, state merge (a content no-op: duplicate
+    * view/click/purchase rows cannot change a user's furthest stage),
+    * histogram refresh — plus the O(1) readout. Result is therefore
+    * invariant across stagings and the oracle recomputes it
+    * declaratively. */
+  private val frCache = scala.collection.concurrent.TrieMap.empty[
+    (SparkSession, String),
+    (VersionedTable, FunnelView, java.util.concurrent.atomic.AtomicLong)]
+
+  private def frFixture(s: SparkSession, d: String)
+      : (VersionedTable, FunnelView, java.util.concurrent.atomic.AtomicLong) =
+    frCache.synchronized {
+      frCache.getOrElseUpdate((s, d), {
+        val root = graft.Scratch.dir("graft-funnel-steady")
+        val ev = VersionedTable.create(s, root.resolve("ev").toString,
+          eventsSchema, Map(VersionedTable.PROP_CDF -> "true"))
+        appendClustered(ev, eventRows(s, d))
+        val v = buildFunnel(ev, root.resolve("v").toString)
+        (ev, v, new java.util.concurrent.atomic.AtomicLong)
+      })
+    }
+
+  private def frPrepare(s: SparkSession, d: String): Unit = {
+    val (ev, _, calls) = frFixture(s, d)
+    val n = calls.getAndIncrement()
+    // fresh event_ids each call (id-space shifted far above the data's),
+    // duplicating the toggled users' existing events: real CDF rows and
+    // real per-user re-derives every refresh, with a provably unchanged
+    // funnel (duplicates cannot advance an ordered max-stage fold)
+    appendClustered(ev,
+      eventRows(s, d).filter(col("user_id") % 50 === 0)
+        .withColumn("event_id",
+          col("event_id") + lit((n + 1) * 100000000L)))
+  }
+
+  private def qFunnelRefresh(s: SparkSession, d: String): DataFrame = {
+    val (ev, v, _) = frFixture(s, d)
+    v.refresh(ev)
+    v.funnel()
+  }
+
+  private val qFunnelIncrSql =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(ts) AS t, event_type FROM events
+      |  WHERE event_type IN ('view', 'click', 'purchase')),
+      |s1 AS (SELECT user_id, min(t) AS t1 FROM ev
+      |       WHERE event_type = 'view' GROUP BY 1),
+      |s2 AS (SELECT e.user_id, min(e.t) AS t2 FROM ev e JOIN s1 USING (user_id)
+      |       WHERE e.event_type = 'click' AND e.t >= s1.t1 GROUP BY 1),
+      |s3 AS (SELECT e.user_id, min(e.t) AS t3 FROM ev e JOIN s2 USING (user_id)
+      |       WHERE e.event_type = 'purchase' AND e.t >= s2.t2 GROUP BY 1)
+      |SELECT 1 AS step, 'view' AS step_name,
+      |       (SELECT count(*) FROM s1) AS n_users
+      |UNION ALL SELECT 2, 'click',    (SELECT count(*) FROM s2)
+      |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)""".stripMargin
+
+  private val qRetentionIncrSql =
+    s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+      |first AS (
+      |  SELECT user_id, min(t) - (min(t) % ${EventWindows.WEEK_US}) AS cohort_week_us
+      |  FROM ev GROUP BY 1),
+      |act AS (SELECT DISTINCT user_id, t - (t % ${EventWindows.WEEK_US}) AS week_us FROM ev)
+      |SELECT f.cohort_week_us,
+      |       (a.week_us - f.cohort_week_us) // ${EventWindows.WEEK_US} AS week_offset,
+      |       count(*) AS n_users
+      |FROM first f JOIN act a USING (user_id)
+      |GROUP BY 1, 2""".stripMargin
+
+  override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q_funnel_incr"     -> qFunnelIncr _,
+    "q_retention_incr"  -> qRetentionIncr _,
+    "q_funnel_refresh"  -> qFunnelRefresh _)
+
+  override val oracles: Seq[(String, String)] = Seq(
+    "q_funnel_incr"     -> qFunnelIncrSql,
+    "q_retention_incr"  -> qRetentionIncrSql,
+    "q_funnel_refresh"  -> qFunnelIncrSql)
+
+  override val prepares: Seq[(String, (SparkSession, String) => Unit)] =
+    Seq("q_funnel_refresh" -> (frPrepare _))
+}

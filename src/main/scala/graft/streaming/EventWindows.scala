@@ -328,22 +328,33 @@ object EventWindows extends QueryModule {
     * same microsecond as the first view counts as progression —
     * exactly the oracle's `t >= t_prev` semantics. All outputs are
     * exact integer counts. */
+  /** Per-user funnel progress over `(user_id, t, event_type)` rows
+    * (`t` = epoch micros): the furthest ORDERED stage reached
+    * (1=view, 2=click, 3=purchase; a step counts only at-or-after the
+    * previous step's first completion). Users who never viewed are
+    * ABSENT from the result — the per-user state unit
+    * [[graft.streaming.FunnelView]] maintains incrementally and
+    * [[qFunnel]] aggregates in one pass. */
+  private[streaming] def userStages(ev: DataFrame): DataFrame = ev
+    .filter(col("event_type").isin("view", "click", "purchase"))
+    .select(col("user_id"), col("t"),
+      when(col("event_type") === "view", 1)
+        .when(col("event_type") === "click", 2)
+        .otherwise(3).as("o"))
+    .groupBy(col("user_id"))
+    .agg(sort_array(collect_list(struct(col("t"), col("o")))).as("evs"))
+    .select(col("user_id"), expr(
+      """aggregate(evs, 0, (acc, e) -> CASE
+        |  WHEN acc = 0 AND e.o = 1 THEN 1
+        |  WHEN acc = 1 AND e.o = 2 THEN 2
+        |  WHEN acc = 2 AND e.o = 3 THEN 3
+        |  ELSE acc END)""".stripMargin).as("stage"))
+    .filter(col("stage") >= 1)
+
   private def qFunnel(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val stage = Tables.events(s, d)
-      .filter(col("event_type").isin("view", "click", "purchase"))
-      .select($"user_id", unix_micros($"ts").as("t"),
-        when($"event_type" === "view", 1)
-          .when($"event_type" === "click", 2)
-          .otherwise(3).as("o"))
-      .groupBy($"user_id")
-      .agg(sort_array(collect_list(struct($"t", $"o"))).as("evs"))
-      .select(expr(
-        """aggregate(evs, 0, (acc, e) -> CASE
-          |  WHEN acc = 0 AND e.o = 1 THEN 1
-          |  WHEN acc = 1 AND e.o = 2 THEN 2
-          |  WHEN acc = 2 AND e.o = 3 THEN 3
-          |  ELSE acc END)""".stripMargin).as("stage"))
+    val stage = userStages(Tables.events(s, d)
+      .select($"user_id", unix_micros($"ts").as("t"), $"event_type"))
     stage.agg(
         sum(when($"stage" >= 1, 1L).otherwise(0L)).as("n1"),
         sum(when($"stage" >= 2, 1L).otherwise(0L)).as("n2"),
@@ -385,19 +396,28 @@ object EventWindows extends QueryModule {
     * the small triangle aggregate. The naive three-shuffle formulation
     * (first-event aggregate ⋈ distinct user-weeks, then re-aggregate)
     * is what the oracle runs. */
-  private val WEEK_US = 604800000000L
+  private[streaming] val WEEK_US = 604800000000L
+
+  /** Per-user cohort/activity rows over `(user_id, t)` (`t` = epoch
+    * micros): one row per (user, active epoch-aligned week) carrying
+    * the user's cohort week and the week offset — the per-user state
+    * unit [[graft.streaming.RetentionView]] maintains incrementally
+    * and [[qRetention]] aggregates into the triangle. */
+  private[streaming] def userCohortWeeks(ev: DataFrame): DataFrame = ev
+    .select(col("user_id"), col("t"))
+    .groupBy(col("user_id"))
+    .agg(min(col("t")).as("t0"),
+      collect_set(col("t") - col("t") % WEEK_US).as("weeks"))
+    .select(col("user_id"),
+      (col("t0") - col("t0") % WEEK_US).as("cohort_week_us"),
+      explode(col("weeks")).as("week_us"))
+    .withColumn("week_offset",
+      expr(s"(week_us - cohort_week_us) div ${WEEK_US}L"))
 
   private def qRetention(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Tables.events(s, d)
-      .select($"user_id", unix_micros($"ts").as("t"))
-      .groupBy($"user_id")
-      .agg(min($"t").as("t0"),
-        collect_set($"t" - $"t" % WEEK_US).as("weeks"))
-      .select(($"t0" - $"t0" % WEEK_US).as("cohort_week_us"),
-        explode($"weeks").as("week_us"))
-      .select($"cohort_week_us",
-        expr(s"(week_us - cohort_week_us) div ${WEEK_US}L").as("week_offset"))
+    userCohortWeeks(
+        Tables.events(s, d).select($"user_id", unix_micros($"ts").as("t")))
       .groupBy($"cohort_week_us", $"week_offset")
       .agg(count(lit(1)).as("n_users"))
   }

@@ -1,0 +1,137 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+import graft.table.{Merge, VersionedTable, WhenMatchedDelete, WhenMatchedUpdate, WhenNotMatchedInsert}
+
+/** Incremental funnel/retention views ([[EventStateViews]]): after any
+  * sequence of event appends (including out-of-order and stage-
+  * regressing late arrivals) the refreshed state must equal the batch
+  * recompute over the full events snapshot, and the chained histogram
+  * must equal an aggregate over that state. */
+class EventStateViewsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val evSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("t", LongType)))
+
+  private def freshEvents(): (VersionedTable, String) = {
+    val root = graft.Scratch.dir("graft-esv")
+    val ev = VersionedTable.create(spark, root.resolve("ev").toString,
+      evSchema, Map(VersionedTable.PROP_CDF -> "true"))
+    (ev, root.toString)
+  }
+
+  private def rows(tuples: (Long, Long, String, Long)*): DataFrame =
+    tuples.toDF("event_id", "user_id", "event_type", "t")
+
+  private def batchStages(ev: VersionedTable): Set[(Long, Int)] =
+    EventWindows.userStages(ev.snapshot()
+        .select($"user_id", $"t", $"event_type"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+
+  private def stateStages(v: FunnelView): Set[(Long, Int)] =
+    v.state.snapshot().collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+
+  private def funnelCounts(v: FunnelView): Map[Int, Long] =
+    v.funnel().collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+
+  test("funnel view ≡ batch recompute across appends, late events, deletes") {
+    val (ev, root) = freshEvents()
+    // batch 1: u1 full funnel, u2 view-only, u3 click-before-view
+    ev.append(rows(
+      (1, 1, "view", 100), (2, 1, "click", 200), (3, 1, "purchase", 300),
+      (4, 2, "view", 100),
+      (5, 3, "click", 100), (6, 3, "view", 200)))
+    val v = EventStateViews.buildFunnel(ev, s"$root/v")
+    assert(stateStages(v) === batchStages(ev))
+    assert(stateStages(v) === Set((1L, 3), (2L, 1), (3L, 1)))
+
+    // batch 2: u2 advances; u4 appears; u3's LATE view at t=50
+    // re-qualifies the t=100 click (stage 1 → 2): exactly the case a
+    // forward fold cannot handle and the per-user re-read must
+    ev.append(rows(
+      (7, 2, "click", 500), (8, 4, "purchase", 100),
+      (9, 3, "view", 50)))
+    assert(v.refresh(ev).isDefined)
+    assert(stateStages(v) === batchStages(ev))
+    assert(stateStages(v) === Set((1L, 3), (2L, 2), (3L, 2)))
+
+    // histogram-driven readout matches a direct aggregate
+    assert(funnelCounts(v) === Map(1 -> 3L, 2 -> 3L, 3 -> 1L))
+
+    // delete u1's events entirely: its state row must vanish
+    ev.deleteWhere($"user_id" === 1L)
+    assert(v.refresh(ev).isDefined)
+    assert(stateStages(v) === batchStages(ev))
+    assert(!stateStages(v).exists(_._1 == 1L))
+    assert(funnelCounts(v) === Map(1 -> 2L, 2 -> 2L, 3 -> 0L))
+
+    // idempotent: nothing new → None, state unchanged
+    val before = stateStages(v)
+    assert(v.refresh(ev).isEmpty)
+    assert(stateStages(v) === before)
+  }
+
+  private def batchTriangle(ev: VersionedTable): Set[(Long, Long, Long)] =
+    EventWindows.userCohortWeeks(ev.snapshot().select($"user_id", $"t"))
+      .groupBy($"cohort_week_us", $"week_offset")
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  private def viewTriangle(v: RetentionView): Set[(Long, Long, Long)] =
+    v.triangle().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("retention view ≡ batch recompute across appends and cohort shifts") {
+    val wk = EventWindows.WEEK_US
+    val (ev, root) = freshEvents()
+    ev.append(rows(
+      (1, 1, "view", wk * 10 + 5), (2, 1, "view", wk * 12 + 5),
+      (3, 2, "view", wk * 11 + 5)))
+    val v = EventStateViews.buildRetention(ev, s"$root/v")
+    assert(viewTriangle(v) === batchTriangle(ev))
+
+    // u1 gets a LATE event one week before its first: cohort shifts
+    // back, every offset changes — old (user, week) rows rewrite and
+    // the vanished pair set must delete
+    ev.append(rows((4, 1, "view", wk * 9 + 5), (5, 3, "view", wk * 11 + 1)))
+    assert(v.refresh(ev).isDefined)
+    assert(viewTriangle(v) === batchTriangle(ev))
+    // u1 cohort now week 9 with offsets {0,1,3}; u2,u3 cohort week 11
+    assert(viewTriangle(v) === Set(
+      (wk * 9, 0L, 1L), (wk * 9, 1L, 1L), (wk * 9, 3L, 1L),
+      (wk * 11, 0L, 2L)))
+
+    // a user's week vanishes when its only event is deleted
+    ev.deleteWhere($"event_id" === 2L) // u1's week-12 activity
+    assert(v.refresh(ev).isDefined)
+    assert(viewTriangle(v) === batchTriangle(ev))
+    assert(viewTriangle(v) === Set(
+      (wk * 9, 0L, 1L), (wk * 9, 1L, 1L), (wk * 11, 0L, 2L)))
+  }
+
+  test("funnel refresh is delta-scoped: untouched users' buckets are not rewritten") {
+    val (ev, root) = freshEvents()
+    ev.append((1L to 400L).map(u =>
+      (u, u, "view", 100L)).toDF("event_id", "user_id", "event_type", "t")
+      .repartitionByRange(8, $"user_id"))
+    val v = EventStateViews.buildFunnel(ev, s"$root/v")
+    val filesBefore = v.state.snapshot().inputFiles.toSet
+    // one user advances; only that user's state bucket should rewrite
+    ev.append(rows((1000, 7, "click", 200)))
+    assert(v.refresh(ev).isDefined)
+    val filesAfter = v.state.snapshot().inputFiles.toSet
+    val untouched = filesBefore.intersect(filesAfter)
+    assert(untouched.nonEmpty,
+      "every state file rewrote — refresh is not delta-scoped")
+    assert(stateStages(v) === batchStages(ev))
+  }
+}
