@@ -138,11 +138,58 @@ object Sampling extends QueryModule {
       |WHERE copy <= whole OR (copy = whole + 1 AND bucket < frac)""".stripMargin
   }
 
+  // ------------------------------------------------------ q_corpus_shuffle
+  /** Deterministic pre-training corpus shuffle: every document gets a
+    * pseudorandom SHARD and a position within it — the global
+    * shuffle-then-shard step between curation and tokenization that
+    * breaks source/crawl-order locality before sequence packing.
+    * Seeded md5 keys make the permutation reproducible across runs,
+    * retries, AND engines (the oracle recomputes the identical key),
+    * unlike `rand()`-based shuffles which are neither replayable nor
+    * resumable.
+    *
+    * Scale shape: ONE hash shuffle on `shard` + a within-shard sort —
+    * at 100 TB, shards are sized to executor memory (thousands of
+    * shards), each sorted independently; no global sort, no driver
+    * state. The window is partitioned by shard, so there is no
+    * single-partition WindowExec hazard. */
+  private val SHUFFLE_SHARDS = 16
+  private val SHUFFLE_SEED = 42
+
+  private def qCorpusShuffle(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    documents(s, d)
+      .withColumn("__key",
+        md5(concat($"doc_id".cast("string"), lit(s"#$SHUFFLE_SEED"))))
+      .withColumn("shard",
+        (conv(substring($"__key", 1, 4), 16, 10).cast("long")
+          % SHUFFLE_SHARDS).cast("long"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy($"shard").orderBy($"__key", $"doc_id"))
+        .cast("long"))
+      .select($"doc_id", $"shard", $"pos")
+  }
+  private val qCorpusShuffleSql = {
+    val bucket = (1 to 4).map(i =>
+      s"(strpos('0123456789abcdef', substring(key, $i, 1)) - 1) * ${math.pow(16, 4 - i).toLong}")
+      .mkString(" + ")
+    s"""WITH k AS (
+      |  SELECT doc_id, md5(doc_id::VARCHAR || '#$SHUFFLE_SEED') AS key
+      |  FROM documents)
+      |SELECT doc_id, ($bucket) % $SHUFFLE_SHARDS AS shard,
+      |       row_number() OVER (PARTITION BY ($bucket) % $SHUFFLE_SHARDS
+      |                          ORDER BY key, doc_id) AS pos
+      |FROM k""".stripMargin
+  }
+
   override def queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q_stratified_sample" -> (qStratifiedSample _),
-    "q_mix_epochs"        -> (qMixEpochs _))
+    "q_mix_epochs"        -> (qMixEpochs _),
+    "q_corpus_shuffle"    -> (qCorpusShuffle _))
 
   override def oracles: Seq[(String, String)] = Seq(
     "q_stratified_sample" -> qStratifiedSampleSql,
-    "q_mix_epochs"        -> qMixEpochsSql)
+    "q_mix_epochs"        -> qMixEpochsSql,
+    "q_corpus_shuffle"    -> qCorpusShuffleSql)
 }

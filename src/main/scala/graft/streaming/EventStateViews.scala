@@ -315,6 +315,44 @@ object EventStateViews extends QueryModule {
     v.funnel()
   }
 
+  // ----------------------------------------------- q_retention_refresh
+  /** STEADY-STATE incremental-retention cost — the [[qFunnelRefresh]]
+    * construction over [[RetentionView]]: duplicated events add no new
+    * (user, week) pairs and cannot move a min-ts cohort, so every
+    * staged refresh does real delta work against a provably unchanged
+    * triangle. */
+  private val rrCache = scala.collection.concurrent.TrieMap.empty[
+    (SparkSession, String),
+    (VersionedTable, RetentionView, java.util.concurrent.atomic.AtomicLong)]
+
+  private def rrFixture(s: SparkSession, d: String)
+      : (VersionedTable, RetentionView, java.util.concurrent.atomic.AtomicLong) =
+    rrCache.synchronized {
+      rrCache.getOrElseUpdate((s, d), {
+        val root = graft.Scratch.dir("graft-retention-steady")
+        val ev = VersionedTable.create(s, root.resolve("ev").toString,
+          eventsSchema, Map(VersionedTable.PROP_CDF -> "true"))
+        appendClustered(ev, eventRows(s, d))
+        val v = buildRetention(ev, root.resolve("v").toString)
+        (ev, v, new java.util.concurrent.atomic.AtomicLong)
+      })
+    }
+
+  private def rrPrepare(s: SparkSession, d: String): Unit = {
+    val (ev, _, calls) = rrFixture(s, d)
+    val n = calls.getAndIncrement()
+    appendClustered(ev,
+      eventRows(s, d).filter(col("user_id") % 50 === 0)
+        .withColumn("event_id",
+          col("event_id") + lit((n + 1) * 100000000L)))
+  }
+
+  private def qRetentionRefresh(s: SparkSession, d: String): DataFrame = {
+    val (ev, v, _) = rrFixture(s, d)
+    v.refresh(ev)
+    v.triangle()
+  }
+
   private val qFunnelIncrSql =
     """WITH ev AS (
       |  SELECT user_id, epoch_us(ts) AS t, event_type FROM events
@@ -343,15 +381,18 @@ object EventStateViews extends QueryModule {
       |GROUP BY 1, 2""".stripMargin
 
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
-    "q_funnel_incr"     -> qFunnelIncr _,
-    "q_retention_incr"  -> qRetentionIncr _,
-    "q_funnel_refresh"  -> qFunnelRefresh _)
+    "q_funnel_incr"        -> qFunnelIncr _,
+    "q_retention_incr"     -> qRetentionIncr _,
+    "q_funnel_refresh"     -> qFunnelRefresh _,
+    "q_retention_refresh"  -> qRetentionRefresh _)
 
   override val oracles: Seq[(String, String)] = Seq(
-    "q_funnel_incr"     -> qFunnelIncrSql,
-    "q_retention_incr"  -> qRetentionIncrSql,
-    "q_funnel_refresh"  -> qFunnelIncrSql)
+    "q_funnel_incr"        -> qFunnelIncrSql,
+    "q_retention_incr"     -> qRetentionIncrSql,
+    "q_funnel_refresh"     -> qFunnelIncrSql,
+    "q_retention_refresh"  -> qRetentionIncrSql)
 
-  override val prepares: Seq[(String, (SparkSession, String) => Unit)] =
-    Seq("q_funnel_refresh" -> (frPrepare _))
+  override val prepares: Seq[(String, (SparkSession, String) => Unit)] = Seq(
+    "q_funnel_refresh"    -> (frPrepare _),
+    "q_retention_refresh" -> (rrPrepare _))
 }

@@ -118,6 +118,28 @@ class EventStateViewsSpec extends SparkSpec {
       (wk * 9, 0L, 1L), (wk * 9, 1L, 1L), (wk * 11, 0L, 2L)))
   }
 
+  test("streaming maintenance drains event appends into the funnel view") {
+    val (ev, root) = freshEvents()
+    ev.append(rows((1, 1, "view", 100), (2, 2, "view", 100)))
+    val v = EventStateViews.buildFunnel(ev, s"$root/v")
+    ev.append(rows((3, 1, "click", 200), (4, 3, "purchase", 50)))
+    CdcStreams.startIndexMaintenance(spark, ev, () => v.refresh(ev),
+      s"$root/_cp/funnel").awaitTermination()
+    assert(stateStages(v) === batchStages(ev))
+    assert(funnelCounts(v) === Map(1 -> 2L, 2 -> 1L, 3 -> 0L))
+    // restart with nothing new: checkpointed progress, state untouched
+    val ver = v.state.latestVersion
+    CdcStreams.startIndexMaintenance(spark, ev, () => v.refresh(ev),
+      s"$root/_cp/funnel").awaitTermination()
+    assert(v.state.latestVersion === ver)
+    // a further append is picked up by the next drain
+    ev.append(rows((5, 2, "click", 300)))
+    CdcStreams.startIndexMaintenance(spark, ev, () => v.refresh(ev),
+      s"$root/_cp/funnel").awaitTermination()
+    assert(stateStages(v) === batchStages(ev))
+    assert(funnelCounts(v) === Map(1 -> 2L, 2 -> 2L, 3 -> 0L))
+  }
+
   test("funnel refresh is delta-scoped: untouched users' buckets are not rewritten") {
     val (ev, root) = freshEvents()
     ev.append((1L to 400L).map(u =>
