@@ -1025,6 +1025,116 @@ object SimilarityOps extends QueryModule {
       |SELECT q_id, vec_id, rnk, round(cos, 6) AS cos
       |FROM rk WHERE rnk <= $K""".stripMargin
 
+  // ------------------------------------------------------- q_hybrid_rrf
+  /** HYBRID retrieval by Reciprocal Rank Fusion: for each query
+    * document (`vec_id < QUERY_MAX_ID` — the corpus's query-by-example
+    * seeds), fuse the EMBEDDING ranking (exact cosine, the
+    * [[qTopkCosine]] baseline) with the LEXICAL ranking (word-3-gram
+    * Jaccard against the query document's text) as
+    * `rrf = 1/(60 + r_vec) + 1/(60 + r_lex)` — the standard RRF
+    * constant — and emit the top-K fused candidates with both
+    * component ranks. This is the curation shape behind seed-based
+    * data selection: embeddings surface paraphrases lexical overlap
+    * misses, shingles surface exact quotes embeddings blur, and RRF
+    * needs no score calibration between the two.
+    *
+    * == Cross-engine determinism ==
+    * Both component rankings are already exact cross-engine (proven
+    * cosine fold; integer-exact Jaccard division), ties break on
+    * doc_id, and the fused score is two integer-denominator double
+    * divisions summed in a fixed order — bit-identical in DuckDB. All
+    * output columns are integers.
+    *
+    * == 100 TB design ==
+    * The query side (Q seeds) broadcasts in BOTH rankings — two
+    * O(Q·N) scans with no shuffle on the corpus side except the
+    * per-query ranking windows (partitioned by q_id, never global).
+    * The fuse is an equi-join on (q_id, doc_id) between two
+    * corpus-sized rankings — shuffled, AQE-friendly. For large Q,
+    * each side independently drops into its scale path (banded LSH /
+    * ppjoin prefix filtering) at the same fuse skeleton. */
+  private val RRF_C = 60
+
+  private def qHybridRrf(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val emb = embeddings(s, d)
+    val q = emb.filter(col("vec_id") < QUERY_MAX_ID)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val c = emb.filter(col("vec_id") >= QUERY_MAX_ID)
+      .select(col("vec_id").as("doc_id"), col("embedding").as("ce"))
+    val vecRank = c.crossJoin(broadcast(q))
+      .withColumn("cos", expr("cosine_sim(qe, ce)"))
+      .withColumn("r_vec", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("doc_id").asc_nulls_last)))
+      .select(col("q_id"), col("doc_id"), col("r_vec"))
+    val sh = DedupOps.withShingles(documents(s, d))
+      .select(col("doc_id"), col("shingles"))
+    val qSh = sh.filter(col("doc_id") < QUERY_MAX_ID)
+      .select(col("doc_id").as("q_id"), col("shingles").as("qs"))
+    val cSh = sh.filter(col("doc_id") >= QUERY_MAX_ID)
+      .select(col("doc_id"), col("shingles").as("cs"))
+    val lexRank = cSh.crossJoin(broadcast(qSh))
+      .withColumn("inter",
+        size(array_intersect(col("qs"), col("cs"))).cast("double"))
+      .withColumn("jac",
+        col("inter") / (size(col("qs")) + size(col("cs")) - col("inter")))
+      .withColumn("r_lex", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("jac").desc, col("doc_id").asc_nulls_last)))
+      .select(col("q_id"), col("doc_id"), col("r_lex"))
+    vecRank.join(lexRank, Seq("q_id", "doc_id"))
+      .withColumn("rrf",
+        lit(1.0) / (lit(RRF_C) + col("r_vec")) +
+        lit(1.0) / (lit(RRF_C) + col("r_lex")))
+      .withColumn("rnk", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("rrf").desc, col("doc_id").asc_nulls_last)))
+      .filter(col("rnk") <= K)
+      .select(col("q_id"), col("doc_id"), col("rnk").cast("long").as("rnk"),
+        col("r_vec").cast("long").as("r_vec"),
+        col("r_lex").cast("long").as("r_lex"))
+  }
+  private val qHybridRrfSql =
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+      |           WHERE vec_id < $QUERY_MAX_ID),
+      |c AS (SELECT vec_id AS doc_id, embedding AS ce FROM embeddings
+      |      WHERE vec_id >= $QUERY_MAX_ID),
+      |p AS (SELECT q_id, doc_id,
+      |  list_sum(list_transform(generate_series(1, $DIMS),
+      |    i -> qe[i]::DOUBLE * ce[i]::DOUBLE)) AS dot,
+      |  list_sum(list_transform(generate_series(1, $DIMS),
+      |    i -> qe[i]::DOUBLE * qe[i]::DOUBLE)) AS qq,
+      |  list_sum(list_transform(generate_series(1, $DIMS),
+      |    i -> ce[i]::DOUBLE * ce[i]::DOUBLE)) AS cc
+      |  FROM q, c),
+      |vr AS (SELECT q_id, doc_id,
+      |         row_number() OVER (PARTITION BY q_id
+      |           ORDER BY dot / (sqrt(qq) * sqrt(cc)) DESC, doc_id ASC) AS r_vec
+      |       FROM p),
+      |toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+      |         WHERE len(string_split(lower(text), ' ')) >= 3),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(
+      |         generate_series(1, len(t)-2),
+      |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      |       FROM toks),
+      |qs AS (SELECT doc_id AS q_id, s AS qs FROM sh WHERE doc_id < $QUERY_MAX_ID),
+      |cs AS (SELECT doc_id, s AS cs FROM sh WHERE doc_id >= $QUERY_MAX_ID),
+      |j AS (SELECT q_id, doc_id,
+      |        len(list_intersect(qs, cs))::DOUBLE AS inter,
+      |        len(qs) AS na, len(cs) AS nb
+      |      FROM qs, cs),
+      |lr AS (SELECT q_id, doc_id,
+      |         row_number() OVER (PARTITION BY q_id
+      |           ORDER BY inter / (na + nb - inter) DESC, doc_id ASC) AS r_lex
+      |       FROM j),
+      |f AS (SELECT v.q_id, v.doc_id, v.r_vec, l.r_lex,
+      |        1.0::DOUBLE / ($RRF_C + v.r_vec) +
+      |        1.0::DOUBLE / ($RRF_C + l.r_lex) AS rrf
+      |      FROM vr v JOIN lr l ON v.q_id = l.q_id AND v.doc_id = l.doc_id)
+      |SELECT q_id, doc_id,
+      |       row_number() OVER (PARTITION BY q_id
+      |         ORDER BY rrf DESC, doc_id ASC) AS rnk,
+      |       r_vec, r_lex
+      |FROM f QUALIFY rnk <= $K""".stripMargin
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q_topk_cosine" -> qTopkCosine _,
     "q_cosine_lsh"  -> qCosineLsh _,
@@ -1033,7 +1143,8 @@ object SimilarityOps extends QueryModule {
     "q_sq8_cosine"  -> qSq8Cosine _,
     "q_pq_cosine"   -> qPqCosine _,
     "q_pq_index"    -> qPqIndex _,
-    "q_sq8_index"   -> qSq8Index _)
+    "q_sq8_index"   -> qSq8Index _,
+    "q_hybrid_rrf"  -> qHybridRrf _)
 
   override val oracles: Seq[(String, String)] = Seq(
     "q_topk_cosine" -> qTopkCosineSql,
@@ -1043,5 +1154,6 @@ object SimilarityOps extends QueryModule {
     "q_sq8_cosine"  -> qSq8CosineSql,
     "q_pq_cosine"   -> qPqCosineSql,
     "q_pq_index"    -> qPqIndexSql,
-    "q_sq8_index"   -> qSq8IndexSql)
+    "q_sq8_index"   -> qSq8IndexSql,
+    "q_hybrid_rrf"  -> qHybridRrfSql)
 }

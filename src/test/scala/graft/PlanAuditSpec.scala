@@ -235,4 +235,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
       s"delta-vs-index banding must stay an equi-join:\n$p")
   }
+
+  test("corpus shuffle windows by shard — never a single-partition sort") {
+    val p = plan("q_corpus_shuffle")
+    assert(p.contains("hashpartitioning(shard"),
+      s"the position window must partition by shard:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"a global shuffle must never funnel into one partition:\n$p")
+  }
+
+  test("containment probes are equi-joins on (lang, shingle), never all-pairs") {
+    val p = plan("q_containment")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
+      s"inner-prefix × inverted-index must stay an equi-join:\n$p")
+  }
 }
