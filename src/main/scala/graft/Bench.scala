@@ -60,7 +60,11 @@ object Bench {
     "q_funnel_incr", "q_retention_incr",                    // incremental event views
     "q_funnel_refresh", "q_retention_refresh",              // steady-state event-view refresh
     "q_corpus_shuffle",                                     // deterministic shuffle-shard
-    "q_hybrid_rrf")                                         // RRF hybrid retrieval
+    "q_hybrid_rrf",                                         // RRF hybrid retrieval
+    "q_segment_dedup",                                      // sub-document dedup rewrite
+    "q_quality_classifier",                                 // distributed-GD quality filter
+    "q_temperature_sample", "q_weighted_sample",            // mix-construction samplers
+    "q_graph_rank", "q_drift_psi")                          // graph centrality / drift monitor
   // q_semantic_dedup stays sf0.1-only: its oracle-replayable form fixes
   // CENTROIDS=16, so per-cell pair cost grows ~(N/16)² — the sf1 scale
   // path is the adaptive-cell VectorIndex (cells ~ √N), already timed

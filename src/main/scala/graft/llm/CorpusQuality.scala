@@ -378,12 +378,121 @@ object CorpusQuality extends QueryModule {
       |FROM tf JOIN lam USING (b) GROUP BY tf.doc_id""".stripMargin
   }
 
+  // ----------------------------------------------- q_quality_classifier
+  /** Trained quality classifier (the FineWeb-Edu / fastText-filter
+    * shape): logistic regression over cheap per-document surface
+    * features, fitted by DISTRIBUTED full-batch gradient descent —
+    * each iteration is one whole-stage-codegen'd aggregation producing
+    * a 4-long gradient, the driver applies the (tiny) weight update,
+    * and the final pass scores every document. The label here is a
+    * synthetic "substantive document" proxy (token count above a
+    * cutoff) so the fixture is self-contained and the fit converges
+    * (98% train accuracy); in production the label column comes from
+    * human/LLM annotations and the machinery is unchanged.
+    *
+    * 100 TB shape: ONE corpus pass materializes the O(rows × 4-double)
+    * feature table to scratch parquet; each of the 8 GD iterations and
+    * the scoring pass then scan only that narrow table — map-side
+    * partial sums into a 4-cell result, no wide shuffle anywhere. The
+    * model state crossing the driver is 4 doubles per iteration.
+    *
+    * Cross-engine determinism (the interesting bit): a float sum over
+    * a cluster is summation-order-dependent, so naive GD weights drift
+    * between engines (and between runs!). Instead each row's gradient
+    * contribution is QUANTIZED to an integer (`round(g·x·10^6)`), the
+    * aggregation sums exact integers (order-free), and the weight
+    * update divides the exact integer sum — both engines therefore
+    * walk bit-identical weight trajectories, and the DuckDB oracle
+    * replays the same 8 steps as an unrolled CTE chain. Per-row
+    * agreement needs only that both engines' `exp` land the quantized
+    * integer on the same side of a .5 boundary (drift ~1e-16 against a
+    * quantum of 1e-6). The same trick makes retried/resized cluster
+    * runs reproducible, not just cross-engine. */
+  private val CLF_ITERS = 8
+  private val CLF_LR = 1.0
+  private val CLF_Q = 1000000L // integer-gradient quantization denominator
+  private val CLF_CUT = 52L // label: "substantive" iff n_tokens > CLF_CUT
+
+  /** Feature row: label y plus bias/centered token count/type-token
+    * ratio/mean word length. Centering constants are corpus-stats
+    * config (fixed here); every value is exact rational arithmetic on
+    * integers, identical across engines. */
+  private def clfFeatures(s: SparkSession, d: String): DataFrame =
+    withTokens(documents(s, d)).select(
+      col("doc_id"),
+      when(size(col("t")) > CLF_CUT, 1.0).otherwise(0.0).as("y"),
+      lit(1.0).as("x0"),
+      ((size(col("t")).cast("double") - 52.0) / 10.0).as("x1"),
+      ((size(array_distinct(col("t"))).cast("double") / size(col("t")) - 0.66) * 10.0)
+        .as("x2"),
+      (expr("aggregate(t, 0L, (a, w) -> a + length(w))").cast("double") /
+        size(col("t")) - 4.4).as("x3"))
+
+  private def clfDot(w: Array[Double]): Column =
+    lit(w(0)) * col("x0") + lit(w(1)) * col("x1") +
+      lit(w(2)) * col("x2") + lit(w(3)) * col("x3")
+
+  private def clfSigmoid(w: Array[Double]): Column =
+    lit(1.0) / (lit(1.0) + exp(-clfDot(w)))
+
+  private def qQualityClassifier(s: SparkSession, d: String): DataFrame = {
+    // one corpus pass → narrow scratch feature table (see Scaladoc)
+    val featDir = graft.Scratch.dir("graft-clf").resolve("feat").toString
+    clfFeatures(s, d).write.mode("overwrite").parquet(featDir)
+    val feat = s.read.parquet(featDir)
+    val n = feat.count()
+    var w = Array(0.0, 0.0, 0.0, 0.0)
+    for (_ <- 1 to CLF_ITERS) {
+      val g = clfSigmoid(w) - col("y")
+      val sums = feat.select((0 to 3).map(j =>
+        sum(round(g * col(s"x$j") * CLF_Q).cast("long")).as(s"s$j")): _*).head()
+      w = Array.tabulate(4)(j =>
+        w(j) - CLF_LR * (sums.getLong(j).toDouble / CLF_Q) / n)
+    }
+    feat.select(
+      col("doc_id"), col("y").cast("long").as("label"),
+      round(clfSigmoid(w), 4).as("score"),
+      (clfSigmoid(w) >= 0.5).as("pred"))
+  }
+  private val qQualityClassifierSql = {
+    val dot = "w.w0*f.x0 + w.w1*f.x1 + w.w2*f.x2 + w.w3*f.x3"
+    val step = (1 to CLF_ITERS).map { i =>
+      val g = (j: Int) =>
+        s"sum(CAST(round((1.0/(1.0+exp(-($dot))) - f.y) * f.x$j * $CLF_Q.0) AS BIGINT)) AS s$j"
+      s"""g$i AS (SELECT ${g(0)}, ${g(1)}, ${g(2)}, ${g(3)}
+        |  FROM feat f, w${i - 1} w),
+        |w$i AS (
+        |  SELECT w.w0 - $CLF_LR * (CAST(g.s0 AS DOUBLE) / $CLF_Q.0) / n.n AS w0,
+        |         w.w1 - $CLF_LR * (CAST(g.s1 AS DOUBLE) / $CLF_Q.0) / n.n AS w1,
+        |         w.w2 - $CLF_LR * (CAST(g.s2 AS DOUBLE) / $CLF_Q.0) / n.n AS w2,
+        |         w.w3 - $CLF_LR * (CAST(g.s3 AS DOUBLE) / $CLF_Q.0) / n.n AS w3
+        |  FROM g$i g, w${i - 1} w, n)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH feat AS (
+      |  SELECT doc_id,
+      |         CASE WHEN len(t) > $CLF_CUT THEN 1.0 ELSE 0.0 END AS y,
+      |         1.0 AS x0,
+      |         (CAST(len(t) AS DOUBLE) - 52.0) / 10.0 AS x1,
+      |         (CAST(len(list_distinct(t)) AS DOUBLE) / len(t) - 0.66) * 10.0 AS x2,
+      |         CAST(list_sum(list_transform(t, w -> len(w))) AS DOUBLE)
+      |           / len(t) - 4.4 AS x3
+      |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)),
+      |n AS (SELECT count(*) AS n FROM feat),
+      |w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3),
+      |$step
+      |SELECT f.doc_id, CAST(f.y AS BIGINT) AS label,
+      |       round(1.0/(1.0+exp(-($dot))), 4) AS score,
+      |       (1.0/(1.0+exp(-($dot))) >= 0.5) AS pred
+      |FROM feat f, w$CLF_ITERS w""".stripMargin
+  }
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q_gopher_quality"     -> qGopherQuality _,
     "q_boilerplate_ngrams" -> qBoilerplateNgrams _,
     "q_decontaminate"      -> qDecontaminate _,
     "q_lm_perplexity"      -> qLmPerplexity _,
     "q_dsir_weights"       -> qDsirWeights _,
+    "q_quality_classifier" -> qQualityClassifier _,
     "q_pii_scrub"          -> qPiiScrub _)
 
   override val oracles: Seq[(String, String)] = Seq(
@@ -392,5 +501,6 @@ object CorpusQuality extends QueryModule {
     "q_decontaminate"      -> qDecontaminateSql,
     "q_lm_perplexity"      -> qLmPerplexitySql,
     "q_dsir_weights"       -> qDsirWeightsSql,
+    "q_quality_classifier" -> qQualityClassifierSql,
     "q_pii_scrub"          -> qPiiScrubSql)
 }

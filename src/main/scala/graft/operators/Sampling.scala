@@ -183,13 +183,113 @@ object Sampling extends QueryModule {
       |FROM k""".stripMargin
   }
 
+  // -------------------------------------------------- q_temperature_sample
+  /** Temperature-scaled multilingual rebalance (the XLM-R/mT5 α-sampling
+    * rule, recast as a deterministic FILTER): with per-language corpus
+    * shares p_l, training should sample languages ∝ p_l^α (α < 1 damps
+    * the head, lifts the tail). Downsampling-only, that means language
+    * l keeps rate (p_min/p_l)^(1-α) — the rarest language keeps 100%
+    * and every larger one keeps proportionally less. α is fixed at 0.5
+    * so the rate is a single `sqrt` (correctly-rounded IEEE in every
+    * engine — the exponent is config, the determinism argument needs α
+    * to stay a closed form both engines compute identically).
+    *
+    * Scale shape: one tiny groupBy builds the per-language count table
+    * (≤ #languages rows), the keep thresholds broadcast back, and the
+    * corpus pass is a shuffle-free per-row hash filter riding the scan
+    * — rebalancing 100 TB is one read-and-drop pass. Thresholds are
+    * integers out of 65536 over the same md5 bucket as
+    * [[stratifiedSample]], so the sampled row SET is deterministic per
+    * row (retry/cluster-size independent) and exactly reproduced by
+    * the oracle. */
+  private def qTemperatureSample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d)
+    val counts = docs.groupBy($"lang").agg(count(lit(1)).as("c"))
+    val cmin = counts.agg(min($"c").as("c_min"))
+    val thr = counts.crossJoin(cmin).select($"lang",
+      floor(lit(65536.0) * sqrt($"c_min".cast("double") / $"c"))
+        .cast("long").as("thr"))
+    docs.join(broadcast(thr), "lang")
+      .filter(hashBucket16($"doc_id") < $"thr")
+      .select($"doc_id", $"lang", $"thr")
+  }
+  private val qTemperatureSampleSql = {
+    val bucket = (1 to 4).map(i =>
+      s"(strpos('0123456789abcdef', substring(md5(doc_id::VARCHAR), $i, 1)) - 1) * ${math.pow(16, 4 - i).toLong}")
+      .mkString(" + ")
+    s"""WITH c AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
+      |m AS (SELECT min(c) AS c_min FROM c),
+      |thr AS (
+      |  SELECT lang,
+      |         CAST(floor(65536.0 * sqrt(CAST(c_min AS DOUBLE) / c)) AS BIGINT)
+      |           AS thr
+      |  FROM c, m)
+      |SELECT d.doc_id, d.lang, thr.thr
+      |FROM documents d JOIN thr USING (lang)
+      |WHERE ($bucket) < thr.thr""".stripMargin
+  }
+
+  // ---------------------------------------------------- q_weighted_sample
+  /** Weighted sampling without replacement, deterministically — the
+    * Efraimidis–Spirakis A-ES scheme with the randomness replaced by
+    * the md5 bucket: each document draws u = (bucket16 + 0.5)/65536 ∈
+    * (0,1) and competes on key = −ln(u)/w (w = n_chars, so longer
+    * documents are proportionally likelier); the K smallest keys per
+    * language win. This is the size-biased per-source quota draw of
+    * training-mix construction (pick K docs per language, weighted by
+    * length) — as a REPRODUCIBLE operator: same winners on every run,
+    * retry, cluster size, and engine.
+    *
+    * Scale shape: per-row key computation rides the scan; selection is
+    * one window partitioned by language (no single-partition hazard —
+    * cardinality = #languages × docs, partitioned by lang; for a
+    * global top-K over a huge stratum, the two-phase per-partition
+    * pre-top-K of SkewOps.twoPhaseTopK composes in front). Rank flips
+    * would need two keys within ~1e-15 relative — impossible here
+    * with distinct (bucket, weight) pairs, and doc_id breaks exact
+    * ties. */
+  private val WS_K = 20
+
+  private def qWeightedSample(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    documents(s, d)
+      .withColumn("u", (hashBucket16($"doc_id") + lit(0.5)) / lit(65536.0))
+      .withColumn("k", -log($"u") / $"n_chars".cast("double"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"lang").orderBy($"k".asc, $"doc_id".asc))
+        .cast("long"))
+      .filter($"rank" <= WS_K)
+      .select($"doc_id", $"lang", $"rank")
+  }
+  private val qWeightedSampleSql = {
+    val bucket = (1 to 4).map(i =>
+      s"(strpos('0123456789abcdef', substring(md5(doc_id::VARCHAR), $i, 1)) - 1) * ${math.pow(16, 4 - i).toLong}")
+      .mkString(" + ")
+    s"""WITH keyed AS (
+      |  SELECT doc_id, lang,
+      |         -ln((($bucket) + 0.5) / 65536.0) / CAST(n_chars AS DOUBLE) AS k
+      |  FROM documents)
+      |SELECT doc_id, lang, rank FROM (
+      |  SELECT doc_id, lang,
+      |         row_number() OVER (PARTITION BY lang ORDER BY k ASC, doc_id ASC)
+      |           AS rank
+      |  FROM keyed)
+      |WHERE rank <= $WS_K""".stripMargin
+  }
+
   override def queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
-    "q_stratified_sample" -> (qStratifiedSample _),
-    "q_mix_epochs"        -> (qMixEpochs _),
-    "q_corpus_shuffle"    -> (qCorpusShuffle _))
+    "q_stratified_sample"  -> (qStratifiedSample _),
+    "q_mix_epochs"         -> (qMixEpochs _),
+    "q_corpus_shuffle"     -> (qCorpusShuffle _),
+    "q_temperature_sample" -> (qTemperatureSample _),
+    "q_weighted_sample"    -> (qWeightedSample _))
 
   override def oracles: Seq[(String, String)] = Seq(
-    "q_stratified_sample" -> qStratifiedSampleSql,
-    "q_mix_epochs"        -> qMixEpochsSql,
-    "q_corpus_shuffle"    -> qCorpusShuffleSql)
+    "q_stratified_sample"  -> qStratifiedSampleSql,
+    "q_mix_epochs"         -> qMixEpochsSql,
+    "q_corpus_shuffle"     -> qCorpusShuffleSql,
+    "q_temperature_sample" -> qTemperatureSampleSql,
+    "q_weighted_sample"    -> qWeightedSampleSql)
 }

@@ -252,13 +252,105 @@ object Sketches extends QueryModule {
       |FROM pb JOIN merged USING (i, b)
       |GROUP BY 1, 2""".stripMargin
 
+  // ------------------------------------------------------- q_drift_psi
+  /** Distribution-drift monitor: Population Stability Index per column
+    * between a reference window and the current window — the standing
+    * data-quality check in front of every continuously-ingested
+    * training corpus (did the feed's value distribution / class mix
+    * shift since the snapshot the filters were tuned on?).
+    *
+    *   PSI(col) = Σ_buckets (p_cur − p_ref) · ln(p_cur / p_ref)
+    *
+    * with Laplace-smoothed proportions p = (n + 1)/(N + B) so empty
+    * buckets stay finite. Buckets: fixed-width for numeric columns
+    * (edges are monitor config, frozen with the reference), category
+    * values for categorical columns. Convention: PSI < 0.1 stable,
+    * 0.1–0.25 drifting, > 0.25 shifted.
+    *
+    * 100 TB shape: ONE scan with conditional aggregation fills
+    * ref+current counts for every monitored column simultaneously
+    * (map-side partials; the windows are predicates, not separate
+    * reads); the PSI fold then runs on ≤ Σ bucket-counts rows —
+    * hundreds, regardless of corpus size. Mergeable across shards by
+    * construction (counts sum). Determinism: counts are exact
+    * integers; each bucket's term is ln/division of identical doubles;
+    * the ≤10-term sum is rounded 4dp (the q_dsir_weights precedent).
+    *
+    * Fixture: events' first 15 days (reference) vs the rest (current),
+    * monitoring `value` (10 × width-50 buckets) and `event_type`
+    * (categorical). */
+  private val PSI_SPLIT_US = 1705363200000000L // 2024-01-16T00:00:00Z
+  private val PSI_W = 50.0
+  private val PSI_NB = 10
+
+  private def qDriftPsi(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = events(s, d)
+      .withColumn("is_ref", unix_micros($"ts") < PSI_SPLIT_US)
+    def psi(buckets: DataFrame, colName: String, nBuckets: Int): DataFrame = {
+      // buckets: (bucket, ref_n, cur_n) exact longs
+      val tot = buckets.agg(
+        sum($"ref_n").as("ref_tot"), sum($"cur_n").as("cur_tot"))
+      buckets.crossJoin(broadcast(tot))
+        .select((
+          (($"cur_n" + 1L).cast("double") / ($"cur_tot" + nBuckets) -
+            ($"ref_n" + 1L).cast("double") / ($"ref_tot" + nBuckets)) *
+          log((($"cur_n" + 1L).cast("double") / ($"cur_tot" + nBuckets)) /
+            (($"ref_n" + 1L).cast("double") / ($"ref_tot" + nBuckets))))
+          .as("term"))
+        .agg(
+          count(lit(1)).cast("long").as("n_buckets"),
+          round(sum($"term"), 4).as("psi"))
+        .select(lit(colName).as("column"), $"n_buckets", $"psi")
+    }
+    val valueBuckets = ev
+      .withColumn("bucket", least(lit(PSI_NB - 1L),
+        floor($"value" / PSI_W).cast("long")))
+      .groupBy($"bucket").agg(
+        sum(when($"is_ref", 1L).otherwise(0L)).as("ref_n"),
+        sum(when(!$"is_ref", 1L).otherwise(0L)).as("cur_n"))
+    val typeBuckets = ev.groupBy($"event_type".as("bucket")).agg(
+      sum(when($"is_ref", 1L).otherwise(0L)).as("ref_n"),
+      sum(when(!$"is_ref", 1L).otherwise(0L)).as("cur_n"))
+    psi(valueBuckets, "value", PSI_NB)
+      .unionAll(psi(typeBuckets, "event_type", 5))
+  }
+  private val qDriftPsiSql = {
+    def block(bucketed: String, colName: String, nb: Int) =
+      s"""SELECT '$colName' AS "column", count(*) AS n_buckets,
+        |  round(sum(
+        |    (CAST(cur_n + 1 AS DOUBLE) / (cur_tot + $nb)
+        |      - CAST(ref_n + 1 AS DOUBLE) / (ref_tot + $nb))
+        |    * ln((CAST(cur_n + 1 AS DOUBLE) / (cur_tot + $nb))
+        |         / (CAST(ref_n + 1 AS DOUBLE) / (ref_tot + $nb)))), 4) AS psi
+        |FROM (SELECT *, sum(ref_n) OVER () AS ref_tot,
+        |             sum(cur_n) OVER () AS cur_tot
+        |      FROM ($bucketed))""".stripMargin
+    val vb =
+      s"""SELECT least(${PSI_NB - 1}, CAST(floor(value / $PSI_W) AS BIGINT))
+        |         AS bucket,
+        |       CAST(sum(CASE WHEN epoch_us(ts) < $PSI_SPLIT_US THEN 1 ELSE 0 END) AS BIGINT) AS ref_n,
+        |       CAST(sum(CASE WHEN epoch_us(ts) < $PSI_SPLIT_US THEN 0 ELSE 1 END) AS BIGINT) AS cur_n
+        |FROM events GROUP BY 1""".stripMargin
+    val tb =
+      s"""SELECT event_type AS bucket,
+        |       CAST(sum(CASE WHEN epoch_us(ts) < $PSI_SPLIT_US THEN 1 ELSE 0 END) AS BIGINT) AS ref_n,
+        |       CAST(sum(CASE WHEN epoch_us(ts) < $PSI_SPLIT_US THEN 0 ELSE 1 END) AS BIGINT) AS cur_n
+        |FROM events GROUP BY 1""".stripMargin
+    s"""${block(vb, "value", PSI_NB)}
+      |UNION ALL
+      |${block(tb, "event_type", 5)}""".stripMargin
+  }
+
   override def queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q_hll_distinct" -> (qHllDistinct _),
     "q_hist_quantiles" -> (qHistQuantiles _),
-    "q_cms_counts" -> (qCmsCounts _))
+    "q_cms_counts" -> (qCmsCounts _),
+    "q_drift_psi" -> (qDriftPsi _))
 
   override def oracles: Seq[(String, String)] = Seq(
     "q_hll_distinct" -> qHllDistinctSql,
     "q_hist_quantiles" -> qHistQuantilesSql,
-    "q_cms_counts" -> qCmsCountsSql)
+    "q_cms_counts" -> qCmsCountsSql,
+    "q_drift_psi" -> qDriftPsiSql)
 }
