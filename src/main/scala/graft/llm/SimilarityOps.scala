@@ -1135,8 +1135,87 @@ object SimilarityOps extends QueryModule {
       |       r_vec, r_lex
       |FROM f QUALIFY rnk <= $K""".stripMargin
 
+  // ------------------------------------------------------ q_triplet_mine
+  /** Hard-triplet mining for contrastive/metric training data (the
+    * FaceNet/SimCLR preparation step): for every anchor vector, the
+    * HARDEST POSITIVE (same label, lowest cosine — the in-class example
+    * the encoder most confuses) and the HARDEST NEGATIVE (different
+    * label, highest cosine — the impostor closest to the anchor), plus
+    * the margin-violation flag (`cos_neg > cos_pos − m`) that selects
+    * the semi-hard triplets actually worth training on.
+    *
+    * 100 TB shape: anchors are the broadcast side (a labeled seed set
+    * is always small); ONE pass over the candidate corpus scores
+    * every (anchor, candidate) pair, and per-anchor argmin/argmax
+    * reduce via two windows partitioned by anchor — no corpus-side
+    * shuffle except the |anchors|-way ranking exchange. Determinism:
+    * cosine via the same codegen'd `cosine_sim` both rankings and the
+    * oracle fold reproduce bitwise (q_topk_cosine precedent); vec_id
+    * breaks exact ties. */
+  private val TRIPLET_ANCHORS = 32
+  private val TRIPLET_MARGIN = 0.05
+
+  private def qTripletMine(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val emb = embeddings(s, d)
+    val anchors = emb.filter(col("vec_id") < TRIPLET_ANCHORS)
+      .select(col("vec_id").as("anchor_id"), col("label").as("a_label"),
+        col("embedding").as("ae"))
+    val cands = emb.select(col("vec_id"), col("label"), col("embedding").as("ce"))
+    val scored = cands.crossJoin(broadcast(anchors))
+      .filter(col("vec_id") =!= col("anchor_id"))
+      .withColumn("cos", expr("cosine_sim(ae, ce)"))
+    val wPos = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("cos").asc, col("vec_id").asc)
+    val wNeg = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val pos = scored.filter(col("label") === col("a_label"))
+      .withColumn("rnk", row_number().over(wPos)).filter(col("rnk") === 1)
+      .select(col("anchor_id"), col("a_label").as("label"),
+        col("vec_id").as("pos_id"), col("cos").as("cos_pos"))
+    val neg = scored.filter(col("label") =!= col("a_label"))
+      .withColumn("rnk", row_number().over(wNeg)).filter(col("rnk") === 1)
+      .select(col("anchor_id"), col("vec_id").as("neg_id"),
+        col("cos").as("cos_neg"))
+    pos.join(neg, "anchor_id")
+      .select(col("anchor_id"), col("label"), col("pos_id"),
+        round(col("cos_pos"), 6).as("cos_pos"),
+        col("neg_id"), round(col("cos_neg"), 6).as("cos_neg"),
+        (col("cos_neg") > col("cos_pos") - TRIPLET_MARGIN).as("violation"))
+  }
+  private val qTripletMineSql =
+    s"""WITH a AS (SELECT vec_id AS anchor_id, label AS a_label,
+      |                  embedding AS ae
+      |           FROM embeddings WHERE vec_id < $TRIPLET_ANCHORS),
+      |c AS (SELECT vec_id, label, embedding AS ce FROM embeddings),
+      |p AS (SELECT anchor_id, a_label, vec_id, label,
+      |  list_sum(list_transform(generate_series(1, $DIMS),
+      |    i -> ae[i]::DOUBLE * ce[i]::DOUBLE)) /
+      |  (sqrt(list_sum(list_transform(generate_series(1, $DIMS),
+      |     i -> ae[i]::DOUBLE * ae[i]::DOUBLE))) *
+      |   sqrt(list_sum(list_transform(generate_series(1, $DIMS),
+      |     i -> ce[i]::DOUBLE * ce[i]::DOUBLE)))) AS cos
+      |  FROM a, c WHERE c.vec_id <> a.anchor_id),
+      |pos AS (SELECT anchor_id, a_label AS label, vec_id AS pos_id,
+      |               cos AS cos_pos
+      |        FROM (SELECT *, row_number() OVER (PARTITION BY anchor_id
+      |                ORDER BY cos ASC, vec_id ASC) AS rnk
+      |              FROM p WHERE label = a_label)
+      |        WHERE rnk = 1),
+      |neg AS (SELECT anchor_id, vec_id AS neg_id, cos AS cos_neg
+      |        FROM (SELECT *, row_number() OVER (PARTITION BY anchor_id
+      |                ORDER BY cos DESC, vec_id ASC) AS rnk
+      |              FROM p WHERE label <> a_label)
+      |        WHERE rnk = 1)
+      |SELECT pos.anchor_id, pos.label, pos.pos_id,
+      |       round(pos.cos_pos, 6) AS cos_pos,
+      |       neg.neg_id, round(neg.cos_neg, 6) AS cos_neg,
+      |       (neg.cos_neg > pos.cos_pos - $TRIPLET_MARGIN) AS violation
+      |FROM pos JOIN neg USING (anchor_id)""".stripMargin
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q_topk_cosine" -> qTopkCosine _,
+    "q_triplet_mine" -> qTripletMine _,
     "q_cosine_lsh"  -> qCosineLsh _,
     "q_ivf_cosine"  -> qIvfCosine _,
     "q_ivf_index"   -> qIvfIndex _,
@@ -1148,6 +1227,7 @@ object SimilarityOps extends QueryModule {
 
   override val oracles: Seq[(String, String)] = Seq(
     "q_topk_cosine" -> qTopkCosineSql,
+    "q_triplet_mine" -> qTripletMineSql,
     "q_cosine_lsh"  -> qCosineLshSql,
     "q_ivf_cosine"  -> qIvfCosineSql,
     "q_ivf_index"   -> qIvfIndexSql,

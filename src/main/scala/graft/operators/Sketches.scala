@@ -342,15 +342,76 @@ object Sketches extends QueryModule {
       |${block(tb, "event_type", 5)}""".stripMargin
   }
 
+  // ------------------------------------------------------ q_drift_incr
+  /** The drift monitor MAINTAINED INCREMENTALLY: the per-(column,
+    * bucket) ref/current counts live in an [[graft.table.AggView]]
+    * over a CDF-tracked bucket-event table, so arriving data updates
+    * the monitor at O(Δ) merge cost instead of a full rescan, and the
+    * PSI readout folds over the (tiny) view — continuous data-quality
+    * monitoring as a standing incremental view, the same AggView
+    * machinery as q_funnel_incr. The fixture appends the reference
+    * window, builds the view, appends the current window, runs ONE
+    * signed-delta refresh, and reads PSI — which must equal (and
+    * shares the oracle of) the from-scratch q_drift_psi. */
+  private def qDriftIncr(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+    import graft.table.{AggView, VersionedTable}
+    val root = graft.Scratch.dir("graft-driftv")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("metric_col", StringType),
+      StructField("bucket", StringType),
+      StructField("is_ref", IntegerType)))
+    val t = VersionedTable.create(s, root.resolve("t").toString, schema,
+      Map(VersionedTable.PROP_CDF -> "true"))
+    val ev = events(s, d)
+      .withColumn("is_ref", (unix_micros($"ts") < PSI_SPLIT_US).cast("int"))
+    def bucketRows(e: DataFrame): DataFrame =
+      e.select($"event_id", lit("value").as("metric_col"),
+          least(lit(PSI_NB - 1L), floor($"value" / PSI_W).cast("long"))
+            .cast("string").as("bucket"), $"is_ref")
+        .unionAll(e.select($"event_id", lit("event_type").as("metric_col"),
+          $"event_type".as("bucket"), $"is_ref"))
+    t.append(bucketRows(ev.filter($"is_ref" === 1)))
+    val v = AggView.build(t, root.resolve("v").toString,
+      Seq("metric_col", "bucket"),
+      Seq("ref" -> "CAST(is_ref AS BIGINT)",
+        "cur" -> "CAST(1 - is_ref AS BIGINT)"))
+    t.append(bucketRows(ev.filter($"is_ref" === 0)))
+    v.refresh(t)
+    val counts = v.table.snapshot().select($"metric_col",
+      coalesce($"sum_ref", lit(0L)).as("ref_n"),
+      coalesce($"sum_cur", lit(0L)).as("cur_n"),
+      when($"metric_col" === "value", PSI_NB).otherwise(5).as("nb"))
+    val tot = counts.groupBy($"metric_col").agg(
+      sum($"ref_n").as("ref_tot"), sum($"cur_n").as("cur_tot"))
+    counts.join(broadcast(tot), "metric_col")
+      .select($"metric_col", (
+        (($"cur_n" + 1L).cast("double") / ($"cur_tot" + $"nb") -
+          ($"ref_n" + 1L).cast("double") / ($"ref_tot" + $"nb")) *
+        log((($"cur_n" + 1L).cast("double") / ($"cur_tot" + $"nb")) /
+          (($"ref_n" + 1L).cast("double") / ($"ref_tot" + $"nb"))))
+        .as("term"))
+      .groupBy($"metric_col")
+      .agg(count(lit(1)).cast("long").as("n_buckets"),
+        round(sum($"term"), 4).as("psi"))
+      .select($"metric_col".as("column"), $"n_buckets", $"psi")
+  }
+
   override def queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q_hll_distinct" -> (qHllDistinct _),
     "q_hist_quantiles" -> (qHistQuantiles _),
     "q_cms_counts" -> (qCmsCounts _),
-    "q_drift_psi" -> (qDriftPsi _))
+    "q_drift_psi" -> (qDriftPsi _),
+    "q_drift_incr" -> (qDriftIncr _))
 
   override def oracles: Seq[(String, String)] = Seq(
     "q_hll_distinct" -> qHllDistinctSql,
     "q_hist_quantiles" -> qHistQuantilesSql,
     "q_cms_counts" -> qCmsCountsSql,
-    "q_drift_psi" -> qDriftPsiSql)
+    "q_drift_psi" -> qDriftPsiSql,
+    // the incremental monitor must converge to exactly the from-scratch
+    // PSI — one oracle pins both paths
+    "q_drift_incr" -> qDriftPsiSql)
 }

@@ -109,6 +109,46 @@ class CurationOpsSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  // ------------------------------------------------ incremental drift view
+  test("incremental drift view converges to the from-scratch PSI") {
+    val batch = run("q_drift_psi")
+    val incr = run("q_drift_incr")
+    assert(incr.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(incr).count() === 0)
+  }
+
+  // ------------------------------------------------------ triplet mining
+  test("triplet mining: one triplet per eligible anchor, flags consistent") {
+    val out = run("q_triplet_mine").cache()
+    try {
+      assert(out.count() === 32L) // every anchor label has positives+negatives here
+      assert(out.filter(col("pos_id") === col("anchor_id")).count() === 0)
+      assert(out.filter(col("neg_id") === col("anchor_id")).count() === 0)
+      // violation flag consistent with the reported (rounded) cosines,
+      // up to the 1e-6 rounding grid at the margin boundary
+      assert(out.filter(col("violation") &&
+        col("cos_neg") <= col("cos_pos") - lit(0.05) - lit(2e-6)).count() === 0)
+      assert(out.filter(!col("violation") &&
+        col("cos_neg") >= col("cos_pos") - lit(0.05) + lit(2e-6)).count() === 0)
+      // hardest positive really is the in-class argmin: no same-label
+      // candidate scores below the reported cos_pos (re-derived directly)
+      val emb = graft.Tables.embeddings(spark, sf)
+      val a = emb.filter(col("vec_id") < 32)
+        .select(col("vec_id").as("anchor_id"), col("label").as("al"),
+          col("embedding").as("ae"))
+      val c = emb.select(col("vec_id").as("cid"), col("label").as("cl"),
+        col("embedding").as("ce"))
+      graft.functions.GraftFunctions.register(spark)
+      val minPos = c.crossJoin(a)
+        .filter(col("cid") =!= col("anchor_id") && col("cl") === col("al"))
+        .withColumn("cos", expr("cosine_sim(ae, ce)"))
+        .groupBy("anchor_id").agg(min(col("cos")).as("true_min"))
+      val cmp = out.join(minPos, "anchor_id")
+        .filter(abs(col("cos_pos") - col("true_min")) > 1e-5)
+      assert(cmp.count() === 0)
+    } finally out.unpersist()
+  }
+
   // ------------------------------------------------- quality classifier
   test("quality classifier: distributed GD converges and scores are calibrated") {
     val out = run("q_quality_classifier").cache()
