@@ -249,4 +249,44 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
       s"inner-prefix × inverted-index must stay an equi-join:\n$p")
   }
+
+  test("temperature rebalance broadcasts thresholds; the corpus pass is one filter") {
+    val p = plan("q_temperature_sample")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the ≤#langs threshold table must broadcast into the corpus scan:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus side must never shuffle for the threshold join:\n$p")
+  }
+
+  test("weighted sampling shuffles once (the per-language ranking) and no more") {
+    val p = plan("q_weighted_sample")
+    assert(p.contains("hashpartitioning(lang"),
+      s"the quota window must partition by lang:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"per-stratum ranking must never funnel into one partition:\n$p")
+    // exactly one exchange: the window's. Key derivation rides the scan.
+    assert(p.sliding("Exchange".length).count(_ == "Exchange") <= 2,
+      s"expected only the ranking exchange (plus AQE read):\n$p")
+  }
+
+  test("segment dedup joins segments by key, never all-pairs") {
+    val p = plan("q_segment_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
+      s"segment-frequency join must be a hash equi-join:\n$p")
+  }
+
+  test("classifier scoring is a shuffle-free pass over the narrow feature table") {
+    val p = plan("q_quality_classifier")
+    assert(!p.contains("Exchange"),
+      s"scoring with frozen weights must ride the feature scan:\n$p")
+  }
+
+  test("triplet mining broadcasts the anchor set against the candidate scan") {
+    val p = plan("q_triplet_mine")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the anchor side must broadcast:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(vec_id)") ||
+      p.contains("LessThan(vec_id"),
+      s"the anchor split must push to parquet:\n$p")
+  }
 }
