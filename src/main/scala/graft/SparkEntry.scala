@@ -17,6 +17,7 @@ object SparkEntry {
     graft.streaming.EventWindows,
     graft.streaming.EventStateViews,
     graft.llm.TextOps,
+    graft.llm.Bm25Ops,
     graft.llm.CorpusQuality,
     graft.llm.DedupOps,
     graft.llm.SimilarityOps,

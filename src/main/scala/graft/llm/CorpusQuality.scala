@@ -154,25 +154,65 @@ object CorpusQuality extends QueryModule {
     * with the (deterministic pseudo) eval split. Output: every training
     * doc with its shared-gram count + contaminated flag, so the result
     * is stable whether or not contamination exists. */
-  private def qDecontaminate(s: SparkSession, d: String): DataFrame = {
-    def grams(df: DataFrame): DataFrame = withTokens(df)
-      .filter(size(col("t")) >= DECON_N)
-      .select(col("doc_id"), explode(expr(
-        s"array_distinct(transform(sequence(1, size(t) - ${DECON_N - 1}), " +
-          s"i -> concat_ws(' ', slice(t, i, $DECON_N))))")).as("gram"))
-    val docs = documents(s, d)
-    val isEval: Column = col("doc_id") % EVAL_MOD === 0
-    val evalGrams = grams(docs.filter(isEval))
-      .select(col("gram")).distinct()
-    val trainGrams = grams(docs.filter(!isEval))
+  private def deconGrams(df: DataFrame): DataFrame = withTokens(df)
+    .filter(size(col("t")) >= DECON_N)
+    .select(col("doc_id"), explode(expr(
+      s"array_distinct(transform(sequence(1, size(t) - ${DECON_N - 1}), " +
+        s"i -> concat_ws(' ', slice(t, i, $DECON_N))))")).as("gram"))
+  private def deconIsEval: Column = col("doc_id") % EVAL_MOD === 0
+
+  /** Shared tail of both decontamination formulations: per-train-doc
+    * shared-gram counts → flagged full train-doc list. */
+  private def deconReport(
+      docs: DataFrame, trainGrams: DataFrame, evalGrams: DataFrame): DataFrame = {
     val overlap = trainGrams.join(broadcast(evalGrams), "gram")
       .groupBy("doc_id").agg(count(lit(1)).cast("long").as("n_shared_grams"))
-    docs.filter(!isEval).select(col("doc_id"))
+    docs.filter(!deconIsEval).select(col("doc_id"))
       .join(overlap, Seq("doc_id"), "left_outer")
       .select(
         col("doc_id"),
         coalesce(col("n_shared_grams"), lit(0L)).as("n_shared_grams"),
         (coalesce(col("n_shared_grams"), lit(0L)) > 0L).as("contaminated"))
+  }
+
+  private def qDecontaminate(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val evalGrams = deconGrams(docs.filter(deconIsEval))
+      .select(col("gram")).distinct()
+    val trainGrams = deconGrams(docs.filter(!deconIsEval))
+    deconReport(docs, trainGrams, evalGrams)
+  }
+
+  // -------------------------------------------- q_decontaminate_bloom
+  /** The SCALE path of [[qDecontaminate q_decontaminate]]: a bloom
+    * filter built over the eval split's distinct 8-grams broadcasts to
+    * the train-side scan, and only might-contain survivors enter the
+    * exact verification join — identical output (the verify join
+    * removes bloom false positives), same oracle.
+    *
+    * Why it matters at 100 TB: the exact formulation ships EVERY train
+    * gram (corpus × ~doc-length rows) into the dedup/join machinery.
+    * The bloom is a few MB regardless of eval-set string size
+    * (vs broadcasting the gram strings themselves), evaluates per-row
+    * at the scan with no shuffle, and drops effectively the whole train
+    * side before any exchange — the standard Bloom-join
+    * (filter-then-join) pattern, here with the eval set as the build
+    * side. Sizing comes from one count of the (small) eval side; fpp
+    * 1 % keeps the verify join's survivor set within ~1 % of the true
+    * overlap. */
+  private def qDecontaminateBloom(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val evalGrams = deconGrams(docs.filter(deconIsEval))
+      .select(col("gram")).distinct()
+    // one bounded action on the SMALL side sizes the filter; the bloom
+    // aggregation itself is a single pass over eval grams
+    val nEval = math.max(evalGrams.count(), 1L)
+    val bloom = evalGrams.stat.bloomFilter("gram", nEval, 0.01)
+    val bloomB = s.sparkContext.broadcast(bloom)
+    val mightContain = udf((g: String) => g != null && bloomB.value.mightContainString(g))
+    val trainGrams = deconGrams(docs.filter(!deconIsEval))
+      .filter(mightContain(col("gram")))
+    deconReport(docs, trainGrams, evalGrams)
   }
   private val qDecontaminateSql =
     s"""WITH toks AS (
@@ -490,6 +530,7 @@ object CorpusQuality extends QueryModule {
     "q_gopher_quality"     -> qGopherQuality _,
     "q_boilerplate_ngrams" -> qBoilerplateNgrams _,
     "q_decontaminate"      -> qDecontaminate _,
+    "q_decontaminate_bloom" -> qDecontaminateBloom _,
     "q_lm_perplexity"      -> qLmPerplexity _,
     "q_dsir_weights"       -> qDsirWeights _,
     "q_quality_classifier" -> qQualityClassifier _,
@@ -499,6 +540,7 @@ object CorpusQuality extends QueryModule {
     "q_gopher_quality"     -> qGopherQualitySql,
     "q_boilerplate_ngrams" -> qBoilerplateNgramsSql,
     "q_decontaminate"      -> qDecontaminateSql,
+    "q_decontaminate_bloom" -> qDecontaminateSql,
     "q_lm_perplexity"      -> qLmPerplexitySql,
     "q_dsir_weights"       -> qDsirWeightsSql,
     "q_quality_classifier" -> qQualityClassifierSql,

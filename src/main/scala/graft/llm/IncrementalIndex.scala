@@ -50,7 +50,7 @@ object IncrementalIndex {
     PROP_KEY -> key)
 
   /** Clauses applying a net CDC batch: delete wins, upserts rewrite. */
-  private val clauses = Seq(
+  private[llm] val clauses = Seq(
     WhenMatchedDelete(Some(col("source.__op") === "DELETE")),
     WhenMatchedUpdate(Some(col("source.__op") === "UPSERT")),
     WhenNotMatchedInsert(Some(col("source.__op") =!= "DELETE")))
@@ -58,7 +58,7 @@ object IncrementalIndex {
   /** Net effect per key of the source's CDF since `sinceV`: the LATEST
     * post-state per key (preimages dropped), tagged `__op` =
     * DELETE | UPSERT. */
-  private def netChanges(changes: DataFrame, key: String): DataFrame = {
+  private[llm] def netChanges(changes: DataFrame, key: String): DataFrame = {
     val w = Window.partitionBy(col(key)).orderBy(col("_commit_version").desc)
     changes.filter(col("_change_type") =!= "update_preimage")
       .withColumn("__rnk", row_number().over(w))

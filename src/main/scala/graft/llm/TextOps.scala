@@ -630,7 +630,7 @@ object TextOps extends QueryModule {
     * grid (summation-order ulps, the q_lm_perplexity precedent). No
     * top-k cut: the full scored posting set is returned, so no
     * ulp-at-the-boundary rank instability across engines. */
-  private val BM25_TERMS = Seq("vector", "stream", "window")
+  private[llm] val BM25_TERMS = Seq("vector", "stream", "window")
 
   private def qBm25(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -654,7 +654,7 @@ object TextOps extends QueryModule {
       .agg(count(lit(1)).cast("long").as("n_terms"),
         round(sum($"part"), 4).as("score"))
   }
-  private val qBm25Sql = {
+  private[llm] val qBm25Sql = {
     val terms = BM25_TERMS.map(t => s"'$t'").mkString(", ")
     """WITH dl AS (
       |  SELECT doc_id, CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS dl

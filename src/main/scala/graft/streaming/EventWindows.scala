@@ -433,12 +433,79 @@ object EventWindows extends QueryModule {
       |FROM first f JOIN act a USING (user_id)
       |GROUP BY 1, 2""".stripMargin
 
+  // ----------------------------------------------------- q_attribution
+  /** LAST-TOUCH conversion attribution: each purchase credits the most
+    * recent preceding marketing touch (view/click) by the same user
+    * within a 24 h lookback, else counts as 'direct' — the
+    * product-analytics sibling of the funnel, and the same shape as
+    * campaign/revenue attribution over a clickstream.
+    *
+    * ONE shuffle: events hash to their user and a single running
+    * `last(touch, ignoreNulls)` window over (t, event_id) row order
+    * carries the latest touch struct; purchases then read it with a
+    * strictly-preceding frame (`rows between unbounded preceding and 1
+    * preceding`), so a touch in the same microsecond as the purchase
+    * attributes only when its event_id orders first — exactly the
+    * oracle's frame semantics. No join, no per-conversion probe: the
+    * naive formulation (purchases ⋈ touches on user + time-band, then a
+    * per-purchase argmax) reshuffles the full touch set and blows up on
+    * hot users; the running-window form is O(events) with
+    * human-activity-bounded per-user state. Revenue lands in exact
+    * integer cents (the [[qSessionize]] idiom); gaps are exact integer
+    * micros. */
+  private[streaming] val ATTR_US = 86400000000L // 24 h lookback
+
+  private def qAttribution(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d).select($"event_id", $"user_id",
+      $"event_type", unix_micros($"ts").as("t"), $"value")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"t", $"event_id")
+      .rowsBetween(Long.MinValue, -1)
+    val touch = when($"event_type".isin("view", "click"),
+      struct($"t".as("tt"), $"event_id".as("tid"), $"event_type".as("tty")))
+    val attributed = $"lt".isNotNull && $"t" - $"lt.tt" <= ATTR_US
+    ev.withColumn("lt", last(touch, ignoreNulls = true).over(w))
+      .filter($"event_type" === "purchase")
+      .select(
+        $"event_id".as("purchase_id"), $"user_id",
+        when(attributed, $"lt.tty").otherwise("direct").as("channel"),
+        when(attributed, $"lt.tid").otherwise(-1L).as("touch_id"),
+        when(attributed, $"t" - $"lt.tt").otherwise(-1L).as("gap_us"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+  }
+  private val qAttributionSql =
+    s"""WITH ev AS (
+      |  SELECT event_id, user_id, event_type, epoch_us(ts) AS t, value
+      |  FROM events),
+      |m AS (
+      |  SELECT *,
+      |    last_value(CASE WHEN event_type IN ('view','click') THEN t END
+      |      IGNORE NULLS) OVER w AS lt,
+      |    last_value(CASE WHEN event_type IN ('view','click') THEN event_id END
+      |      IGNORE NULLS) OVER w AS lid,
+      |    last_value(CASE WHEN event_type IN ('view','click') THEN event_type END
+      |      IGNORE NULLS) OVER w AS lty
+      |  FROM ev
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+      |SELECT event_id AS purchase_id, user_id,
+      |  CASE WHEN lt IS NOT NULL AND t - lt <= $ATTR_US
+      |       THEN lty ELSE 'direct' END AS channel,
+      |  CASE WHEN lt IS NOT NULL AND t - lt <= $ATTR_US
+      |       THEN lid ELSE -1 END AS touch_id,
+      |  CASE WHEN lt IS NOT NULL AND t - lt <= $ATTR_US
+      |       THEN t - lt ELSE -1 END AS gap_us,
+      |  CAST(round(value * 100) AS BIGINT) AS cents
+      |FROM m WHERE event_type = 'purchase'""".stripMargin
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q_event_windows"   -> qEventWindows _,
     "q_sliding_windows" -> qSlidingWindows _,
     "q_sessionize"      -> qSessionize _,
     "q_funnel"          -> qFunnel _,
     "q_retention"       -> qRetention _,
+    "q_attribution"     -> qAttribution _,
     "q_enrich"          -> qEnrich _)
 
   override val oracles: Seq[(String, String)] = Seq(
@@ -447,5 +514,6 @@ object EventWindows extends QueryModule {
     "q_sessionize"      -> qSessionizeSql,
     "q_funnel"          -> qFunnelSql,
     "q_retention"       -> qRetentionSql,
+    "q_attribution"     -> qAttributionSql,
     "q_enrich"          -> qEnrichSql)
 }

