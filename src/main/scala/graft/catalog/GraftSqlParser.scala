@@ -85,12 +85,13 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(\S+?)\s*;?\s*""".r
   // CREATE VECTOR INDEX <i> ON <t> (embedding) USING IVF|PQ|SQ8
   // CREATE SIGNATURE INDEX <i> ON <t> (text) USING MINHASH
+  // CREATE TEXT INDEX <i> ON <t> (text) USING BM25
   // — persisted incremental indexes (graft.llm.IncrementalIndex);
   // REFRESH/DESCRIBE/REINDEX resolve everything from the index's own
   // recorded properties, like the materialized views
   private val CreateIndex =
-    ("""(?is)\s*CREATE\s+(VECTOR|SIGNATURE)\s+INDEX\s+(\S+?)\s+ON\s+(\S+?)""" +
-      """\s*\(\s*`?(\w+)`?\s*\)\s+USING\s+(IVF|PQ|SQ8|MINHASH)\s*;?\s*""").r
+    ("""(?is)\s*CREATE\s+(VECTOR|SIGNATURE|TEXT)\s+INDEX\s+(\S+?)\s+ON\s+(\S+?)""" +
+      """\s*\(\s*`?(\w+)`?\s*\)\s+USING\s+(IVF|PQ|SQ8|MINHASH|BM25)\s*;?\s*""").r
   private val RefreshIndex =
     """(?is)\s*REFRESH\s+INDEX\s+(\S+?)\s*;?\s*""".r
   private val DescribeIndex =
@@ -514,9 +515,18 @@ private[catalog] object IndexDdl {
 
   def sourceOf(spark: SparkSession, t: VersionedTable): VersionedTable =
     VersionedTable.load(spark, t.latestManifest.properties(PROP_SOURCE))
+
+  /** The table carrying an index's recorded properties. Simple indexes
+    * ARE one table at the index path; composite roots (BM25: postings +
+    * doclens + stats views under one directory) record theirs on the
+    * postings table. */
+  def loadIndexTable(spark: SparkSession, path: String): VersionedTable =
+    if (VersionedTable.exists(path)) VersionedTable.load(spark, path)
+    else VersionedTable.load(spark,
+      java.nio.file.Paths.get(path).resolve("postings").toString)
 }
 
-/** `CREATE [VECTOR|SIGNATURE] INDEX <i> ON <t> (<col>) USING <method>`
+/** `CREATE [VECTOR|SIGNATURE|TEXT] INDEX <i> ON <t> (<col>) USING <method>`
   * — builds a persisted incremental index ([[graft.llm]]) whose
   * properties record method/source/column, making it a self-describing
   * SQL object: REFRESH/DESCRIBE/REINDEX INDEX need only the name.
@@ -527,12 +537,17 @@ case class CreateIndexCommand(
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
-    val expectKind = if (method == "minhash") "SIGNATURE" else "VECTOR"
+    val expectKind = method match {
+      case "minhash" => "SIGNATURE"
+      case "bm25" => "TEXT"
+      case _ => "VECTOR"
+    }
     require(kind == expectKind,
       s"USING ${method.toUpperCase} requires CREATE $expectKind INDEX")
     // derivations are fixed-schema in this engine revision: vector
-    // methods index (vec_id, embedding), MinHash indexes (doc_id, text)
-    val expectCol = if (method == "minhash") "text" else "embedding"
+    // methods index (vec_id, embedding), text methods (doc_id, text)
+    val expectCol =
+      if (method == "minhash" || method == "bm25") "text" else "embedding"
     require(colName == expectCol,
       s"USING ${method.toUpperCase} indexes the '$expectCol' column; " +
         s"got '$colName'")
@@ -543,6 +558,7 @@ case class CreateIndexCommand(
       case "pq" => graft.llm.PqIndex.build(source, path).table
       case "sq8" => graft.llm.Sq8Index.build(source, path).table
       case "minhash" => graft.llm.SignatureIndex.build(source, path).table
+      case "bm25" => graft.llm.Bm25Index.build(source, path).postings
     }
     Seq(Row(t.latestVersion))
   }
@@ -557,7 +573,7 @@ case class RefreshIndexCommand(name: String) extends LeafRunnableCommand {
     Seq(AttributeReference("version", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val path = GraftSqlParser.cleanName(name)
-    val t = VersionedTable.load(spark, path)
+    val t = IndexDdl.loadIndexTable(spark, path)
     val source = IndexDdl.sourceOf(spark, t)
     val v = IndexDdl.methodOf(t) match {
       case "ivf" => graft.llm.VectorIndex.load(spark, path).refresh(source)
@@ -565,6 +581,7 @@ case class RefreshIndexCommand(name: String) extends LeafRunnableCommand {
       case "sq8" => graft.llm.Sq8Index.load(spark, path).refresh(source)
       case "minhash" =>
         graft.llm.SignatureIndex.load(spark, path).refresh(source)
+      case "bm25" => graft.llm.Bm25Index.load(spark, path).refresh(source)
     }
     Seq(Row(v.getOrElse(t.latestVersion)))
   }
@@ -578,7 +595,7 @@ case class ReindexCommand(name: String) extends LeafRunnableCommand {
     Seq(AttributeReference("version", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val path = GraftSqlParser.cleanName(name)
-    val t = VersionedTable.load(spark, path)
+    val t = IndexDdl.loadIndexTable(spark, path)
     val source = IndexDdl.sourceOf(spark, t)
     val v = IndexDdl.methodOf(t) match {
       case "ivf" => graft.llm.VectorIndex.load(spark, path).reindex(source)
@@ -586,6 +603,7 @@ case class ReindexCommand(name: String) extends LeafRunnableCommand {
       case "sq8" => graft.llm.Sq8Index.load(spark, path).reindex(source)
       case "minhash" =>
         graft.llm.SignatureIndex.load(spark, path).reindex(source)
+      case "bm25" => graft.llm.Bm25Index.load(spark, path).reindex(source)
     }
     Seq(Row(v))
   }
@@ -603,7 +621,7 @@ case class DescribeIndexCommand(name: String) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     import graft.llm.IncrementalIndex._
     val path = GraftSqlParser.cleanName(name)
-    val t = VersionedTable.load(spark, path)
+    val t = IndexDdl.loadIndexTable(spark, path)
     val p = t.latestManifest.properties
     val base = Seq(
       "method" -> IndexDdl.methodOf(t),
@@ -632,9 +650,12 @@ case class DropIndexCommand(name: String) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq.empty
   override def run(spark: SparkSession): Seq[Row] = {
     val path = GraftSqlParser.cleanName(name)
-    val t = VersionedTable.load(spark, path)
+    val t = IndexDdl.loadIndexTable(spark, path)
     IndexDdl.methodOf(t) // asserts it IS an index
-    VersionedTable.deleteRecursively(t.root)
+    // composite index roots (bm25) hold their tables UNDER the index
+    // path; simple indexes ARE the path — deleting the cleaned path
+    // covers both (t.root == path for the simple case)
+    VersionedTable.deleteRecursively(java.nio.file.Paths.get(path))
     Seq.empty
   }
 }

@@ -71,6 +71,27 @@ final class Bm25Index private (
     committed
   }
 
+  /** Full re-derivation of the current source snapshot — the
+    * `REINDEX INDEX` recovery/uniformity path (there is no quantizer to
+    * drift; postings are exact per-doc derivations). The overwrite
+    * emits delete+insert CDF that the chained stats views fold to the
+    * same state, so the whole stack converges without rebuilds. */
+  def reindex(source: VersionedTable): Long = {
+    val latest = source.latestVersion
+    val snap = source.snapshot()
+    postings.overwriteWhere(lit(true), Bm25Ops.derivePostings(snap))
+    postings.commitFiles(Seq.empty, Seq.empty, None, "reindex-watermark",
+      extraTxn = Map(Bm25Ops.APP -> latest))
+    doclens.overwriteWhere(lit(true), snap.select(col("doc_id"),
+      size(split(lower(col("text")), " ")).cast("long").as("dl"),
+      lit(0).as("k")))
+    doclens.commitFiles(Seq.empty, Seq.empty, None, "reindex-watermark",
+      extraTxn = Map(Bm25Ops.APP -> latest))
+    termStats.refresh(postings)
+    corpusStats.refresh(doclens)
+    postings.latestVersion
+  }
+
   /** BM25 scores of every document matching any of `terms`, from the
     * PERSISTED index — expression-for-expression the query-path
     * operator ([[TextOps]] `q_bm25`), with `df`/`n_docs`/`Σdl` read

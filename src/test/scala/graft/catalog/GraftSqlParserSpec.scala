@@ -3,7 +3,7 @@ package graft.catalog
 import java.nio.file.Files
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.{concat, lit, sum}
+import org.apache.spark.sql.functions.{col, concat, lit, sum}
 
 import graft.SparkSpec
 import graft.table._
@@ -235,6 +235,65 @@ class GraftSqlParserSpec extends SparkSpec {
       }
       assert(e3.getMessage.contains("not an index"), e3.getMessage)
       assert(src.snapshot().count() === 21L, "the refused drop must not touch data")
+      VersionedTable.deleteRecursively(base)
+    }
+  }
+
+  test("index DDL: CREATE TEXT INDEX ... USING BM25 round-trip over the composite root") {
+    withExtendedSession { s =>
+      import s.implicits._
+      val base = Files.createTempDirectory("sqlbm25")
+      val src = VersionedTable.create(s, base.resolve("docs").toString,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType))),
+        Map(VersionedTable.PROP_CDF -> "true"))
+      src.append((1L to 20L).map(i => (i, s"alpha beta gamma delta token$i end"))
+        .toDF("doc_id", "text"))
+      val idxPath = base.resolve("bm25").toString
+
+      assert(s.sql(s"CREATE TEXT INDEX '$idxPath' " +
+        s"ON '${src.root}' (text) USING BM25").collect().head.getLong(0) >= 1L)
+      val idx0 = graft.llm.Bm25Index.load(s, idxPath)
+      // every doc shares 5 common tokens + 1 unique + 'end' -> postings
+      assert(idx0.postings.snapshot().count() === 20L * 6L)
+      assert(idx0.score(Seq("alpha")).count() === 20L)
+
+      // self-describing REFRESH over the composite root
+      src.append(Seq((21L, "alpha beta fresh words end"))
+        .toDF("doc_id", "text"))
+      s.sql(s"REFRESH INDEX '$idxPath'").collect()
+      val idx1 = graft.llm.Bm25Index.load(s, idxPath)
+      assert(idx1.corpusStats.table.snapshot()
+        .head().getAs[Long]("n_rows") === 21L)
+      assert(idx1.score(Seq("alpha")).count() === 21L)
+
+      val d = s.sql(s"DESCRIBE INDEX '$idxPath'").collect()
+        .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+      assert(d("method") === Some("bm25"))
+      assert(d("column") === Some("text"))
+
+      // REINDEX reproduces incremental state (exact derivations)
+      s.sql(s"REINDEX INDEX '$idxPath'").collect()
+      val idx2 = graft.llm.Bm25Index.load(s, idxPath)
+      // docs 1-20 carry 6 distinct tokens, doc 21 carries 5
+      assert(idx2.postings.snapshot().count() === 20L * 6L + 5L)
+      assert(idx2.termStats.table.snapshot()
+        .filter(col("tok") === "alpha").head().getAs[Long]("n_rows") === 21L)
+
+      // kind mismatch refuses
+      val e = intercept[Exception] {
+        s.sql(s"CREATE VECTOR INDEX '${base.resolve("x3")}' " +
+          s"ON '${src.root}' (text) USING BM25").collect()
+      }
+      assert(e.getMessage.contains("TEXT"), e.getMessage)
+
+      // DROP removes the whole composite root
+      s.sql(s"DROP INDEX '$idxPath'").collect()
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(idxPath)))
+      assert(src.snapshot().count() === 21L)
       VersionedTable.deleteRecursively(base)
     }
   }
