@@ -68,7 +68,9 @@ object Bench {
     "q_drift_incr", "q_triplet_mine",                       // incremental monitor / triplet mining
     "q_bm25_index", "q_bm25_refresh",                       // persisted lexical index + maintenance
     "q_attribution", "q_decontaminate_bloom",               // attribution / bloom-join decontamination
-    "q_substr_dup")                                         // ExactSubstr duplicated-span coverage
+    "q_substr_dup",                                         // ExactSubstr duplicated-span coverage
+    "q_mmr_select", "q_cluster_sample",                     // diverse / cluster-balanced selection
+    "q_k_anonymize")                                        // k-anonymity release ladder
   // q_semantic_dedup stays sf0.1-only: its oracle-replayable form fixes
   // CENTROIDS=16, so per-cell pair cost grows ~(N/16)² — the sf1 scale
   // path is the adaptive-cell VectorIndex (cells ~ √N), already timed

@@ -14,6 +14,7 @@ object SparkEntry {
     graft.queries.MergeOps,
     graft.operators.Sampling,
     graft.operators.Sketches,
+    graft.operators.Privacy,
     graft.streaming.EventWindows,
     graft.streaming.EventStateViews,
     graft.llm.TextOps,
@@ -21,6 +22,7 @@ object SparkEntry {
     graft.llm.CorpusQuality,
     graft.llm.DedupOps,
     graft.llm.SimilarityOps,
+    graft.llm.SelectionOps,
     graft.llm.Multimodal)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,209 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{QueryModule, Tables}
+
+/** Training-set SELECTION operators: picking WHICH examples to keep,
+  * beyond per-row quality gates (CorpusQuality) and duplicate removal
+  * (DedupOps). Both operators here answer the curation question "given
+  * more good data than budget, choose a subset that covers the
+  * distribution" — the step after filtering and dedup in an LLM data
+  * pipeline.
+  *
+  *   - '''q_mmr_select''' — Maximal Marginal Relevance (Carbonell &
+  *     Goldstein 1998): greedy diverse top-K retrieval. Each step picks
+  *     the candidate maximizing `λ·rel − (1−λ)·max_sim_to_selected`, so
+  *     the result set trades relevance against redundancy — the
+  *     classic diversity-aware retrieval / demonstration-selection
+  *     primitive that plain cosine top-K (q_topk_cosine) lacks.
+  *   - '''q_cluster_sample''' — cluster-balanced downsampling: cap how
+  *     many vectors any one k-means cell contributes. Dense regions of
+  *     embedding space (near-duplicate clusters, boilerplate-heavy
+  *     domains) stop dominating the sample; sparse regions survive.
+  *     The published coreset-style recipe used alongside SemDeDup-type
+  *     pipelines, and it reuses the IVF cell structure
+  *     ([[SimilarityOps.lloydCodebook]]) — build the clustering once,
+  *     serve search AND sampling from it.
+  *
+  * == 100 TB design ==
+  * MMR's heavy stage is the SHORTLIST: one distributed broadcast-query
+  * scoring pass over the full corpus plus a per-query top-M window —
+  * identical shape to q_topk_cosine, linear in corpus size, no
+  * all-pairs anywhere. The greedy refinement then runs K distributed
+  * passes over the materialized shortlist (M·|Q| rows — constant-bounded
+  * here, and still a DataFrame job if M were 10⁷) with the selected set
+  * broadcast (≤ K·|Q| rows by construction). Only per-step winners
+  * (|Q| rows) are collected, the same bounded-driver-state pattern as
+  * [[SimilarityOps.lloydCodebook]]. Cluster sampling is one broadcast
+  * codebook assignment pass plus a per-cell window — shuffle on `c_id`
+  * only, with cell populations bounded ~√N by the adaptive-cell rule in
+  * the persisted-index path.
+  *
+  * == Cross-engine determinism ==
+  * All similarity is the left-to-right double fold of `cosine_sim`
+  * (bit-identical in DuckDB — q_topk_cosine precedent). The MMR score
+  * `0.5·rel − 0.5·msim` is two IEEE multiplies and a subtract of
+  * deterministic doubles; `max` over the selected set is
+  * order-independent; ties break on `vec_id`. The oracle replays the
+  * identical greedy recursion as K unrolled CTEs (the Lloyd/GD/PageRank
+  * precedent). The cluster-sample cap ranks by the same md5 16-bit
+  * bucket as [[graft.operators.Sampling]], recomputed in DuckDB with
+  * hex-digit arithmetic.
+  */
+object SelectionOps extends QueryModule {
+  import Tables._
+
+  // corpus split shared with SimilarityOps: vec_id < 8 are queries
+  private val QMAX = 8
+  private val MMR_Q = 4    // use the first 4 query vectors
+  private val MMR_M = 32   // relevance shortlist per query
+  private val MMR_K = 8    // diverse selections per query
+  private val LAMB = "0.5" // MMR trade-off (string: verbatim in both engines)
+
+  // ------------------------------------------------------- q_mmr_select
+  private def qMmrSelect(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val emb = embeddings(s, d)
+    val q = emb.filter(col("vec_id") < MMR_Q)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val c = emb.filter(col("vec_id") >= QMAX)
+      .select(col("vec_id"), col("embedding").as("ce"))
+    // stage 1 (the 100 TB stage): distributed relevance shortlist,
+    // materialized once so the K greedy passes below never rescan the
+    // corpus
+    val slDir = graft.Scratch.dir("graft-mmr").resolve("shortlist").toString
+    val wRel = Window.partitionBy(col("q_id"))
+      .orderBy(col("rel").desc, col("vec_id").asc_nulls_last)
+    c.crossJoin(broadcast(q))
+      .withColumn("rel", expr("cosine_sim(qe, ce)"))
+      .withColumn("srnk", row_number().over(wRel))
+      .filter(col("srnk") <= MMR_M)
+      .select(col("q_id"), col("vec_id"), col("rel"), col("ce"))
+      .write.mode("overwrite").parquet(slDir)
+    val shortlist = s.read.parquet(slDir)
+
+    // stage 2: greedy MMR — K distributed passes over the shortlist,
+    // selected set kept as bounded driver rows (≤ K·|Q|) and broadcast
+    val selSchema = StructType(Seq(
+      StructField("q_id", LongType), StructField("vec_id", LongType),
+      StructField("ce", ArrayType(FloatType)),
+      StructField("step", LongType), StructField("score", DoubleType)))
+    var sel: Seq[Row] = Seq.empty
+    for (t <- 1 to MMR_K) {
+      val selDf = s.createDataFrame(
+        s.sparkContext.parallelize(sel, 1), selSchema)
+      val winners = shortlist
+        .join(selDf.select(col("q_id"), col("vec_id")),
+          Seq("q_id", "vec_id"), "left_anti")
+        .join(broadcast(selDf.select(col("q_id").as("sq"), col("ce").as("se"))),
+          col("q_id") === col("sq"), "left")
+        .groupBy(col("q_id"), col("vec_id"), col("rel"), col("ce"))
+        .agg(coalesce(max(expr("cosine_sim(ce, se)")), lit(0.0)).as("msim"))
+        .withColumn("score",
+          lit(LAMB.toDouble) * col("rel") - lit(1 - LAMB.toDouble) * col("msim"))
+        .withColumn("rnk", row_number().over(Window.partitionBy(col("q_id"))
+          .orderBy(col("score").desc, col("vec_id").asc_nulls_last)))
+        .filter(col("rnk") === 1)
+        .select(col("q_id"), col("vec_id"), col("ce"),
+          lit(t.toLong).as("step"), col("score"))
+        .collect().toSeq
+      sel = sel ++ winners
+    }
+    s.createDataFrame(s.sparkContext.parallelize(sel, 1), selSchema)
+      .select(col("q_id"), col("vec_id"), col("step"),
+        round(col("score"), 6).as("mmr_score"))
+  }
+
+  /** K unrolled greedy steps. Every chained CTE is `MATERIALIZED`: each
+    * `sel` is referenced twice (the msim join and the union), and
+    * DuckDB's default inlining would re-evaluate the whole prefix chain
+    * per reference — 2^K blowup. Membership in the selected set is
+    * detected FROM the same left join (`is_sel`), not a second
+    * NOT-EXISTS scan, keeping each step a single pass. */
+  private val qMmrSelectSql: String = {
+    def cos(a: String, b: String) = SimilarityOps.cosSql(a, b)
+    val steps = (1 to MMR_K).map { t =>
+      s"""m$t AS MATERIALIZED (
+         |  SELECT r.q_id, r.vec_id, r.rel, r.ce,
+         |    coalesce(max(${cos("r.ce", "s.ce")}), 0.0) AS msim,
+         |    max(CASE WHEN s.vec_id = r.vec_id THEN 1 END) AS is_sel
+         |  FROM shortlist r LEFT JOIN sel${t - 1} s ON s.q_id = r.q_id
+         |  GROUP BY r.q_id, r.vec_id, r.rel, r.ce),
+         |p$t AS MATERIALIZED (
+         |  SELECT q_id, vec_id, ce, CAST($t AS BIGINT) AS step,
+         |    $LAMB * rel - (1 - $LAMB) * msim AS score,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY $LAMB * rel - (1 - $LAMB) * msim DESC, vec_id ASC) AS rnk
+         |  FROM m$t WHERE is_sel IS NULL),
+         |sel$t AS MATERIALIZED (
+         |  SELECT * FROM sel${t - 1} UNION ALL
+         |  SELECT q_id, vec_id, ce, step, score FROM p$t WHERE rnk = 1)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+      |           WHERE vec_id < $MMR_Q),
+      |c AS (SELECT vec_id, embedding AS ce FROM embeddings
+      |      WHERE vec_id >= $QMAX),
+      |sc AS (SELECT q_id, vec_id, ce, ${cos("qe", "ce")} AS rel FROM c, q),
+      |shortlist AS MATERIALIZED (SELECT q_id, vec_id, ce, rel FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY q_id
+      |    ORDER BY rel DESC, vec_id ASC) AS srnk FROM sc) WHERE srnk <= $MMR_M),
+      |sel0 AS (SELECT q_id, vec_id, ce, CAST(0 AS BIGINT) AS step,
+      |                CAST(0.0 AS DOUBLE) AS score
+      |         FROM shortlist WHERE 1 = 0),
+      |$steps
+      |SELECT q_id, vec_id, step, round(score, 6) AS mmr_score
+      |FROM sel$MMR_K""".stripMargin
+  }
+
+  // --------------------------------------------------- q_cluster_sample
+  /** Per-cell contribution cap. 500 sf0.01 vectors / 16 cells ≈ 31 per
+    * cell on average, so a cap of 16 visibly truncates dense cells
+    * while sparse cells pass through whole. */
+  private val CELL_CAP = 16
+
+  private def qClusterSample(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val corpus = embeddings(s, d)
+      .select(col("vec_id").as("__vid"), col("embedding").as("ce"))
+    val cent = SimilarityOps.lloydCodebook(corpus)
+    val cells = SimilarityOps.nearest(corpus, cent, "ce", 1, "__arnk")
+      .select(col("__vid").as("vec_id"), col("c_id"))
+    // rank within cell by the portable md5 bucket (unbiased w.r.t. id
+    // order), tie-break vec_id; keep the first CELL_CAP
+    val ranked = cells
+      .withColumn("bkt", graft.operators.Sampling.hashBucket16(col("vec_id")))
+      .withColumn("rnk", row_number().over(Window.partitionBy(col("c_id"))
+        .orderBy(col("bkt").asc, col("vec_id").asc_nulls_last)))
+    ranked.filter(col("rnk") <= CELL_CAP)
+      .select(col("c_id"), col("vec_id"), col("rnk").cast("long").as("rnk"))
+  }
+
+  private val qClusterSampleSql: String =
+    s"""WITH corpus AS (SELECT vec_id, embedding AS ce FROM embeddings),
+      |${SimilarityOps.lloydCellsCtesSql},
+      |b AS (SELECT c_id, vec_id,
+      |        (strpos('0123456789abcdef', substring(md5(vec_id::VARCHAR), 1, 1)) - 1) * 4096
+      |      + (strpos('0123456789abcdef', substring(md5(vec_id::VARCHAR), 2, 1)) - 1) * 256
+      |      + (strpos('0123456789abcdef', substring(md5(vec_id::VARCHAR), 3, 1)) - 1) * 16
+      |      + (strpos('0123456789abcdef', substring(md5(vec_id::VARCHAR), 4, 1)) - 1) AS bkt
+      |      FROM cells),
+      |r AS (SELECT c_id, vec_id,
+      |        row_number() OVER (PARTITION BY c_id
+      |          ORDER BY bkt ASC, vec_id ASC) AS rnk
+      |      FROM b)
+      |SELECT c_id, vec_id, CAST(rnk AS BIGINT) AS rnk
+      |FROM r WHERE rnk <= $CELL_CAP""".stripMargin
+
+  override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q_mmr_select"     -> (qMmrSelect _),
+    "q_cluster_sample" -> (qClusterSample _))
+
+  override val oracles: Seq[(String, String)] = Seq(
+    "q_mmr_select"     -> qMmrSelectSql,
+    "q_cluster_sample" -> qClusterSampleSql)
+}

@@ -289,4 +289,24 @@ class PlanAuditSpec extends SparkSpec {
       p.contains("LessThan(vec_id"),
       s"the anchor split must push to parquet:\n$p")
   }
+
+  test("k-anonymity: one rollup pass, ladder broadcast onto the fact scan") {
+    val p = plan("q_k_anonymize")
+    assert(p.contains("Expand"),
+      s"the ladder counts must come from ONE rollup expand pass:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the per-group ladder must broadcast into the fact side:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the fact table must never shuffle for the ladder join:\n$p")
+  }
+
+  test("cluster sampling broadcasts the codebook; only the cell window shuffles") {
+    val p = plan("q_cluster_sample")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the codebook must broadcast into the assignment pass:\n$p")
+    assert(p.contains("hashpartitioning(c_id"),
+      s"the cap window must partition by cell:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"per-cell ranking must never funnel into one partition:\n$p")
+  }
 }
