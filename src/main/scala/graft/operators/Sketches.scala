@@ -399,12 +399,341 @@ object Sketches extends QueryModule {
       .select($"metric_col".as("column"), $"n_buckets", $"psi")
   }
 
+  // ---------------------------------------------------- q_join_estimate
+  /** Sketch-based JOIN-CARDINALITY estimation (AMS / count-sketch inner
+    * product, Alon-Matias-Szegedy 1996; the "fast-AGMS" variant of
+    * Cormode & Garofalakis 2005): predict |A ⋈ B| from one scan of each
+    * side, never executing the join — the statistic a cost-based
+    * planner needs before committing 100 TB to a shuffle strategy.
+    *
+    * Each side folds its join-key column into a JE_D×4096 grid of
+    * SIGNED counts: row i hashes key k to bucket
+    * `md5(i|k)[1..3]` and sign `±1` from the next hex digit's parity.
+    * The inner product of two grids' matching rows is an unbiased
+    * estimate of Σ_k n_A(k)·n_B(k) = |A ⋈ B| (collision terms carry
+    * random signs and cancel in expectation); the MEDIAN over the JE_D
+    * independent rows controls variance (~√(F2_A·F2_B/W) per row).
+    *
+    * 100 TB shape: each sketch is ONE scan + a groupBy onto ≤ JE_D·4096
+    * cells (map-side partials — the grid is mergeable across shards by
+    * addition, so per-file sketches union for free); the estimate joins
+    * two ≤20k-row grids. The `n_exact` column beside the estimate is
+    * the verification baseline (computed as Σ n_A(k)·n_B(k) over the
+    * key-count aggregates — itself join-free); a planner at scale reads
+    * only `n_est`. Everything is md5 + integer arithmetic — the oracle
+    * replays the grid exactly, signs and all (q_cms_counts precedent),
+    * and SketchesSpec pins the relative-error envelope. */
+  private val JE_D = 5
+
+  /** (i, bucket, sign) triples for join key `k`, i in [0, JE_D). */
+  private def amsEntries(k: String) = expr(
+    s"""transform(sequence(0, ${JE_D - 1}), i -> struct(i AS i,
+       |  substring(md5(concat(cast(i AS string), '|', cast($k AS string))), 1, 3) AS b,
+       |  IF(CAST(conv(substring(md5(concat(cast(i AS string), '|', cast($k AS string))), 4, 1), 16, 10) AS INT) % 2 = 0,
+       |     CAST(1 AS BIGINT), CAST(-1 AS BIGINT)) AS sg))""".stripMargin)
+
+  /** Signed count grid of `df`'s column `k`: (i, b, v). */
+  def amsSketch(df: DataFrame, k: String): DataFrame =
+    df.select(explode(amsEntries(k)).as("e"))
+      .groupBy(col("e.i").as("i"), col("e.b").as("b"))
+      .agg(sum(col("e.sg")).as("v"))
+
+  /** Median-of-rows inner product of two sketches: a 1-row (est) DF. */
+  def amsJoinEstimate(a: DataFrame, b: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    a.join(b.withColumnRenamed("v", "w"), Seq("i", "b"))
+      .groupBy(col("i")).agg(sum(col("v") * col("w")).as("est"))
+      // median of JE_D rows: the grid is ≤ JE_D rows here, a single-
+      // partition window is the right plan
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("est").asc, col("i").asc)))
+      .filter(col("rnk") === (JE_D + 1) / 2)
+      .select(col("est"))
+  }
+
+  private def qJoinEstimate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def exactJoinSize(a: DataFrame, ka: String, b: DataFrame, kb: String) =
+      a.groupBy(col(ka).as("k")).agg(count(lit(1)).as("na"))
+        .join(b.groupBy(col(kb).as("k")).agg(count(lit(1)).as("nb")), "k")
+        .agg(coalesce(sum($"na" * $"nb"), lit(0L)).as("n_exact"))
+    def row(name: String, a: DataFrame, ka: String, b: DataFrame, kb: String) =
+      amsJoinEstimate(amsSketch(a, ka), amsSketch(b, kb))
+        .crossJoin(exactJoinSize(a, ka, b, kb))
+        .select(lit(name).as("join_name"),
+          $"est".cast("long").as("n_est"), $"n_exact")
+    row("lineitem_orders", lineitem(s, d), "l_orderkey",
+        orders(s, d), "o_orderkey")
+      .unionAll(row("orders_customer", orders(s, d), "o_custkey",
+        customer(s, d), "c_custkey"))
+  }
+
+  private val qJoinEstimateSql = {
+    def grid(table: String, k: String) =
+      s"""SELECT i, substr(md5(i::VARCHAR || '|' || $k::VARCHAR), 1, 3) AS b,
+         |  CAST(sum(CASE WHEN (strpos('0123456789abcdef',
+         |      substr(md5(i::VARCHAR || '|' || $k::VARCHAR), 4, 1)) - 1) % 2 = 0
+         |    THEN 1 ELSE -1 END) AS BIGINT) AS v
+         |FROM $table, generate_series(0, ${JE_D - 1}) AS g(i)
+         |GROUP BY 1, 2""".stripMargin
+    def block(name: String, ta: String, ka: String, tb: String, kb: String) =
+      s"""SELECT '$name' AS join_name,
+         |  (SELECT CAST(est AS BIGINT) FROM (
+         |     SELECT i, sum(a.v * b.v) AS est
+         |     FROM (${grid(ta, ka)}) a JOIN (${grid(tb, kb)}) b USING (i, b)
+         |     GROUP BY i ORDER BY est ASC, i ASC
+         |     LIMIT 1 OFFSET ${(JE_D + 1) / 2 - 1})) AS n_est,
+         |  (SELECT CAST(coalesce(sum(na * nb), 0) AS BIGINT) FROM
+         |     (SELECT $ka AS k, count(*) AS na FROM $ta GROUP BY 1) x
+         |     JOIN (SELECT $kb AS k, count(*) AS nb FROM $tb GROUP BY 1) y
+         |     USING (k)) AS n_exact""".stripMargin
+    s"""${block("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey")}
+      |UNION ALL
+      |${block("orders_customer", "orders", "o_custkey", "customer", "c_custkey")}"""
+      .stripMargin
+  }
+
+  // ---------------------------------------------- q_join_estimate_incr
+  /** The AMS grid MAINTAINED INCREMENTALLY — the property that makes
+    * this sketch special among the family: signed counts are a pure
+    * SUM, so inserts add `+sg`, deletes subtract it, and the grid
+    * tracks arbitrary churn at O(Δ) cost with no recompute (HLL cannot
+    * subtract; a histogram can, but says nothing about joins). Each
+    * side's entry stream (key → JE_D (i, b, ±1) cells) lands in a
+    * CDF-tracked [[graft.table.VersionedTable]] and the grid is an
+    * [[graft.table.AggView]] over it grouped by (i, b) — the same
+    * signed-delta machinery as the Gold views, re-used to keep a
+    * PLANNER STATISTIC current. The fixture seeds both sides, then
+    * appends the remaining lineitem keys AND deletes a slice, runs one
+    * refresh per side, and estimates from the two view snapshots; the
+    * oracle replays the batch grid over the post-churn content, so the
+    * hash match proves maintained ≡ rebuilt. */
+  private def qJoinEstimateIncr(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+    import graft.table.{AggView, VersionedTable}
+    val root = graft.Scratch.dir("graft-amsincr")
+    val entrySchema = StructType(Seq(
+      StructField("rk", LongType), StructField("i", IntegerType),
+      StructField("b", StringType), StructField("sg", LongType)))
+    def entries(df: DataFrame, k: String): DataFrame =
+      df.select(col(k).cast("long").as("rk"), explode(amsEntries(k)).as("e"))
+        .select($"rk", $"e.i".as("i"), $"e.b".as("b"), $"e.sg".as("sg"))
+    def entryTable(name: String): VersionedTable =
+      VersionedTable.create(s, root.resolve(name).toString,
+        entrySchema, Map(VersionedTable.PROP_CDF -> "true"))
+    // side A: lineitem orderkeys — seed 2/3, then append the rest and
+    // delete a slice (the subtract path)
+    val ta = entryTable("a")
+    val li = lineitem(s, d)
+    ta.append(entries(li.filter($"l_orderkey" % 3 =!= 0), "l_orderkey"))
+    val va = AggView.build(ta, root.resolve("va").toString,
+      Seq("i", "b"), Seq("v" -> "sg"))
+    ta.append(entries(li.filter($"l_orderkey" % 3 === 0), "l_orderkey"))
+    ta.deleteWhere($"rk" % 17 === 3)
+    va.refresh(ta)
+    // side B: orders — seed half, append the rest (the add path)
+    val tb = entryTable("b")
+    val os = orders(s, d)
+    tb.append(entries(os.filter($"o_orderkey" % 2 === 0), "o_orderkey"))
+    val vb = AggView.build(tb, root.resolve("vb").toString,
+      Seq("i", "b"), Seq("v" -> "sg"))
+    tb.append(entries(os.filter($"o_orderkey" % 2 =!= 0), "o_orderkey"))
+    vb.refresh(tb)
+    def grid(v: AggView) = v.table.snapshot()
+      .select($"i", $"b", coalesce($"sum_v", lit(0L)).as("v"))
+    val exact = li.filter($"l_orderkey" % 17 =!= 3)
+      .groupBy($"l_orderkey".as("k")).agg(count(lit(1)).as("na"))
+      .join(os.groupBy($"o_orderkey".as("k")).agg(count(lit(1)).as("nb")), "k")
+      .agg(coalesce(sum($"na" * $"nb"), lit(0L)).as("n_exact"))
+    amsJoinEstimate(grid(va), grid(vb)).crossJoin(exact)
+      .select(lit("lineitem_orders").as("join_name"),
+        $"est".cast("long").as("n_est"), $"n_exact")
+  }
+
+  private val qJoinEstimateIncrSql = {
+    def grid(from: String, k: String) =
+      s"""SELECT i, substr(md5(i::VARCHAR || '|' || $k::VARCHAR), 1, 3) AS b,
+         |  CAST(sum(CASE WHEN (strpos('0123456789abcdef',
+         |      substr(md5(i::VARCHAR || '|' || $k::VARCHAR), 4, 1)) - 1) % 2 = 0
+         |    THEN 1 ELSE -1 END) AS BIGINT) AS v
+         |FROM $from, generate_series(0, ${JE_D - 1}) AS g(i)
+         |GROUP BY 1, 2""".stripMargin
+    s"""WITH ta AS (SELECT l_orderkey FROM lineitem
+      |            WHERE NOT (l_orderkey % 17 = 3)),
+      |ga AS (${grid("ta", "l_orderkey")}),
+      |gb AS (${grid("orders", "o_orderkey")})
+      |SELECT 'lineitem_orders' AS join_name,
+      |  (SELECT CAST(est AS BIGINT) FROM (
+      |     SELECT i, sum(a.v * b.v) AS est
+      |     FROM ga a JOIN gb b USING (i, b)
+      |     GROUP BY i ORDER BY est ASC, i ASC
+      |     LIMIT 1 OFFSET ${(JE_D + 1) / 2 - 1})) AS n_est,
+      |  (SELECT CAST(coalesce(sum(na * nb), 0) AS BIGINT) FROM
+      |     (SELECT l_orderkey AS k, count(*) AS na FROM ta GROUP BY 1) x
+      |     JOIN (SELECT o_orderkey AS k, count(*) AS nb FROM orders GROUP BY 1) y
+      |     USING (k)) AS n_exact""".stripMargin
+  }
+
+  // ------------------------------------------------------ q_key_overlap
+  /** KMV (k-minimum-values, Bar-Yossef et al. 2002 / Beyer et al. 2007)
+    * key-set OVERLAP estimation: how much do two tables' key domains
+    * intersect, from two 64-row sketches instead of a distinct-join of
+    * the full domains — the data-integration profiling question ("can
+    * these feeds join? on what fraction?") asked before committing a
+    * 100 TB join. Complements the family: HLL counts ONE set, AMS
+    * estimates a JOIN SIZE (multiset inner product), KMV compares SET
+    * MEMBERSHIP across sources.
+    *
+    * Each side keeps the KMV_K smallest md5 values over its DISTINCT
+    * keys. The k smallest of the UNION are then a uniform sample of
+    * A∪B, and any sampled element of A is provably inside A's own
+    * bottom-k (h(x) ≤ kth-min of the union ≤ kth-min of A), so
+    * membership resolves against the sketches alone:
+    * `J ≈ |{x ∈ U_k : x∈sig_A ∧ x∈sig_B}| / k`.
+    *
+    * 100 TB shape: per side one distinct-aggregate then a global
+    * bottom-k (TakeOrdered — no full sort); sketches are mergeable
+    * (bottom-k of per-shard bottom-ks). Everything is md5 + integer
+    * counts; the exact Jaccard columns beside the estimate power the
+    * gate and the accuracy spec. */
+  private val KMV_K = 64
+
+  /** Bottom-`KMV_K` md5 signature of `df.k`'s distinct values. */
+  def kmvSignature(df: DataFrame, k: String): DataFrame =
+    df.select(col(k).cast("long").as("key")).distinct()
+      .withColumn("h", md5(concat(lit("k|"), col("key").cast("string"))))
+      .orderBy(col("h")).limit(KMV_K)
+
+  private def qKeyOverlap(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val evKeys = events(s, d).select($"user_id".cast("long").as("key")).distinct()
+    val cuKeys = customer(s, d).select($"c_custkey".cast("long").as("key")).distinct()
+    val sa = kmvSignature(events(s, d), "user_id")
+    val sb = kmvSignature(customer(s, d), "c_custkey")
+    val u = sa.unionAll(sb).dropDuplicates("key")
+      .orderBy($"h").limit(KMV_K)
+    val both = u
+      .join(sa.select($"key"), Seq("key"), "left_semi")
+      .join(sb.select($"key"), Seq("key"), "left_semi")
+      .agg(count(lit(1)).as("n_both"))
+    val m = u.agg(count(lit(1)).as("mk"))
+    val inter = evKeys.join(cuKeys, Seq("key"), "left_semi")
+      .agg(count(lit(1)).as("n_inter"))
+    val union = evKeys.unionAll(cuKeys).distinct()
+      .agg(count(lit(1)).as("n_union"))
+    both.crossJoin(m).crossJoin(inter).crossJoin(union)
+      .select(lit(KMV_K.toLong).as("k"), $"n_both",
+        round($"n_both".cast("double") / $"mk", 4).as("jaccard_est"),
+        $"n_inter", $"n_union",
+        round($"n_inter".cast("double") / $"n_union", 4).as("jaccard_exact"))
+  }
+
+  private val qKeyOverlapSql =
+    s"""WITH a AS (SELECT DISTINCT user_id::BIGINT AS key FROM events),
+      |b AS (SELECT DISTINCT c_custkey::BIGINT AS key FROM customer),
+      |ha AS (SELECT key, md5('k|' || key::VARCHAR) AS h FROM a
+      |       ORDER BY h LIMIT $KMV_K),
+      |hb AS (SELECT key, md5('k|' || key::VARCHAR) AS h FROM b
+      |       ORDER BY h LIMIT $KMV_K),
+      |u AS (SELECT key, h FROM (
+      |        SELECT DISTINCT key, h FROM (
+      |          SELECT * FROM ha UNION ALL SELECT * FROM hb))
+      |      ORDER BY h LIMIT $KMV_K),
+      |nb AS (SELECT count(*) AS n_both FROM u
+      |       WHERE key IN (SELECT key FROM ha)
+      |         AND key IN (SELECT key FROM hb)),
+      |m AS (SELECT count(*) AS mk FROM u),
+      |ex AS (SELECT
+      |  (SELECT count(*) FROM (SELECT key FROM a INTERSECT SELECT key FROM b)) AS n_inter,
+      |  (SELECT count(*) FROM (SELECT key FROM a UNION SELECT key FROM b)) AS n_union)
+      |SELECT CAST($KMV_K AS BIGINT) AS k, n_both,
+      |  round(CAST(n_both AS DOUBLE) / mk, 4) AS jaccard_est,
+      |  n_inter, n_union,
+      |  round(CAST(n_inter AS DOUBLE) / n_union, 4) AS jaccard_exact
+      |FROM nb, m, ex""".stripMargin
+
+  // -------------------------------------------------- q_anomaly_windows
+  /** Trailing-window anomaly detection over the event stream: for each
+    * (event_type, day), the z-score of that day's event count against
+    * the preceding 7 observed days — the standing volume monitor that
+    * catches feed outages, bot floods, and dedup regressions before
+    * they poison a training snapshot. Complements q_drift_psi: PSI
+    * watches the VALUE distribution between two windows, this watches
+    * the VOLUME time series continuously.
+    *
+    * 100 TB shape: the raw stream collapses to (type, day) counts in
+    * one aggregation (map-side partials), and the window arithmetic
+    * runs on that aggregate — #types × #days rows, thousands at most,
+    * regardless of corpus size. Trailing mean/variance come from exact
+    * integer sums over the frame (Σn, Σn²), so cross-engine the
+    * doubles agree bit-for-bit: both engines evaluate the same
+    * (s2 − s·s/7)/7 expression on the same integers (the q_drift_psi
+    * determinism recipe). Days with fewer than 7 prior observations
+    * are warm-up and not scored. */
+  def anomalyScores(daily: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-7, -1)
+    daily
+      .withColumn("m", count(col("n")).over(w))
+      .withColumn("s", sum(col("n")).over(w))
+      .withColumn("s2", sum(col("n") * col("n")).over(w))
+      .filter(col("m") === 7)
+      .withColumn("mean", col("s").cast("double") / 7.0)
+      .withColumn("vr",
+        (col("s2").cast("double") - col("s").cast("double") * col("s") / 7.0) / 7.0)
+      .withColumn("z", when(col("vr") > 0.0,
+        round((col("n").cast("double") - col("mean")) / sqrt(col("vr")), 4))
+        .otherwise(lit(0.0)))
+      // day leaves as its ISO string: parquet date32 and DuckDB's DATE
+      // canonicalize differently in the driver's pandas compare
+      .select(col("event_type"), col("day").cast("string").as("day"),
+        col("n"), col("z").as("zscore"), (abs(col("z")) > 3.0).as("is_anomaly"))
+  }
+
+  private def qAnomalyWindows(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    anomalyScores(events(s, d)
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("n")))
+  }
+
+  private val qAnomalyWindowsSql =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |fr AS (
+      |  SELECT event_type, day, n,
+      |    count(n) OVER w AS m, sum(n) OVER w AS s, sum(n * n) OVER w AS s2
+      |  FROM daily
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+      |               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+      |sc AS (
+      |  SELECT event_type, day, n,
+      |    CAST(s AS DOUBLE) / 7.0 AS mean,
+      |    (CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * s / 7.0) / 7.0 AS vr
+      |  FROM fr WHERE m = 7),
+      |z AS (
+      |  SELECT event_type, day, n,
+      |    CASE WHEN vr > 0.0
+      |         THEN round((CAST(n AS DOUBLE) - mean) / sqrt(vr), 4)
+      |         ELSE 0.0 END AS zscore
+      |  FROM sc)
+      |SELECT event_type, CAST(day AS VARCHAR) AS day, n, zscore,
+      |  abs(zscore) > 3.0 AS is_anomaly
+      |FROM z""".stripMargin
+
   override def queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q_hll_distinct" -> (qHllDistinct _),
     "q_hist_quantiles" -> (qHistQuantiles _),
     "q_cms_counts" -> (qCmsCounts _),
     "q_drift_psi" -> (qDriftPsi _),
-    "q_drift_incr" -> (qDriftIncr _))
+    "q_drift_incr" -> (qDriftIncr _),
+    "q_join_estimate" -> (qJoinEstimate _),
+    "q_join_estimate_incr" -> (qJoinEstimateIncr _),
+    "q_key_overlap" -> (qKeyOverlap _),
+    "q_anomaly_windows" -> (qAnomalyWindows _))
 
   override def oracles: Seq[(String, String)] = Seq(
     "q_hll_distinct" -> qHllDistinctSql,
@@ -413,5 +742,9 @@ object Sketches extends QueryModule {
     "q_drift_psi" -> qDriftPsiSql,
     // the incremental monitor must converge to exactly the from-scratch
     // PSI — one oracle pins both paths
-    "q_drift_incr" -> qDriftPsiSql)
+    "q_drift_incr" -> qDriftPsiSql,
+    "q_join_estimate" -> qJoinEstimateSql,
+    "q_join_estimate_incr" -> qJoinEstimateIncrSql,
+    "q_key_overlap" -> qKeyOverlapSql,
+    "q_anomaly_windows" -> qAnomalyWindowsSql)
 }

@@ -119,4 +119,88 @@ class SketchesSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
         s"'$term': overshoot ${est - exact} breaks the CMS bound")
     }
   }
+
+  test("AMS join estimate lands within the variance envelope of exact") {
+    val rows = graft.SparkEntry.queries("q_join_estimate")(spark, sf)
+      .as[(String, Long, Long)].collect()
+    assert(rows.length === 2)
+    rows.foreach { case (name, est, exact) =>
+      assert(exact > 0, s"$name: fixture join must be non-empty")
+      // per-row sd is ~sqrt(F2_A*F2_B/4096); the median of 5 rows on
+      // these fixtures sits well within 20% of truth
+      val rel = math.abs(est.toDouble / exact - 1.0)
+      assert(rel < 0.2, s"$name: estimate $est vs exact $exact (rel $rel)")
+    }
+  }
+
+  test("AMS sketches merge by addition (per-shard grids sum to the global grid)") {
+    val oa = graft.Tables.orders(spark, sf)
+    val lo = oa.filter($"o_orderkey" % 2 === 0)
+    val hi = oa.filter($"o_orderkey" % 2 =!= 0)
+    val whole = Sketches.amsSketch(oa, "o_orderkey")
+      .as[(Int, String, Long)].collect().toSet
+    val merged = Sketches.amsSketch(lo, "o_orderkey")
+      .unionAll(Sketches.amsSketch(hi, "o_orderkey"))
+      .groupBy($"i", $"b").agg(sum($"v").as("v"))
+      .filter($"v" =!= 0L)
+      .as[(Int, String, Long)].collect().toSet
+    assert(merged === whole.filter(_._3 != 0L),
+      "summed per-shard grids must equal the one-shot grid")
+  }
+
+  test("incrementally-maintained AMS grid estimates exactly like a rebuild") {
+    val incr = graft.SparkEntry.queries("q_join_estimate_incr")(spark, sf)
+      .as[(String, Long, Long)].collect().head
+    val li = graft.Tables.lineitem(spark, sf).filter($"l_orderkey" % 17 =!= 3)
+    val os = graft.Tables.orders(spark, sf)
+    val batch = Sketches.amsJoinEstimate(
+      Sketches.amsSketch(li, "l_orderkey"),
+      Sketches.amsSketch(os, "o_orderkey")).as[Long].collect().head
+    assert(incr._2 === batch,
+      "grid maintained through append+delete churn must estimate like a rebuild")
+    assert(incr._3 > 0)
+  }
+
+  test("KMV overlap estimate lands within the 1/sqrt(k) envelope of exact Jaccard") {
+    val r = graft.SparkEntry.queries("q_key_overlap")(spark, sf)
+      .as[(Long, Long, Double, Long, Long, Double)].collect().head
+    val (k, nBoth, est, nInter, nUnion, exact) = r
+    assert(k === 64L && nBoth <= k)
+    assert(nUnion >= nInter && nUnion > 0)
+    // sd of the estimator is ~sqrt(J(1-J)/k) <= 0.0625; allow 4 sd
+    assert(math.abs(est - exact) <= 0.25,
+      s"KMV Jaccard $est too far from exact $exact")
+  }
+
+  test("KMV signatures merge: bottom-k of shard signatures equals the global signature") {
+    val ev = graft.Tables.events(spark, sf)
+    val whole = Sketches.kmvSignature(ev, "user_id")
+      .as[(Long, String)].collect().toSet
+    val lo = Sketches.kmvSignature(ev.filter($"user_id" % 2 === 0), "user_id")
+    val hi = Sketches.kmvSignature(ev.filter($"user_id" % 2 =!= 0), "user_id")
+    val merged = lo.unionAll(hi).dropDuplicates("key")
+      .orderBy($"h").limit(64).as[(Long, String)].collect().toSet
+    assert(merged === whole, "per-shard bottom-k must merge losslessly")
+  }
+
+  test("trailing-window anomaly detection flags a planted spike, and only it") {
+    import java.sql.Date
+    val base = (1 to 20).map { day =>
+      val n = if (day == 15) 500L else 40L + (day % 3) // spike on day 15
+      ("click", Date.valueOf(f"2024-03-$day%02d"), n)
+    }
+    val daily = base.toDF("event_type", "day", "n")
+    val got = Sketches.anomalyScores(daily)
+      .as[(String, String, Long, Double, Boolean)].collect()
+      .map(r => r._2 -> r).toMap
+    // warm-up: first 7 days unscored
+    assert(got.size === 13)
+    assert(!got.contains("2024-03-01") && !got.contains("2024-03-07"))
+    val anomalous = got.values.filter(_._5).map(_._2.toString).toSet
+    assert(anomalous === Set("2024-03-15"),
+      s"exactly the planted spike must flag: $anomalous")
+    assert(got("2024-03-15")._4 > 3.0)
+    // steady days score near zero
+    assert(math.abs(got("2024-03-12")._4) < 3.0)
+  }
 }
