@@ -72,7 +72,8 @@ object Bench {
     "q_mmr_select", "q_cluster_sample",                     // diverse / cluster-balanced selection
     "q_k_anonymize",                                        // k-anonymity release ladder
     "q_join_estimate", "q_join_estimate_incr",              // AMS join estimate + incremental grid
-    "q_key_overlap", "q_anomaly_windows")                   // KMV overlap / volume monitor
+    "q_key_overlap", "q_anomaly_windows",                   // KMV overlap / volume monitor
+    "q_shard_manifest", "q_gap_fill")                       // export manifest / spine fill
   // q_semantic_dedup stays sf0.1-only: its oracle-replayable form fixes
   // CENTROIDS=16, so per-cell pair cost grows ~(N/16)² — the sf1 scale
   // path is the adaptive-cell VectorIndex (cells ~ √N), already timed

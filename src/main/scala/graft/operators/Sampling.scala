@@ -183,6 +183,55 @@ object Sampling extends QueryModule {
       |FROM k""".stripMargin
   }
 
+  // ------------------------------------------------------ q_shard_manifest
+  /** Export MANIFEST for the shuffled shards: per shard, the row count,
+    * total characters, and an ORDER-INDEPENDENT content checksum — what
+    * a training job verifies before consuming a snapshot ("did every
+    * shard land, fully, with the bytes curation emitted?"). The
+    * checksum is the SUM over documents of a 32-bit md5 prefix of
+    * `doc_id|text`, so it is insensitive to row order / partitioning /
+    * retry timing (a concatenation hash would not be), mergeable across
+    * writers, and incrementally adjustable (a replaced doc subtracts
+    * its old term and adds the new one). 32-bit terms keep the running
+    * BIGINT sum overflow-free up to ~2³¹ docs per shard — beyond any
+    * sane shard sizing.
+    *
+    * Scale shape: rides the same single `shard` hash-shuffle as
+    * [[qCorpusShuffle]] (same seeded assignment, so the manifest
+    * DESCRIBES those shards); per-shard aggregation is map-side
+    * partial. One scan, no sort. */
+  private def qShardManifest(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d)
+      .withColumn("shard",
+        (conv(substring(md5(concat($"doc_id".cast("string"),
+          lit(s"#$SHUFFLE_SEED"))), 1, 4), 16, 10).cast("long")
+          % SHUFFLE_SHARDS).cast("long"))
+      .withColumn("h",
+        conv(substring(md5(concat($"doc_id".cast("string"), lit("|"), $"text")),
+          1, 8), 16, 10).cast("long"))
+      .groupBy($"shard")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"),
+        sum($"h").as("checksum"))
+  }
+  private val qShardManifestSql = {
+    def hex(col: String, n: Int) = (1 to n).map(i =>
+      s"(strpos('0123456789abcdef', substring($col, $i, 1)) - 1) * ${java.lang.Long.parseLong("1" + "0" * (n - i), 16)}")
+      .mkString(" + ")
+    s"""WITH k AS (
+      |  SELECT doc_id, n_chars,
+      |    md5(doc_id::VARCHAR || '#$SHUFFLE_SEED') AS skey,
+      |    md5(doc_id::VARCHAR || '|' || text) AS ckey
+      |  FROM documents),
+      |h AS (SELECT (${hex("skey", 4)}) % $SHUFFLE_SHARDS AS shard,
+      |             n_chars, ${hex("ckey", 8)} AS hv
+      |      FROM k)
+      |SELECT shard, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(sum(hv) AS BIGINT) AS checksum
+      |FROM h GROUP BY shard""".stripMargin
+  }
+
   // -------------------------------------------------- q_temperature_sample
   /** Temperature-scaled multilingual rebalance (the XLM-R/mT5 α-sampling
     * rule, recast as a deterministic FILTER): with per-language corpus
@@ -283,6 +332,7 @@ object Sampling extends QueryModule {
     "q_stratified_sample"  -> (qStratifiedSample _),
     "q_mix_epochs"         -> (qMixEpochs _),
     "q_corpus_shuffle"     -> (qCorpusShuffle _),
+    "q_shard_manifest"     -> (qShardManifest _),
     "q_temperature_sample" -> (qTemperatureSample _),
     "q_weighted_sample"    -> (qWeightedSample _))
 
@@ -290,6 +340,7 @@ object Sampling extends QueryModule {
     "q_stratified_sample"  -> qStratifiedSampleSql,
     "q_mix_epochs"         -> qMixEpochsSql,
     "q_corpus_shuffle"     -> qCorpusShuffleSql,
+    "q_shard_manifest"     -> qShardManifestSql,
     "q_temperature_sample" -> qTemperatureSampleSql,
     "q_weighted_sample"    -> qWeightedSampleSql)
 }

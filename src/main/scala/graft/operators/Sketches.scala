@@ -699,6 +699,53 @@ object Sketches extends QueryModule {
       .agg(count(lit(1)).as("n")))
   }
 
+  // ----------------------------------------------------------- q_gap_fill
+  /** Date-spine GAP FILL: re-sample the per-(event_type, day) count
+    * series onto a dense daily spine, making missing days explicit
+    * zero rows. A feed outage produces NO rows — the one anomaly a
+    * monitor over observed days can never see — so gap-filling is the
+    * step in front of [[anomalyScores]] (a filled zero day then scores
+    * as a hard negative z). `is_gap` marks synthesized rows.
+    *
+    * Scale shape: the spine is |types| × |days| — generated from a
+    * broadcast 1-row bounds aggregate and a distinct-types aggregate,
+    * never from the raw stream — and the fill join runs on the daily
+    * AGGREGATE (thousands of rows at any corpus scale). Dates stay
+    * integer arithmetic; the output day is the ISO string (the
+    * q_anomaly_windows convention). */
+  def gapFill(daily: DataFrame): DataFrame = {
+    val bounds = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val spine = daily.select(col("event_type")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    spine.join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day").cast("string").as("day"),
+        coalesce(col("n"), lit(0L)).as("n"), col("n").isNull.as("is_gap"))
+  }
+
+  private def qGapFill(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    gapFill(events(s, d)
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("n")))
+  }
+
+  private val qGapFillSql =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+      |types AS (SELECT DISTINCT event_type FROM daily),
+      |spine AS (
+      |  SELECT event_type,
+      |    CAST(unnest(generate_series(d0::TIMESTAMP, d1::TIMESTAMP,
+      |                                INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM types, b)
+      |SELECT s.event_type, CAST(s.day AS VARCHAR) AS day,
+      |  coalesce(daily.n, 0) AS n, daily.n IS NULL AS is_gap
+      |FROM spine s LEFT JOIN daily USING (event_type, day)""".stripMargin
+
   private val qAnomalyWindowsSql =
     """WITH daily AS (
       |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
@@ -733,7 +780,8 @@ object Sketches extends QueryModule {
     "q_join_estimate" -> (qJoinEstimate _),
     "q_join_estimate_incr" -> (qJoinEstimateIncr _),
     "q_key_overlap" -> (qKeyOverlap _),
-    "q_anomaly_windows" -> (qAnomalyWindows _))
+    "q_anomaly_windows" -> (qAnomalyWindows _),
+    "q_gap_fill" -> (qGapFill _))
 
   override def oracles: Seq[(String, String)] = Seq(
     "q_hll_distinct" -> qHllDistinctSql,
@@ -746,5 +794,6 @@ object Sketches extends QueryModule {
     "q_join_estimate" -> qJoinEstimateSql,
     "q_join_estimate_incr" -> qJoinEstimateIncrSql,
     "q_key_overlap" -> qKeyOverlapSql,
-    "q_anomaly_windows" -> qAnomalyWindowsSql)
+    "q_anomaly_windows" -> qAnomalyWindowsSql,
+    "q_gap_fill" -> qGapFillSql)
 }

@@ -183,6 +183,48 @@ class SketchesSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(merged === whole, "per-shard bottom-k must merge losslessly")
   }
 
+  test("gap fill synthesizes exactly the missing spine days as zero rows") {
+    import java.sql.Date
+    val daily = Seq(
+      ("click", Date.valueOf("2024-03-01"), 10L),
+      ("click", Date.valueOf("2024-03-04"), 12L), // 02, 03 missing
+      ("view", Date.valueOf("2024-03-02"), 7L))   // 01, 03, 04 missing
+      .toDF("event_type", "day", "n")
+    val got = Sketches.gapFill(daily)
+      .as[(String, String, Long, Boolean)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(got.size === 8, "spine must be |types| x |days|")
+    assert(got(("click", "2024-03-02")) === ((0L, true)))
+    assert(got(("click", "2024-03-03")) === ((0L, true)))
+    assert(got(("click", "2024-03-01")) === ((10L, false)))
+    assert(got(("view", "2024-03-02")) === ((7L, false)))
+    assert(got(("view", "2024-03-04")) === ((0L, true)))
+    // a filled zero day chained into the anomaly monitor scores negative
+    assert(got.values.count(_._2) === 5)
+  }
+
+  test("shard manifest checksums are order-independent and shard-complete") {
+    val m = graft.SparkEntry.queries("q_shard_manifest")(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    val docs = graft.Tables.documents(spark, sf)
+    assert(m.map(_._2).sum === docs.count(), "manifest must cover every doc")
+    assert(m.map(_._1).distinct.length === m.length)
+    assert(m.forall(r => r._1 >= 0 && r._1 < 16))
+    assert(m.map(_._3).sum ===
+      docs.agg(sum($"n_chars")).as[Long].collect().head)
+    // order-independence: per-doc hash terms summed in reverse order
+    // reproduce each shard's checksum exactly
+    val byHand = docs
+      .selectExpr(
+        s"CAST(conv(substring(md5(concat(cast(doc_id AS string), '#42')), 1, 4), 16, 10) AS BIGINT) % 16 AS shard",
+        "CAST(conv(substring(md5(concat(cast(doc_id AS string), '|', text)), 1, 8), 16, 10) AS BIGINT) AS h")
+      .as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (sh, rs) =>
+        sh -> rs.map(_._2).sortBy(-_).sum } // reversed summation order
+    m.foreach { case (sh, _, _, ck) =>
+      assert(byHand(sh) === ck, s"shard $sh checksum must be order-free") }
+  }
+
   test("trailing-window anomaly detection flags a planted spike, and only it") {
     import java.sql.Date
     val base = (1 to 20).map { day =>
