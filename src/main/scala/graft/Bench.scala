@@ -73,7 +73,14 @@ object Bench {
     "q_k_anonymize",                                        // k-anonymity release ladder
     "q_join_estimate", "q_join_estimate_incr",              // AMS join estimate + incremental grid
     "q_key_overlap", "q_anomaly_windows",                   // KMV overlap / volume monitor
-    "q_shard_manifest", "q_gap_fill")                       // export manifest / spine fill
+    "q_shard_manifest", "q_gap_fill",                       // export manifest / spine fill
+    "q_markov_transitions", "q_ohlc_bars",                  // behavior matrix / OHLC bars
+    "q_drift_ks",                                           // exact KS drift statistic
+    "q_bigram_lm", "q_ngram_diversity",                     // bigram LM / corpus diversity
+    "q_pareto_select", "q_curriculum_order",                // skyline / curriculum order
+    "q_topk_view", "q_topk_refresh",                        // incremental top-k view
+    "q_ann_recall",                                         // index-quality evaluation
+    "q_time_weighted_avg", "q_winsorize")                   // TWA / robust clipping
   // q_semantic_dedup stays sf0.1-only: its oracle-replayable form fixes
   // CENTROIDS=16, so per-cell pair cost grows ~(N/16)² — the sf1 scale
   // path is the adaptive-cell VectorIndex (cells ~ √N), already timed

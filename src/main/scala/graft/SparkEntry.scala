@@ -17,6 +17,7 @@ object SparkEntry {
     graft.operators.Privacy,
     graft.streaming.EventWindows,
     graft.streaming.EventStateViews,
+    graft.table.TopKViewOps,
     graft.llm.TextOps,
     graft.llm.Bm25Ops,
     graft.llm.CorpusQuality,

@@ -526,12 +526,158 @@ object CorpusQuality extends QueryModule {
       |FROM feat f, w$CLF_ITERS w""".stripMargin
   }
 
+  // ----------------------------------------------------- q_bigram_lm
+  /** Interpolated BIGRAM language-model scoring — the context-aware
+    * upgrade of [[qLmPerplexity]]'s unigram filter: a document full of
+    * common words in improbable ORDER (shuffled text, keyword stuffing,
+    * bad OCR) scores fluent under a unigram LM but perplexing under a
+    * bigram one. Per CCNet practice the LM is trained on the corpus
+    * itself; Jeni-style fixed-weight interpolation with the unigram
+    * distribution keeps unseen-in-context bigrams finite without a
+    * tuned discount:
+    *
+    *   P(w | v) = λ·c(v,w)/c(v,·) + (1−λ)·c(w)/N ,  λ = 0.7
+    *   nll(doc) = −Σ tf·ln P / Σ tf   over positions 2..n
+    *
+    * 100 TB shape: adjacent pairs come from a positional `transform`
+    * over the per-doc token array — SHUFFLE-FREE pair generation,
+    * no self-join, no lag window over exploded tokens — then three
+    * hash aggregates (per-doc bigram tf, corpus bigram counts, corpus
+    * unigram/context counts) and two equi-joins against model tables
+    * that are vocabulary-, not corpus-, sized. Identical scan count to
+    * the unigram row; the bigram model table is the one extra join.
+    *
+    * Determinism: all counts exact longs; `λ·(cb/cv) + (1−λ)·(c/N)` is
+    * four IEEE ops on identical doubles; ln is correctly-rounded libm;
+    * the per-doc mean rounds 4dp (the [[qLmPerplexity]] recipe).
+    * Documents with < 2 non-empty tokens have no bigrams and drop out
+    * in both engines (inner joins over the pair set). */
+  private val BG_LAMBDA = 0.7
+
+  private def qBigramLm(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pairs = withTokens(documents(s, d))
+      .withColumn("ft", expr("filter(t, x -> length(x) > 0)"))
+      .filter(size($"ft") >= 2)
+      .select($"doc_id", explode(expr(
+        """transform(sequence(1, size(ft) - 1),
+          |  i -> named_struct('prev', element_at(ft, i),
+          |                    'cur',  element_at(ft, i + 1)))""".stripMargin))
+        .as("bg"))
+      .select($"doc_id", $"bg.prev", $"bg.cur")
+    val tf = pairs.groupBy($"doc_id", $"prev", $"cur")
+      .agg(count(lit(1)).as("tf"))
+    val bigrams = tf.groupBy($"prev", $"cur").agg(sum($"tf").as("cb"))
+    val ctx = bigrams.groupBy($"prev").agg(sum($"cb").as("cv"))
+    // unigram model over ALL tokens (including each doc's last), the
+    // exact vocabulary of qLmPerplexity
+    val uni = withTokens(documents(s, d))
+      .select(explode($"t").as("tok")).filter(length($"tok") > 0)
+      .groupBy($"tok").agg(count(lit(1)).as("c"))
+    val total = uni.agg(sum($"c").as("n_total"))
+    val p = lit(BG_LAMBDA) * ($"cb".cast("double") / $"cv") +
+      lit(1.0 - BG_LAMBDA) * ($"c".cast("double") / $"n_total")
+    tf.join(bigrams, Seq("prev", "cur"))
+      .join(ctx, "prev")
+      .join(uni.withColumnRenamed("tok", "cur"), "cur")
+      .crossJoin(broadcast(total))
+      .groupBy($"doc_id")
+      .agg(sum($"tf").as("n_bigrams"),
+        round(-sum($"tf" * log(p)) / sum($"tf"), 4).as("nll"))
+      .select($"doc_id", $"n_bigrams", $"nll")
+  }
+  private val qBigramLmSql =
+    s"""WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(lower(text), ' '),
+      |                x -> length(x) > 0) AS t
+      |  FROM documents),
+      |pairs AS (
+      |  SELECT doc_id, t[i] AS prev, t[i + 1] AS cur
+      |  FROM (SELECT * FROM toks WHERE len(t) >= 2),
+      |       unnest(generate_series(1, len(t) - 1)) AS s(i)),
+      |tf AS (
+      |  SELECT doc_id, prev, cur, count(*) AS tf FROM pairs GROUP BY 1, 2, 3),
+      |bigrams AS (
+      |  SELECT prev, cur, CAST(sum(tf) AS BIGINT) AS cb FROM tf GROUP BY 1, 2),
+      |ctx AS (SELECT prev, CAST(sum(cb) AS BIGINT) AS cv FROM bigrams GROUP BY 1),
+      |uni AS (
+      |  SELECT tok, count(*) AS c
+      |  FROM (SELECT unnest(t) AS tok FROM toks)
+      |  GROUP BY tok),
+      |total AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM uni)
+      |SELECT tf.doc_id,
+      |  CAST(sum(tf.tf) AS BIGINT) AS n_bigrams,
+      |  round(-sum(tf.tf * ln(
+      |      $BG_LAMBDA * (CAST(cb AS DOUBLE) / cv)
+      |      + ${1.0 - BG_LAMBDA} * (CAST(c AS DOUBLE) / n_total)))
+      |    / sum(tf.tf), 4) AS nll
+      |FROM tf
+      |JOIN bigrams USING (prev, cur)
+      |JOIN ctx USING (prev)
+      |JOIN uni ON uni.tok = tf.cur, total
+      |GROUP BY tf.doc_id""".stripMargin
+
+  // ----------------------------------------------------- q_winsorize
+  /** Per-group WINSORIZATION: clip each document's length feature to
+    * its language's exact [P5, P95] band — the robust normalization
+    * step in front of any score that mixes heavy-tailed features
+    * (length, link density, perplexity); without it a single 100×
+    * outlier drags a z-score or a GD classifier's gradient. Exact
+    * order-statistic percentiles with the EXPLICIT rank rule (1-indexed
+    * value at rank ⌈p·n⌉ under (value, doc_id) order), so the
+    * thresholds are engine-portable integers — no interpolated
+    * `percentile_cont` whose float midpoints differ by implementation.
+    *
+    * 100 TB shape: one hash shuffle on the group key serves both the
+    * per-group rank window and the count; the ≤|groups|-row threshold
+    * table broadcasts back onto a shuffle-free clip scan. Percentile
+    * ranks use pure integer arithmetic (⌈p·n⌉ = (p·n + 99) div 100). */
+  private def qWinsorize(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val docs = documents(s, d).select($"doc_id", $"lang",
+      $"n_chars".cast("long").as("x"))
+    val w = Window.partitionBy($"lang").orderBy($"x", $"doc_id")
+    val thr = docs
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"lang")))
+      .withColumn("rk05", expr("(n * 5 + 99) div 100"))
+      .withColumn("rk95", expr("(n * 95 + 99) div 100"))
+      .groupBy($"lang")
+      .agg(min(when($"rn" === $"rk05", $"x")).as("p05"),
+        min(when($"rn" === $"rk95", $"x")).as("p95"))
+    docs.join(broadcast(thr), "lang")
+      .select($"doc_id", $"lang", $"x".as("n_chars"),
+        least(greatest($"x", $"p05"), $"p95").as("w_chars"),
+        ($"x" < $"p05" || $"x" > $"p95").as("clipped"))
+  }
+  private val qWinsorizeSql =
+    """WITH docs AS (
+      |  SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS x FROM documents),
+      |r AS (
+      |  SELECT lang, x,
+      |    row_number() OVER (PARTITION BY lang ORDER BY x, doc_id) AS rn,
+      |    count(*) OVER (PARTITION BY lang) AS n
+      |  FROM docs),
+      |thr AS (
+      |  SELECT lang,
+      |    min(CASE WHEN rn = (n * 5 + 99) // 100 THEN x END) AS p05,
+      |    min(CASE WHEN rn = (n * 95 + 99) // 100 THEN x END) AS p95
+      |  FROM r GROUP BY lang)
+      |SELECT doc_id, docs.lang, x AS n_chars,
+      |  least(greatest(x, p05), p95) AS w_chars,
+      |  (x < p05 OR x > p95) AS clipped
+      |FROM docs JOIN thr ON thr.lang = docs.lang""".stripMargin
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q_gopher_quality"     -> qGopherQuality _,
     "q_boilerplate_ngrams" -> qBoilerplateNgrams _,
     "q_decontaminate"      -> qDecontaminate _,
     "q_decontaminate_bloom" -> qDecontaminateBloom _,
     "q_lm_perplexity"      -> qLmPerplexity _,
+    "q_bigram_lm"          -> qBigramLm _,
+    "q_winsorize"          -> qWinsorize _,
     "q_dsir_weights"       -> qDsirWeights _,
     "q_quality_classifier" -> qQualityClassifier _,
     "q_pii_scrub"          -> qPiiScrub _)
@@ -542,6 +688,8 @@ object CorpusQuality extends QueryModule {
     "q_decontaminate"      -> qDecontaminateSql,
     "q_decontaminate_bloom" -> qDecontaminateSql,
     "q_lm_perplexity"      -> qLmPerplexitySql,
+    "q_bigram_lm"          -> qBigramLmSql,
+    "q_winsorize"          -> qWinsorizeSql,
     "q_dsir_weights"       -> qDsirWeightsSql,
     "q_quality_classifier" -> qQualityClassifierSql,
     "q_pii_scrub"          -> qPiiScrubSql)

@@ -199,11 +199,78 @@ object SelectionOps extends QueryModule {
       |SELECT c_id, vec_id, CAST(rnk AS BIGINT) AS rnk
       |FROM r WHERE rnk <= $CELL_CAP""".stripMargin
 
+  // ------------------------------------------------------ q_pareto_select
+  /** PARETO-FRONT (skyline) selection: keep every document not
+    * dominated on the criteria pair (length `x = n_chars`, lexical
+    * richness `y` = per-mille distinct-token ratio) — multi-criteria
+    * curation without collapsing the axes into one tuned scalar score
+    * the way a weighted gate does. `q dominates p` iff `q.x ≥ p.x ∧
+    * q.y ≥ p.y` with at least one strict; the skyline is the
+    * undominated set (the classic Börzsönyi et al. 2001 operator).
+    *
+    * Distributed shape — never the O(n²) self-join: (1) one scan
+    * buckets x into fixed-width ranges and aggregates per-bucket
+    * `max(y)` (map-side partial, ≤ dozens of rows at ANY corpus
+    * size); (2) a suffix-max over that tiny config-sized table gives,
+    * per bucket, the best y in any STRICTLY-higher bucket — any point
+    * at or under it is dominated (higher bucket ⇒ strictly larger x)
+    * and dies at its own scan partition after a broadcast join, which
+    * prunes all but the per-bucket frontier candidates; (3) the exact
+    * dominance check then runs only among survivors (skyline ⊆
+    * candidates, since step 2 removes only dominated points) as a
+    * broadcast anti-join. The quadratic step touches candidates², not
+    * corpus² — the standard coarse-prune-then-verify skyline plan.
+    *
+    * All-integer (n_chars, per-mille ratio), so the front is
+    * bit-identical across engines; duplicates of the same (x, y)
+    * point are mutually undominated and all survive — matching the
+    * oracle's NOT EXISTS semantics exactly. */
+  private val PARETO_BUCKET_W = 50L
+
+  private def qParetoSelect(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pts = documents(s, d)
+      .withColumn("ft", expr("filter(split(lower(text), ' '), t -> length(t) > 0)"))
+      .select($"doc_id", $"n_chars".cast("long").as("x"),
+        expr("size(array_distinct(ft)) * 1000L div size(ft)").as("y"))
+    val bmax = pts
+      .withColumn("bucket", expr(s"x div $PARETO_BUCKET_W"))
+      .groupBy($"bucket").agg(max($"y").as("by"))
+    // suffix max over the tiny bucket table: best y strictly above
+    val wSuf = Window.orderBy($"bucket")
+      .rowsBetween(1, Window.unboundedFollowing)
+    val suf = bmax.withColumn("suf_y", max($"by").over(wSuf))
+    val cand = pts
+      .withColumn("bucket", expr(s"x div $PARETO_BUCKET_W"))
+      .join(broadcast(suf.select($"bucket", $"suf_y")), Seq("bucket"))
+      .filter($"suf_y".isNull || $"y" > $"suf_y")
+      .select($"doc_id", $"x", $"y")
+    val dom = cand.select($"x".as("qx"), $"y".as("qy"))
+    cand.join(broadcast(dom),
+        $"qx" >= $"x" && $"qy" >= $"y" && ($"qx" > $"x" || $"qy" > $"y"),
+        "left_anti")
+      .select($"doc_id", $"x", $"y")
+  }
+  private val qParetoSelectSql =
+    """WITH pts AS (
+      |  SELECT doc_id, CAST(n_chars AS BIGINT) AS x,
+      |    (len(list_distinct(ft)) * 1000) // len(ft) AS y
+      |  FROM (SELECT doc_id, n_chars,
+      |          list_filter(string_split(lower(text), ' '),
+      |                      t -> length(t) > 0) AS ft
+      |        FROM documents))
+      |SELECT doc_id, x, y FROM pts p
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM pts q
+      |  WHERE q.x >= p.x AND q.y >= p.y AND (q.x > p.x OR q.y > p.y))""".stripMargin
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q_mmr_select"     -> (qMmrSelect _),
-    "q_cluster_sample" -> (qClusterSample _))
+    "q_cluster_sample" -> (qClusterSample _),
+    "q_pareto_select"  -> (qParetoSelect _))
 
   override val oracles: Seq[(String, String)] = Seq(
     "q_mmr_select"     -> qMmrSelectSql,
-    "q_cluster_sample" -> qClusterSampleSql)
+    "q_cluster_sample" -> qClusterSampleSql,
+    "q_pareto_select"  -> qParetoSelectSql)
 }

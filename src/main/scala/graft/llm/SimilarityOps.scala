@@ -1213,6 +1213,41 @@ object SimilarityOps extends QueryModule {
       |       (neg.cos_neg > pos.cos_pos - $TRIPLET_MARGIN) AS violation
       |FROM pos JOIN neg USING (anchor_id)""".stripMargin
 
+  // ------------------------------------------------------- q_ann_recall
+  /** Index-quality EVALUATION as an operator: per-query recall@K of
+    * the IVF probe path against the exact brute-force ranking — the
+    * standing measurement every ANN deployment runs before trusting an
+    * index (and after every REINDEX / drift event). Ground truth and
+    * candidate ranking are the engine's own q_topk_cosine / q_ivf_cosine
+    * plans; recall is the per-query overlap of the two K-sets as exact
+    * integer parts-per-million.
+    *
+    * 100 TB shape: both rankings are the already-audited linear scans
+    * (broadcast query side, no all-pairs); the overlap join runs on
+    * 2·|Q|·K rows — negligible at any corpus size. The oracle replays
+    * BOTH paths (the Lloyd CTE chain + brute ranking) and the same
+    * overlap aggregate, so the measured recall itself is cross-engine
+    * pinned. */
+  private def qAnnRecall(s: SparkSession, d: String): DataFrame = {
+    val bf = qTopkCosine(s, d).select(col("q_id"), col("vec_id"))
+    val iv = qIvfCosine(s, d)
+      .select(col("q_id").as("iv_qid"), col("vec_id").as("iv_vid"))
+    bf.join(iv, bf("q_id") === iv("iv_qid") && bf("vec_id") === iv("iv_vid"),
+        "left")
+      .groupBy(col("q_id"))
+      .agg(count(col("iv_vid")).as("n_hit"))
+      .select(col("q_id"), col("n_hit"),
+        expr(s"n_hit * 1000000L div $K").as("recall_ppm"))
+  }
+  private val qAnnRecallSql =
+    s"""SELECT bf.q_id, count(iv.iv_vid) AS n_hit,
+      |  (count(iv.iv_vid) * 1000000) // $K AS recall_ppm
+      |FROM ($qTopkCosineSql) bf
+      |LEFT JOIN (SELECT q_id AS iv_qid, vec_id AS iv_vid
+      |           FROM ($qIvfCosineSql)) iv
+      |  ON iv.iv_qid = bf.q_id AND iv.iv_vid = bf.vec_id
+      |GROUP BY bf.q_id""".stripMargin
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q_topk_cosine" -> qTopkCosine _,
     "q_triplet_mine" -> qTripletMine _,
@@ -1223,7 +1258,8 @@ object SimilarityOps extends QueryModule {
     "q_pq_cosine"   -> qPqCosine _,
     "q_pq_index"    -> qPqIndex _,
     "q_sq8_index"   -> qSq8Index _,
-    "q_hybrid_rrf"  -> qHybridRrf _)
+    "q_hybrid_rrf"  -> qHybridRrf _,
+    "q_ann_recall"  -> qAnnRecall _)
 
   override val oracles: Seq[(String, String)] = Seq(
     "q_topk_cosine" -> qTopkCosineSql,
@@ -1235,5 +1271,6 @@ object SimilarityOps extends QueryModule {
     "q_pq_cosine"   -> qPqCosineSql,
     "q_pq_index"    -> qPqIndexSql,
     "q_sq8_index"   -> qSq8IndexSql,
-    "q_hybrid_rrf"  -> qHybridRrfSql)
+    "q_hybrid_rrf"  -> qHybridRrfSql,
+    "q_ann_recall"  -> qAnnRecallSql)
 }

@@ -681,6 +681,48 @@ object TextOps extends QueryModule {
       .replace("TERMS_LIST", terms)
   }
 
+  // ---------------------------------------------------- q_ngram_diversity
+  /** Corpus DIVERSITY profile per language slice: distinct-trigram
+    * ratio (type/token ratio over word 3-grams) — the standing
+    * self-repetition metric for a training mix. A slice dominated by
+    * templated or machine-generated text shows a collapsing
+    * distinct/total trigram ratio even when per-document quality gates
+    * pass; model-collapse and synthetic-data audits (and Self-BLEU
+    * studies) track exactly this corpus-level statistic.
+    *
+    * 100 TB shape: trigram generation is a shuffle-free per-row
+    * `transform` (no explode-then-window), then ONE aggregation grid:
+    * `count` is map-side partial and `count(DISTINCT gram)` plans as
+    * the standard two-phase partial-distinct aggregate — the heavy
+    * dedup happens on (lang, gram) partials before anything crosses
+    * the wire. Output is |langs| rows. The ratio is exact integer
+    * parts-per-million, bit-identical across engines. */
+  private def qNgramDiversity(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    withTokens(documents(s, d))
+      .filter(size($"tokens") >= 3)
+      .select($"lang", explode(expr(
+        """transform(sequence(1, size(tokens) - 2),
+          |  i -> concat_ws(' ', slice(tokens, i, 3)))""".stripMargin))
+        .as("gram"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_grams"),
+        countDistinct($"gram").as("n_distinct"))
+      .select($"lang", $"n_grams", $"n_distinct",
+        expr("n_distinct * 1000000L div n_grams").as("diversity_ppm"))
+  }
+  private val qNgramDiversitySql =
+    """WITH toks AS (
+      |  SELECT lang, string_split(lower(text), ' ') AS t FROM documents),
+      |grams AS (
+      |  SELECT lang, array_to_string(list_slice(t, i, i + 2), ' ') AS gram
+      |  FROM (SELECT * FROM toks WHERE len(t) >= 3),
+      |       unnest(generate_series(1, len(t) - 2)) AS s(i))
+      |SELECT lang, count(*) AS n_grams,
+      |  count(DISTINCT gram) AS n_distinct,
+      |  (count(DISTINCT gram) * 1000000) // count(*) AS diversity_ppm
+      |FROM grams GROUP BY lang""".stripMargin
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q_text_stats"      -> qTextStats _,
     "q_lang_id"         -> qLangId _,
@@ -694,6 +736,7 @@ object TextOps extends QueryModule {
     "q_bpe_encode"      -> qBpeEncode _,
     "q_vocab_coverage"  -> qVocabCoverage _,
     "q_seq_pack"        -> qSeqPack _,
+    "q_ngram_diversity" -> qNgramDiversity _,
     "q_bm25"            -> qBm25 _)
 
   override val oracles: Seq[(String, String)] = Seq(
@@ -709,5 +752,6 @@ object TextOps extends QueryModule {
     "q_bpe_encode"      -> qBpeEncodeSql,
     "q_vocab_coverage"  -> qVocabCoverageSql,
     "q_seq_pack"        -> qSeqPackSql,
+    "q_ngram_diversity" -> qNgramDiversitySql,
     "q_bm25"            -> qBm25Sql)
 }

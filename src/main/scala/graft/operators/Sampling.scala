@@ -328,13 +328,82 @@ object Sampling extends QueryModule {
       |WHERE rank <= $WS_K""".stripMargin
   }
 
+  // --------------------------------------------------- q_curriculum_order
+  /** CURRICULUM ordering: assign every document a strict global
+    * training position that is easy→hard ACROSS stages and seeded-
+    * shuffled WITHIN each stage — the data-ordering step of curriculum
+    * learning (Bengio et al. 2009). Difficulty here is document length
+    * bucketed by frozen thresholds (the score is pluggable config —
+    * e.g. [[graft.llm.CorpusQuality]]'s LM perplexity in a real mix);
+    * within a stage, order is the seeded md5 permutation of
+    * [[qCorpusShuffle]] so each stage is still i.i.d.-shuffled.
+    *
+    * The global index is equivalent to `row_number() OVER (ORDER BY
+    * stage, shard, key, doc_id)` — but computed WITHOUT a global sort
+    * or single-partition window: rows rank inside (stage, md5-shard)
+    * window partitions (|stages|·|shards| of them, each a bounded
+    * slice of the corpus), and each partition's absolute offset comes
+    * from one tiny (stage, shard) count aggregate, cumulated on ≤
+    * |stages|·|shards| rows and broadcast back. Two shuffles of the
+    * corpus ((stage, shard) hash + window sort) at ANY scale; the
+    * oracle verifies the distributed rank against the literal global
+    * row_number, pinning the equivalence. */
+  private val CURR_THRESHOLDS = Seq(150L, 250L, 400L) // n_chars stage edges
+
+  private def qCurriculumOrder(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val stageExpr = CURR_THRESHOLDS.zipWithIndex
+      .foldRight(lit(CURR_THRESHOLDS.size.toLong)) { case ((t, i), e) =>
+        when($"n_chars" < t, i.toLong).otherwise(e)
+      }
+    val keyed = documents(s, d)
+      .withColumn("stage", stageExpr)
+      .withColumn("key",
+        md5(concat($"doc_id".cast("string"), lit(s"#$SHUFFLE_SEED"))))
+      .withColumn("shard",
+        (conv(substring($"key", 1, 4), 16, 10).cast("long")
+          % SHUFFLE_SHARDS).cast("long"))
+    val wPart = Window.partitionBy($"stage", $"shard")
+      .orderBy($"key", $"doc_id")
+    // tiny offset table: cumulative count of all (stage, shard) groups
+    // strictly before this one in (stage, shard) order
+    val wOff = Window.orderBy($"stage", $"shard")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = keyed.groupBy($"stage", $"shard")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("off", coalesce(sum($"n").over(wOff), lit(0L)))
+      .select($"stage", $"shard", $"off")
+    keyed
+      .withColumn("pos", row_number().over(wPart).cast("long"))
+      .join(broadcast(offsets), Seq("stage", "shard"))
+      .select($"doc_id", $"stage", ($"off" + $"pos").as("order_idx"))
+  }
+  private val qCurriculumOrderSql = {
+    val bucket = (1 to 4).map(i =>
+      s"(strpos('0123456789abcdef', substring(key, $i, 1)) - 1) * ${math.pow(16, 4 - i).toLong}")
+      .mkString(" + ")
+    val stage = CURR_THRESHOLDS.zipWithIndex.map { case (t, i) =>
+      s"WHEN n_chars < $t THEN $i"
+    }.mkString("CASE ", " ", s" ELSE ${CURR_THRESHOLDS.size} END")
+    s"""WITH k AS (
+      |  SELECT doc_id, CAST($stage AS BIGINT) AS stage,
+      |    md5(doc_id::VARCHAR || '#$SHUFFLE_SEED') AS key
+      |  FROM documents)
+      |SELECT doc_id, stage,
+      |  row_number() OVER (ORDER BY stage, ($bucket) % $SHUFFLE_SHARDS,
+      |                     key, doc_id) AS order_idx
+      |FROM k""".stripMargin
+  }
+
   override def queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q_stratified_sample"  -> (qStratifiedSample _),
     "q_mix_epochs"         -> (qMixEpochs _),
     "q_corpus_shuffle"     -> (qCorpusShuffle _),
     "q_shard_manifest"     -> (qShardManifest _),
     "q_temperature_sample" -> (qTemperatureSample _),
-    "q_weighted_sample"    -> (qWeightedSample _))
+    "q_weighted_sample"    -> (qWeightedSample _),
+    "q_curriculum_order"   -> (qCurriculumOrder _))
 
   override def oracles: Seq[(String, String)] = Seq(
     "q_stratified_sample"  -> qStratifiedSampleSql,
@@ -342,5 +411,6 @@ object Sampling extends QueryModule {
     "q_corpus_shuffle"     -> qCorpusShuffleSql,
     "q_shard_manifest"     -> qShardManifestSql,
     "q_temperature_sample" -> qTemperatureSampleSql,
-    "q_weighted_sample"    -> qWeightedSampleSql)
+    "q_weighted_sample"    -> qWeightedSampleSql,
+    "q_curriculum_order"   -> qCurriculumOrderSql)
 }

@@ -516,9 +516,15 @@ object Sketches extends QueryModule {
     val entrySchema = StructType(Seq(
       StructField("rk", LongType), StructField("i", IntegerType),
       StructField("b", StringType), StructField("sg", LongType)))
+    // entry rows pre-combined per (key, i): cells are additive, so the
+    // ingest stream can carry one row per key/row-of-grid with the
+    // key's multiplicity folded into sg — a 4× smaller entry table
+    // (lineitem repeats each orderkey ~4×) means 4× cheaper appends,
+    // delete rewrites, and view refreshes, with an unchanged grid
     def entries(df: DataFrame, k: String): DataFrame =
       df.select(col(k).cast("long").as("rk"), explode(amsEntries(k)).as("e"))
-        .select($"rk", $"e.i".as("i"), $"e.b".as("b"), $"e.sg".as("sg"))
+        .groupBy($"rk", $"e.i".as("i"), $"e.b".as("b"))
+        .agg(sum($"e.sg").as("sg"))
     def entryTable(name: String): VersionedTable =
       VersionedTable.create(s, root.resolve(name).toString,
         entrySchema, Map(VersionedTable.PROP_CDF -> "true"))
@@ -771,11 +777,84 @@ object Sketches extends QueryModule {
       |  abs(zscore) > 3.0 AS is_anomaly
       |FROM z""".stripMargin
 
+  // ---------------------------------------------------------- q_drift_ks
+  /** EXACT two-sample Kolmogorov–Smirnov statistic per event_type
+    * between the reference and current windows (the [[qDriftPsi]]
+    * split) — the UNBINNED companion of PSI: PSI needs frozen bucket
+    * edges and misses within-bucket shifts; KS is the sup-norm
+    * distance between the two empirical CDFs, parameter-free.
+    *
+    *   KS = max_v |F_ref(v) − F_cur(v)|
+    *
+    * Computed exactly and all-integer: values collapse to per-(type,
+    * value-cent) ref/cur counts in one aggregation (map-side partial —
+    * the working set is DISTINCT values, not rows), cumulative counts
+    * come from a window partitioned by event_type ordered by value,
+    * and the sup is `max |cum_ref·n_cur − cum_cur·n_ref|` over exact
+    * longs (cross-multiplied so no division happens until the final
+    * |types|-row readout; overflow-safe to ~3·10⁹ rows per side —
+    * beyond that the two factors move to DECIMAL, same plan). The
+    * final `ks` is one division of identical integers, rounded 4dp.
+    *
+    * 100 TB shape: one scan → distinct-value aggregate → per-type
+    * ordered window. The window partitions by event_type, so its
+    * parallelism is |types| — right when types are plentiful (the
+    * monitored-column case); for a SINGLE high-cardinality column the
+    * distinct-value table is still ≤ |domain| rows (here: 49k cent
+    * values max), orders of magnitude under the row count. */
+  private def qDriftKs(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val pv = events(s, d)
+      .select($"event_type",
+        (unix_micros($"ts") < PSI_SPLIT_US).as("is_ref"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy($"event_type", $"cents")
+      .agg(
+        sum(when($"is_ref", 1L).otherwise(0L)).as("r"),
+        sum(when(!$"is_ref", 1L).otherwise(0L)).as("c"))
+    val w = Window.partitionBy($"event_type").orderBy($"cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = pv.groupBy($"event_type")
+      .agg(sum($"r").as("n_ref"), sum($"c").as("n_cur"))
+    pv.withColumn("cr", sum($"r").over(w))
+      .withColumn("cc", sum($"c").over(w))
+      .join(broadcast(tot), "event_type")
+      .withColumn("dnum", abs($"cr" * $"n_cur" - $"cc" * $"n_ref"))
+      .groupBy($"event_type")
+      .agg(max($"n_ref").as("n_ref"), max($"n_cur").as("n_cur"),
+        max($"dnum").as("d_num"))
+      .select($"event_type", $"n_ref", $"n_cur", $"d_num",
+        round($"d_num".cast("double") / ($"n_ref" * $"n_cur"), 4).as("ks"))
+  }
+  private val qDriftKsSql =
+    s"""WITH pv AS (
+      |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+      |    CAST(sum(CASE WHEN epoch_us(ts) < $PSI_SPLIT_US THEN 1 ELSE 0 END) AS BIGINT) AS r,
+      |    CAST(sum(CASE WHEN epoch_us(ts) < $PSI_SPLIT_US THEN 0 ELSE 1 END) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT event_type,
+      |    sum(r) OVER w AS cr, sum(c) OVER w AS cc,
+      |    sum(r) OVER (PARTITION BY event_type) AS n_ref,
+      |    sum(c) OVER (PARTITION BY event_type) AS n_cur
+      |  FROM pv
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY cents
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT event_type,
+      |  CAST(max(n_ref) AS BIGINT) AS n_ref,
+      |  CAST(max(n_cur) AS BIGINT) AS n_cur,
+      |  CAST(max(abs(cr * n_cur - cc * n_ref)) AS BIGINT) AS d_num,
+      |  round(CAST(max(abs(cr * n_cur - cc * n_ref)) AS DOUBLE)
+      |        / (max(n_ref) * max(n_cur)), 4) AS ks
+      |FROM cum GROUP BY 1""".stripMargin
+
   override def queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q_hll_distinct" -> (qHllDistinct _),
     "q_hist_quantiles" -> (qHistQuantiles _),
     "q_cms_counts" -> (qCmsCounts _),
     "q_drift_psi" -> (qDriftPsi _),
+    "q_drift_ks" -> (qDriftKs _),
     "q_drift_incr" -> (qDriftIncr _),
     "q_join_estimate" -> (qJoinEstimate _),
     "q_join_estimate_incr" -> (qJoinEstimateIncr _),
@@ -788,6 +867,7 @@ object Sketches extends QueryModule {
     "q_hist_quantiles" -> qHistQuantilesSql,
     "q_cms_counts" -> qCmsCountsSql,
     "q_drift_psi" -> qDriftPsiSql,
+    "q_drift_ks" -> qDriftKsSql,
     // the incremental monitor must converge to exactly the from-scratch
     // PSI — one oracle pins both paths
     "q_drift_incr" -> qDriftPsiSql,

@@ -499,6 +499,161 @@ object EventWindows extends QueryModule {
       |  CAST(round(value * 100) AS BIGINT) AS cents
       |FROM m WHERE event_type = 'purchase'""".stripMargin
 
+  // ----------------------------------------------- q_markov_transitions
+  /** First-order Markov transition matrix over per-user event
+    * sequences: for every ordered pair of consecutive events by the
+    * same user, count `prev_type → next_type` and row-normalize into
+    * transition probabilities — the behavioral model behind next-event
+    * prediction, anomaly scoring ("this session's transitions are
+    * improbable"), and funnel design (which paths actually occur).
+    *
+    * ONE shuffle: events hash to their user, a single `lag` window
+    * over (t, event_id) row order pairs each event with its
+    * predecessor (the [[qAttribution]] shape — no self-join, no
+    * per-pair probe), then the |types|²-row count aggregate is
+    * map-side partial. Probabilities are exact integer parts-per-
+    * million (`n·10⁶ div row_total`), so the matrix is bit-identical
+    * across engines and summation orders. */
+  private def qMarkovTransitions(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"t", $"event_id")
+    val counts = Tables.events(s, d)
+      .select($"user_id", $"event_type", unix_micros($"ts").as("t"), $"event_id")
+      .withColumn("prev_type", lag($"event_type", 1).over(w))
+      .filter($"prev_type".isNotNull)
+      .groupBy($"prev_type", $"event_type".as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val wt = org.apache.spark.sql.expressions.Window.partitionBy($"prev_type")
+    counts
+      .withColumn("row_tot", sum($"n").over(wt))
+      .select($"prev_type", $"next_type", $"n",
+        expr("n * 1000000L div row_tot").as("p_ppm"))
+  }
+  private val qMarkovTransitionsSql =
+    """WITH seq AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS t, event_id,
+      |    lag(event_type) OVER (PARTITION BY user_id
+      |                          ORDER BY epoch_us(ts), event_id) AS prev_type
+      |  FROM events),
+      |c AS (
+      |  SELECT prev_type, event_type AS next_type, count(*) AS n
+      |  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT prev_type, next_type, n,
+      |  CAST((n * 1000000) // sum(n) OVER (PARTITION BY prev_type) AS BIGINT)
+      |    AS p_ppm
+      |FROM c""".stripMargin
+
+  // --------------------------------------------------------- q_ohlc_bars
+  /** Time-series downsampling into per-(event_type, day) OHLC bars:
+    * open / high / low / close of `value` plus volume and count — the
+    * canonical "raw ticks → chartable bars" rollup every metrics or
+    * market pipeline runs, and the aggregation shape (first/last BY
+    * EVENT-TIME ORDER, not by arrival order) that a plain groupBy
+    * cannot express without an ordered tiebreak.
+    *
+    * ONE shuffle on (event_type, day): both row_number windows (asc
+    * for open, desc for close) share the partitioning, so Catalyst
+    * plans one Exchange with two sorts; high/low/volume ride the same
+    * hash aggregate. Order is total — (t, event_id) — so open/close
+    * are deterministic under ties. Values aggregate in exact integer
+    * cents (the [[qSessionize]] idiom). At 100 TB the bar grid is
+    * |types|·|days| rows — tiny — while the scan stays one pass. */
+  private val DAY_US = 86400000000L
+
+  private def qOhlcBars(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+      .select($"event_type", unix_micros($"ts").as("t"), $"event_id",
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .withColumn("day_us", $"t" - $"t" % DAY_US)
+    val p = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type", $"day_us")
+    val asc  = p.orderBy($"t".asc, $"event_id".asc)
+    val desc = p.orderBy($"t".desc, $"event_id".desc)
+    ev.withColumn("rn_a", row_number().over(asc))
+      .withColumn("rn_d", row_number().over(desc))
+      .groupBy($"event_type", $"day_us")
+      .agg(
+        max(when($"rn_a" === 1, $"cents")).as("open_cents"),
+        max($"cents").as("high_cents"),
+        min($"cents").as("low_cents"),
+        max(when($"rn_d" === 1, $"cents")).as("close_cents"),
+        sum($"cents").as("sum_cents"),
+        count(lit(1)).as("n"))
+  }
+  private val qOhlcBarsSql =
+    s"""WITH ev AS (
+      |  SELECT event_type, epoch_us(ts) AS t, event_id,
+      |    CAST(round(value * 100) AS BIGINT) AS cents,
+      |    epoch_us(ts) - epoch_us(ts) % $DAY_US AS day_us
+      |  FROM events),
+      |r AS (
+      |  SELECT *,
+      |    row_number() OVER (PARTITION BY event_type, day_us
+      |                       ORDER BY t ASC, event_id ASC) AS rn_a,
+      |    row_number() OVER (PARTITION BY event_type, day_us
+      |                       ORDER BY t DESC, event_id DESC) AS rn_d
+      |  FROM ev)
+      |SELECT event_type, day_us,
+      |  max(CASE WHEN rn_a = 1 THEN cents END) AS open_cents,
+      |  max(cents) AS high_cents,
+      |  min(cents) AS low_cents,
+      |  max(CASE WHEN rn_d = 1 THEN cents END) AS close_cents,
+      |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+      |  count(*) AS n
+      |FROM r GROUP BY 1, 2""".stripMargin
+
+  // ----------------------------------------------- q_time_weighted_avg
+  /** TIME-WEIGHTED average of `value` per user — the correct mean for
+    * irregularly-sampled state series (billing meters, feature gauges,
+    * position sizes): each observation holds until the next one, so it
+    * weighs by its holding duration, not by 1/n. Left-constant
+    * interpolation over [first, last]:
+    *
+    *   twa = Σᵢ vᵢ·(tᵢ₊₁ − tᵢ) / (t_n − t₁)
+    *
+    * ONE shuffle: the `lead` gap and the span aggregate share the
+    * per-user hash partitioning. The numerator accumulates as
+    * DECIMAL(38,0) cents·micros (exact at any scale — a double sum
+    * would lose integer exactness past 2⁵³ and depend on summation
+    * order); only the final per-user division happens in double,
+    * rounded 4dp on identical operands in both engines. Single-event
+    * users have no span and are excluded (both engines: NULL gap only). */
+  private def qTimeWeightedAvg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"t", $"event_id")
+    Tables.events(s, d)
+      .select($"user_id", unix_micros($"ts").as("t"), $"event_id",
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .withColumn("gap_us", lead($"t", 1).over(w) - $"t")
+      .filter($"gap_us".isNotNull)
+      .groupBy($"user_id")
+      .agg(
+        count(lit(1)).as("n_holds"),
+        sum($"gap_us").as("span_us"),
+        sum(expr("CAST(cents AS DECIMAL(38,0)) * gap_us")).as("num"))
+      .select($"user_id", $"n_holds", $"span_us",
+        round($"num".cast("double") / $"span_us", 4).as("twa_cents"))
+  }
+  private val qTimeWeightedAvgSql =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(ts) AS t, event_id,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |g AS (
+      |  SELECT user_id, cents,
+      |    lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id) - t
+      |      AS gap_us
+      |  FROM ev)
+      |SELECT user_id, count(*) AS n_holds,
+      |  CAST(sum(gap_us) AS BIGINT) AS span_us,
+      |  round(CAST(sum(CAST(cents AS HUGEINT) * gap_us) AS DOUBLE)
+      |        / CAST(sum(gap_us) AS BIGINT), 4) AS twa_cents
+      |FROM g WHERE gap_us IS NOT NULL
+      |GROUP BY user_id""".stripMargin
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q_event_windows"   -> qEventWindows _,
     "q_sliding_windows" -> qSlidingWindows _,
@@ -506,6 +661,9 @@ object EventWindows extends QueryModule {
     "q_funnel"          -> qFunnel _,
     "q_retention"       -> qRetention _,
     "q_attribution"     -> qAttribution _,
+    "q_markov_transitions" -> qMarkovTransitions _,
+    "q_ohlc_bars"       -> qOhlcBars _,
+    "q_time_weighted_avg" -> qTimeWeightedAvg _,
     "q_enrich"          -> qEnrich _)
 
   override val oracles: Seq[(String, String)] = Seq(
@@ -515,5 +673,8 @@ object EventWindows extends QueryModule {
     "q_funnel"          -> qFunnelSql,
     "q_retention"       -> qRetentionSql,
     "q_attribution"     -> qAttributionSql,
+    "q_markov_transitions" -> qMarkovTransitionsSql,
+    "q_ohlc_bars"       -> qOhlcBarsSql,
+    "q_time_weighted_avg" -> qTimeWeightedAvgSql,
     "q_enrich"          -> qEnrichSql)
 }

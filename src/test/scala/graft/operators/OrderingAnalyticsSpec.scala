@@ -1,0 +1,198 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkEntry, SparkSpec, Tables}
+
+/** Semantic properties of the round-9 analytics/ordering batch:
+  * Markov transitions, OHLC bars, exact KS drift, bigram LM scoring,
+  * n-gram diversity, Pareto-front selection, and curriculum ordering.
+  * The oracle rows pin cross-engine content; these pin the invariants
+  * a user relies on (probability normalization, dominance soundness &
+  * completeness, permutation validity, the exact KS definition).
+  */
+class OrderingAnalyticsSpec extends SparkSpec {
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  // ------------------------------------------------- markov transitions
+  test("markov: transitions count every consecutive pair, rows normalize to ~1") {
+    val out = run("q_markov_transitions").cache()
+    try {
+      val ev = Tables.events(spark, sf)
+      val nPairs = out.agg(sum("n")).head.getLong(0)
+      val expected = ev.count() - ev.select("user_id").distinct().count()
+      assert(nPairs === expected) // one transition per non-first event
+      // each row of the matrix sums to 1 within integer-ppm truncation
+      val rows = out.groupBy("prev_type")
+        .agg(sum("p_ppm").as("s"), count(lit(1)).as("k")).collect()
+      rows.foreach { r =>
+        val (s, k) = (r.getLong(1), r.getLong(2))
+        assert(s <= 1000000L && s > 1000000L - k,
+          s"row ${r.getString(0)}: ppm sum $s with $k cells")
+      }
+    } finally out.unpersist()
+  }
+
+  // -------------------------------------------------------- OHLC bars
+  test("ohlc: bounds ordered, volume conserved, open/close from time order") {
+    val out = run("q_ohlc_bars").cache()
+    try {
+      assert(out.filter(col("high_cents") < col("low_cents") ||
+        col("open_cents") > col("high_cents") || col("open_cents") < col("low_cents") ||
+        col("close_cents") > col("high_cents") || col("close_cents") < col("low_cents"))
+        .count() === 0)
+      val ev = Tables.events(spark, sf)
+      assert(out.agg(sum("n")).head.getLong(0) === ev.count())
+      assert(out.agg(sum("sum_cents")).head.getLong(0) ===
+        ev.agg(sum(expr("CAST(round(value * 100) AS BIGINT)"))).head.getLong(0))
+      // spot-check one bar's open against the raw first-by-time event
+      val bar = out.orderBy("event_type", "day_us").head
+      val first = ev
+        .filter(col("event_type") === bar.getString(0))
+        .withColumn("t", unix_micros(col("ts")))
+        .filter(col("t") >= bar.getLong(1) && col("t") < bar.getLong(1) + 86400000000L)
+        .orderBy("t", "event_id")
+        .select(expr("CAST(round(value * 100) AS BIGINT)")).head.getLong(0)
+      assert(bar.getLong(2) === first)
+    } finally out.unpersist()
+  }
+
+  // ------------------------------------------------------- KS drift
+  test("drift KS: matches the naive per-type sup of |F_ref - F_cur|") {
+    val split = 1705363200000000L
+    val raw = Tables.events(spark, sf)
+      .select(col("event_type"), unix_micros(col("ts")).as("t"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val naive = raw.groupBy(_._1).map { case (ty, rows) =>
+      val ref = rows.filter(_._2 < split).map(_._3).sorted
+      val cur = rows.filter(_._2 >= split).map(_._3).sorted
+      val ks = (ref ++ cur).distinct.map { v =>
+        val fr = ref.count(_ <= v).toDouble / ref.length
+        val fc = cur.count(_ <= v).toDouble / cur.length
+        math.abs(fr - fc)
+      }.max
+      ty -> ks
+    }
+    val got = run("q_drift_ks").collect()
+      .map(r => r.getString(0) -> r.getDouble(4)).toMap
+    naive.foreach { case (ty, ks) =>
+      assert(math.abs(got(ty) - ks) < 1e-4, s"$ty: got ${got(ty)} want $ks")
+    }
+  }
+
+  // ------------------------------------------------------ bigram LM
+  test("bigram LM: positive finite nll for every multi-token doc") {
+    val out = run("q_bigram_lm").cache()
+    try {
+      val eligible = Tables.documents(spark, sf)
+        .filter(size(expr("filter(split(lower(text), ' '), x -> length(x) > 0)")) >= 2)
+        .count()
+      assert(out.count() === eligible)
+      // every interpolated P < 1 (vocab > 1), so mean -ln P > 0; and the
+      // unigram floor keeps P >= 0.3/N, bounding nll above by ln(N/0.3)
+      assert(out.filter(col("nll") <= 0.0).count() === 0)
+      val nTok = Tables.documents(spark, sf)
+        .select(explode(split(lower(col("text")), " ")).as("tok"))
+        .filter(length(col("tok")) > 0).count()
+      val bound = math.log(nTok / 0.3) + 1e-4
+      assert(out.filter(col("nll") > bound).count() === 0)
+    } finally out.unpersist()
+  }
+
+  // ------------------------------------------------- n-gram diversity
+  test("ngram diversity: ratios bounded, every language profiled") {
+    val out = run("q_ngram_diversity").collect()
+    assert(out.length === Tables.documents(spark, sf)
+      .select("lang").distinct().count())
+    out.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1)) // distinct <= total
+      assert(r.getLong(3) > 0L && r.getLong(3) <= 1000000L)
+    }
+  }
+
+  // ---------------------------------------------------- Pareto front
+  test("pareto: sound (nothing dominated) and complete (all else dominated)") {
+    val ptsDf = Tables.documents(spark, sf)
+      .withColumn("ft", expr("filter(split(lower(text), ' '), t -> length(t) > 0)"))
+      .select(col("doc_id"), col("n_chars").cast("long").as("x"),
+        expr("size(array_distinct(ft)) * 1000L div size(ft)").as("y"))
+    val pts = ptsDf.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def dominated(p: (Long, Long, Long)) = pts.exists(q =>
+      q._2 >= p._2 && q._3 >= p._3 && (q._2 > p._2 || q._3 > p._3))
+    val front = run("q_pareto_select").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(front.nonEmpty)
+    front.foreach(p => assert(!dominated(p), s"front point $p is dominated"))
+    pts.filterNot(front).foreach(p =>
+      assert(dominated(p), s"excluded point $p is undominated"))
+  }
+
+  // ---------------------------------------------------- ANN recall
+  test("ann recall: bounded ppm, trained IVF finds most true neighbors") {
+    val out = run("q_ann_recall").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(1) >= 0L && r.getLong(1) <= 5L) // n_hit <= K
+      assert(r.getLong(2) >= 0L && r.getLong(2) <= 1000000L)
+    }
+    val mean = out.map(_.getLong(2)).sum.toDouble / out.length
+    assert(mean >= 500000.0, s"mean recall_ppm $mean unexpectedly low")
+  }
+
+  // ----------------------------------------------- time-weighted avg
+  test("TWA: inside each user's value envelope, holds = events - 1") {
+    val out = run("q_time_weighted_avg").cache()
+    try {
+      val env = Tables.events(spark, sf)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"),
+          min(expr("CAST(round(value * 100) AS BIGINT)")).as("lo"),
+          max(expr("CAST(round(value * 100) AS BIGINT)")).as("hi"))
+      val j = out.join(env, "user_id")
+      assert(j.filter(col("n_holds") =!= col("n") - 1).count() === 0)
+      assert(j.filter(col("twa_cents") < col("lo") - 0.001 ||
+        col("twa_cents") > col("hi") + 0.001).count() === 0)
+      assert(out.filter(col("span_us") <= 0L).count() === 0)
+    } finally out.unpersist()
+  }
+
+  // -------------------------------------------------- winsorization
+  test("winsorize: identity inside the band, ~10% clipped, bounds honored") {
+    val out = run("q_winsorize").cache()
+    try {
+      assert(out.count() === Tables.documents(spark, sf).count())
+      assert(out.filter(!col("clipped") && col("w_chars") =!= col("n_chars"))
+        .count() === 0)
+      assert(out.filter(col("clipped") && col("w_chars") === col("n_chars"))
+        .count() === 0)
+      val fracClipped = out.filter(col("clipped")).count().toDouble / out.count()
+      assert(fracClipped <= 0.25, s"clipped fraction $fracClipped")
+      // clipping is order-preserving: w monotone in x within a language
+      val viol = out.as("a").join(out.as("b"),
+        col("a.lang") === col("b.lang") &&
+          col("a.n_chars") < col("b.n_chars") &&
+          col("a.w_chars") > col("b.w_chars"))
+      assert(viol.count() === 0)
+    } finally out.unpersist()
+  }
+
+  // ------------------------------------------------ curriculum order
+  test("curriculum: strict permutation, stage-major, deterministic") {
+    val out = run("q_curriculum_order").cache()
+    try {
+      val n = Tables.documents(spark, sf).count()
+      assert(out.count() === n)
+      assert(out.select("order_idx").distinct().count() === n)
+      assert(out.agg(min("order_idx"), max("order_idx")).head match {
+        case r => r.getLong(0) === 1L && r.getLong(1) === n
+      })
+      // easy->hard: stage is non-decreasing along the global order
+      val seq = out.orderBy("order_idx").select("stage").collect().map(_.getLong(0))
+      seq.sliding(2).foreach { case Array(a, b) => assert(a <= b); case _ => }
+      // reruns yield the identical permutation (seeded md5, no RNG)
+      val again = run("q_curriculum_order")
+      assert(out.exceptAll(again).count() === 0)
+    } finally out.unpersist()
+  }
+}

@@ -1,0 +1,116 @@
+package graft.table
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.{SparkSpec, Tables}
+
+/** The [[TopKView]] maintenance contract: after ANY refresh, the
+  * readout equals the declarative window top-k over the source
+  * snapshot — through insert folds, slack-funded deletes, re-derive
+  * storms, whole-group removal, new groups, and idempotent refresh.
+  */
+class TopKViewSpec extends SparkSpec {
+  private val schema = StructType(Seq(
+    StructField("lang", StringType),
+    StructField("doc_id", LongType),
+    StructField("ord", LongType)))
+
+  private def mkSource(name: String): VersionedTable =
+    VersionedTable.create(spark, graft.Scratch.dir(name).resolve("t").toString,
+      schema, Map(VersionedTable.PROP_CDF -> "true"))
+
+  private def rows(rs: (String, Long, Long)*): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rs.map(r => org.apache.spark.sql.Row(r._1, r._2, r._3)), 2), schema)
+
+  private def expected(src: VersionedTable): Seq[(String, Long, Long, Long)] = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("ord").desc, col("doc_id").asc)
+    src.snapshot().withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= TopKViewOps.K)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._4))
+  }
+
+  private def got(v: TopKView): Seq[(String, Long, Long, Long)] =
+    v.topk().collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._4))
+
+  private def docs(n: Int, lang: String, base: Long = 0): Seq[(String, Long, Long)] =
+    (0 until n).map(i => (lang, base + i, 100L + ((base + i) * 37) % 400))
+
+  test("insert fold: appends refresh without re-derive, match declarative top-k") {
+    val src = mkSource("topk-ins")
+    src.append(rows(docs(20, "en") ++ docs(10, "fr", 1000): _*))
+    val v = TopKViewOps.build(src, graft.Scratch.dir("topk-ins-v").toString,
+      "lang", "doc_id", "ord")
+    assert(got(v) === expected(src))
+    src.append(rows(docs(15, "en", 2000) ++ docs(5, "de", 3000): _*)) // de is NEW
+    v.refresh(src)
+    assert(got(v) === expected(src))
+    // state stays bounded: <= CAND rows per group
+    val sizes = v.state.snapshot().groupBy("lang").count().collect()
+    sizes.foreach(r => assert(r.getLong(1) <= TopKViewOps.CAND))
+  }
+
+  test("deletes: slack absorbs small ones, storms force exact re-derive") {
+    val src = mkSource("topk-del")
+    src.append(rows(docs(40, "en") ++ docs(40, "fr", 1000): _*))
+    val v = TopKViewOps.build(src, graft.Scratch.dir("topk-del-v").toString,
+      "lang", "doc_id", "ord")
+    // delete 2 current en leaders: within SLACK, no derive needed
+    val leaders = got(v).filter(_._1 == "en").take(2).map(_._2)
+    src.deleteWhere(col("doc_id").isin(leaders: _*))
+    v.refresh(src)
+    assert(got(v) === expected(src))
+    // storm: delete EVERY current fr candidate -> validity < K -> re-derive
+    val frCand = v.state.snapshot().filter(col("lang") === "fr")
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(frCand.length === TopKViewOps.CAND)
+    src.deleteWhere(col("doc_id").isin(frCand: _*))
+    v.refresh(src)
+    assert(got(v) === expected(src))
+    // whole-group removal
+    src.deleteWhere(col("lang") === "en")
+    v.refresh(src)
+    assert(got(v) === expected(src))
+    assert(got(v).forall(_._1 == "fr"))
+  }
+
+  test("mixed churn across refreshes stays exact; refresh is idempotent") {
+    val src = mkSource("topk-churn")
+    src.append(rows(docs(25, "en") ++ docs(25, "fr", 1000) ++ docs(25, "zh", 2000): _*))
+    val v = TopKViewOps.build(src, graft.Scratch.dir("topk-churn-v").toString,
+      "lang", "doc_id", "ord")
+    for (round <- 1 to 4) {
+      src.append(rows(docs(6, "en", 10000L * round) ++
+        docs(6, "zh", 20000L * round): _*))
+      src.deleteWhere(col("doc_id") % 11 === (round.toLong % 11))
+      v.refresh(src)
+      assert(got(v) === expected(src), s"round $round")
+    }
+    val before = got(v)
+    v.refresh(src) // nothing new: must be a cheap no-op, same answer
+    assert(got(v) === before)
+    // validity never below K after refresh
+    v.meta.snapshot().collect().foreach { r =>
+      assert(r.getLong(1) >= TopKViewOps.K)
+    }
+  }
+
+  test("fixture-scale: view over the documents table matches declarative ranks") {
+    val src = mkSource("topk-docs")
+    src.append(Tables.documents(spark, sf).select(col("lang"), col("doc_id"),
+      col("n_chars").cast("long").as("ord")))
+    val v = TopKViewOps.build(src, graft.Scratch.dir("topk-docs-v").toString,
+      "lang", "doc_id", "ord")
+    assert(got(v) === expected(src))
+    assert(got(v).nonEmpty)
+  }
+}
