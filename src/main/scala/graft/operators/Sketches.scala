@@ -504,10 +504,10 @@ object Sketches extends QueryModule {
     * [[graft.table.AggView]] over it grouped by (i, b) — the same
     * signed-delta machinery as the Gold views, re-used to keep a
     * PLANNER STATISTIC current. The fixture seeds both sides, then
-    * appends the remaining lineitem keys AND deletes a slice, runs one
-    * refresh per side, and estimates from the two view snapshots; the
-    * oracle replays the batch grid over the post-churn content, so the
-    * hash match proves maintained ≡ rebuilt. */
+    * appends the remaining keys AND deletes a slice, runs one refresh
+    * per side, and estimates from the two view snapshots; the oracle
+    * replays the batch grid over the post-churn content, so the hash
+    * match proves maintained ≡ rebuilt. */
   private def qJoinEstimateIncr(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
@@ -528,32 +528,38 @@ object Sketches extends QueryModule {
     def entryTable(name: String): VersionedTable =
       VersionedTable.create(s, root.resolve(name).toString,
         entrySchema, Map(VersionedTable.PROP_CDF -> "true"))
-    // side A: lineitem orderkeys — seed 2/3, then append the rest and
+    // supplier ⋈ lineitem(l_suppkey): the incremental fixture's point is
+    // the MAINTENANCE machinery, so it runs on the join whose entry
+    // streams collapse hardest under the per-key pre-combine (suppkey
+    // multiplicity ~60 in lineitem) — the batch row (q_join_estimate)
+    // keeps estimating the corpus-scale lineitem⋈orders pair.
+    // side A: supplier keys — seed 2/3, then append the rest and
     // delete a slice (the subtract path)
     val ta = entryTable("a")
-    val li = lineitem(s, d)
-    ta.append(entries(li.filter($"l_orderkey" % 3 =!= 0), "l_orderkey"))
+    val su = supplier(s, d)
+    ta.append(entries(su.filter($"s_suppkey" % 3 =!= 0), "s_suppkey"))
     val va = AggView.build(ta, root.resolve("va").toString,
       Seq("i", "b"), Seq("v" -> "sg"))
-    ta.append(entries(li.filter($"l_orderkey" % 3 === 0), "l_orderkey"))
+    ta.append(entries(su.filter($"s_suppkey" % 3 === 0), "s_suppkey"))
     ta.deleteWhere($"rk" % 17 === 3)
     va.refresh(ta)
-    // side B: orders — seed half, append the rest (the add path)
+    // side B: lineitem suppkeys — seed half, append the rest (the add
+    // path; each batch is ≤ 5·|distinct suppkeys| rows, not 5·|rows|)
     val tb = entryTable("b")
-    val os = orders(s, d)
-    tb.append(entries(os.filter($"o_orderkey" % 2 === 0), "o_orderkey"))
+    val li = lineitem(s, d)
+    tb.append(entries(li.filter($"l_suppkey" % 2 === 0), "l_suppkey"))
     val vb = AggView.build(tb, root.resolve("vb").toString,
       Seq("i", "b"), Seq("v" -> "sg"))
-    tb.append(entries(os.filter($"o_orderkey" % 2 =!= 0), "o_orderkey"))
+    tb.append(entries(li.filter($"l_suppkey" % 2 =!= 0), "l_suppkey"))
     vb.refresh(tb)
     def grid(v: AggView) = v.table.snapshot()
       .select($"i", $"b", coalesce($"sum_v", lit(0L)).as("v"))
-    val exact = li.filter($"l_orderkey" % 17 =!= 3)
-      .groupBy($"l_orderkey".as("k")).agg(count(lit(1)).as("na"))
-      .join(os.groupBy($"o_orderkey".as("k")).agg(count(lit(1)).as("nb")), "k")
+    val exact = su.filter($"s_suppkey" % 17 =!= 3)
+      .groupBy($"s_suppkey".as("k")).agg(count(lit(1)).as("na"))
+      .join(li.groupBy($"l_suppkey".as("k")).agg(count(lit(1)).as("nb")), "k")
       .agg(coalesce(sum($"na" * $"nb"), lit(0L)).as("n_exact"))
     amsJoinEstimate(grid(va), grid(vb)).crossJoin(exact)
-      .select(lit("lineitem_orders").as("join_name"),
+      .select(lit("supplier_lineitem").as("join_name"),
         $"est".cast("long").as("n_est"), $"n_exact")
   }
 
@@ -565,19 +571,19 @@ object Sketches extends QueryModule {
          |    THEN 1 ELSE -1 END) AS BIGINT) AS v
          |FROM $from, generate_series(0, ${JE_D - 1}) AS g(i)
          |GROUP BY 1, 2""".stripMargin
-    s"""WITH ta AS (SELECT l_orderkey FROM lineitem
-      |            WHERE NOT (l_orderkey % 17 = 3)),
-      |ga AS (${grid("ta", "l_orderkey")}),
-      |gb AS (${grid("orders", "o_orderkey")})
-      |SELECT 'lineitem_orders' AS join_name,
+    s"""WITH ta AS (SELECT s_suppkey FROM supplier
+      |            WHERE NOT (s_suppkey % 17 = 3)),
+      |ga AS (${grid("ta", "s_suppkey")}),
+      |gb AS (${grid("lineitem", "l_suppkey")})
+      |SELECT 'supplier_lineitem' AS join_name,
       |  (SELECT CAST(est AS BIGINT) FROM (
       |     SELECT i, sum(a.v * b.v) AS est
       |     FROM ga a JOIN gb b USING (i, b)
       |     GROUP BY i ORDER BY est ASC, i ASC
       |     LIMIT 1 OFFSET ${(JE_D + 1) / 2 - 1})) AS n_est,
       |  (SELECT CAST(coalesce(sum(na * nb), 0) AS BIGINT) FROM
-      |     (SELECT l_orderkey AS k, count(*) AS na FROM ta GROUP BY 1) x
-      |     JOIN (SELECT o_orderkey AS k, count(*) AS nb FROM orders GROUP BY 1) y
+      |     (SELECT s_suppkey AS k, count(*) AS na FROM ta GROUP BY 1) x
+      |     JOIN (SELECT l_suppkey AS k, count(*) AS nb FROM lineitem GROUP BY 1) y
       |     USING (k)) AS n_exact""".stripMargin
   }
 
@@ -777,6 +783,109 @@ object Sketches extends QueryModule {
       |  abs(zscore) > 3.0 AS is_anomaly
       |FROM z""".stripMargin
 
+  // ------------------------------------------------------ q_quantile_view
+  /** CONTINUOUS percentile monitoring: the [[qHistQuantiles]] histogram
+    * kept as an incrementally-maintained [[graft.table.AggView]] —
+    * per-(group, bucket) counts are pure sums, so the sketch tracks
+    * arbitrary insert/delete churn at O(Δ) merge cost, and any P50/P90/
+    * P99 readout folds over ≤ groups·256 count rows, never the data.
+    * This is the standing "what is p99 latency/length RIGHT NOW"
+    * dashboard query, served from a view that one CDF-driven refresh
+    * keeps current.
+    *
+    * The bucket EDGES are frozen at view build from the seed window
+    * (monitor config, the [[qDriftPsi]] convention — an equi-width
+    * histogram whose edges chased the live min/max would re-bucket
+    * history on every refresh and stop being incrementally
+    * maintainable). The fixture seeds 2/3 of lineitem, builds the
+    * view, appends the rest, DELETES an orderkey slice, refreshes
+    * once, and reads the quantile grid; the oracle replays frozen
+    * seed-window edges + the final row set declaratively, so the hash
+    * match proves maintained ≡ rebuilt through add AND subtract. */
+  private def qQuantileView(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import graft.table.{AggView, VersionedTable}
+    val root = graft.Scratch.dir("graft-quantv")
+    val schema = StructType(Seq(
+      StructField("rk", LongType),
+      StructField("grp", StringType),
+      StructField("b", LongType)))
+    val t = VersionedTable.create(s, root.resolve("t").toString, schema,
+      Map(VersionedTable.PROP_CDF -> "true"))
+    val li = lineitem(s, d)
+      .select($"l_orderkey".as("rk"), $"l_returnflag".as("grp"),
+        $"l_extendedprice".cast("double").as("x"))
+    val seed = li.filter($"rk" % 3 =!= 0)
+    // frozen edges: one 2-double aggregate over the SEED window
+    val Array(stR) = seed.agg(min($"x"), max($"x")).collect()
+    val (mn, mx) = (stR.getDouble(0), stR.getDouble(1))
+    def bucketRows(e: DataFrame): DataFrame =
+      e.select($"rk", $"grp",
+        (if (mx == mn) lit(0L)
+         else least(greatest(floor(($"x" - lit(mn)) / lit(mx - mn)
+             * HIST_BUCKETS).cast("long"), lit(0L)),
+           lit((HIST_BUCKETS - 1).toLong))).as("b"))
+    t.append(bucketRows(seed))
+    val v = AggView.build(t, root.resolve("v").toString,
+      Seq("grp", "b"), Seq.empty)
+    t.append(bucketRows(li.filter($"rk" % 3 === 0)))
+    t.deleteWhere($"rk" % 17 === 3)
+    v.refresh(t)
+    // readout: per-group + re-aggregated ALL quantiles off the view
+    val hist = v.table.snapshot()
+      .select($"grp", $"b", $"n_rows".cast("long").as("c"))
+      .filter($"c" > 0L)
+    val merged = hist.unionAll(
+      hist.groupBy($"b").agg(sum($"c").as("c"))
+        .select(lit("ALL").as("grp"), $"b", $"c"))
+    val w = Window.partitionBy($"grp").orderBy($"b")
+    val wAll = Window.partitionBy($"grp")
+    val cum = merged.withColumn("cum", sum($"c").over(w))
+      .withColumn("n", sum($"c").over(wAll))
+    val qs = HIST_QS.toDF("q")
+    cum.join(broadcast(qs), $"cum" >= ceil($"q" * $"n"))
+      .groupBy($"grp", $"q", $"n")
+      .agg(min($"b").as("qb"))
+      .select($"grp", $"q",
+        round(lit(mn) + ($"qb".cast("double") + 0.5) / HIST_BUCKETS
+          * lit(mx - mn), 6).as("est"),
+        $"n")
+  }
+  private val qQuantileViewSql = {
+    val qsValues = HIST_QS.map(q => s"($q::DOUBLE)").mkString(", ")
+    s"""WITH seed AS (SELECT l_returnflag AS grp, l_extendedprice::DOUBLE AS x
+      |              FROM lineitem WHERE l_orderkey % 3 <> 0),
+      |st AS (SELECT min(x) AS mn, max(x) AS mx FROM seed),
+      |fin AS (SELECT l_returnflag AS grp, l_extendedprice::DOUBLE AS x
+      |        FROM lineitem WHERE NOT (l_orderkey % 17 = 3)),
+      |h AS (SELECT grp,
+      |        CASE WHEN mx = mn THEN 0::BIGINT
+      |             ELSE least(greatest(floor((x - mn) / (mx - mn)
+      |                    * $HIST_BUCKETS)::BIGINT, 0::BIGINT),
+      |                  ${HIST_BUCKETS - 1}::BIGINT) END AS b,
+      |        count(*) AS c
+      |      FROM fin, st GROUP BY 1, 2),
+      |merged AS (SELECT grp, b, c FROM h
+      |           UNION ALL
+      |           SELECT 'ALL', b, sum(c) FROM h GROUP BY b),
+      |cum AS (SELECT grp, b,
+      |          sum(c) OVER (PARTITION BY grp ORDER BY b) AS cum,
+      |          sum(c) OVER (PARTITION BY grp) AS n
+      |        FROM merged),
+      |qs AS (SELECT * FROM (VALUES $qsValues) AS t(q)),
+      |sel AS (SELECT grp, q, n, min(b) AS qb
+      |        FROM cum JOIN qs ON cum >= ceil(q * n)
+      |        GROUP BY grp, q, n),
+      |e AS (SELECT mn, mx FROM st)
+      |SELECT grp, q,
+      |       round(mn + (qb::DOUBLE + 0.5) / $HIST_BUCKETS * (mx - mn), 6)
+      |         AS est,
+      |       n::BIGINT AS n
+      |FROM sel, e""".stripMargin
+  }
+
   // ---------------------------------------------------------- q_drift_ks
   /** EXACT two-sample Kolmogorov–Smirnov statistic per event_type
     * between the reference and current windows (the [[qDriftPsi]]
@@ -852,6 +961,7 @@ object Sketches extends QueryModule {
   override def queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q_hll_distinct" -> (qHllDistinct _),
     "q_hist_quantiles" -> (qHistQuantiles _),
+    "q_quantile_view" -> (qQuantileView _),
     "q_cms_counts" -> (qCmsCounts _),
     "q_drift_psi" -> (qDriftPsi _),
     "q_drift_ks" -> (qDriftKs _),
@@ -865,6 +975,7 @@ object Sketches extends QueryModule {
   override def oracles: Seq[(String, String)] = Seq(
     "q_hll_distinct" -> qHllDistinctSql,
     "q_hist_quantiles" -> qHistQuantilesSql,
+    "q_quantile_view" -> qQuantileViewSql,
     "q_cms_counts" -> qCmsCountsSql,
     "q_drift_psi" -> qDriftPsiSql,
     "q_drift_ks" -> qDriftKsSql,

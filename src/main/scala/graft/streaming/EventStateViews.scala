@@ -106,9 +106,36 @@ final class RetentionView private[streaming] (
       col("week_offset"), col("n_rows").cast("long").as("n_users"))
 }
 
+/** See [[FunnelView]] — same maintenance contract for per-user gap
+  * SESSIONS. State: one row per (user, session_start). Late or
+  * out-of-order events can EXTEND a session backwards (changing its
+  * start key), SPLIT or MERGE neighboring sessions — none of which a
+  * forward fold can repair — so the per-changed-user re-derive is
+  * exactly right here too: the derive is the engine's own
+  * [[EventWindows.sessionize]] fold (the SAME code the streaming
+  * `flatMapGroupsWithState` operator runs), and stale (user, start)
+  * rows delete via the recompute anti-join. */
+final class SessionView private[streaming] (val state: VersionedTable) {
+  import EventStateViews._
+
+  def refresh(events: VersionedTable): Option[Long] = {
+    val latest = events.latestVersion
+    val since = state.lastTxn(SESSION_APP).getOrElse(0L) + 1
+    if (latest < since) return None
+    val users = events.changes(since).select(col("user_id")).distinct()
+    stateDelta(events, users, sessionDerive,
+      state, Seq("user_id", "session_start_us"), Map(SESSION_APP -> latest))
+  }
+
+  /** All current sessions — O(state), identical shape to the batch
+    * `q_sessionize` rows. */
+  def sessions(): DataFrame = state.snapshot()
+}
+
 object EventStateViews extends QueryModule {
   val FUNNEL_APP = "funnel-view"
   val RETENTION_APP = "retention-view"
+  val SESSION_APP = "session-view"
   private val STATE_BUCKETS = 8
 
   private val stateClauses = Seq(
@@ -218,6 +245,33 @@ object EventStateViews extends QueryModule {
     new RetentionView(state, counts)
   }
 
+  /** The sessionize fold over an engine-table slice: micros → ts, run
+    * the one true fold, back to the state row shape. */
+  private[streaming] def sessionDerive(ev: DataFrame): DataFrame =
+    EventWindows.sessionize(ev.select(col("user_id"),
+        timestamp_micros(col("t")).as("ts"), col("value")))
+      .toDF()
+
+  def buildSessions(events: VersionedTable, root: String): SessionView = {
+    val spark = events.spark
+    val stateSchema = StructType(Seq(
+      StructField("user_id", LongType),
+      StructField("session_start_us", LongType),
+      StructField("session_end_us", LongType),
+      StructField("n_events", LongType),
+      StructField("sum_value", org.apache.spark.sql.types.DoubleType)))
+    val state = VersionedTable.create(spark, s"$root/state", stateSchema,
+      Map(VersionedTable.PROP_CDF -> "true"),
+      bucketBy = Some(BucketSpec(Seq("user_id", "session_start_us"),
+        STATE_BUCKETS)))
+    val latest = events.latestVersion
+    Merge.run(state,
+      sessionDerive(events.snapshot()).withColumn("__op", lit("UPSERT")),
+      Seq("user_id", "session_start_us"), stateClauses,
+      extraTxn = Map(SESSION_APP -> latest))
+    new SessionView(state)
+  }
+
   // ------------------------------------------------------ query fixtures
 
   private val eventsSchema = StructType(Seq(
@@ -236,6 +290,34 @@ object EventStateViews extends QueryModule {
 
   private def appendClustered(t: VersionedTable, rows: DataFrame): Unit =
     t.append(rows.repartitionByRange(STATE_BUCKETS, col("user_id"))): Unit
+
+  private val sessionEventsSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("user_id", LongType),
+    StructField("t", LongType),
+    StructField("value", org.apache.spark.sql.types.DoubleType)))
+
+  // ------------------------------------------------- q_sessionize_incr
+  /** Incremental-sessionization LIFECYCLE: events land in two append
+    * batches (the odd half arrives late and out of order — exactly the
+    * churn that extends/merges sessions built from the even half); the
+    * view builds at batch 1 and ONE refresh catches up. The oracle is
+    * the batch gaps-and-islands formulation over the full events
+    * table, so the refreshed state must equal the from-scratch
+    * sessionization bit-for-bit (including re-keyed session starts and
+    * deleted stale sessions). */
+  private def qSessionizeIncr(s: SparkSession, d: String): DataFrame = {
+    val root = graft.Scratch.dir("graft-session-incr")
+    val ev = VersionedTable.create(s, root.resolve("ev").toString,
+      sessionEventsSchema, Map(VersionedTable.PROP_CDF -> "true"))
+    val all = Tables.events(s, d).select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("t"), col("value"))
+    appendClustered(ev, all.filter(col("event_id") % 2 === 0))
+    val v = buildSessions(ev, root.resolve("v").toString)
+    appendClustered(ev, all.filter(col("event_id") % 2 === 1))
+    v.refresh(ev)
+    v.sessions()
+  }
 
   // ---------------------------------------------------- q_funnel_incr
   /** Incremental-funnel LIFECYCLE: events land in two append batches;
@@ -381,12 +463,16 @@ object EventStateViews extends QueryModule {
       |GROUP BY 1, 2""".stripMargin
 
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q_sessionize_incr"    -> qSessionizeIncr _,
     "q_funnel_incr"        -> qFunnelIncr _,
     "q_retention_incr"     -> qRetentionIncr _,
     "q_funnel_refresh"     -> qFunnelRefresh _,
     "q_retention_refresh"  -> qRetentionRefresh _)
 
   override val oracles: Seq[(String, String)] = Seq(
+    // the maintained state must equal the from-scratch batch
+    // sessionization — one oracle pins both paths
+    "q_sessionize_incr"    -> EventWindows.qSessionizeSql,
     "q_funnel_incr"        -> qFunnelIncrSql,
     "q_retention_incr"     -> qRetentionIncrSql,
     "q_funnel_refresh"     -> qFunnelIncrSql,

@@ -288,7 +288,7 @@ object EventWindows extends QueryModule {
   private def qSessionize(s: SparkSession, d: String): DataFrame =
     sessionize(Tables.events(s, d)).toDF()
 
-  private val qSessionizeSql = {
+  private[streaming] val qSessionizeSql = {
     val gapUs = DefaultGapMinutes * 60L * 1000000L
     s"""WITH e AS (
       |  SELECT user_id, epoch_us(ts) AS ts_us,

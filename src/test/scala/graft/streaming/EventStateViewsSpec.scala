@@ -156,4 +156,54 @@ class EventStateViewsSpec extends SparkSpec {
       "every state file rewrote — refresh is not delta-scoped")
     assert(stateStages(v) === batchStages(ev))
   }
+
+  // --------------------------------------------------------- sessions
+  private val sessSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("user_id", LongType),
+    StructField("t", LongType),
+    StructField("value", DoubleType)))
+
+  private def sessRows(tuples: (Long, Long, Long, Double)*): DataFrame =
+    tuples.toDF("event_id", "user_id", "t", "value")
+
+  private def sessState(v: SessionView): Set[(Long, Long, Long, Long, Double)] =
+    v.sessions().collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSet
+
+  private def sessBatch(ev: VersionedTable): Set[(Long, Long, Long, Long, Double)] =
+    EventStateViews.sessionDerive(ev.snapshot()).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSet
+
+  test("session view ≡ batch sessionize through merges, splits, deletes") {
+    val gap = EventWindows.DefaultGapMinutes * 60L * 1000000L
+    val root = graft.Scratch.dir("graft-sess-src")
+    val t = VersionedTable.create(spark, root.resolve("t").toString,
+      sessSchema, Map(VersionedTable.PROP_CDF -> "true"))
+    // u1: two separate sessions (1.8 gaps apart); u2: one session
+    t.append(sessRows(
+      (1, 1, 0, 1.0), (2, 1, 1000, 2.0),
+      (3, 1, (1.8 * gap).toLong, 4.0),
+      (4, 2, 500, 8.0)))
+    val v = EventStateViews.buildSessions(t, root.resolve("sv").toString)
+    assert(sessState(v) === sessBatch(t))
+    assert(sessState(v).count(_._1 == 1L) === 2) // two u1 sessions
+    // a LATE bridging event lands between u1's sessions → they MERGE
+    // into one row keyed at the ORIGINAL first start; both old rows
+    // must be replaced (one deleted, one rewritten)
+    t.append(sessRows((5, 1, (0.9 * gap).toLong, 16.0)))
+    v.refresh(t)
+    assert(sessState(v) === sessBatch(t))
+    assert(sessState(v).count(_._1 == 1L) === 1)
+    // deleting the bridge SPLITS the session back into two
+    t.deleteWhere(col("event_id") === 5)
+    v.refresh(t)
+    assert(sessState(v) === sessBatch(t))
+    assert(sessState(v).count(_._1 == 1L) === 2)
+    // refresh with no changes is a no-op that stays converged
+    v.refresh(t)
+    assert(sessState(v) === sessBatch(t))
+  }
 }
