@@ -309,4 +309,80 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"),
       s"per-cell ranking must never funnel into one partition:\n$p")
   }
+
+  test("ohlc bars: both direction windows and the aggregate share ONE exchange") {
+    val p = plan("q_ohlc_bars")
+    assert(p.split("Exchange").length - 1 === 1,
+      s"asc window, desc window, and groupBy must reuse one (type, day) exchange:\n$p")
+    assert(!p.contains("Join"), s"no join belongs in this plan:\n$p")
+  }
+
+  test("time-weighted average: lead window and per-user aggregate share ONE exchange") {
+    val p = plan("q_time_weighted_avg")
+    assert(p.split("Exchange").length - 1 === 1,
+      s"gap window + groupBy must share the user_id exchange:\n$p")
+    assert(!p.contains("Join"), s"no join belongs in this plan:\n$p")
+  }
+
+  test("markov transitions: per-user lag, then matrix-sized aggregates only") {
+    val p = plan("q_markov_transitions")
+    assert(!p.contains("Join"), s"no self-join for adjacency:\n$p")
+    assert(p.split("Exchange").length - 1 <= 3,
+      s"user window + two matrix-sized aggregates, no more:\n$p")
+  }
+
+  test("KS drift: distinct-value aggregate feeds per-type windows; totals broadcast") {
+    val p = plan("q_drift_ks")
+    assert(p.contains("BroadcastExchange"),
+      s"the |types|-row totals must broadcast back:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"no corpus-side shuffle join:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"cumulative counts must window per type, never one partition:\n$p")
+  }
+
+  test("winsorize: threshold table broadcasts onto a shuffle-free clip scan") {
+    val p = plan("q_winsorize")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the per-group [p05,p95] table must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the clip side must never shuffle for the join:\n$p")
+  }
+
+  test("pareto: suffix-max prune broadcasts; dominance verify is candidates-only broadcast") {
+    val p = plan("q_pareto_select")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the bucket suffix-max table must broadcast onto the scan:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the dominance anti-join must broadcast the candidate set:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no unbroadcast quadratic verify:\n$p")
+  }
+
+  test("curriculum order: offsets broadcast; no single-partition corpus window") {
+    val p = plan("q_curriculum_order")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the (stage, shard) offset table must broadcast:\n$p")
+    assert(p.contains("hashpartitioning(stage"),
+      s"ranking must window by (stage, shard):\n$p")
+    // the only SinglePartition allowed is the |stages|x|shards|-row
+    // offset cumulation, never the corpus rank itself
+    assert(p.split("Exchange SinglePartition").length - 1 <= 1,
+      s"at most the tiny offset table may single-partition:\n$p")
+  }
+
+  test("bigram LM: shuffle-free pair generation, model joins never all-pairs") {
+    val p = plan("q_bigram_lm")
+    assert(!p.contains("CartesianProduct"),
+      s"no all-pairs anywhere in LM scoring:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"the corpus scan must prune to doc_id+text:\n$p")
+  }
+
+  test("ngram diversity: two-phase distinct aggregate, no join") {
+    val p = plan("q_ngram_diversity")
+    assert(!p.contains("Join"), s"no join belongs in this plan:\n$p")
+    assert(p.split("Exchange").length - 1 <= 2,
+      s"partial-distinct + final aggregate = at most two exchanges:\n$p")
+  }
 }
