@@ -32,6 +32,8 @@ import graft.table.VersionedTable
   *     SELECT <g>..., COUNT(*) AS n_rows [, SUM(<e>) AS <name>...]
   *     FROM <t> GROUP BY <g>...
   *   REFRESH MATERIALIZED VIEW <v>
+  *   CREATE TOPK VIEW <v> ON <t> GROUP BY <g> ORDER BY <o> DESC
+  *     KEY <id> LIMIT <k>
   * }}}
   *
   * `<table>` is either a `'quoted'` filesystem path of a versioned
@@ -83,6 +85,14 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       """FROM\s+(\S+?)\s+GROUP\s+BY\s+(.+?)\s*;?\s*""").r
   private val RefreshMatView =
     """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(\S+?)\s*;?\s*""".r
+  // CREATE TOPK VIEW <v> ON <t> GROUP BY <g> ORDER BY <o> DESC
+  //   KEY <id> LIMIT <k>
+  // — the incrementally-maintained per-group top-k
+  //   (graft.table.TopKView: candidate buffers + slack-funded deletes)
+  private val CreateTopkView =
+    ("""(?is)\s*CREATE\s+TOPK\s+VIEW\s+(\S+?)\s+ON\s+(\S+?)\s+GROUP\s+BY\s+""" +
+      """`?(\w+)`?\s+ORDER\s+BY\s+`?(\w+)`?\s+DESC\s+KEY\s+`?(\w+)`?\s+""" +
+      """LIMIT\s+(\d+)\s*;?\s*""").r
   // CREATE VECTOR INDEX <i> ON <t> (embedding) USING IVF|PQ|SQ8
   // CREATE SIGNATURE INDEX <i> ON <t> (text) USING MINHASH
   // CREATE TEXT INDEX <i> ON <t> (text) USING BM25
@@ -169,6 +179,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         s"SELECT's plain columns $plain must equal GROUP BY $groupCols")
       CreateAggViewCommand(view, src, groupCols, sums, mins, maxs, avgs)
     case RefreshMatView(view) => RefreshMatViewCommand(view)
+    case CreateTopkView(view, tbl, grp, ord, id, k) =>
+      CreateTopkViewCommand(view, tbl, grp, id, ord, k.toInt)
     case CreateIndex(kind, name, tbl, colName, method) =>
       CreateIndexCommand(kind.toUpperCase, name, tbl,
         colName, method.toLowerCase)
@@ -484,20 +496,46 @@ case class CreateAggViewCommand(
   }
 }
 
+/** `CREATE TOPK VIEW <v> ON <t> GROUP BY <g> ORDER BY <o> DESC KEY <id>
+  * LIMIT <k>` — builds the incrementally-maintained per-group top-k
+  * ([[graft.table.TopKView]]; definition + source recorded in the
+  * view's properties, so `REFRESH MATERIALIZED VIEW` needs only the
+  * name). Returns the view's committed version. */
+case class CreateTopkViewCommand(
+    view: String, tbl: String, grpCol: String,
+    idCol: String, ordCol: String, k: Int) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val source = GraftSqlParser.resolve(spark, tbl)
+    val v = graft.table.TopKViewOps.build(source,
+      GraftSqlParser.cleanName(view), grpCol, idCol, ordCol, k = k)
+    Seq(Row(v.state.latestVersion))
+  }
+}
+
 /** `REFRESH MATERIALIZED VIEW <view>` — one delta-scoped refresh from
   * the sources recorded in the view's properties (dispatches on the
-  * view's own definition: join view or aggregate view). Returns the
-  * new view version, or no rows when the view was already current. */
+  * view's own definition: join view, aggregate view, or top-k view).
+  * Returns the new view version, or no rows when the view was already
+  * current. */
 case class RefreshMatViewCommand(view: String) extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val path = GraftSqlParser.cleanName(view)
-    val props = VersionedTable.load(spark, path).latestManifest.properties
+    // a top-k view is a composite root: its definition lives on the
+    // state table underneath (the BM25 composite-index convention)
     val refreshed =
-      if (props.contains(graft.table.JoinView.PROP_A_KEY))
-        graft.table.JoinView.load(spark, path).refresh()
-      else graft.table.AggView.load(spark, path).refresh()
+      if (!VersionedTable.exists(path) &&
+          VersionedTable.exists(s"$path/state"))
+        graft.table.TopKViewOps.load(spark, path).refresh()
+      else {
+        val props = VersionedTable.load(spark, path).latestManifest.properties
+        if (props.contains(graft.table.JoinView.PROP_A_KEY))
+          graft.table.JoinView.load(spark, path).refresh()
+        else graft.table.AggView.load(spark, path).refresh()
+      }
     refreshed.map(Row(_)).toSeq
   }
 }

@@ -604,6 +604,164 @@ object EventWindows extends QueryModule {
       |  count(*) AS n
       |FROM r GROUP BY 1, 2""".stripMargin
 
+  // ------------------------------------------------- q_funnel_windowed
+  /** The funnel with per-stage CONVERSION DEADLINES: a click counts
+    * only within `FUNNEL_W` of the first view, a purchase only within
+    * `FUNNEL_W` of that qualifying click — how product funnels are
+    * actually measured (unbounded conversion credits a purchase months
+    * later). Same single-shuffle per-user fold as [[qFunnel]], with
+    * the accumulator carrying (stage, reached-at) so the window test
+    * is one subtraction inside the linear walk; the oracle is the
+    * per-step join formulation with the same first-completion + window
+    * predicates. Deadlines only grow the fold's CASE — the shuffle
+    * count never changes with funnel depth or window rules. */
+  private[streaming] val FUNNEL_W = 259200000000L // 3 days
+
+  private def qFunnelWindowed(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val stage = Tables.events(s, d)
+      .select($"user_id", unix_micros($"ts").as("t"), $"event_type")
+      .filter($"event_type".isin("view", "click", "purchase"))
+      .select($"user_id", $"t",
+        when($"event_type" === "view", 1)
+          .when($"event_type" === "click", 2)
+          .otherwise(3).as("o"))
+      .groupBy($"user_id")
+      .agg(sort_array(collect_list(struct($"t", $"o"))).as("evs"))
+      .select($"user_id", expr(
+        s"""aggregate(evs,
+          |  named_struct('st', 0, 'tt', CAST(0 AS BIGINT)),
+          |  (acc, e) -> CASE
+          |    WHEN acc.st = 0 AND e.o = 1
+          |      THEN named_struct('st', 1, 'tt', e.t)
+          |    WHEN acc.st = 1 AND e.o = 2 AND e.t - acc.tt <= ${FUNNEL_W}L
+          |      THEN named_struct('st', 2, 'tt', e.t)
+          |    WHEN acc.st = 2 AND e.o = 3 AND e.t - acc.tt <= ${FUNNEL_W}L
+          |      THEN named_struct('st', 3, 'tt', e.t)
+          |    ELSE acc END).st""".stripMargin).as("stage"))
+      .filter($"stage" >= 1)
+    stage.agg(
+        sum(when($"stage" >= 1, 1L).otherwise(0L)).as("n1"),
+        sum(when($"stage" >= 2, 1L).otherwise(0L)).as("n2"),
+        sum(when($"stage" >= 3, 1L).otherwise(0L)).as("n3"))
+      .select(explode(expr(
+        """array(named_struct('step', 1, 'step_name', 'view',     'n_users', n1),
+          |      named_struct('step', 2, 'step_name', 'click',    'n_users', n2),
+          |      named_struct('step', 3, 'step_name', 'purchase', 'n_users', n3))"""
+          .stripMargin)).as("r"))
+      .select($"r.step", $"r.step_name", $"r.n_users")
+  }
+  private val qFunnelWindowedSql =
+    s"""WITH ev AS (
+      |  SELECT user_id, epoch_us(ts) AS t, event_type FROM events
+      |  WHERE event_type IN ('view', 'click', 'purchase')),
+      |s1 AS (SELECT user_id, min(t) AS t1 FROM ev
+      |       WHERE event_type = 'view' GROUP BY 1),
+      |s2 AS (SELECT e.user_id, min(e.t) AS t2 FROM ev e JOIN s1 USING (user_id)
+      |       WHERE e.event_type = 'click' AND e.t >= s1.t1
+      |         AND e.t - s1.t1 <= $FUNNEL_W GROUP BY 1),
+      |s3 AS (SELECT e.user_id, min(e.t) AS t3 FROM ev e JOIN s2 USING (user_id)
+      |       WHERE e.event_type = 'purchase' AND e.t >= s2.t2
+      |         AND e.t - s2.t2 <= $FUNNEL_W GROUP BY 1)
+      |SELECT 1 AS step, 'view' AS step_name,
+      |       (SELECT count(*) FROM s1) AS n_users
+      |UNION ALL SELECT 2, 'click',    (SELECT count(*) FROM s2)
+      |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)""".stripMargin
+
+  // -------------------------------------------------- q_abtest_metrics
+  /** A/B experiment readout: users assign to variants by seeded md5
+    * hash (deterministic, engine-portable — the
+    * [[graft.operators.Sampling]] bucket idiom, which is also how real
+    * experiment systems bucket: stable under retries and joins), then
+    * per-variant exposure, conversion (≥1 purchase), revenue, and the
+    * two-proportion z statistic — the decision statistic read off
+    * every experiment dashboard.
+    *
+    * ONE scan to per-user flags (map-side combine), a 2-row variant
+    * aggregate, and a 1-row readout: at 100 TB the z-test costs the
+    * scan, nothing more. Counts/cents are exact integers; the z
+    * arithmetic is a fixed IEEE expression over identical integers in
+    * both engines, rounded 4dp (the established grid). */
+  private[streaming] val ABTEST_CONV_CENTS = 20000L // "high-value purchase"
+
+  private def qAbtestMetrics(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val perUser = Tables.events(s, d)
+      .select($"user_id", $"event_type",
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy($"user_id")
+      .agg(
+        max(when($"event_type" === "purchase" &&
+          $"cents" > ABTEST_CONV_CENTS, 1L).otherwise(0L)).as("conv"),
+        sum(when($"event_type" === "purchase", $"cents").otherwise(0L))
+          .as("rev_cents"))
+      .withColumn("variant",
+        when(conv(substring(md5(concat(lit("ab|"), $"user_id".cast("string"))),
+          1, 4), 16, 10).cast("long") % 2 === 0L, "A").otherwise("B"))
+    val byV = perUser.groupBy($"variant")
+      .agg(count(lit(1)).as("n_users"), sum($"conv").as("n_conv"),
+        sum($"rev_cents").as("rev_cents"))
+      .withColumn("conv_ppm", expr("n_conv * 1000000L div n_users"))
+    val a = byV.filter($"variant" === "A")
+      .select($"n_users".as("n_a"), $"n_conv".as("c_a"),
+        $"rev_cents".as("rev_a"), $"conv_ppm".as("ppm_a"))
+    val b = byV.filter($"variant" === "B")
+      .select($"n_users".as("n_b"), $"n_conv".as("c_b"),
+        $"rev_cents".as("rev_b"), $"conv_ppm".as("ppm_b"))
+    // degenerate pools (nobody or everybody converted) have zero
+    // variance — report z = 0 instead of a 0/0 (same guard as the
+    // oracle; a real dashboard shows "no signal" for these)
+    val z = expr(
+      """CASE WHEN c_a + c_b = 0 OR c_a + c_b = n_a + n_b THEN 0.0
+        |ELSE round(
+        |  (CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b) /
+        |  sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+        |       * (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+        |       * (1.0 / n_a + 1.0 / n_b)), 4) END""".stripMargin)
+    a.crossJoin(b)
+      .select($"n_a", $"c_a", $"rev_a", $"ppm_a",
+        $"n_b", $"c_b", $"rev_b", $"ppm_b", z.as("z_stat"),
+        (abs(z) > 1.96).as("significant"))
+  }
+  private val qAbtestMetricsSql = {
+    val bucket = (1 to 4).map(i =>
+      s"(strpos('0123456789abcdef', substring(k, $i, 1)) - 1) * ${math.pow(16, 4 - i).toLong}")
+      .mkString(" + ")
+    val z =
+      """CASE WHEN c_a + c_b = 0 OR c_a + c_b = n_a + n_b THEN 0.0
+        |ELSE round(
+        |  (CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b) /
+        |  sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+        |       * (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+        |       * (1.0 / n_a + 1.0 / n_b)), 4) END""".stripMargin
+    s"""WITH pu AS (
+      |  SELECT user_id,
+      |    max(CASE WHEN event_type = 'purchase'
+      |             AND CAST(round(value * 100) AS BIGINT) > $ABTEST_CONV_CENTS
+      |             THEN 1 ELSE 0 END) AS conv,
+      |    CAST(sum(CASE WHEN event_type = 'purchase'
+      |             THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+      |      AS BIGINT) AS rev_cents
+      |  FROM events GROUP BY 1),
+      |v AS (
+      |  SELECT CASE WHEN ($bucket) % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+      |    conv, rev_cents
+      |  FROM (SELECT *, md5('ab|' || user_id::VARCHAR) AS k FROM pu)),
+      |byv AS (
+      |  SELECT variant, count(*) AS n_users,
+      |    CAST(sum(conv) AS BIGINT) AS n_conv,
+      |    CAST(sum(rev_cents) AS BIGINT) AS rev_cents,
+      |    CAST((sum(conv) * 1000000) // count(*) AS BIGINT) AS conv_ppm
+      |  FROM v GROUP BY 1),
+      |a AS (SELECT n_users AS n_a, n_conv AS c_a, rev_cents AS rev_a,
+      |             conv_ppm AS ppm_a FROM byv WHERE variant = 'A'),
+      |b AS (SELECT n_users AS n_b, n_conv AS c_b, rev_cents AS rev_b,
+      |             conv_ppm AS ppm_b FROM byv WHERE variant = 'B')
+      |SELECT n_a, c_a, rev_a, ppm_a, n_b, c_b, rev_b, ppm_b,
+      |  $z AS z_stat, abs($z) > 1.96 AS significant
+      |FROM a, b""".stripMargin
+  }
+
   // ----------------------------------------------- q_time_weighted_avg
   /** TIME-WEIGHTED average of `value` per user — the correct mean for
     * irregularly-sampled state series (billing meters, feature gauges,
@@ -659,8 +817,10 @@ object EventWindows extends QueryModule {
     "q_sliding_windows" -> qSlidingWindows _,
     "q_sessionize"      -> qSessionize _,
     "q_funnel"          -> qFunnel _,
+    "q_funnel_windowed" -> qFunnelWindowed _,
     "q_retention"       -> qRetention _,
     "q_attribution"     -> qAttribution _,
+    "q_abtest_metrics"  -> qAbtestMetrics _,
     "q_markov_transitions" -> qMarkovTransitions _,
     "q_ohlc_bars"       -> qOhlcBars _,
     "q_time_weighted_avg" -> qTimeWeightedAvg _,
@@ -671,8 +831,10 @@ object EventWindows extends QueryModule {
     "q_sliding_windows" -> qSlidingWindowsSql,
     "q_sessionize"      -> qSessionizeSql,
     "q_funnel"          -> qFunnelSql,
+    "q_funnel_windowed" -> qFunnelWindowedSql,
     "q_retention"       -> qRetentionSql,
     "q_attribution"     -> qAttributionSql,
+    "q_abtest_metrics"  -> qAbtestMetricsSql,
     "q_markov_transitions" -> qMarkovTransitionsSql,
     "q_ohlc_bars"       -> qOhlcBarsSql,
     "q_time_weighted_avg" -> qTimeWeightedAvgSql,

@@ -45,8 +45,11 @@ import graft.{QueryModule, Tables}
 final class TopKView private[table] (
     val state: VersionedTable,   // (grp, id, ord) candidate buffers
     val meta: VersionedTable,    // (grp, valid_n)
-    grpCol: String, idCol: String, ordCol: String) {
-  import TopKViewOps.{APP, CAND, K, mergeClauses}
+    grpCol: String, idCol: String, ordCol: String,
+    val k: Int, slack: Int) {
+  import TopKViewOps.{APP, mergeClauses}
+  private val K = k
+  private val CAND = k + slack
 
   private def spark: SparkSession = state.spark
 
@@ -61,6 +64,12 @@ final class TopKView private[table] (
     if (grps.length <= JoinView.IN_LIST_MAX)
       src.snapshotWhere(col(grpCol).isin(grps: _*))
     else src.snapshotForKeys(grpCol, grps)
+
+  /** Refreshes from the source recorded at build time (the SQL
+    * `REFRESH MATERIALIZED VIEW` path — the view is self-describing). */
+  def refresh(): Option[Long] =
+    refresh(VersionedTable.load(spark,
+      state.latestManifest.properties(TopKViewOps.PROP_SOURCE)))
 
   /** Applies all source changes the view has not seen. */
   def refresh(src: VersionedTable): Option[Long] = {
@@ -169,6 +178,16 @@ object TopKViewOps extends QueryModule {
   val CAND: Int = K + SLACK
   private val BUCKETS = 8
 
+  // self-describing view definition, recorded on the state table so
+  // `TopKViewOps.load` / SQL `REFRESH MATERIALIZED VIEW` need only
+  // the view path (the JoinView/AggView property protocol)
+  val PROP_GRP = "graft.topk.grp"
+  val PROP_ID = "graft.topk.id"
+  val PROP_ORD = "graft.topk.ord"
+  val PROP_K = "graft.topk.k"
+  val PROP_SLACK = "graft.topk.slack"
+  val PROP_SOURCE = "graft.topk.source"
+
   private[table] val mergeClauses = Seq(
     WhenMatchedDelete(Some(col("source.__op") === "DELETE")),
     WhenMatchedUpdate(Some(col("source.__op") === "UPSERT")),
@@ -176,14 +195,19 @@ object TopKViewOps extends QueryModule {
 
   /** Builds the view (full derive of every group) over `src`. */
   def build(src: VersionedTable, root: String,
-      grpCol: String, idCol: String, ordCol: String): TopKView = {
+      grpCol: String, idCol: String, ordCol: String,
+      k: Int = K, slack: Int = SLACK): TopKView = {
     val spark = src.spark
     val srcSchema = src.schema
+    val cand0 = k + slack
     def f(n: String) = srcSchema(n)
-    // the state is compact (|groups|·(K+SLACK) rows) — a plain CoW
+    // the state is compact (|groups|·(k+slack) rows) — a plain CoW
     // table whose merges rewrite only files containing touched keys
     val state = VersionedTable.create(spark, s"$root/state",
-      StructType(Seq(f(grpCol), f(idCol), f(ordCol))))
+      StructType(Seq(f(grpCol), f(idCol), f(ordCol))),
+      Map(PROP_GRP -> grpCol, PROP_ID -> idCol, PROP_ORD -> ordCol,
+        PROP_K -> k.toString, PROP_SLACK -> slack.toString,
+        PROP_SOURCE -> src.root.toString))
     val meta = VersionedTable.create(spark, s"$root/meta",
       StructType(Seq(f(grpCol), StructField("valid_n", LongType))))
     val latest = src.latestVersion
@@ -192,15 +216,24 @@ object TopKViewOps extends QueryModule {
     val cand = src.snapshot()
       .select(col(grpCol), col(idCol), col(ordCol))
       .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= CAND).drop("__rn")
+      .filter(col("__rn") <= cand0).drop("__rn")
     Merge.run(state, cand.withColumn("__op", lit("UPSERT")),
       Seq(grpCol, idCol), mergeClauses, extraTxn = Map(APP -> latest))
     Merge.run(meta,
       cand.select(col(grpCol)).distinct()
-        .withColumn("valid_n", lit(CAND.toLong))
+        .withColumn("valid_n", lit(cand0.toLong))
         .withColumn("__op", lit("UPSERT")),
       Seq(grpCol), mergeClauses)
-    new TopKView(state, meta, grpCol, idCol, ordCol)
+    new TopKView(state, meta, grpCol, idCol, ordCol, k, slack)
+  }
+
+  /** Loads a built view from its recorded definition. */
+  def load(spark: SparkSession, root: String): TopKView = {
+    val state = VersionedTable.load(spark, s"$root/state")
+    val p = state.latestManifest.properties
+    new TopKView(state, VersionedTable.load(spark, s"$root/meta"),
+      p(PROP_GRP), p(PROP_ID), p(PROP_ORD),
+      p(PROP_K).toInt, p(PROP_SLACK).toInt)
   }
 
   // ------------------------------------------------------ query fixtures

@@ -239,6 +239,51 @@ class GraftSqlParserSpec extends SparkSpec {
     }
   }
 
+  test("CREATE TOPK VIEW ... / REFRESH MATERIALIZED VIEW round-trip") {
+    withExtendedSession { s =>
+      import s.implicits._
+      val base = Files.createTempDirectory("sqltopk")
+      val src = VersionedTable.create(s, base.resolve("docs").toString,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("lang",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("score",
+            org.apache.spark.sql.types.LongType))),
+        Map(VersionedTable.PROP_CDF -> "true"))
+      src.append((1L to 30L).map(i =>
+          (if (i % 2 == 0) "en" else "fr", i, (i * 37) % 100))
+        .toDF("lang", "doc_id", "score"))
+      val vPath = base.resolve("v").toString
+
+      val v0 = s.sql(s"CREATE TOPK VIEW '$vPath' ON '${src.root}' " +
+        "GROUP BY lang ORDER BY score DESC KEY doc_id LIMIT 3").collect()
+      assert(v0.head.getLong(0) >= 1L)
+      def topk() = TopKViewOps.load(s, vPath).topk().collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSet
+      def expected() = {
+        import org.apache.spark.sql.expressions.Window
+        src.snapshot().withColumn("rnk",
+            org.apache.spark.sql.functions.row_number().over(
+              Window.partitionBy(col("lang"))
+                .orderBy(col("score").desc, col("doc_id").asc)))
+          .filter(col("rnk") <= 3).collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getInt(3).toLong)).toSet
+      }
+      assert(topk() === expected())
+      assert(topk().count(_._1 == "en") === 3)
+
+      // self-describing refresh: new leaders arrive, SQL REFRESH drains
+      src.append(Seq(("en", 100L, 999L), ("fr", 101L, 998L))
+        .toDF("lang", "doc_id", "score"))
+      s.sql(s"REFRESH MATERIALIZED VIEW '$vPath'").collect()
+      assert(topk() === expected())
+      assert(topk().exists(_._2 == 100L))
+      VersionedTable.deleteRecursively(base)
+    }
+  }
+
   test("index DDL: CREATE TEXT INDEX ... USING BM25 round-trip over the composite root") {
     withExtendedSession { s =>
       import s.implicits._

@@ -177,6 +177,32 @@ class OrderingAnalyticsSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  // ------------------------------------------------ windowed funnel
+  test("windowed funnel: dominated by the unbounded funnel, view step equal") {
+    val unbounded = run("q_funnel").collect()
+      .map(r => r.getInt(0) -> r.getLong(2)).toMap
+    val windowed = run("q_funnel_windowed").collect()
+      .map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(windowed(1) === unbounded(1)) // stage 1 has no deadline
+    assert(windowed(2) <= unbounded(2))
+    assert(windowed(3) <= unbounded(3))
+    assert(windowed(3) <= windowed(2) && windowed(2) <= windowed(1))
+  }
+
+  // ------------------------------------------------- A/B test readout
+  test("abtest: variants partition the users, rates bounded, z finite") {
+    val r = run("q_abtest_metrics").head
+    val totalUsers = Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(r.getLong(0) + r.getLong(4) === totalUsers)
+    assert(r.getLong(3) >= 0L && r.getLong(3) <= 1000000L)
+    assert(r.getLong(7) >= 0L && r.getLong(7) <= 1000000L)
+    assert(!r.getDouble(8).isNaN && !r.getDouble(8).isInfinite)
+    // the synthetic feed has no real treatment effect: a |z| that
+    // clears 5 sigma would mean the bucketing itself is biased
+    assert(math.abs(r.getDouble(8)) < 5.0)
+  }
+
   // ------------------------------------------------ curriculum order
   test("curriculum: strict permutation, stage-major, deterministic") {
     val out = run("q_curriculum_order").cache()

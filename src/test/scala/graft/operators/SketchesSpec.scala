@@ -151,11 +151,11 @@ class SketchesSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
   test("incrementally-maintained AMS grid estimates exactly like a rebuild") {
     val incr = graft.SparkEntry.queries("q_join_estimate_incr")(spark, sf)
       .as[(String, Long, Long)].collect().head
-    val li = graft.Tables.lineitem(spark, sf).filter($"l_orderkey" % 17 =!= 3)
-    val os = graft.Tables.orders(spark, sf)
+    val su = graft.Tables.supplier(spark, sf).filter($"s_suppkey" % 17 =!= 3)
+    val li = graft.Tables.lineitem(spark, sf)
     val batch = Sketches.amsJoinEstimate(
-      Sketches.amsSketch(li, "l_orderkey"),
-      Sketches.amsSketch(os, "o_orderkey")).as[Long].collect().head
+      Sketches.amsSketch(su, "s_suppkey"),
+      Sketches.amsSketch(li, "l_suppkey")).as[Long].collect().head
     assert(incr._2 === batch,
       "grid maintained through append+delete churn must estimate like a rebuild")
     assert(incr._3 > 0)
