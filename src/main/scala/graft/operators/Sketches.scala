@@ -665,6 +665,62 @@ object Sketches extends QueryModule {
       |  round(CAST(n_inter AS DOUBLE) / n_union, 4) AS jaccard_exact
       |FROM nb, m, ex""".stripMargin
 
+  // ------------------------------------------------ q_seasonal_anomaly
+  /** SEASONAL volume anomaly detection: each (event_type, day) scores
+    * against its own DAY-OF-WEEK baseline instead of the trailing
+    * window [[anomalyScores]] uses — weekly periodicity (weekend dips,
+    * Monday spikes) saturates a trailing-7 z-score but is exactly what
+    * a per-weekday baseline absorbs; the pair covers the two standing
+    * volume monitors a feed dashboard runs. Day-of-week is pure
+    * integer arithmetic (epoch-days mod 7 — no engine-private DOW
+    * numbering), the baseline is exact Σn/Σn² over that weekday's
+    * observations, and z rounds 4dp from identical integers (the
+    * [[qDriftPsi]] recipe). Cost: the same (type, day) aggregate as
+    * the trailing monitor plus a |types|·7-row baseline join. */
+  private def qSeasonalAnomaly(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = events(s, d)
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("dow", expr("CAST(datediff(day, DATE'1970-01-01') % 7 AS BIGINT)"))
+    val base = daily.groupBy($"event_type", $"dow")
+      .agg(count(lit(1)).as("m"), sum($"n").as("s"),
+        sum($"n" * $"n").as("s2"))
+      .filter($"m" >= 2)
+    daily.join(broadcast(base), Seq("event_type", "dow"))
+      .withColumn("mean", $"s".cast("double") / $"m")
+      .withColumn("vr",
+        ($"s2".cast("double") - $"s".cast("double") * $"s" / $"m") / $"m")
+      .withColumn("z", when($"vr" > 0.0,
+        round(($"n".cast("double") - $"mean") / sqrt($"vr"), 4))
+        .otherwise(lit(0.0)))
+      .select($"event_type", $"day".cast("string").as("day"),
+        $"dow", $"n", $"z".as("zscore"), (abs($"z") > 3.0).as("is_anomaly"))
+  }
+  private val qSeasonalAnomalySql =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |dd AS (SELECT *, (day - DATE '1970-01-01') % 7 AS dow FROM daily),
+      |base AS (
+      |  SELECT event_type, dow, count(*) AS m,
+      |    CAST(sum(n) AS BIGINT) AS s, CAST(sum(n * n) AS BIGINT) AS s2
+      |  FROM dd GROUP BY 1, 2 HAVING count(*) >= 2),
+      |sc AS (
+      |  SELECT dd.event_type, dd.day, dd.dow, dd.n,
+      |    CAST(s AS DOUBLE) / m AS mean,
+      |    (CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * s / m) / m AS vr
+      |  FROM dd JOIN base USING (event_type, dow)),
+      |z AS (
+      |  SELECT event_type, day, dow, n,
+      |    CASE WHEN vr > 0.0
+      |         THEN round((CAST(n AS DOUBLE) - mean) / sqrt(vr), 4)
+      |         ELSE 0.0 END AS zscore
+      |  FROM sc)
+      |SELECT event_type, CAST(day AS VARCHAR) AS day, CAST(dow AS BIGINT) AS dow,
+      |  n, zscore, abs(zscore) > 3.0 AS is_anomaly
+      |FROM z""".stripMargin
+
   // -------------------------------------------------- q_anomaly_windows
   /** Trailing-window anomaly detection over the event stream: for each
     * (event_type, day), the z-score of that day's event count against
@@ -970,6 +1026,7 @@ object Sketches extends QueryModule {
     "q_join_estimate_incr" -> (qJoinEstimateIncr _),
     "q_key_overlap" -> (qKeyOverlap _),
     "q_anomaly_windows" -> (qAnomalyWindows _),
+    "q_seasonal_anomaly" -> (qSeasonalAnomaly _),
     "q_gap_fill" -> (qGapFill _))
 
   override def oracles: Seq[(String, String)] = Seq(
@@ -986,5 +1043,6 @@ object Sketches extends QueryModule {
     "q_join_estimate_incr" -> qJoinEstimateIncrSql,
     "q_key_overlap" -> qKeyOverlapSql,
     "q_anomaly_windows" -> qAnomalyWindowsSql,
+    "q_seasonal_anomaly" -> qSeasonalAnomalySql,
     "q_gap_fill" -> qGapFillSql)
 }

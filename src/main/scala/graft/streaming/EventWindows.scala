@@ -668,6 +668,57 @@ object EventWindows extends QueryModule {
       |UNION ALL SELECT 2, 'click',    (SELECT count(*) FROM s2)
       |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)""".stripMargin
 
+  // -------------------------------------------------- q_conversion_lag
+  /** TIME-TO-CONVERT distribution: for every user who completed the
+    * ordered funnel, the lag from first view to the qualifying
+    * purchase, bucketed into a day histogram — the "how long does
+    * conversion take" readout that sizes attribution lookbacks
+    * ([[qAttribution]]'s 24 h) and funnel deadlines
+    * ([[qFunnelWindowed]]'s 3 days) from data instead of folklore.
+    * Same single-shuffle per-user fold as the funnel, with the
+    * accumulator carrying (stage, first-view-at, reached-at); the
+    * histogram is |days| rows of exact integer counts. */
+  private def qConversionLag(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .select($"user_id", unix_micros($"ts").as("t"), $"event_type")
+      .filter($"event_type".isin("view", "click", "purchase"))
+      .select($"user_id", $"t",
+        when($"event_type" === "view", 1)
+          .when($"event_type" === "click", 2)
+          .otherwise(3).as("o"))
+      .groupBy($"user_id")
+      .agg(sort_array(collect_list(struct($"t", $"o"))).as("evs"))
+      .select($"user_id", expr(
+        """aggregate(evs,
+          |  named_struct('st', 0, 't1', CAST(0 AS BIGINT), 'tt', CAST(0 AS BIGINT)),
+          |  (acc, e) -> CASE
+          |    WHEN acc.st = 0 AND e.o = 1
+          |      THEN named_struct('st', 1, 't1', e.t, 'tt', e.t)
+          |    WHEN acc.st = 1 AND e.o = 2
+          |      THEN named_struct('st', 2, 't1', acc.t1, 'tt', e.t)
+          |    WHEN acc.st = 2 AND e.o = 3
+          |      THEN named_struct('st', 3, 't1', acc.t1, 'tt', e.t)
+          |    ELSE acc END)""".stripMargin).as("a"))
+      .filter($"a.st" === 3)
+      .select(expr(s"(a.tt - a.t1) div ${DAY_US}L").as("lag_days"))
+      .groupBy($"lag_days").agg(count(lit(1)).as("n_users"))
+  }
+  private val qConversionLagSql =
+    s"""WITH ev AS (
+      |  SELECT user_id, epoch_us(ts) AS t, event_type FROM events
+      |  WHERE event_type IN ('view', 'click', 'purchase')),
+      |s1 AS (SELECT user_id, min(t) AS t1 FROM ev
+      |       WHERE event_type = 'view' GROUP BY 1),
+      |s2 AS (SELECT e.user_id, min(e.t) AS t2 FROM ev e JOIN s1 USING (user_id)
+      |       WHERE e.event_type = 'click' AND e.t >= s1.t1 GROUP BY 1),
+      |s3 AS (SELECT e.user_id, s1.t1, min(e.t) AS t3
+      |       FROM ev e JOIN s2 USING (user_id) JOIN s1 USING (user_id)
+      |       WHERE e.event_type = 'purchase' AND e.t >= s2.t2
+      |       GROUP BY 1, 2)
+      |SELECT (t3 - t1) // $DAY_US AS lag_days, count(*) AS n_users
+      |FROM s3 GROUP BY 1""".stripMargin
+
   // -------------------------------------------------- q_abtest_metrics
   /** A/B experiment readout: users assign to variants by seeded md5
     * hash (deterministic, engine-portable — the
@@ -821,6 +872,7 @@ object EventWindows extends QueryModule {
     "q_retention"       -> qRetention _,
     "q_attribution"     -> qAttribution _,
     "q_abtest_metrics"  -> qAbtestMetrics _,
+    "q_conversion_lag"  -> qConversionLag _,
     "q_markov_transitions" -> qMarkovTransitions _,
     "q_ohlc_bars"       -> qOhlcBars _,
     "q_time_weighted_avg" -> qTimeWeightedAvg _,
@@ -835,6 +887,7 @@ object EventWindows extends QueryModule {
     "q_retention"       -> qRetentionSql,
     "q_attribution"     -> qAttributionSql,
     "q_abtest_metrics"  -> qAbtestMetricsSql,
+    "q_conversion_lag"  -> qConversionLagSql,
     "q_markov_transitions" -> qMarkovTransitionsSql,
     "q_ohlc_bars"       -> qOhlcBarsSql,
     "q_time_weighted_avg" -> qTimeWeightedAvgSql,

@@ -189,6 +189,25 @@ class OrderingAnalyticsSpec extends SparkSpec {
     assert(windowed(3) <= windowed(2) && windowed(2) <= windowed(1))
   }
 
+  // ------------------------------------------------- conversion lag
+  test("conversion lag: histogram mass equals the funnel's converted users") {
+    val lag = run("q_conversion_lag").agg(sum("n_users")).head.getLong(0)
+    val funnel3 = run("q_funnel").collect()
+      .find(_.getInt(0) == 3).get.getLong(2)
+    assert(lag === funnel3)
+    assert(run("q_conversion_lag").filter(col("lag_days") < 0).count() === 0)
+  }
+
+  // ---------------------------------------------- seasonal anomaly
+  test("seasonal anomaly: weekday buckets valid, scores finite") {
+    val out = run("q_seasonal_anomaly").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(2) >= 0L && r.getLong(2) <= 6L)
+      assert(!r.getDouble(4).isNaN && !r.getDouble(4).isInfinite)
+    }
+  }
+
   // ------------------------------------------------- A/B test readout
   test("abtest: variants partition the users, rates bounded, z finite") {
     val r = run("q_abtest_metrics").head
