@@ -83,7 +83,8 @@ object Bench {
     "q_time_weighted_avg", "q_winsorize",                   // TWA / robust clipping
     "q_quantile_view", "q_sessionize_incr",                 // incremental sketch/session views
     "q_funnel_windowed", "q_abtest_metrics",                // deadline funnel / experiment readout
-    "q_conversion_lag", "q_seasonal_anomaly")               // lag histogram / weekday baseline
+    "q_conversion_lag", "q_seasonal_anomaly",               // lag histogram / weekday baseline
+    "q_rfm", "q_cusum_changepoint")                         // RFM segmentation / level-shift monitor
   // q_semantic_dedup stays sf0.1-only: its oracle-replayable form fixes
   // CENTROIDS=16, so per-cell pair cost grows ~(N/16)² — the sf1 scale
   // path is the adaptive-cell VectorIndex (cells ~ √N), already timed

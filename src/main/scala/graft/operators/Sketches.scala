@@ -721,6 +721,79 @@ object Sketches extends QueryModule {
       |  n, zscore, abs(zscore) > 3.0 AS is_anomaly
       |FROM z""".stripMargin
 
+  // ------------------------------------------------ q_cusum_changepoint
+  /** CUSUM CHANGEPOINT detection over the per-(event_type, day) volume
+    * series: the cumulative sum of deviations from the series mean
+    * peaks (in absolute value) at the most likely LEVEL-SHIFT point —
+    * the retrospective "when did this feed change" monitor that
+    * completes the volume family (trailing z = sudden spike, weekday
+    * baseline = seasonality, CUSUM = sustained shift a per-day z never
+    * trips on).
+    *
+    * All-integer until the readout: deviations are scaled by the day
+    * count (`n_i·m − s` instead of `n_i − s/m`), so the running sum,
+    * its argmax, and the tiebreak (earliest day) are exact; the
+    * normalized statistic divides once by `m·√(m·var)` and rounds 4dp.
+    * Cost: the same (type, day) aggregate as every monitor here plus a
+    * per-type window over |days| rows. */
+  private def qCusumChangepoint(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val daily = events(s, d)
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val wAll = Window.partitionBy($"event_type")
+    val wCum = Window.partitionBy($"event_type").orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = daily
+      .withColumn("m", count(lit(1)).over(wAll))
+      .withColumn("s", sum($"n").over(wAll))
+      .withColumn("s2", sum($"n" * $"n").over(wAll))
+      .withColumn("cusum", sum($"n" * $"m" - $"s").over(wCum))
+      .withColumn("ac", abs($"cusum"))
+    val wBest = Window.partitionBy($"event_type")
+      .orderBy($"ac".desc, $"day".asc)
+    scored
+      .withColumn("rk", row_number().over(wBest))
+      .filter($"rk" === 1)
+      .select($"event_type", $"day".cast("string").as("change_day"),
+        $"ac".as("cusum_scaled"),
+        round($"ac".cast("double") / ($"m".cast("double") *
+          sqrt($"m".cast("double") *
+            (($"s2".cast("double") - $"s".cast("double") * $"s" / $"m") / $"m"))),
+          4).as("stat"))
+  }
+  private val qCusumChangepointSql =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |st AS (
+      |  SELECT event_type, day, n,
+      |    count(*) OVER w1 AS m,
+      |    CAST(sum(n) OVER w1 AS BIGINT) AS s,
+      |    CAST(sum(n * n) OVER w1 AS BIGINT) AS s2
+      |  FROM daily
+      |  WINDOW w1 AS (PARTITION BY event_type)),
+      |sc AS (
+      |  SELECT *,
+      |    CAST(sum(n * m - s)
+      |      OVER (PARTITION BY event_type ORDER BY day
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS BIGINT) AS cusum
+      |  FROM st),
+      |best AS (
+      |  SELECT *,
+      |    row_number() OVER (PARTITION BY event_type
+      |                       ORDER BY abs(cusum) DESC, day ASC) AS rk
+      |  FROM sc)
+      |SELECT event_type, CAST(day AS VARCHAR) AS change_day,
+      |  abs(cusum) AS cusum_scaled,
+      |  round(CAST(abs(cusum) AS DOUBLE) / (CAST(m AS DOUBLE) *
+      |    sqrt(CAST(m AS DOUBLE) *
+      |      ((CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * s / m) / m))), 4)
+      |    AS stat
+      |FROM best WHERE rk = 1""".stripMargin
+
   // -------------------------------------------------- q_anomaly_windows
   /** Trailing-window anomaly detection over the event stream: for each
     * (event_type, day), the z-score of that day's event count against
@@ -1027,6 +1100,7 @@ object Sketches extends QueryModule {
     "q_key_overlap" -> (qKeyOverlap _),
     "q_anomaly_windows" -> (qAnomalyWindows _),
     "q_seasonal_anomaly" -> (qSeasonalAnomaly _),
+    "q_cusum_changepoint" -> (qCusumChangepoint _),
     "q_gap_fill" -> (qGapFill _))
 
   override def oracles: Seq[(String, String)] = Seq(
@@ -1044,5 +1118,6 @@ object Sketches extends QueryModule {
     "q_key_overlap" -> qKeyOverlapSql,
     "q_anomaly_windows" -> qAnomalyWindowsSql,
     "q_seasonal_anomaly" -> qSeasonalAnomalySql,
+    "q_cusum_changepoint" -> qCusumChangepointSql,
     "q_gap_fill" -> qGapFillSql)
 }

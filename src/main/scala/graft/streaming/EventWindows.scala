@@ -668,6 +668,116 @@ object EventWindows extends QueryModule {
       |UNION ALL SELECT 2, 'click',    (SELECT count(*) FROM s2)
       |UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)""".stripMargin
 
+  // ------------------------------------------------------------ q_rfm
+  /** RFM (Recency / Frequency / Monetary) user segmentation — the
+    * classic behavioral-cohort operator: per user, days since last
+    * purchase, purchase count, and exact revenue cents, each scored
+    * into population TERCILES with the integer ⌈p·n⌉ rank rule (the
+    * [[graft.llm.CorpusQuality]] winsorize idiom — no interpolated
+    * percentiles, so the cut points are engine-portable integers).
+    * Segment = concatenated R/F/M scores; the readout every retention
+    * team buckets its lifecycle campaigns on.
+    *
+    * ONE user shuffle builds the per-user features; each score needs
+    * only a 2-row threshold table (a rank-window aggregate over the
+    * |users|-row FEATURE table — events never re-scan), broadcast
+    * back. The rank window is single-partition over |purchasing
+    * users|; for billion-user populations the cut values come from the
+    * histogram-CDF shape instead ([[graft.operators.Sketches]]
+    * q_hist_quantiles — same integer rank rule, mergeable counts).
+    * Recency measures against the fixed corpus-end anchor (max event
+    * time), so the result is reproducible. */
+  private def qRfm(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val ev = Tables.events(s, d).select($"user_id", $"event_type",
+      unix_micros($"ts").as("t"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val anchor = ev.agg(max($"t").as("t_end"))
+    val users = ev.filter($"event_type" === "purchase")
+      .crossJoin(broadcast(anchor))
+      .groupBy($"user_id")
+      .agg(
+        expr(s"CAST((max(t_end) - max(t)) div ${DAY_US}L AS BIGINT)")
+          .as("recency_days"),
+        count(lit(1)).as("frequency"),
+        sum($"cents").as("monetary_cents"))
+    // tercile cut VALUES per feature: rank the users once per feature,
+    // pick the values at ranks ceil(n/3) and ceil(2n/3)
+    def cuts(c: String, asc: Boolean) = {
+      val w = Window.orderBy(if (asc) col(c).asc else col(c).desc,
+        $"user_id".asc)
+      users
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+        .groupBy()
+        .agg(min(when($"rn" === expr("(n + 2) div 3"), col(c))).as(s"${c}_c1"),
+          min(when($"rn" === expr("(2 * n + 2) div 3"), col(c))).as(s"${c}_c2"))
+    }
+    // lower recency is better (score 3), higher freq/monetary better
+    val thr = cuts("recency_days", asc = true)
+      .crossJoin(cuts("frequency", asc = false))
+      .crossJoin(cuts("monetary_cents", asc = false))
+    users.crossJoin(broadcast(thr))
+      .select($"user_id", $"recency_days", $"frequency", $"monetary_cents",
+        when($"recency_days" <= $"recency_days_c1", 3L)
+          .when($"recency_days" <= $"recency_days_c2", 2L).otherwise(1L)
+          .as("r_score"),
+        when($"frequency" >= $"frequency_c1", 3L)
+          .when($"frequency" >= $"frequency_c2", 2L).otherwise(1L)
+          .as("f_score"),
+        when($"monetary_cents" >= $"monetary_cents_c1", 3L)
+          .when($"monetary_cents" >= $"monetary_cents_c2", 2L).otherwise(1L)
+          .as("m_score"))
+      .withColumn("segment",
+        concat($"r_score", $"f_score", $"m_score").cast("string"))
+  }
+  private val qRfmSql =
+    s"""WITH ev AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS t,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |anchor AS (SELECT max(t) AS t_end FROM ev),
+      |u AS (
+      |  SELECT user_id,
+      |    CAST((max(t_end) - max(t)) // $DAY_US AS BIGINT) AS recency_days,
+      |    count(*) AS frequency,
+      |    CAST(sum(cents) AS BIGINT) AS monetary_cents
+      |  FROM ev, anchor WHERE event_type = 'purchase' GROUP BY user_id),
+      |rr AS (SELECT *,
+      |    row_number() OVER (ORDER BY recency_days ASC, user_id ASC) AS rn,
+      |    count(*) OVER () AS n FROM u),
+      |rc AS (SELECT min(CASE WHEN rn = (n + 2) // 3 THEN recency_days END) AS r_c1,
+      |              min(CASE WHEN rn = (2 * n + 2) // 3 THEN recency_days END) AS r_c2
+      |       FROM rr),
+      |fr AS (SELECT *,
+      |    row_number() OVER (ORDER BY frequency DESC, user_id ASC) AS rn,
+      |    count(*) OVER () AS n FROM u),
+      |fc AS (SELECT min(CASE WHEN rn = (n + 2) // 3 THEN frequency END) AS f_c1,
+      |              min(CASE WHEN rn = (2 * n + 2) // 3 THEN frequency END) AS f_c2
+      |       FROM fr),
+      |mr AS (SELECT *,
+      |    row_number() OVER (ORDER BY monetary_cents DESC, user_id ASC) AS rn,
+      |    count(*) OVER () AS n FROM u),
+      |mc AS (SELECT min(CASE WHEN rn = (n + 2) // 3 THEN monetary_cents END) AS m_c1,
+      |              min(CASE WHEN rn = (2 * n + 2) // 3 THEN monetary_cents END) AS m_c2
+      |       FROM mr)
+      |SELECT user_id, recency_days, frequency, monetary_cents,
+      |  CAST(CASE WHEN recency_days <= r_c1 THEN 3
+      |       WHEN recency_days <= r_c2 THEN 2 ELSE 1 END AS BIGINT) AS r_score,
+      |  CAST(CASE WHEN frequency >= f_c1 THEN 3
+      |       WHEN frequency >= f_c2 THEN 2 ELSE 1 END AS BIGINT) AS f_score,
+      |  CAST(CASE WHEN monetary_cents >= m_c1 THEN 3
+      |       WHEN monetary_cents >= m_c2 THEN 2 ELSE 1 END AS BIGINT) AS m_score,
+      |  CAST((CASE WHEN recency_days <= r_c1 THEN 3
+      |       WHEN recency_days <= r_c2 THEN 2 ELSE 1 END * 100
+      |    + CASE WHEN frequency >= f_c1 THEN 3
+      |       WHEN frequency >= f_c2 THEN 2 ELSE 1 END * 10
+      |    + CASE WHEN monetary_cents >= m_c1 THEN 3
+      |       WHEN monetary_cents >= m_c2 THEN 2 ELSE 1 END) AS VARCHAR)
+      |    AS segment
+      |FROM u, rc, fc, mc""".stripMargin
+
   // -------------------------------------------------- q_conversion_lag
   /** TIME-TO-CONVERT distribution: for every user who completed the
     * ordered funnel, the lag from first view to the qualifying
@@ -873,6 +983,7 @@ object EventWindows extends QueryModule {
     "q_attribution"     -> qAttribution _,
     "q_abtest_metrics"  -> qAbtestMetrics _,
     "q_conversion_lag"  -> qConversionLag _,
+    "q_rfm"             -> qRfm _,
     "q_markov_transitions" -> qMarkovTransitions _,
     "q_ohlc_bars"       -> qOhlcBars _,
     "q_time_weighted_avg" -> qTimeWeightedAvg _,
@@ -888,6 +999,7 @@ object EventWindows extends QueryModule {
     "q_attribution"     -> qAttributionSql,
     "q_abtest_metrics"  -> qAbtestMetricsSql,
     "q_conversion_lag"  -> qConversionLagSql,
+    "q_rfm"             -> qRfmSql,
     "q_markov_transitions" -> qMarkovTransitionsSql,
     "q_ohlc_bars"       -> qOhlcBarsSql,
     "q_time_weighted_avg" -> qTimeWeightedAvgSql,

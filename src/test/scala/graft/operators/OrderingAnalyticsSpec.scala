@@ -222,6 +222,39 @@ class OrderingAnalyticsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(8)) < 5.0)
   }
 
+  // ----------------------------------------------- RFM segmentation
+  test("rfm: tercile scores populated, segment encodes the three digits") {
+    val out = run("q_rfm").cache()
+    try {
+      val n = out.count()
+      assert(n > 0)
+      for (c <- Seq("r_score", "f_score", "m_score"); v <- 1L to 3L) {
+        val k = out.filter(col(c) === v).count()
+        assert(k > 0, s"$c=$v empty")
+        assert(k <= 2 * n / 3 + 1, s"$c=$v holds $k of $n")
+      }
+      assert(out.filter(col("segment") =!=
+        concat(col("r_score"), col("f_score"), col("m_score"))).count() === 0)
+      // best recency tercile really is the most recent third
+      val r3max = out.filter(col("r_score") === 3)
+        .agg(max("recency_days")).head.getLong(0)
+      val r1min = out.filter(col("r_score") === 1)
+        .agg(min("recency_days")).head.getLong(0)
+      assert(r3max <= r1min)
+    } finally out.unpersist()
+  }
+
+  // ---------------------------------------------- CUSUM changepoint
+  test("cusum: one changepoint per type, max |cusum| is the argmax") {
+    val out = run("q_cusum_changepoint").collect()
+    val types = Tables.events(spark, sf).select("event_type").distinct().count()
+    assert(out.length === types)
+    out.foreach { r =>
+      assert(r.getLong(2) >= 0L)
+      assert(r.getDouble(3) >= 0.0 && !r.getDouble(3).isNaN)
+    }
+  }
+
   // ------------------------------------------------ curriculum order
   test("curriculum: strict permutation, stage-major, deterministic") {
     val out = run("q_curriculum_order").cache()
