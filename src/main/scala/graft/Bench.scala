@@ -84,7 +84,11 @@ object Bench {
     "q_quantile_view", "q_sessionize_incr",                 // incremental sketch/session views
     "q_funnel_windowed", "q_abtest_metrics",                // deadline funnel / experiment readout
     "q_conversion_lag", "q_seasonal_anomaly",               // lag histogram / weekday baseline
-    "q_rfm", "q_cusum_changepoint")                         // RFM segmentation / level-shift monitor
+    "q_rfm", "q_cusum_changepoint",                         // RFM segmentation / level-shift monitor
+    "q_survival_hazard", "q_cohort_ltv",                    // churn survival / LTV triangle
+    "q_gini", "q_active_users",                             // concentration / DAU-WAU series
+    "q_item_cooccur", "q_triangle_count",                   // CF co-occurrence / graph triangles
+    "q_new_returning", "q_doc_outlier")                     // growth accounting / centroid outliers
   // q_semantic_dedup stays sf0.1-only: its oracle-replayable form fixes
   // CENTROIDS=16, so per-cell pair cost grows ~(N/16)² — the sf1 scale
   // path is the adaptive-cell VectorIndex (cells ~ √N), already timed

@@ -1248,6 +1248,103 @@ object SimilarityOps extends QueryModule {
       |  ON iv.iv_qid = bf.q_id AND iv.iv_vid = bf.vec_id
       |GROUP BY bf.q_id""".stripMargin
 
+  // ------------------------------------------------------ q_doc_outlier
+  /** Embedding OUTLIER detection against the class centroid — the
+    * curation filter that catches mislabeled / off-topic / garbage
+    * rows inside an otherwise-coherent slice (the embedding-space
+    * analog of CLIP-score filtering): score every vector by cosine to
+    * its own label's centroid and flag the bottom 5 % per label.
+    *
+    * Determinism (the q_quality_classifier idiom): float means are
+    * summation-order-dependent, so the centroid accumulates as
+    * per-dimension INTEGER sums of 2²⁰-quantized components — exact,
+    * mergeable, order-free — and both engines derive the double
+    * centroid from the same integers with the same division sequence.
+    * The cosine itself is the usual left-to-right double fold on
+    * identical operands.
+    *
+    * 100 TB shape: one label-keyed aggregate builds |labels|·dims
+    * integer cells (partial-agg friendly — the quantized sums combine
+    * map-side); the |labels|-row centroid table broadcasts back onto a
+    * shuffle-free scoring scan. The per-label bottom-p rank window is
+    * exact here; at billion-row labels the cut value comes from the
+    * histogram-CDF of scores (q_hist_quantiles convention), keeping
+    * the flag a broadcast-threshold comparison. */
+  private val OUTLIER_Q = 1048576L // 2^20 quantization grid
+  private val OUTLIER_PCT = 20L // bottom 1/20 = 5% flagged
+
+  private def qDocOutlier(s: SparkSession, d: String): DataFrame = {
+    val qe = embeddings(s, d).select(col("vec_id"), col("label"),
+      col("embedding"),
+      expr(s"""transform(embedding,
+           |  x -> CAST(round(CAST(x AS DOUBLE) * $OUTLIER_Q) AS BIGINT))"""
+        .stripMargin).as("qe"))
+    val sums = qe.select(col("label"), posexplode(col("qe")).as(Seq("j", "q")))
+      .groupBy(col("label"), col("j"))
+      .agg(sum(col("q")).as("sq"))
+      .groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(j, sq))), e -> e.sq)")
+        .as("csum"))
+    val cnt = qe.groupBy(col("label")).agg(count(lit(1)).as("n"))
+    val cents = sums.join(cnt, "label")
+    val scored = qe.join(broadcast(cents), "label")
+      .withColumn("dot", expr(
+        s"""aggregate(zip_with(embedding, csum,
+           |  (x, c) -> CAST(x AS DOUBLE)
+           |    * (CAST(c AS DOUBLE) / CAST(n AS DOUBLE) / $OUTLIER_Q.0D)),
+           |  0D, (acc, v) -> acc + v)""".stripMargin))
+      .withColumn("vv", expr(
+        """aggregate(transform(embedding,
+          |  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+          |  0D, (acc, v) -> acc + v)""".stripMargin))
+      .withColumn("cc", expr(
+        s"""aggregate(transform(csum,
+           |  c -> (CAST(c AS DOUBLE) / CAST(n AS DOUBLE) / $OUTLIER_Q.0D)
+           |    * (CAST(c AS DOUBLE) / CAST(n AS DOUBLE) / $OUTLIER_Q.0D)),
+           |  0D, (acc, v) -> acc + v)""".stripMargin))
+      .withColumn("cos", col("dot") / (sqrt(col("vv")) * sqrt(col("cc"))))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("cos").asc, col("vec_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        round(col("cos"), 6).as("cos_centroid"),
+        (col("rn") <= expr(s"(n + ${OUTLIER_PCT - 1}) div $OUTLIER_PCT"))
+          .as("is_outlier"))
+  }
+  private val qDocOutlierSql = {
+    val cj = s"(c.csum[i]::DOUBLE / cn.n::DOUBLE / $OUTLIER_Q.0)"
+    s"""WITH qv AS (
+      |  SELECT vec_id, label, embedding,
+      |    list_transform(embedding,
+      |      x -> CAST(round(x::DOUBLE * $OUTLIER_Q) AS BIGINT)) AS qe
+      |  FROM embeddings),
+      |ex AS (SELECT label, j, qe[j] AS q
+      |       FROM qv, generate_series(1, $DIMS) t(j)),
+      |cs AS (SELECT label, j, CAST(sum(q) AS BIGINT) AS sq
+      |       FROM ex GROUP BY 1, 2),
+      |cent AS (SELECT label, list(sq ORDER BY j) AS csum FROM cs GROUP BY 1),
+      |cn AS (SELECT label, count(*) AS n FROM qv GROUP BY 1),
+      |sc AS (
+      |  SELECT v.vec_id, v.label, cn.n,
+      |    list_sum(list_transform(generate_series(1, $DIMS),
+      |      i -> v.embedding[i]::DOUBLE * $cj)) AS dot,
+      |    list_sum(list_transform(generate_series(1, $DIMS),
+      |      i -> v.embedding[i]::DOUBLE * v.embedding[i]::DOUBLE)) AS vv,
+      |    list_sum(list_transform(generate_series(1, $DIMS),
+      |      i -> $cj * $cj)) AS cc
+      |  FROM qv v
+      |  JOIN cent c USING (label)
+      |  JOIN cn USING (label)),
+      |r AS (
+      |  SELECT vec_id, label, n, dot / (sqrt(vv) * sqrt(cc)) AS cos
+      |  FROM sc)
+      |SELECT vec_id, label::BIGINT AS label,
+      |  round(cos, 6) AS cos_centroid,
+      |  row_number() OVER (PARTITION BY label ORDER BY cos ASC, vec_id ASC)
+      |    <= (n + ${OUTLIER_PCT - 1}) // $OUTLIER_PCT AS is_outlier
+      |FROM r""".stripMargin
+  }
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q_topk_cosine" -> qTopkCosine _,
     "q_triplet_mine" -> qTripletMine _,
@@ -1259,6 +1356,7 @@ object SimilarityOps extends QueryModule {
     "q_pq_index"    -> qPqIndex _,
     "q_sq8_index"   -> qSq8Index _,
     "q_hybrid_rrf"  -> qHybridRrf _,
+    "q_doc_outlier" -> qDocOutlier _,
     "q_ann_recall"  -> qAnnRecall _)
 
   override val oracles: Seq[(String, String)] = Seq(
@@ -1272,5 +1370,6 @@ object SimilarityOps extends QueryModule {
     "q_pq_index"    -> qPqIndexSql,
     "q_sq8_index"   -> qSq8IndexSql,
     "q_hybrid_rrf"  -> qHybridRrfSql,
+    "q_doc_outlier" -> qDocOutlierSql,
     "q_ann_recall"  -> qAnnRecallSql)
 }

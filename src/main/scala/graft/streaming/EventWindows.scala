@@ -973,6 +973,402 @@ object EventWindows extends QueryModule {
       |FROM g WHERE gap_us IS NOT NULL
       |GROUP BY user_id""".stripMargin
 
+  // --------------------------------------------------- q_survival_hazard
+  /** Nelson–Aalen cumulative-hazard estimate of user CHURN — the
+    * survival-analysis readout behind every "how long do users stay"
+    * question. Per user, observed lifetime = last-active day − first-
+    * active day; a user whose last activity sits ≥ [[CHURN_GAP_DAYS]]
+    * before the corpus-end anchor has CHURNED at that lifetime (the
+    * event), everyone else is right-CENSORED. At each distinct
+    * lifetime t with deaths: n_risk = users with lifetime ≥ t, hazard
+    * h(t) = d_t/n_risk, and the Nelson–Aalen estimate H(t) = Σ_{s≤t}
+    * h(s).
+    *
+    * Nelson–Aalen (not Kaplan–Meier) deliberately: the cumulative
+    * hazard is a SUM of per-step terms, so it stays exact in integer
+    * ppm units — each step contributes `(d·10⁶) div n_risk` and
+    * integer sums are order-free — where KM's Π(1 − dᵢ/nᵢ) product
+    * cannot hash-match across engines without fixed-point truncation
+    * at every step. (S(t) = exp(−H(t)) when a survival curve is
+    * needed.)
+    *
+    * 100 TB shape: ONE user-keyed shuffle builds the |users|-row
+    * lifetime table; everything after runs on the ≤|distinct
+    * lifetimes| duration table (bounded by the corpus day span, not by
+    * users), where the at-risk counts come from one descending
+    * cumulative-sum window — no per-timepoint rescans of the user
+    * table, which is what makes the textbook "count survivors at every
+    * t" formulation quadratic and this one linear.
+    *
+    * The gap constant is fixture-calibrated: the synthetic corpus has
+    * near-daily per-user activity (no user is idle ≥ 3 days before
+    * corpus end), so a production-style 7-day churn window marks
+    * nobody; 1 idle day is the discriminating definition here, and the
+    * estimator is gap-parametric either way. */
+  private[streaming] val CHURN_GAP_DAYS = 1L
+
+  private def qSurvivalHazard(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val ev = Tables.events(s, d)
+      .select($"user_id", expr(s"unix_micros(ts) div ${DAY_US}L").as("day"))
+    val anchor = ev.agg(max($"day").as("end_day"))
+    val users = ev.groupBy($"user_id")
+      .agg(min($"day").as("d0"), max($"day").as("d1"))
+      .crossJoin(broadcast(anchor))
+      .select(($"d1" - $"d0").as("lifetime_days"),
+        ($"end_day" - $"d1" >= CHURN_GAP_DAYS).as("churned"))
+    // |distinct lifetimes| rows from here on — the small relation
+    val byLife = users.groupBy($"lifetime_days")
+      .agg(count(lit(1)).as("n_at"),
+        sum(when($"churned", 1L).otherwise(0L)).as("n_deaths"))
+    val wRisk = Window.orderBy($"lifetime_days".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wCum = Window.orderBy($"lifetime_days".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byLife
+      .withColumn("n_risk", sum($"n_at").over(wRisk))
+      .withColumn("hazard_ppm", expr("(n_deaths * 1000000) div n_risk"))
+      .withColumn("cum_hazard_ppm", sum($"hazard_ppm").over(wCum))
+      .filter($"n_deaths" > 0)
+      .select($"lifetime_days", $"n_risk", $"n_deaths", $"hazard_ppm",
+        $"cum_hazard_ppm")
+  }
+  private val qSurvivalHazardSql =
+    s"""WITH ev AS (
+      |  SELECT user_id, epoch_us(ts) // $DAY_US AS day FROM events),
+      |anchor AS (SELECT max(day) AS end_day FROM ev),
+      |u AS (
+      |  SELECT max(day) - min(day) AS lifetime_days,
+      |    (SELECT end_day FROM anchor) - max(day) >= $CHURN_GAP_DAYS
+      |      AS churned
+      |  FROM ev GROUP BY user_id),
+      |bl AS (
+      |  SELECT lifetime_days, count(*) AS n_at,
+      |    CAST(sum(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_deaths
+      |  FROM u GROUP BY 1),
+      |r AS (
+      |  SELECT *,
+      |    CAST(sum(n_at) OVER (ORDER BY lifetime_days DESC) AS BIGINT)
+      |      AS n_risk
+      |  FROM bl),
+      |h AS (
+      |  SELECT *, CAST((n_deaths * 1000000) // n_risk AS BIGINT)
+      |      AS hazard_ppm
+      |  FROM r)
+      |SELECT lifetime_days, n_risk, n_deaths, hazard_ppm,
+      |  CAST(sum(hazard_ppm) OVER (ORDER BY lifetime_days ASC) AS BIGINT)
+      |    AS cum_hazard_ppm
+      |FROM h WHERE n_deaths > 0""".stripMargin
+
+  // ------------------------------------------------------- q_cohort_ltv
+  /** Cohort LIFETIME-VALUE triangle: users cohorted by first-activity
+    * week (the [[qRetention]] anchor), purchase revenue accumulated by
+    * weeks-since-signup — the readout that prices acquisition spend
+    * and shows whether newer cohorts monetize faster. Revenue is exact
+    * integer cents; `ltv_centi_per_user` is the cohort's CUMULATIVE
+    * revenue in centi-cents per cohort member (integer div), so every
+    * column hash-matches across engines.
+    *
+    * 100 TB shape: like [[qRetention]], ONE user-keyed shuffle does
+    * all the per-user work (cohort anchor + per-week purchase cents
+    * collected in the same aggregate — no events-vs-users join), the
+    * triangle aggregate runs on |cohorts × offsets| rows, and the
+    * cumulative window partitions BY COHORT over ≤ week-span rows —
+    * never a global or per-user window. */
+  private def qCohortLtv(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val perUser = Tables.events(s, d)
+      .select($"user_id", unix_micros($"ts").as("t"), $"event_type",
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy($"user_id")
+      .agg(min($"t").as("t0"),
+        collect_list(when($"event_type" === "purchase",
+          struct(($"t" - $"t" % WEEK_US).as("week_us"), $"cents")))
+          .as("buys"))
+      .select($"user_id", ($"t0" - $"t0" % WEEK_US).as("cohort_week_us"),
+        $"buys")
+    val cohortSizes = perUser.groupBy($"cohort_week_us")
+      .agg(count(lit(1)).as("n_users"))
+    val weekly = perUser
+      .select($"cohort_week_us", explode($"buys").as("b"))
+      .groupBy($"cohort_week_us",
+        expr(s"(b.week_us - cohort_week_us) div ${WEEK_US}L")
+          .as("week_offset"))
+      .agg(sum($"b.cents").as("week_cents"))
+    val wCum = Window.partitionBy($"cohort_week_us")
+      .orderBy($"week_offset".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    weekly
+      .withColumn("cum_cents", sum($"week_cents").over(wCum))
+      .join(broadcast(cohortSizes), "cohort_week_us")
+      .select($"cohort_week_us", $"week_offset", $"n_users",
+        $"week_cents", $"cum_cents",
+        expr("(cum_cents * 100) div n_users").as("ltv_centi_per_user"))
+  }
+  private val qCohortLtvSql =
+    s"""WITH ev AS (
+      |  SELECT user_id, epoch_us(ts) AS t, event_type,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |u AS (
+      |  SELECT user_id, min(t) - (min(t) % $WEEK_US) AS cohort_week_us
+      |  FROM ev GROUP BY 1),
+      |cs AS (SELECT cohort_week_us, count(*) AS n_users FROM u GROUP BY 1),
+      |wk AS (
+      |  SELECT u.cohort_week_us,
+      |    ((e.t - (e.t % $WEEK_US)) - u.cohort_week_us) // $WEEK_US
+      |      AS week_offset,
+      |    CAST(sum(e.cents) AS BIGINT) AS week_cents
+      |  FROM ev e JOIN u USING (user_id)
+      |  WHERE e.event_type = 'purchase'
+      |  GROUP BY 1, 2),
+      |c AS (
+      |  SELECT *,
+      |    CAST(sum(week_cents) OVER (PARTITION BY cohort_week_us
+      |      ORDER BY week_offset ASC) AS BIGINT) AS cum_cents
+      |  FROM wk)
+      |SELECT c.cohort_week_us, c.week_offset, cs.n_users, c.week_cents,
+      |  c.cum_cents,
+      |  CAST((c.cum_cents * 100) // cs.n_users AS BIGINT)
+      |    AS ltv_centi_per_user
+      |FROM c JOIN cs USING (cohort_week_us)""".stripMargin
+
+  // ------------------------------------------------------------ q_gini
+  /** Gini concentration of per-user activity — "what share of revenue
+    * comes from how few users". One row per metric (purchase revenue
+    * cents; event counts) with the exact rank-form Gini
+    *
+    *   G = Σᵢ (2i − n − 1)·xᵢ / (n·Σx)      (x ranked ascending)
+    *
+    * in integer ppm: the numerator is an exact integer window/aggregate
+    * (deterministic `(x, user_id)` rank ordering — equal values
+    * contribute the same total regardless of tie order, since Σ(2i−n−1)
+    * over a tie run is order-invariant), the final division is one
+    * integer `div`. The inequality audit for revenue concentration,
+    * and — run over tokens-per-source — the corpus-balance check.
+    *
+    * 100 TB shape: one user-keyed aggregate to |users| feature rows,
+    * then the rank window. The window is single-partition over |users|
+    * here (exact fixture semantics); the billion-user cut is the
+    * histogram-CDF form (see [[graft.operators.Sketches]]
+    * q_hist_quantiles): G from bucket counts with the same ppm
+    * arithmetic. */
+  private def qGini(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val ev = Tables.events(s, d)
+      .select($"user_id", $"event_type",
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val perUser = ev.groupBy($"user_id")
+      .agg(sum(when($"event_type" === "purchase", $"cents")
+          .otherwise(0L)).as("revenue_cents"),
+        count(lit(1)).as("n_events"))
+    def gini(df: DataFrame, xCol: String, metric: String): DataFrame = {
+      val w = Window.orderBy(col("x").asc, col("user_id").asc)
+      df.select(col("user_id"), col(xCol).as("x"))
+        .withColumn("i", row_number().over(w))
+        .groupBy()
+        .agg(count(lit(1)).as("n"), sum($"x").as("total"),
+          sum(expr("(2 * i - 1) * x")).as("wsum"))
+        .select(lit(metric).as("metric"), $"n", $"total",
+          expr("(1000000 * (wsum - n * total)) div (n * total)")
+            .as("gini_ppm"))
+    }
+    gini(perUser, "revenue_cents", "revenue_cents")
+      .unionAll(gini(perUser, "n_events", "event_count"))
+  }
+  private val qGiniSql = {
+    def one(x: String, metric: String) =
+      s"""SELECT '$metric' AS metric, n, total,
+        |  CAST((1000000 * (wsum - n * total)) // (n * total)
+        |    AS BIGINT) AS gini_ppm
+        |FROM (
+        |  SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS total,
+        |    CAST(sum((2 * i - 1) * x) AS BIGINT) AS wsum
+        |  FROM (
+        |    SELECT $x AS x,
+        |      row_number() OVER (ORDER BY $x ASC, user_id ASC) AS i
+        |    FROM u))""".stripMargin
+    s"""WITH ev AS (
+      |  SELECT user_id, event_type,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |u AS (
+      |  SELECT user_id,
+      |    CAST(sum(CASE WHEN event_type = 'purchase' THEN cents
+      |             ELSE 0 END) AS BIGINT) AS revenue_cents,
+      |    count(*) AS n_events
+      |  FROM ev GROUP BY 1)
+      |${one("revenue_cents", "revenue_cents")}
+      |UNION ALL
+      |${one("n_events", "event_count")}""".stripMargin
+  }
+
+  // ---------------------------------------------------- q_active_users
+  /** DAU / trailing-7-day WAU / stickiness per calendar day — the
+    * engagement time series every product dashboard opens with. The
+    * hard part at scale is the SLIDING DISTINCT: "users active in the
+    * trailing week" cannot be summed from daily counts (a user active
+    * 5 days is one WAU member). Shape here: the |user-days| distinct
+    * relation explodes each row into the ≤7 trailing windows it
+    * supports, a second distinct collapses multi-day users within a
+    * window, and one hash aggregate counts — linear in user-days ×
+    * window length, shuffled on (user, day), never a per-day rescan of
+    * the activity table and never an all-days×all-users join. The day
+    * spine comes from `sequence(min, max)`, so quiet days report 0.
+    * Stickiness = DAU·10⁶ div WAU, the integer-ppm DAU/WAU ratio. */
+  private def qActiveUsers(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ud = Tables.events(s, d)
+      .select($"user_id", expr(s"unix_micros(ts) div ${DAY_US}L").as("day"))
+      .distinct()
+    val anchor = ud.agg(min($"day").as("min_day"), max($"day").as("max_day"))
+    val dau = ud.groupBy($"day").agg(count(lit(1)).as("dau"))
+    val wau = ud.crossJoin(broadcast(anchor))
+      .select($"user_id",
+        explode(expr("sequence(day, least(day + 6, max_day))")).as("day"))
+      .distinct()
+      .groupBy($"day").agg(count(lit(1)).as("wau"))
+    val spine = anchor
+      .select(explode(expr("sequence(min_day, max_day)")).as("day"))
+    spine.join(dau, Seq("day"), "left").join(wau, Seq("day"), "left")
+      .select($"day",
+        coalesce($"dau", lit(0L)).as("dau"),
+        coalesce($"wau", lit(0L)).as("wau"))
+      .withColumn("stickiness_ppm",
+        when($"wau" > 0, expr("(dau * 1000000) div wau")).otherwise(0L))
+  }
+  private val qActiveUsersSql =
+    s"""WITH ud AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // $DAY_US AS day
+      |  FROM events),
+      |a AS (SELECT min(day) AS min_day, max(day) AS max_day FROM ud),
+      |spine AS (
+      |  SELECT unnest(generate_series(min_day, max_day)) AS day FROM a),
+      |dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY 1),
+      |wau AS (
+      |  SELECT s.day, count(DISTINCT u.user_id) AS wau
+      |  FROM spine s JOIN ud u ON u.day BETWEEN s.day - 6 AND s.day
+      |  GROUP BY 1)
+      |SELECT s.day, coalesce(d.dau, 0) AS dau, coalesce(w.wau, 0) AS wau,
+      |  CASE WHEN coalesce(w.wau, 0) > 0
+      |       THEN CAST((coalesce(d.dau, 0) * 1000000) // w.wau AS BIGINT)
+      |       ELSE 0 END AS stickiness_ppm
+      |FROM spine s
+      |LEFT JOIN dau d ON d.day = s.day
+      |LEFT JOIN wau w ON w.day = s.day""".stripMargin
+
+  // ---------------------------------------------------- q_new_returning
+  /** Daily NEW vs RETURNING user split + the cumulative acquired-user
+    * curve — the growth-accounting companion of [[qActiveUsers]]: DAU
+    * decomposes as `dau = n_new + n_returning`, and `cum_users` is the
+    * running count of first-seen users (conserves to the total distinct
+    * population on the final day). One user-keyed aggregate finds each
+    * user's first day; the day-level split is then a |user-days|-scan
+    * aggregate (new ⇔ day = first day), and the cumulative curve is a
+    * window over the ≤ day-span relation — no per-day distinct rescans. */
+  private def qNewReturning(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val ud = Tables.events(s, d)
+      .select($"user_id", expr(s"unix_micros(ts) div ${DAY_US}L").as("day"))
+      .distinct()
+    val firstDay = ud.groupBy($"user_id").agg(min($"day").as("d0"))
+    val split = ud.join(firstDay, "user_id")
+      .groupBy($"day")
+      .agg(sum(when($"day" === $"d0", 1L).otherwise(0L)).as("n_new"),
+        sum(when($"day" =!= $"d0", 1L).otherwise(0L)).as("n_returning"))
+    val wCum = Window.orderBy($"day".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    split
+      .withColumn("cum_users", sum($"n_new").over(wCum))
+      .select($"day", $"n_new", $"n_returning", $"cum_users")
+  }
+  private val qNewReturningSql =
+    s"""WITH ud AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // $DAY_US AS day
+      |  FROM events),
+      |f AS (SELECT user_id, min(day) AS d0 FROM ud GROUP BY 1),
+      |sp AS (
+      |  SELECT ud.day,
+      |    CAST(sum(CASE WHEN ud.day = f.d0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_new,
+      |    CAST(sum(CASE WHEN ud.day <> f.d0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_returning
+      |  FROM ud JOIN f USING (user_id)
+      |  GROUP BY 1)
+      |SELECT day, n_new, n_returning,
+      |  CAST(sum(n_new) OVER (ORDER BY day ASC) AS BIGINT) AS cum_users
+      |FROM sp""".stripMargin
+
+  // ---------------------------------------------------- q_item_cooccur
+  /** Item-item co-occurrence similarity ("users who engaged with X
+    * also engaged with Y") — the collaborative-filtering statistic,
+    * computed from the `props.k` item key of engagement events. Per
+    * pair: co-engagement count, cosine over the user-set geometry
+    * (n_xy/√(n_x·n_y)) and integer-ppm LIFT against independence
+    * (n_xy·N / (n_x·n_y)).
+    *
+    * 100 TB shape: the quadratic step is the per-USER self-join of the
+    * distinct (user, item) relation — fan-out is items-per-user², a
+    * human-bounded constant, never catalog². The pair aggregate lands
+    * on the item-pair key space (≤ catalog²/2 but in practice sparse);
+    * item marginals and the user count are broadcast back onto it.
+    * Hot-user capping (drop users with > L distinct items — bots /
+    * shared accounts, which both blow the join AND poison the signal)
+    * is the standard guard at crawl scale; the fixture has none, so no
+    * cap is applied. */
+  private def qItemCooccur(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ui = Tables.events(s, d)
+      .filter($"event_type".isin("view", "click", "purchase"))
+      .select($"user_id",
+        from_json($"props", lit("k INT")).getField("k").cast("long")
+          .as("item"))
+      .filter($"item".isNotNull)
+      .distinct()
+    val nu = ui.agg(countDistinct($"user_id").as("n_users"))
+    val cnt = ui.groupBy($"item").agg(count(lit(1)).as("n"))
+    ui.alias("a").join(ui.alias("b"),
+        $"a.user_id" === $"b.user_id" && $"a.item" < $"b.item")
+      .groupBy($"a.item".as("item_x"), $"b.item".as("item_y"))
+      .agg(count(lit(1)).as("n_xy"))
+      .filter($"n_xy" >= 2)
+      .join(broadcast(cnt.select($"item".as("item_x"), $"n".as("n_x"))),
+        "item_x")
+      .join(broadcast(cnt.select($"item".as("item_y"), $"n".as("n_y"))),
+        "item_y")
+      .crossJoin(broadcast(nu))
+      .select($"item_x", $"item_y", $"n_x", $"n_y", $"n_xy",
+        round($"n_xy" / sqrt($"n_x" * $"n_y"), 6).as("cosine"),
+        expr("(n_xy * n_users * 1000000) div (n_x * n_y)").as("lift_ppm"))
+  }
+  private val qItemCooccurSql =
+    """WITH ui AS (
+      |  SELECT DISTINCT user_id,
+      |    json_extract(props, '$.k')::BIGINT AS item
+      |  FROM events
+      |  WHERE event_type IN ('view', 'click', 'purchase')
+      |    AND json_extract(props, '$.k') IS NOT NULL),
+      |nu AS (SELECT count(DISTINCT user_id) AS n_users FROM ui),
+      |cnt AS (SELECT item, count(*) AS n FROM ui GROUP BY 1),
+      |p AS (
+      |  SELECT a.item AS item_x, b.item AS item_y, count(*) AS n_xy
+      |  FROM ui a JOIN ui b
+      |    ON a.user_id = b.user_id AND a.item < b.item
+      |  GROUP BY 1, 2
+      |  HAVING count(*) >= 2)
+      |SELECT p.item_x, p.item_y, cx.n AS n_x, cy.n AS n_y, p.n_xy,
+      |  round(p.n_xy / sqrt(CAST(cx.n * cy.n AS DOUBLE)), 6) AS cosine,
+      |  CAST((p.n_xy * nu.n_users * 1000000) // (cx.n * cy.n) AS BIGINT)
+      |    AS lift_ppm
+      |FROM p
+      |JOIN cnt cx ON cx.item = p.item_x
+      |JOIN cnt cy ON cy.item = p.item_y, nu""".stripMargin
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q_event_windows"   -> qEventWindows _,
     "q_sliding_windows" -> qSlidingWindows _,
@@ -987,6 +1383,12 @@ object EventWindows extends QueryModule {
     "q_markov_transitions" -> qMarkovTransitions _,
     "q_ohlc_bars"       -> qOhlcBars _,
     "q_time_weighted_avg" -> qTimeWeightedAvg _,
+    "q_survival_hazard" -> qSurvivalHazard _,
+    "q_cohort_ltv"      -> qCohortLtv _,
+    "q_gini"            -> qGini _,
+    "q_active_users"    -> qActiveUsers _,
+    "q_new_returning"   -> qNewReturning _,
+    "q_item_cooccur"    -> qItemCooccur _,
     "q_enrich"          -> qEnrich _)
 
   override val oracles: Seq[(String, String)] = Seq(
@@ -1003,5 +1405,11 @@ object EventWindows extends QueryModule {
     "q_markov_transitions" -> qMarkovTransitionsSql,
     "q_ohlc_bars"       -> qOhlcBarsSql,
     "q_time_weighted_avg" -> qTimeWeightedAvgSql,
+    "q_survival_hazard" -> qSurvivalHazardSql,
+    "q_cohort_ltv"      -> qCohortLtvSql,
+    "q_gini"            -> qGiniSql,
+    "q_active_users"    -> qActiveUsersSql,
+    "q_new_returning"   -> qNewReturningSql,
+    "q_item_cooccur"    -> qItemCooccurSql,
     "q_enrich"          -> qEnrichSql)
 }

@@ -187,4 +187,26 @@ class LlmOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("doc outlier: 5% quota per label, flagged scores dominate kept scores") {
+    val out = q("q_doc_outlier")
+      .select($"vec_id", $"label", $"cos_centroid", $"is_outlier")
+      .as[(Long, Long, Double, Boolean)].collect()
+    assert(out.nonEmpty)
+    val total = Tables.embeddings(spark, sf).count()
+    assert(out.length.toLong == total, "every vector is scored")
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      val n = rows.length.toLong
+      val flagged = rows.filter(_._4)
+      assert(flagged.length.toLong == (n + 19) / 20,
+        "exactly ceil(5%) flagged per label")
+      if (flagged.nonEmpty) {
+        val maxFlagged = flagged.map(_._3).max
+        val minKept = rows.filterNot(_._4).map(_._3).min
+        assert(maxFlagged <= minKept,
+          "no kept vector scores below a flagged one")
+      }
+      rows.foreach { case (_, _, c, _) => assert(c >= -1.0001 && c <= 1.0001) }
+    }
+  }
 }
