@@ -88,7 +88,10 @@ object Bench {
     "q_survival_hazard", "q_cohort_ltv",                    // churn survival / LTV triangle
     "q_gini", "q_active_users",                             // concentration / DAU-WAU series
     "q_item_cooccur", "q_triangle_count",                   // CF co-occurrence / graph triangles
-    "q_new_returning", "q_doc_outlier")                     // growth accounting / centroid outliers
+    "q_new_returning", "q_doc_outlier",                     // growth accounting / centroid outliers
+    "q_active_users_incr", "q_event_paths",                 // chained sliding-DISTINCT view / path mining
+    "q_peak_concurrency",                                   // interval-overlap capacity sweep
+    "q_abc_analysis", "q_drawdown")                         // Pareto classes / drawdown series
   // q_semantic_dedup stays sf0.1-only: its oracle-replayable form fixes
   // CENTROIDS=16, so per-cell pair cost grows ~(N/16)² — the sf1 scale
   // path is the adaptive-cell VectorIndex (cells ~ √N), already timed

@@ -669,6 +669,57 @@ object Relational extends QueryModule {
     * q_cube's full lattice): the two one-dimension marginals plus the
     * grand total, skipping the 2-D cell — the exact set a reporting
     * layer asks for. One pass, Spark's Expand + partial aggregation. */
+  // ---------------------------------------------------- q_abc_analysis
+  /** ABC (Pareto-class) inventory analysis: parts ranked by revenue,
+    * classified A while the cumulative share stays ≤ 80 %, B to 95 %,
+    * C past that — the classification behind stocking policy, and the
+    * general "which 20 % of keys carry 80 % of the mass" cut. Revenue
+    * accumulates in exact integer cents; the class predicate compares
+    * integer cross-products (`cum·100 ≤ total·80`), so the boundary is
+    * engine-exact, never a float share.
+    *
+    * The per-part aggregate is the only corpus-scale shuffle; the rank
+    * + running-sum window runs on the |parts| relation (catalog-sized).
+    * For key spaces too large to window in one partition, the cut
+    * VALUES come from the histogram-CDF of per-key revenue (the
+    * q_hist_quantiles convention) and classification becomes a
+    * broadcast-threshold comparison. */
+  private def qAbcAnalysis(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val rev = lineitem(s, d)
+      .select($"l_partkey",
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+      .groupBy($"l_partkey")
+      .agg(sum($"cents").as("rev_cents"))
+    val w = Window.orderBy($"rev_cents".desc, $"l_partkey".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val total = rev.agg(sum($"rev_cents").as("total_cents"))
+    rev.withColumn("cum_cents", sum($"rev_cents").over(w))
+      .crossJoin(broadcast(total))
+      .select($"l_partkey", $"rev_cents", $"cum_cents",
+        when($"cum_cents" * 100 <= $"total_cents" * 80, "A")
+          .when($"cum_cents" * 100 <= $"total_cents" * 95, "B")
+          .otherwise("C").as("abc_class"))
+  }
+  private val qAbcAnalysisSql =
+    """WITH rev AS (
+      |  SELECT l_partkey,
+      |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS rev_cents
+      |  FROM lineitem GROUP BY 1),
+      |t AS (SELECT CAST(sum(rev_cents) AS BIGINT) AS total_cents FROM rev),
+      |c AS (
+      |  SELECT *,
+      |    CAST(sum(rev_cents) OVER (ORDER BY rev_cents DESC, l_partkey ASC)
+      |      AS BIGINT) AS cum_cents
+      |  FROM rev)
+      |SELECT l_partkey, rev_cents, cum_cents,
+      |  CASE WHEN cum_cents * 100 <= total_cents * 80 THEN 'A'
+      |       WHEN cum_cents * 100 <= total_cents * 95 THEN 'B'
+      |       ELSE 'C' END AS abc_class
+      |FROM c, t""".stripMargin
+
   private def qGroupingSets(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     lineitem(s, d)
@@ -748,6 +799,7 @@ object Relational extends QueryModule {
       | AND abs(epoch_us(l.ts) - epoch_us(r.ts)) <= $BAND_TOL_US""".stripMargin
 
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q_abc_analysis"      -> qAbcAnalysis _,
     "q1_pricing_summary"  -> q1 _,
     "q2_filter_project"   -> q2 _,
     "q3_join_agg"         -> q3 _,
@@ -781,6 +833,7 @@ object Relational extends QueryModule {
     "q_grouping_sets"     -> qGroupingSets _)
 
   override val oracles: Seq[(String, String)] = Seq(
+    "q_abc_analysis"      -> qAbcAnalysisSql,
     "q1_pricing_summary"  -> q1Sql,
     "q2_filter_project"   -> q2Sql,
     "q3_join_agg"         -> q3Sql,

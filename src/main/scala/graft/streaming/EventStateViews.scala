@@ -462,12 +462,122 @@ object EventStateViews extends QueryModule {
       |FROM first f JOIN act a USING (user_id)
       |GROUP BY 1, 2""".stripMargin
 
+  // ------------------------------------------------ q_active_users_incr
+  /** Incrementally-maintained DAU/WAU — the hardest IVM case on the
+    * surface because the measure is a sliding COUNT DISTINCT, which is
+    * neither a sum (a user active twice in a window is one member) nor
+    * subtractable (removing one event must not evict a user whose
+    * OTHER events still support the window). The engine's answer is a
+    * two-level chained [[graft.table.AggView]] per series:
+    *
+    *   entries(event_id, user, day*)         — CDF-tracked entry table
+    *     └─ refcount view: GROUP BY (user, day*) COUNT(*)
+    *          — multiplicity lives here; the group row EXISTS iff ≥1
+    *            supporting event survives (AggView deletes zero-count
+    *            groups), so the view's own CDF emits exactly the
+    *            DISTINCT-set inserts/deletes
+    *        └─ count view over ITS CDF: GROUP BY day* COUNT(*) = the
+    *            distinct-user count, maintained at O(changed groups)
+    *
+    * A refcount change that keeps the group alive surfaces downstream
+    * as a cancelling (−1, +1) update pair — the chain is churn-proof
+    * by construction. WAU entries fan each event into the 7 window
+    * days it supports (the 7× linear amplification that replaces
+    * per-day distinct rescans; the batch [[EventWindows]]
+    * q_active_users makes the same trade per query — here it is paid
+    * once at ingest and maintained at O(Δ·7)). Window days past the
+    * corpus edge are clipped at READOUT, not at ingest — an
+    * ingest-time clip against the moving max-day would un-maintain
+    * history on every append.
+    *
+    * Lifecycle fixture: even events seed the entries, the views build,
+    * the odd half lands, an `event_id % 17 = 3` slice is DELETED, one
+    * refresh per level catches up — and the readout must hash-match
+    * the declarative DAU/WAU SQL over the surviving row set, proving
+    * maintained ≡ rebuilt through add AND subtract on both levels. */
+  private val dayEntrySchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("user_id", LongType),
+    StructField("day", LongType)))
+  private val winEntrySchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("user_id", LongType),
+    StructField("win_day", LongType)))
+
+  private def qActiveUsersIncr(s: SparkSession, d: String): DataFrame = {
+    import graft.table.AggView
+    val root = graft.Scratch.dir("graft-dauwau")
+    val eDay = VersionedTable.create(s, root.resolve("eday").toString,
+      dayEntrySchema, Map(VersionedTable.PROP_CDF -> "true"))
+    val eWin = VersionedTable.create(s, root.resolve("ewin").toString,
+      winEntrySchema, Map(VersionedTable.PROP_CDF -> "true"))
+    val all = Tables.events(s, d).select(col("event_id"), col("user_id"),
+      expr("unix_micros(ts) div 86400000000").as("day"))
+    def winRows(e: DataFrame): DataFrame = e.select(col("event_id"),
+      col("user_id"), explode(expr("sequence(day, day + 6)")).as("win_day"))
+    val seed = all.filter(col("event_id") % 2 === 0)
+    eDay.append(seed)
+    eWin.append(winRows(seed))
+    val refDay = AggView.build(eDay, root.resolve("refday").toString,
+      Seq("user_id", "day"), Seq.empty)
+    val refWin = AggView.build(eWin, root.resolve("refwin").toString,
+      Seq("user_id", "win_day"), Seq.empty)
+    val dau = AggView.build(refDay.table, root.resolve("dau").toString,
+      Seq("day"), Seq.empty)
+    val wau = AggView.build(refWin.table, root.resolve("wau").toString,
+      Seq("win_day"), Seq.empty)
+    // churn: late arrivals + a retroactive delete slice
+    val rest = all.filter(col("event_id") % 2 === 1)
+    eDay.append(rest); eWin.append(winRows(rest))
+    eDay.deleteWhere(col("event_id") % 17 === 3)
+    eWin.deleteWhere(col("event_id") % 17 === 3)
+    refDay.refresh(eDay); dau.refresh(refDay.table)
+    refWin.refresh(eWin); wau.refresh(refWin.table)
+    // readout off the two O(days) view tables only
+    val dauT = dau.table.snapshot()
+      .select(col("day"), col("n_rows").cast("long").as("dau"))
+    val wauT = wau.table.snapshot()
+      .select(col("win_day").as("day"), col("n_rows").cast("long").as("wau"))
+    val bounds = dauT.agg(min(col("day")).as("min_day"),
+      max(col("day")).as("max_day"))
+    val spine = bounds
+      .select(explode(expr("sequence(min_day, max_day)")).as("day"))
+    spine.join(dauT, Seq("day"), "left").join(wauT, Seq("day"), "left")
+      .select(col("day"),
+        coalesce(col("dau"), lit(0L)).as("dau"),
+        coalesce(col("wau"), lit(0L)).as("wau"))
+      .withColumn("stickiness_ppm",
+        when(col("wau") > 0, expr("(dau * 1000000) div wau"))
+          .otherwise(lit(0L)))
+  }
+  private val qActiveUsersIncrSql =
+    """WITH kept AS (
+      |  SELECT user_id, epoch_us(ts) // 86400000000 AS day
+      |  FROM events WHERE event_id % 17 <> 3),
+      |ud AS (SELECT DISTINCT user_id, day FROM kept),
+      |a AS (SELECT min(day) AS min_day, max(day) AS max_day FROM ud),
+      |spine AS (
+      |  SELECT unnest(generate_series(min_day, max_day)) AS day FROM a),
+      |dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY 1),
+      |wau AS (
+      |  SELECT s.day, count(DISTINCT u.user_id) AS wau
+      |  FROM spine s JOIN ud u ON u.day BETWEEN s.day - 6 AND s.day
+      |  GROUP BY 1)
+      |SELECT s.day, coalesce(d.dau, 0) AS dau, coalesce(w.wau, 0) AS wau,
+      |  CASE WHEN coalesce(w.wau, 0) > 0
+      |       THEN CAST((coalesce(d.dau, 0) * 1000000) // w.wau AS BIGINT)
+      |       ELSE 0 END AS stickiness_ppm
+      |FROM spine s
+      |LEFT JOIN dau d ON d.day = s.day
+      |LEFT JOIN wau w ON w.day = s.day""".stripMargin
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q_sessionize_incr"    -> qSessionizeIncr _,
     "q_funnel_incr"        -> qFunnelIncr _,
     "q_retention_incr"     -> qRetentionIncr _,
     "q_funnel_refresh"     -> qFunnelRefresh _,
-    "q_retention_refresh"  -> qRetentionRefresh _)
+    "q_retention_refresh"  -> qRetentionRefresh _,
+    "q_active_users_incr"  -> qActiveUsersIncr _)
 
   override val oracles: Seq[(String, String)] = Seq(
     // the maintained state must equal the from-scratch batch
@@ -476,7 +586,8 @@ object EventStateViews extends QueryModule {
     "q_funnel_incr"        -> qFunnelIncrSql,
     "q_retention_incr"     -> qRetentionIncrSql,
     "q_funnel_refresh"     -> qFunnelIncrSql,
-    "q_retention_refresh"  -> qRetentionIncrSql)
+    "q_retention_refresh"  -> qRetentionIncrSql,
+    "q_active_users_incr"  -> qActiveUsersIncrSql)
 
   override val prepares: Seq[(String, (SparkSession, String) => Unit)] = Seq(
     "q_funnel_refresh"    -> (frPrepare _),

@@ -1207,6 +1207,62 @@ object EventWindows extends QueryModule {
       |${one("n_events", "event_count")}""".stripMargin
   }
 
+  // -------------------------------------------------------- q_drawdown
+  /** Running MAXIMUM DRAWDOWN over each event type's daily close
+    * series — the time-series risk statistic (how far below the
+    * high-water mark the series has fallen, and the deepest such fall
+    * to date). Composes on [[qOhlcBars]]' close definition: the raw
+    * events aggregate to |types×days| daily closes FIRST, and all
+    * three windows (running max, drawdown, running max drawdown) run
+    * on that bounded relation — never a window over raw events. Exact
+    * integer cents throughout. */
+  private def qDrawdown(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val ev = Tables.events(s, d)
+      .select($"event_type", unix_micros($"ts").as("t"), $"event_id",
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .withColumn("day_us", $"t" - $"t" % DAY_US)
+    val desc = Window.partitionBy($"event_type", $"day_us")
+      .orderBy($"t".desc, $"event_id".desc)
+    val closes = ev.withColumn("rn_d", row_number().over(desc))
+      .groupBy($"event_type", $"day_us")
+      .agg(max(when($"rn_d" === 1, $"cents")).as("close_cents"))
+    val series = Window.partitionBy($"event_type").orderBy($"day_us".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    closes
+      .withColumn("high_water_cents", max($"close_cents").over(series))
+      .withColumn("drawdown_cents", $"high_water_cents" - $"close_cents")
+      .withColumn("max_drawdown_cents", max($"drawdown_cents").over(series))
+  }
+  private val qDrawdownSql =
+    s"""WITH ev AS (
+      |  SELECT event_type, epoch_us(ts) AS t, event_id,
+      |    CAST(round(value * 100) AS BIGINT) AS cents,
+      |    epoch_us(ts) - epoch_us(ts) % $DAY_US AS day_us
+      |  FROM events),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY event_type, day_us
+      |                               ORDER BY t DESC, event_id DESC) AS rn_d
+      |  FROM ev),
+      |c AS (
+      |  SELECT event_type, day_us,
+      |    CAST(max(CASE WHEN rn_d = 1 THEN cents END) AS BIGINT)
+      |      AS close_cents
+      |  FROM r GROUP BY 1, 2),
+      |hw AS (
+      |  SELECT *,
+      |    CAST(max(close_cents) OVER (PARTITION BY event_type
+      |      ORDER BY day_us ASC) AS BIGINT) AS high_water_cents
+      |  FROM c),
+      |dd AS (
+      |  SELECT *, high_water_cents - close_cents AS drawdown_cents FROM hw)
+      |SELECT event_type, day_us, close_cents, high_water_cents,
+      |  drawdown_cents,
+      |  CAST(max(drawdown_cents) OVER (PARTITION BY event_type
+      |    ORDER BY day_us ASC) AS BIGINT) AS max_drawdown_cents
+      |FROM dd""".stripMargin
+
   // ---------------------------------------------------- q_active_users
   /** DAU / trailing-7-day WAU / stickiness per calendar day — the
     * engagement time series every product dashboard opens with. The
@@ -1260,6 +1316,128 @@ object EventWindows extends QueryModule {
       |FROM spine s
       |LEFT JOIN dau d ON d.day = s.day
       |LEFT JOIN wau w ON w.day = s.day""".stripMargin
+
+  // ------------------------------------------------- q_peak_concurrency
+  /** PEAK CONCURRENT SESSIONS per day — the capacity-planning readout
+    * ("how many sessions were open at the busiest instant"), i.e. the
+    * interval-overlap maximum, computed as the classic sweep: +1 at
+    * each session start, −1 just past each end, running-sum, max. The
+    * sessions are [[sessionize]]'s own output — operator composition,
+    * not a re-derivation.
+    *
+    * The global sweep is the scale trap (one task sorts every mark),
+    * so the sweep PARTITIONS BY DAY: each session explodes into the
+    * days it covers (human sessions are short — bounded fan-out), a
+    * day-crossing session contributes a day-start mark instead of an
+    * interior one, and each day's running sum is independent. Marks
+    * order by (t, Δ) with −1 first, making back-to-back sessions
+    * half-open (no phantom overlap at the boundary) and the tie order
+    * value-deterministic. */
+  private def qPeakConcurrency(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val sess = sessionize(Tables.events(s, d)).toDF()
+      .select($"session_start_us".as("st"), $"session_end_us".as("en"))
+    val byDay = sess.select($"st", $"en",
+      explode(expr(s"sequence(st div ${DAY_US}L, en div ${DAY_US}L)"))
+        .as("day"))
+    val marks = byDay
+      .select($"day", greatest($"st", $"day" * DAY_US).as("t"),
+        lit(1L).as("dlt"))
+      .unionAll(byDay
+        .filter($"en" + 1 < ($"day" + 1) * DAY_US)
+        .select($"day", ($"en" + 1).as("t"), lit(-1L).as("dlt")))
+    val w = Window.partitionBy($"day").orderBy($"t".asc, $"dlt".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    marks.withColumn("conc", sum($"dlt").over(w))
+      .groupBy($"day")
+      .agg(sum(when($"dlt" === 1L, 1L).otherwise(0L)).as("n_sessions"),
+        max($"conc").as("peak_concurrency"))
+  }
+  private val qPeakConcurrencySql =
+    s"""WITH sess AS ($qSessionizeSql),
+      |bd AS (
+      |  SELECT session_start_us AS st, session_end_us AS en,
+      |    unnest(generate_series(session_start_us // $DAY_US,
+      |                           session_end_us // $DAY_US)) AS day
+      |  FROM sess),
+      |marks AS (
+      |  SELECT day, greatest(st, day * $DAY_US) AS t, 1 AS dlt FROM bd
+      |  UNION ALL
+      |  SELECT day, en + 1, -1 FROM bd WHERE en + 1 < (day + 1) * $DAY_US),
+      |sweep AS (
+      |  SELECT day, dlt,
+      |    sum(dlt) OVER (PARTITION BY day ORDER BY t, dlt
+      |                   ROWS UNBOUNDED PRECEDING) AS conc
+      |  FROM marks)
+      |SELECT day,
+      |  CAST(sum(CASE WHEN dlt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_sessions,
+      |  CAST(max(conc) AS BIGINT) AS peak_concurrency
+      |FROM sweep GROUP BY 1""".stripMargin
+
+  // ------------------------------------------------------ q_event_paths
+  /** Top common 3-step behavior paths — "what do users actually DO, in
+    * order": every consecutive event-type trigram in each user's
+    * time-ordered stream, ranked by occurrence count with the distinct
+    * users travelling each path beside it. The n-gram-over-behavior
+    * operator behind "common paths" product analytics, and the 3-step
+    * generalization of [[qMarkovTransitions]]' 1-step matrix.
+    *
+    * ONE user shuffle: the per-user fold (sorted collect + positional
+    * transform, the bigram-LM idiom) emits (user, path) rows; two hash
+    * aggregates land on the ≤|types|³ path key space, and the top-k
+    * rank runs on that constant-bounded relation. */
+  private val PATH_K = 20
+
+  private def qEventPaths(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val perUser = Tables.events(s, d)
+      .select($"user_id", unix_micros($"ts").as("t"), $"event_id",
+        $"event_type")
+      .groupBy($"user_id")
+      .agg(expr(
+        """transform(sort_array(collect_list(struct(t, event_id, event_type))),
+          |  e -> e.event_type)""".stripMargin).as("seq"))
+      // NB sequence(1, 0) DESCENDS in Spark — short streams need the
+      // explicit guard, not a greatest() clamp
+      .select($"user_id", explode(expr(
+        """CASE WHEN size(seq) >= 3
+          |  THEN transform(sequence(0, size(seq) - 3),
+          |    i -> concat(seq[i], '>', seq[i + 1], '>', seq[i + 2]))
+          |  ELSE array() END""".stripMargin)).as("path"))
+    val byPath = perUser.groupBy($"path")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct($"user_id").as("n_users"))
+    val w = Window.orderBy($"n_occurrences".desc, $"path".asc)
+    byPath.withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= PATH_K)
+      .select($"rnk".cast("long").as("rnk"), $"path",
+        $"n_occurrences", $"n_users")
+  }
+  private val qEventPathsSql =
+    s"""WITH seqs AS (
+      |  SELECT user_id,
+      |    list(event_type ORDER BY t, event_id) AS seq
+      |  FROM (SELECT user_id, epoch_us(ts) AS t, event_id, event_type
+      |        FROM events)
+      |  GROUP BY user_id),
+      |paths AS (
+      |  SELECT user_id, unnest(list_transform(
+      |    generate_series(1, greatest(len(seq) - 2, 0)),
+      |    i -> seq[i] || '>' || seq[i + 1] || '>' || seq[i + 2])) AS path
+      |  FROM seqs),
+      |bp AS (
+      |  SELECT path, count(*) AS n_occurrences,
+      |    count(DISTINCT user_id) AS n_users
+      |  FROM paths GROUP BY 1),
+      |r AS (
+      |  SELECT *, row_number() OVER (ORDER BY n_occurrences DESC, path ASC)
+      |    AS rnk
+      |  FROM bp)
+      |SELECT rnk, path, n_occurrences, n_users FROM r
+      |WHERE rnk <= $PATH_K""".stripMargin
 
   // ---------------------------------------------------- q_new_returning
   /** Daily NEW vs RETURNING user split + the cumulative acquired-user
@@ -1388,6 +1566,9 @@ object EventWindows extends QueryModule {
     "q_gini"            -> qGini _,
     "q_active_users"    -> qActiveUsers _,
     "q_new_returning"   -> qNewReturning _,
+    "q_event_paths"     -> qEventPaths _,
+    "q_peak_concurrency" -> qPeakConcurrency _,
+    "q_drawdown"        -> qDrawdown _,
     "q_item_cooccur"    -> qItemCooccur _,
     "q_enrich"          -> qEnrich _)
 
@@ -1410,6 +1591,9 @@ object EventWindows extends QueryModule {
     "q_gini"            -> qGiniSql,
     "q_active_users"    -> qActiveUsersSql,
     "q_new_returning"   -> qNewReturningSql,
+    "q_event_paths"     -> qEventPathsSql,
+    "q_peak_concurrency" -> qPeakConcurrencySql,
+    "q_drawdown"        -> qDrawdownSql,
     "q_item_cooccur"    -> qItemCooccurSql,
     "q_enrich"          -> qEnrichSql)
 }

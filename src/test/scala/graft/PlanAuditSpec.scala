@@ -385,4 +385,40 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.split("Exchange").length - 1 <= 2,
       s"partial-distinct + final aggregate = at most two exchanges:\n$p")
   }
+
+  test("engagement analytics: no cartesian products, marginals broadcast") {
+    for (q <- Seq("q_active_users", "q_new_returning", "q_item_cooccur",
+        "q_cohort_ltv", "q_survival_hazard")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$q must not plan an all-pairs join:\n$p")
+    }
+    // co-occurrence marginals and the user count ride broadcasts; the
+    // only shuffled join is the per-user self-join
+    val p = plan("q_item_cooccur")
+    assert(p.contains("BroadcastExchange"),
+      s"item marginals must broadcast:\n$p")
+  }
+
+  test("triangle counting: wedge and closing joins are equi-joins only") {
+    val p = plan("q_triangle_count")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"triangle counting must stay equi-join shaped:\n$p")
+  }
+
+  test("doc outlier: centroids broadcast onto a scoring scan, scan prunes") {
+    val p = plan("q_doc_outlier")
+    assert(p.contains("BroadcastExchange"),
+      s"the |labels|-row centroid table must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no all-pairs:\n$p")
+  }
+
+  test("ABC analysis: one corpus aggregate, total broadcast, window on catalog") {
+    val p = plan("q_abc_analysis")
+    assert(p.contains("ReadSchema: struct<l_partkey:bigint,l_extendedprice:double>"),
+      s"scan must prune to partkey+price:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"the 1-row total must broadcast:\n$p")
+  }
 }

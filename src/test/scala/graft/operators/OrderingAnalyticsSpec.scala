@@ -273,4 +273,51 @@ class OrderingAnalyticsSpec extends SparkSpec {
       assert(out.exceptAll(again).count() === 0)
     } finally out.unpersist()
   }
+
+  test("ABC analysis: classes are revenue-ordered bands and conserve the total") {
+    import spark.implicits._
+    val rows = run("q_abc_analysis")
+      .select($"l_partkey", $"rev_cents", $"cum_cents", $"abc_class")
+      .as[(Long, Long, Long, String)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_._4).toSet.subsetOf(Set("A", "B", "C")))
+    val total = rows.map(_._2).sum
+    assert(rows.map(_._3).max == total, "running sum ends at the total")
+    // class bands respect the revenue ordering: min A-revenue >= max
+    // B-revenue >= max C-revenue (ties split by partkey, so >=)
+    val byClass = rows.groupBy(_._4).view.mapValues(_.map(_._2)).toMap
+    for {
+      a <- byClass.get("A"); b <- byClass.get("B")
+    } assert(a.min >= b.max)
+    for {
+      b <- byClass.get("B"); c <- byClass.get("C")
+    } assert(b.min >= c.max)
+    // the A band's share really is <= 80% (and B's cumulative <= 95%)
+    byClass.get("A").foreach { a =>
+      assert(a.sum * 100 <= total * 80)
+    }
+    assert(rows.count(_._4 == "A") < rows.length,
+      "the Pareto cut must be proper on a skewed revenue distribution")
+  }
+
+  test("drawdown: high-water is a running max, drawdowns are non-negative") {
+    import spark.implicits._
+    val rows = run("q_drawdown")
+      .orderBy($"event_type", $"day_us")
+      .select($"event_type", $"day_us", $"close_cents",
+        $"high_water_cents", $"drawdown_cents", $"max_drawdown_cents")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).values.foreach { series =>
+      var hw = Long.MinValue
+      var mdd = 0L
+      series.foreach { case (_, _, close, gotHw, dd, gotMdd) =>
+        hw = math.max(hw, close)
+        assert(gotHw == hw, "high-water mark is the running max of closes")
+        assert(dd == hw - close && dd >= 0)
+        mdd = math.max(mdd, dd)
+        assert(gotMdd == mdd, "max drawdown is the running max of drawdowns")
+      }
+    }
+  }
 }

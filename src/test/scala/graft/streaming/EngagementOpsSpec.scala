@@ -125,6 +125,58 @@ class EngagementOpsSpec extends SparkSpec {
       "cumulative acquisition curve ends at the distinct-user population")
   }
 
+  test("event paths: rank order, user/occurrence nesting, trigram mass bound") {
+    val rows = run("q_event_paths").orderBy($"rnk")
+      .select($"rnk", $"path", $"n_occurrences", $"n_users")
+      .as[(Long, String, Long, Long)].collect()
+    assert(rows.nonEmpty && rows.head._1 == 1L)
+    rows.sliding(2).foreach {
+      case Array((r1, p1, n1, _), (r2, p2, n2, _)) =>
+        assert(r2 == r1 + 1)
+        assert(n1 > n2 || (n1 == n2 && p1 < p2), "rank = (count desc, path asc)")
+      case _ =>
+    }
+    rows.foreach { case (_, p, n, u) =>
+      assert(p.split(">").length == 3, "paths are trigrams")
+      assert(u >= 1 && u <= n, "a path's users can't exceed its occurrences")
+    }
+    // total trigram mass across ALL paths = sum over users of (n_i - 2)+
+    val totalTrigrams = graft.Tables.events(spark, sf)
+      .groupBy($"user_id").agg(count(lit(1)).as("n"))
+      .select(sum(greatest($"n" - 2, lit(0L)))).as[Long].head()
+    assert(rows.map(_._3).sum <= totalTrigrams)
+  }
+
+  test("peak concurrency: matches a brute-force sweep over the session set") {
+    val DAY = 86400000000L
+    val sessions = run("q_sessionize")
+      .select($"session_start_us", $"session_end_us")
+      .as[(Long, Long)].collect()
+    // naive recount: evaluate concurrency at every session start within
+    // each day (the max is always attained at some start mark)
+    val byDay = sessions.flatMap { case (s0, e0) =>
+      (s0 / DAY to e0 / DAY).map(d => (d, s0, e0))
+    }.groupBy(_._1)
+    val expected = byDay.map { case (day, ss) =>
+      val marks = ss.map { case (_, s0, _) => math.max(s0, day * DAY) }
+      val peak = marks.map { t =>
+        ss.count { case (_, s0, e0) => math.max(s0, day * DAY) <= t && t <= e0 }
+      }.max
+      day -> (ss.length.toLong, peak.toLong)
+    }
+    val got = run("q_peak_concurrency")
+      .select($"day", $"n_sessions", $"peak_concurrency")
+      .as[(Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (day, n, p) =>
+      val (en, ep) = expected(day)
+      assert(n == en, s"session count mismatch on day $day")
+      assert(p == ep, s"peak mismatch on day $day: got $p expected $ep")
+      assert(p >= 1 && p <= n)
+    }
+    assert(got.length == expected.size)
+  }
+
   test("item co-occurrence: counts nest and lift matches the marginals") {
     val rows = run("q_item_cooccur")
       .select($"item_x", $"item_y", $"n_x", $"n_y", $"n_xy", $"lift_ppm")

@@ -206,4 +206,44 @@ class EventStateViewsSpec extends SparkSpec {
     v.refresh(t)
     assert(sessState(v) === sessBatch(t))
   }
+
+  test("chained distinct views: refcount churn cancels, last-support delete evicts") {
+    import graft.table.AggView
+    val root = graft.Scratch.dir("graft-esv-dau")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("user_id", LongType),
+      StructField("day", LongType)))
+    val e = VersionedTable.create(spark, root.resolve("e").toString,
+      schema, Map(VersionedTable.PROP_CDF -> "true"))
+    def entries(ts: (Long, Long, Long)*): DataFrame =
+      ts.toDF("event_id", "user_id", "day")
+    // day 10: user 1 twice, user 2 once; day 11: user 1 once
+    e.append(entries((1, 1, 10), (2, 1, 10), (3, 2, 10), (4, 1, 11)))
+    val ref = AggView.build(e, root.resolve("ref").toString,
+      Seq("user_id", "day"), Seq.empty)
+    val dau = AggView.build(ref.table, root.resolve("dau").toString,
+      Seq("day"), Seq.empty)
+    def dauMap(): Map[Long, Long] = dau.table.snapshot()
+      .select($"day", $"n_rows".cast("long")).as[(Long, Long)]
+      .collect().toMap
+    assert(dauMap() === Map(10L -> 2L, 11L -> 1L))
+    // delete ONE of user 1's two day-10 events: refcount 2 -> 1, the
+    // group stays alive, the downstream update pair must cancel
+    e.deleteWhere($"event_id" === 1)
+    ref.refresh(e); dau.refresh(ref.table)
+    assert(dauMap() === Map(10L -> 2L, 11L -> 1L))
+    // delete the LAST support: user 1 leaves day 10, day 11 untouched
+    e.deleteWhere($"event_id" === 2)
+    ref.refresh(e); dau.refresh(ref.table)
+    assert(dauMap() === Map(10L -> 1L, 11L -> 1L))
+    // delete user 2's only event: the day-10 group itself disappears
+    e.deleteWhere($"event_id" === 3)
+    ref.refresh(e); dau.refresh(ref.table)
+    assert(dauMap() === Map(11L -> 1L))
+    // re-appending restores membership (the chain is churn-symmetric)
+    e.append(entries((5, 2, 10)))
+    ref.refresh(e); dau.refresh(ref.table)
+    assert(dauMap() === Map(10L -> 1L, 11L -> 1L))
+  }
 }
