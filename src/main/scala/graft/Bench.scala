@@ -91,7 +91,10 @@ object Bench {
     "q_new_returning", "q_doc_outlier",                     // growth accounting / centroid outliers
     "q_active_users_incr", "q_event_paths",                 // chained sliding-DISTINCT view / path mining
     "q_peak_concurrency",                                   // interval-overlap capacity sweep
-    "q_abc_analysis", "q_drawdown")                         // Pareto classes / drawdown series
+    "q_abc_analysis", "q_drawdown",                         // Pareto classes / drawdown series
+    "q_event_paths_incr", "q_ewma_control",                 // maintained path mining / EWMA monitor
+    "q_funnel_by_variant", "q_hour_heatmap",                // experiment funnel / load profile
+    "q_feature_matrix")                                     // model-ready feature rows
   // q_semantic_dedup stays sf0.1-only: its oracle-replayable form fixes
   // CENTROIDS=16, so per-cell pair cost grows ~(N/16)² — the sf1 scale
   // path is the adaptive-cell VectorIndex (cells ~ √N), already timed

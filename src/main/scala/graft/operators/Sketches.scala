@@ -721,6 +721,76 @@ object Sketches extends QueryModule {
       |  n, zscore, abs(zscore) > 3.0 AS is_anomaly
       |FROM z""".stripMargin
 
+  // --------------------------------------------------- q_ewma_control
+  /** EWMA control chart over daily event volumes — the exponentially-
+    * weighted monitor that completes the volume family: the trailing-z
+    * window forgets abruptly, CUSUM integrates level shifts, the
+    * weekday baseline absorbs seasonality; EWMA tracks a smoothly
+    * drifting level and flags days that break from it. α = 1/2 in
+    * integer milli-units: s₀ = n₀·1000, sₜ = (sₜ₋₁ + nₜ·1000) div 2 —
+    * a RECURSIVE statistic, re-expressed relationally as a per-type
+    * linear fold over the sorted (day, n) list with an ARRAY
+    * accumulator (each step reads only the previous element), so the
+    * whole trajectory is exact integers and the DuckDB oracle replays
+    * it with a recursive CTE stepping the same recurrence. The alert
+    * compares |nₜ·1000 − sₜ₋₁| against sₜ₋₁/2 in pure integer
+    * cross-products.
+    *
+    * 100 TB shape: the corpus-scale work is ONE (type, day) hash
+    * aggregate; the fold runs per type over the ≤day-span list —
+    * constant-bounded state, the [[graft.streaming.EventWindows]]
+    * funnel-fold idiom applied to a time series. */
+  private def qEwmaControl(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val daily = events(s, d)
+      .groupBy($"event_type",
+        expr("CAST(unix_micros(ts) div 86400000000 AS BIGINT)").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val folded = daily
+      .groupBy($"event_type")
+      .agg(sort_array(collect_list(struct($"day", $"n"))).as("seq"))
+      .select($"event_type", explode(expr(
+        """aggregate(seq,
+          |  CAST(array() AS ARRAY<STRUCT<day: BIGINT, n: BIGINT, s: BIGINT>>),
+          |  (acc, e) -> array_append(acc, named_struct(
+          |    'day', e.day, 'n', e.n,
+          |    's', CASE WHEN size(acc) = 0 THEN e.n * 1000L
+          |         ELSE (element_at(acc, size(acc)).s + e.n * 1000L) div 2L
+          |         END)))""".stripMargin)).as("r"))
+      .select($"event_type", $"r.day", $"r.n", $"r.s".as("ewma_milli"))
+    val w = Window.partitionBy($"event_type").orderBy($"day".asc)
+    folded.withColumn("prev_s", lag($"ewma_milli", 1).over(w))
+      .select($"event_type", $"day", $"n", $"ewma_milli",
+        coalesce($"n" * 1000 - $"prev_s", lit(0L)).as("resid_milli"),
+        ($"prev_s".isNotNull &&
+          abs($"n" * 1000 - $"prev_s") * 2 > $"prev_s").as("alert"))
+  }
+  private val qEwmaControlSql =
+    """WITH RECURSIVE daily AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |    count(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |idx AS (
+      |  SELECT *, row_number() OVER (PARTITION BY event_type
+      |                               ORDER BY day) AS i
+      |  FROM daily),
+      |r AS (
+      |  SELECT event_type, day, n, i, n * 1000 AS s
+      |  FROM idx WHERE i = 1
+      |  UNION ALL
+      |  SELECT d.event_type, d.day, d.n, d.i, (r.s + d.n * 1000) // 2
+      |  FROM idx d JOIN r ON d.event_type = r.event_type AND d.i = r.i + 1),
+      |lg AS (
+      |  SELECT event_type, day, n, s AS ewma_milli,
+      |    lag(s) OVER (PARTITION BY event_type ORDER BY day) AS prev_s
+      |  FROM r)
+      |SELECT event_type, day, n, ewma_milli,
+      |  coalesce(n * 1000 - prev_s, 0) AS resid_milli,
+      |  prev_s IS NOT NULL AND abs(n * 1000 - prev_s) * 2 > prev_s
+      |    AS alert
+      |FROM lg""".stripMargin
+
   // ------------------------------------------------ q_cusum_changepoint
   /** CUSUM CHANGEPOINT detection over the per-(event_type, day) volume
     * series: the cumulative sum of deviations from the series mean
@@ -1100,6 +1170,7 @@ object Sketches extends QueryModule {
     "q_key_overlap" -> (qKeyOverlap _),
     "q_anomaly_windows" -> (qAnomalyWindows _),
     "q_seasonal_anomaly" -> (qSeasonalAnomaly _),
+    "q_ewma_control"     -> (qEwmaControl _),
     "q_cusum_changepoint" -> (qCusumChangepoint _),
     "q_gap_fill" -> (qGapFill _))
 
@@ -1118,6 +1189,7 @@ object Sketches extends QueryModule {
     "q_key_overlap" -> qKeyOverlapSql,
     "q_anomaly_windows" -> qAnomalyWindowsSql,
     "q_seasonal_anomaly" -> qSeasonalAnomalySql,
+    "q_ewma_control"     -> qEwmaControlSql,
     "q_cusum_changepoint" -> qCusumChangepointSql,
     "q_gap_fill" -> qGapFillSql)
 }

@@ -132,10 +132,49 @@ final class SessionView private[streaming] (val state: VersionedTable) {
   def sessions(): DataFrame = state.snapshot()
 }
 
+/** See [[FunnelView]] — same maintenance contract for the behavior-path
+  * statistic. State: one row per (user, trigram path) with its
+  * occurrence count. An event insert or delete ANYWHERE in a user's
+  * stream rewrites up to three neighboring trigrams — a positional
+  * effect no per-path delta can express — so the changed-user
+  * re-derive is exactly right: recompute the user's trigram multiset
+  * with [[EventWindows.userPathCounts]] (the same derive the batch
+  * query aggregates), delete the pairs the recompute no longer
+  * produces, and let the chained per-path [[AggView]] (n_rows = users
+  * travelling the path, sum_occ = occurrences) track the reporting
+  * aggregate off the state table's own CDF at O(Δ). */
+final class PathsView private[streaming] (
+    val state: VersionedTable, val counts: AggView) {
+  import EventStateViews._
+
+  def refresh(events: VersionedTable): Option[Long] = {
+    val latest = events.latestVersion
+    val since = state.lastTxn(PATHS_APP).getOrElse(0L) + 1
+    val out =
+      if (latest < since) None
+      else {
+        val users = events.changes(since).select(col("user_id")).distinct()
+        stateDelta(events, users, EventWindows.userPathCounts,
+          state, Seq("user_id", "path"), Map(PATHS_APP -> latest))
+      }
+    counts.refresh(state)
+    out
+  }
+
+  /** Top paths `(rnk, path, n_occurrences, n_users)` from the
+    * maintained per-path aggregate — O(paths), identical shape to the
+    * batch `q_event_paths` rows. */
+  def topPaths(): DataFrame =
+    EventWindows.rankPaths(counts.table.snapshot()
+      .select(col("path"), col("sum_occ").cast("long").as("n_occurrences"),
+        col("n_rows").cast("long").as("n_users")))
+}
+
 object EventStateViews extends QueryModule {
   val FUNNEL_APP = "funnel-view"
   val RETENTION_APP = "retention-view"
   val SESSION_APP = "session-view"
+  val PATHS_APP = "paths-view"
   private val STATE_BUCKETS = 8
 
   private val stateClauses = Seq(
@@ -243,6 +282,26 @@ object EventStateViews extends QueryModule {
     val counts = AggView.build(state, s"$root/counts",
       Seq("cohort_week_us", "week_offset"), Seq.empty)
     new RetentionView(state, counts)
+  }
+
+  def buildPaths(events: VersionedTable, root: String): PathsView = {
+    val spark = events.spark
+    val stateSchema = StructType(Seq(
+      StructField("user_id", LongType),
+      StructField("path", org.apache.spark.sql.types.StringType),
+      StructField("n_occ", LongType)))
+    val state = VersionedTable.create(spark, s"$root/state", stateSchema,
+      Map(VersionedTable.PROP_CDF -> "true"),
+      bucketBy = Some(BucketSpec(Seq("user_id", "path"), STATE_BUCKETS)))
+    val latest = events.latestVersion
+    Merge.run(state,
+      EventWindows.userPathCounts(events.snapshot())
+        .withColumn("__op", lit("UPSERT")),
+      Seq("user_id", "path"), stateClauses,
+      extraTxn = Map(PATHS_APP -> latest))
+    val counts = AggView.build(state, s"$root/counts", Seq("path"),
+      Seq(("occ", "n_occ")))
+    new PathsView(state, counts)
   }
 
   /** The sessionize fold over an engine-table slice: micros → ts, run
@@ -462,6 +521,50 @@ object EventStateViews extends QueryModule {
       |FROM first f JOIN act a USING (user_id)
       |GROUP BY 1, 2""".stripMargin
 
+  // ------------------------------------------------- q_event_paths_incr
+  /** Incremental-paths LIFECYCLE: even events seed the state, the view
+    * builds, the odd half lands out of order (inserting MID-STREAM
+    * events that rewrite neighbors' trigrams), an `event_id % 31 = 5`
+    * slice is retroactively DELETED, and one refresh catches up — the
+    * oracle recomputes the ranking declaratively over the surviving
+    * events, so the changed-user re-derive + chained per-path AggView
+    * must land bit-identical through both insert-rewrites and
+    * deletes. */
+  private def qEventPathsIncr(s: SparkSession, d: String): DataFrame = {
+    val root = graft.Scratch.dir("graft-paths-incr")
+    val ev = VersionedTable.create(s, root.resolve("ev").toString,
+      eventsSchema, Map(VersionedTable.PROP_CDF -> "true"))
+    val all = eventRows(s, d)
+    appendClustered(ev, all.filter(col("event_id") % 2 === 0))
+    val v = buildPaths(ev, root.resolve("v").toString)
+    appendClustered(ev, all.filter(col("event_id") % 2 === 1))
+    ev.deleteWhere(col("event_id") % 31 === 5)
+    v.refresh(ev)
+    v.topPaths()
+  }
+  private val qEventPathsIncrSql =
+    s"""WITH seqs AS (
+      |  SELECT user_id,
+      |    list(event_type ORDER BY t, event_id) AS seq
+      |  FROM (SELECT user_id, epoch_us(ts) AS t, event_id, event_type
+      |        FROM events WHERE event_id % 31 <> 5)
+      |  GROUP BY user_id),
+      |paths AS (
+      |  SELECT user_id, unnest(list_transform(
+      |    generate_series(1, greatest(len(seq) - 2, 0)),
+      |    i -> seq[i] || '>' || seq[i + 1] || '>' || seq[i + 2])) AS path
+      |  FROM seqs),
+      |bp AS (
+      |  SELECT path, count(*) AS n_occurrences,
+      |    count(DISTINCT user_id) AS n_users
+      |  FROM paths GROUP BY 1),
+      |r AS (
+      |  SELECT *, row_number() OVER (ORDER BY n_occurrences DESC, path ASC)
+      |    AS rnk
+      |  FROM bp)
+      |SELECT rnk, path, n_occurrences, n_users FROM r
+      |WHERE rnk <= ${EventWindows.PATH_K}""".stripMargin
+
   // ------------------------------------------------ q_active_users_incr
   /** Incrementally-maintained DAU/WAU — the hardest IVM case on the
     * surface because the measure is a sliding COUNT DISTINCT, which is
@@ -577,7 +680,8 @@ object EventStateViews extends QueryModule {
     "q_retention_incr"     -> qRetentionIncr _,
     "q_funnel_refresh"     -> qFunnelRefresh _,
     "q_retention_refresh"  -> qRetentionRefresh _,
-    "q_active_users_incr"  -> qActiveUsersIncr _)
+    "q_active_users_incr"  -> qActiveUsersIncr _,
+    "q_event_paths_incr"   -> qEventPathsIncr _)
 
   override val oracles: Seq[(String, String)] = Seq(
     // the maintained state must equal the from-scratch batch
@@ -587,7 +691,8 @@ object EventStateViews extends QueryModule {
     "q_retention_incr"     -> qRetentionIncrSql,
     "q_funnel_refresh"     -> qFunnelIncrSql,
     "q_retention_refresh"  -> qRetentionIncrSql,
-    "q_active_users_incr"  -> qActiveUsersIncrSql)
+    "q_active_users_incr"  -> qActiveUsersIncrSql,
+    "q_event_paths_incr"   -> qEventPathsIncrSql)
 
   override val prepares: Seq[(String, (SparkSession, String) => Unit)] = Seq(
     "q_funnel_refresh"    -> (frPrepare _),

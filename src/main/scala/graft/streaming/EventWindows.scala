@@ -1207,6 +1207,157 @@ object EventWindows extends QueryModule {
       |${one("n_events", "event_count")}""".stripMargin
   }
 
+  // ----------------------------------------------------- q_feature_matrix
+  /** Per-(user, active-day) FEATURE MATRIX — the feature-engineering
+    * pass that turns a raw event stream into model-ready training rows
+    * (churn/propensity models train on exactly these): today's
+    * activity, trailing-7-calendar-day rolling aggregates (a RANGE
+    * frame on the integer day key, so quiet days genuinely age out —
+    * a ROWS frame would be wrong), recency (gap since previous active
+    * day), and day-over-day delta. All exact integers; one user-keyed
+    * shuffle after the (user, day) pre-aggregate, every window sharing
+    * that partitioning. */
+  private def qFeatureMatrix(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val daily = Tables.events(s, d)
+      .select($"user_id", expr(s"unix_micros(ts) div ${DAY_US}L").as("day"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy($"user_id", $"day")
+      .agg(count(lit(1)).as("n"), sum($"cents").as("day_cents"))
+    val byUser = Window.partitionBy($"user_id").orderBy($"day".asc)
+    val roll = byUser.rangeBetween(-6, 0)
+    daily
+      .withColumn("roll7_n", sum($"n").over(roll))
+      .withColumn("roll7_cents", sum($"day_cents").over(roll))
+      .withColumn("gap_days",
+        coalesce($"day" - lag($"day", 1).over(byUser), lit(0L)))
+      .withColumn("delta_n",
+        coalesce($"n" - lag($"n", 1).over(byUser), lit(0L)))
+  }
+  private val qFeatureMatrixSql =
+    s"""WITH daily AS (
+      |  SELECT user_id, epoch_us(ts) // $DAY_US AS day,
+      |    count(*) AS n,
+      |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+      |      AS day_cents
+      |  FROM events GROUP BY 1, 2)
+      |SELECT user_id, day, n, day_cents,
+      |  CAST(sum(n) OVER w7 AS BIGINT) AS roll7_n,
+      |  CAST(sum(day_cents) OVER w7 AS BIGINT) AS roll7_cents,
+      |  coalesce(day - lag(day) OVER wu, 0) AS gap_days,
+      |  coalesce(n - lag(n) OVER wu, 0) AS delta_n
+      |FROM daily
+      |WINDOW
+      |  w7 AS (PARTITION BY user_id ORDER BY day
+      |         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW),
+      |  wu AS (PARTITION BY user_id ORDER BY day)""".stripMargin
+
+  // ------------------------------------------------ q_funnel_by_variant
+  /** The experiment readout × the funnel: per A/B variant (the
+    * [[qAbtestMetrics]] seeded-md5 bucketing — stable under retries),
+    * how many users reach each ordered funnel step and the step-over-
+    * step conversion in integer ppm. This is the composition every
+    * growth team actually ships — "did the treatment move WHICH step"
+    * — and it reuses the one-shuffle [[userStages]] fold unchanged:
+    * the variant is a per-row hash expression, so splitting the funnel
+    * by arm adds zero shuffles. */
+  private def qFunnelByVariant(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val stage = userStages(Tables.events(s, d)
+        .select($"user_id", unix_micros($"ts").as("t"), $"event_type"))
+      .withColumn("variant",
+        when(conv(substring(md5(concat(lit("ab|"), $"user_id".cast("string"))),
+          1, 4), 16, 10).cast("long") % 2 === 0L, "A").otherwise("B"))
+    stage.groupBy($"variant")
+      .agg(
+        sum(when($"stage" >= 1, 1L).otherwise(0L)).as("n1"),
+        sum(when($"stage" >= 2, 1L).otherwise(0L)).as("n2"),
+        sum(when($"stage" >= 3, 1L).otherwise(0L)).as("n3"))
+      .select($"variant", explode(expr(
+        """array(
+          |  named_struct('step', 1, 'step_name', 'view', 'n_users', n1,
+          |    'conv_ppm', CAST(1000000 AS BIGINT)),
+          |  named_struct('step', 2, 'step_name', 'click', 'n_users', n2,
+          |    'conv_ppm', CASE WHEN n1 > 0 THEN (n2 * 1000000L) div n1
+          |                ELSE 0L END),
+          |  named_struct('step', 3, 'step_name', 'purchase', 'n_users', n3,
+          |    'conv_ppm', CASE WHEN n2 > 0 THEN (n3 * 1000000L) div n2
+          |                ELSE 0L END))""".stripMargin)).as("r"))
+      .select($"variant", $"r.step", $"r.step_name", $"r.n_users",
+        $"r.conv_ppm")
+  }
+  private val qFunnelByVariantSql = {
+    val bucket = (1 to 4).map(i =>
+      s"(strpos('0123456789abcdef', substring(k, $i, 1)) - 1) * ${math.pow(16, 4 - i).toLong}")
+      .mkString(" + ")
+    s"""WITH ev AS (
+      |  SELECT user_id, epoch_us(ts) AS t, event_type FROM events
+      |  WHERE event_type IN ('view', 'click', 'purchase')),
+      |v AS (
+      |  SELECT user_id,
+      |    CASE WHEN ($bucket) % 2 = 0 THEN 'A' ELSE 'B' END AS variant
+      |  FROM (SELECT DISTINCT user_id,
+      |          md5('ab|' || user_id::VARCHAR) AS k FROM ev)),
+      |s1 AS (SELECT user_id, min(t) AS t1 FROM ev
+      |       WHERE event_type = 'view' GROUP BY 1),
+      |s2 AS (SELECT e.user_id, min(e.t) AS t2 FROM ev e JOIN s1 USING (user_id)
+      |       WHERE e.event_type = 'click' AND e.t >= s1.t1 GROUP BY 1),
+      |s3 AS (SELECT e.user_id, min(e.t) AS t3 FROM ev e JOIN s2 USING (user_id)
+      |       WHERE e.event_type = 'purchase' AND e.t >= s2.t2 GROUP BY 1),
+      |cnt AS (
+      |  SELECT v.variant,
+      |    CAST(count(s1.user_id) AS BIGINT) AS n1,
+      |    CAST(count(s2.user_id) AS BIGINT) AS n2,
+      |    CAST(count(s3.user_id) AS BIGINT) AS n3
+      |  FROM v
+      |  LEFT JOIN s1 USING (user_id)
+      |  LEFT JOIN s2 USING (user_id)
+      |  LEFT JOIN s3 USING (user_id)
+      |  GROUP BY 1)
+      |SELECT variant, 1 AS step, 'view' AS step_name, n1 AS n_users,
+      |  CAST(1000000 AS BIGINT) AS conv_ppm FROM cnt
+      |UNION ALL
+      |SELECT variant, 2, 'click', n2,
+      |  CASE WHEN n1 > 0 THEN CAST((n2 * 1000000) // n1 AS BIGINT)
+      |       ELSE 0 END FROM cnt
+      |UNION ALL
+      |SELECT variant, 3, 'purchase', n3,
+      |  CASE WHEN n2 > 0 THEN CAST((n3 * 1000000) // n2 AS BIGINT)
+      |       ELSE 0 END FROM cnt""".stripMargin
+  }
+
+  // ------------------------------------------------------ q_hour_heatmap
+  /** Weekday × hour activity heatmap — events + distinct users +
+    * exact revenue cents per (dow, hour) cell, the load-profile matrix
+    * behind staffing, batch-window and rate-limit decisions. Day-of-
+    * week is epoch-days mod 7 and hour is integer micros arithmetic
+    * (the [[graft.operators.Sketches]] seasonal convention — no
+    * engine-private DOW/locale numbering). One hash aggregate onto a
+    * ≤168-cell key space: partial-agg collapses almost everything
+    * map-side, making this the cheapest possible full-scan shape. */
+  private def qHourHeatmap(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .select($"user_id", unix_micros($"ts").as("t"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .withColumn("dow", expr(s"CAST((t div ${DAY_US}L) % 7 AS BIGINT)"))
+      .withColumn("hour", expr(s"CAST((t % ${DAY_US}L) div 3600000000L AS BIGINT)"))
+      .groupBy($"dow", $"hour")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct($"user_id").as("n_users"),
+        sum($"cents").as("sum_cents"))
+  }
+  private val qHourHeatmapSql =
+    s"""SELECT (epoch_us(ts) // $DAY_US) % 7 AS dow,
+      |  (epoch_us(ts) % $DAY_US) // 3600000000 AS hour,
+      |  count(*) AS n_events,
+      |  count(DISTINCT user_id) AS n_users,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+      |    AS sum_cents
+      |FROM events
+      |GROUP BY 1, 2""".stripMargin
+
   // -------------------------------------------------------- q_drawdown
   /** Running MAXIMUM DRAWDOWN over each event type's daily close
     * series — the time-series risk statistic (how far below the
@@ -1388,33 +1539,48 @@ object EventWindows extends QueryModule {
     * transform, the bigram-LM idiom) emits (user, path) rows; two hash
     * aggregates land on the ≤|types|³ path key space, and the top-k
     * rank runs on that constant-bounded relation. */
-  private val PATH_K = 20
+  private[streaming] val PATH_K = 20
+
+  /** Per-user trigram multiset `(user_id, path, n_occ)` over `(user_id,
+    * t, event_id, event_type)` rows — the per-user state unit
+    * [[EventStateViews]]' PathsView maintains incrementally and
+    * [[qEventPaths]] aggregates into the ranking. */
+  private[streaming] def userPathCounts(ev: DataFrame): DataFrame = ev
+    .select(col("user_id"), col("t"), col("event_id"), col("event_type"))
+    .groupBy(col("user_id"))
+    .agg(expr(
+      """transform(sort_array(collect_list(struct(t, event_id, event_type))),
+        |  e -> e.event_type)""".stripMargin).as("seq"))
+    // NB sequence(1, 0) DESCENDS in Spark — short streams need the
+    // explicit guard, not a greatest() clamp
+    .select(col("user_id"), explode(expr(
+      """CASE WHEN size(seq) >= 3
+        |  THEN transform(sequence(0, size(seq) - 3),
+        |    i -> concat(seq[i], '>', seq[i + 1], '>', seq[i + 2]))
+        |  ELSE array() END""".stripMargin)).as("path"))
+    .groupBy(col("user_id"), col("path"))
+    .agg(count(lit(1)).as("n_occ"))
+
+  /** Ranked top paths from any `(user_id?, path, n_occ, n_users?)`
+    * aggregate — shared by the batch query and the maintained view's
+    * readout. */
+  private[streaming] def rankPaths(byPath: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_occurrences").desc, col("path").asc)
+    byPath.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= PATH_K)
+      .select(col("rnk").cast("long").as("rnk"), col("path"),
+        col("n_occurrences"), col("n_users"))
+  }
 
   private def qEventPaths(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import s.implicits._
-    val perUser = Tables.events(s, d)
-      .select($"user_id", unix_micros($"ts").as("t"), $"event_id",
-        $"event_type")
-      .groupBy($"user_id")
-      .agg(expr(
-        """transform(sort_array(collect_list(struct(t, event_id, event_type))),
-          |  e -> e.event_type)""".stripMargin).as("seq"))
-      // NB sequence(1, 0) DESCENDS in Spark — short streams need the
-      // explicit guard, not a greatest() clamp
-      .select($"user_id", explode(expr(
-        """CASE WHEN size(seq) >= 3
-          |  THEN transform(sequence(0, size(seq) - 3),
-          |    i -> concat(seq[i], '>', seq[i + 1], '>', seq[i + 2]))
-          |  ELSE array() END""".stripMargin)).as("path"))
-    val byPath = perUser.groupBy($"path")
-      .agg(count(lit(1)).as("n_occurrences"),
-        countDistinct($"user_id").as("n_users"))
-    val w = Window.orderBy($"n_occurrences".desc, $"path".asc)
-    byPath.withColumn("rnk", row_number().over(w))
-      .filter($"rnk" <= PATH_K)
-      .select($"rnk".cast("long").as("rnk"), $"path",
-        $"n_occurrences", $"n_users")
+    rankPaths(userPathCounts(Tables.events(s, d)
+        .select($"user_id", unix_micros($"ts").as("t"), $"event_id",
+          $"event_type"))
+      .groupBy($"path")
+      .agg(sum($"n_occ").as("n_occurrences"),
+        count(lit(1)).as("n_users")))
   }
   private val qEventPathsSql =
     s"""WITH seqs AS (
@@ -1569,6 +1735,9 @@ object EventWindows extends QueryModule {
     "q_event_paths"     -> qEventPaths _,
     "q_peak_concurrency" -> qPeakConcurrency _,
     "q_drawdown"        -> qDrawdown _,
+    "q_funnel_by_variant" -> qFunnelByVariant _,
+    "q_hour_heatmap"    -> qHourHeatmap _,
+    "q_feature_matrix"  -> qFeatureMatrix _,
     "q_item_cooccur"    -> qItemCooccur _,
     "q_enrich"          -> qEnrich _)
 
@@ -1594,6 +1763,9 @@ object EventWindows extends QueryModule {
     "q_event_paths"     -> qEventPathsSql,
     "q_peak_concurrency" -> qPeakConcurrencySql,
     "q_drawdown"        -> qDrawdownSql,
+    "q_funnel_by_variant" -> qFunnelByVariantSql,
+    "q_hour_heatmap"    -> qHourHeatmapSql,
+    "q_feature_matrix"  -> qFeatureMatrixSql,
     "q_item_cooccur"    -> qItemCooccurSql,
     "q_enrich"          -> qEnrichSql)
 }

@@ -245,4 +245,32 @@ class SketchesSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     // steady days score near zero
     assert(math.abs(got("2024-03-12")._4) < 3.0)
   }
+
+  test("EWMA control: trajectory replays the integer recurrence exactly") {
+    import spark.implicits._
+    val rows = graft.SparkEntry.queries("q_ewma_control")(spark, sf)
+      .orderBy($"event_type", $"day")
+      .select($"event_type", $"day", $"n", $"ewma_milli", $"resid_milli",
+        $"alert")
+      .as[(String, Long, Long, Long, Long, Boolean)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).values.foreach { series =>
+      var prev: Option[Long] = None
+      series.foreach { case (_, _, n, s, resid, alert) =>
+        val expected = prev match {
+          case None    => n * 1000L
+          case Some(p) => (p + n * 1000L) / 2
+        }
+        assert(s == expected, "EWMA recurrence must replay exactly")
+        prev match {
+          case None =>
+            assert(resid == 0L && !alert, "first point never alerts")
+          case Some(p) =>
+            assert(resid == n * 1000L - p)
+            assert(alert == (math.abs(resid) * 2 > p))
+        }
+        prev = Some(s)
+      }
+    }
+  }
 }

@@ -177,6 +177,67 @@ class EngagementOpsSpec extends SparkSpec {
     assert(got.length == expected.size)
   }
 
+  test("variant funnel: arms partition the overall funnel at every step") {
+    val overall = run("q_funnel")
+      .select($"step", $"n_users").as[(Int, Long)].collect().toMap
+    val byVariant = run("q_funnel_by_variant")
+      .select($"variant", $"step", $"n_users", $"conv_ppm")
+      .as[(String, Int, Long, Long)].collect()
+    assert(byVariant.map(_._1).toSet == Set("A", "B"))
+    (1 to 3).foreach { step =>
+      val arms = byVariant.filter(_._2 == step).map(_._3).sum
+      assert(arms == overall(step),
+        s"step $step: variant counts must partition the funnel")
+    }
+    byVariant.groupBy(_._1).values.foreach { arm =>
+      val byStep = arm.map(r => r._2 -> r._3).toMap
+      assert(byStep(1) >= byStep(2) && byStep(2) >= byStep(3),
+        "each arm's funnel is monotone")
+      arm.foreach { case (_, _, _, ppm) => assert(ppm >= 0 && ppm <= 1000000L) }
+    }
+  }
+
+  test("hour heatmap: cell mass conserves events and bounds users") {
+    val cells = run("q_hour_heatmap")
+      .select($"dow", $"hour", $"n_events", $"n_users", $"sum_cents")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(cells.nonEmpty && cells.length <= 168)
+    cells.foreach { case (dow, hour, n, u, _) =>
+      assert(dow >= 0 && dow <= 6 && hour >= 0 && hour <= 23)
+      assert(u >= 1 && u <= n)
+    }
+    val totalEvents = graft.Tables.events(spark, sf).count()
+    assert(cells.map(_._3).sum == totalEvents,
+      "every event lands in exactly one cell")
+  }
+
+  test("feature matrix: rolling windows age out, recency and deltas replay") {
+    val rows = run("q_feature_matrix")
+      .orderBy($"user_id", $"day")
+      .select($"user_id", $"day", $"n", $"day_cents", $"roll7_n",
+        $"roll7_cents", $"gap_days", $"delta_n")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).values.foreach { series =>
+      var prev: Option[(Long, Long)] = None // (day, n)
+      series.foreach { case (_, day, n, cents, r7n, r7c, gap, dn) =>
+        // recount the trailing-7-day window from the series itself
+        val win = series.filter(r => r._2 >= day - 6 && r._2 <= day)
+        assert(r7n == win.map(_._3).sum, "roll7_n must be a calendar range")
+        assert(r7c == win.map(_._4).sum)
+        assert(r7n >= n && r7c >= cents || cents < 0)
+        prev match {
+          case None =>
+            assert(gap == 0L && dn == 0L, "first active day has no lags")
+          case Some((pd, pn)) =>
+            assert(gap == day - pd && gap >= 1)
+            assert(dn == n - pn)
+        }
+        prev = Some((day, n))
+      }
+    }
+  }
+
   test("item co-occurrence: counts nest and lift matches the marginals") {
     val rows = run("q_item_cooccur")
       .select($"item_x", $"item_y", $"n_x", $"n_y", $"n_xy", $"lift_ppm")

@@ -207,6 +207,43 @@ class EventStateViewsSpec extends SparkSpec {
     assert(sessState(v) === sessBatch(t))
   }
 
+  test("paths view ≡ batch recompute through mid-stream inserts and deletes") {
+    val (ev, root) = freshEvents()
+    def batchTop(): Set[(Long, String, Long, Long)] =
+      EventWindows.rankPaths(EventWindows.userPathCounts(ev.snapshot())
+          .groupBy($"path")
+          .agg(sum($"n_occ").as("n_occurrences"),
+            count(lit(1)).as("n_users")))
+        .as[(Long, String, Long, Long)].collect().toSet
+    def viewTop(v: PathsView): Set[(Long, String, Long, Long)] =
+      v.topPaths().as[(Long, String, Long, Long)].collect().toSet
+    // u1: view > click > purchase; u2: view > view > click
+    ev.append(rows(
+      (1, 1, "view", 100), (2, 1, "click", 200), (3, 1, "purchase", 300),
+      (4, 2, "view", 100), (5, 2, "view", 200), (6, 2, "click", 300)))
+    val v = EventStateViews.buildPaths(ev, s"$root/v")
+    assert(viewTop(v) === batchTop())
+    // mid-stream insert for u1 at t=150: view>click>purchase becomes
+    // view>error>click + error>click>purchase — neighbors rewrite
+    ev.append(rows((7, 1, "error", 150)))
+    v.refresh(ev)
+    assert(viewTop(v) === batchTop())
+    assert(viewTop(v).exists(_._2 == "view>error>click"))
+    // retroactive delete of that event restores the original trigram
+    ev.deleteWhere($"event_id" === 7)
+    v.refresh(ev)
+    assert(viewTop(v) === batchTop())
+    assert(viewTop(v).exists(_._2 == "view>click>purchase"))
+    assert(!viewTop(v).exists(_._2.contains("error")))
+    // deleting a whole user's events drops their paths and travellers
+    ev.deleteWhere($"user_id" === 2)
+    v.refresh(ev)
+    assert(viewTop(v) === batchTop())
+    // idempotent refresh stays converged
+    v.refresh(ev)
+    assert(viewTop(v) === batchTop())
+  }
+
   test("chained distinct views: refcount churn cancels, last-support delete evicts") {
     import graft.table.AggView
     val root = graft.Scratch.dir("graft-esv-dau")
