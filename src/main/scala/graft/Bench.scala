@@ -94,7 +94,15 @@ object Bench {
     "q_abc_analysis", "q_drawdown",                         // Pareto classes / drawdown series
     "q_event_paths_incr", "q_ewma_control",                 // maintained path mining / EWMA monitor
     "q_funnel_by_variant", "q_hour_heatmap",                // experiment funnel / load profile
-    "q_feature_matrix")                                     // model-ready feature rows
+    "q_feature_matrix",                                     // model-ready feature rows
+    "q_source_mix_kl",                                      // training-mix KL audit
+    "q_word_entropy",                                       // per-doc entropy filter
+    "q_source_overlap",                                     // cross-source dup matrix
+    "q_embed_dim_stats",                                    // embedding health audit
+    "q_lang_confusion",                                     // lang-ID confusion matrix
+    "q_user_lifecycle",                                     // weekly lifecycle states
+    "q_score_calibrate",                                    // per-source calibration
+    "q_cluster_weights")                                    // dup-aware train weights
   // q_semantic_dedup stays sf0.1-only: its oracle-replayable form fixes
   // CENTROIDS=16, so per-cell pair cost grows ~(N/16)² — the sf1 scale
   // path is the adaptive-cell VectorIndex (cells ~ √N), already timed

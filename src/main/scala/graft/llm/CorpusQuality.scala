@@ -670,6 +670,102 @@ object CorpusQuality extends QueryModule {
       |  (x < p05 OR x > p95) AS clipped
       |FROM docs JOIN thr ON thr.lang = docs.lang""".stripMargin
 
+  // -------------------------------------------------- q_score_calibrate
+  /** Cross-source score calibration: a quality score is only comparable
+    * across sources after rank-normalizing WITHIN each source (every
+    * crawl's raw score distribution is shifted — C4-style global
+    * thresholds systematically over-prune whole sources). Per doc: the
+    * within-source percentile, the global percentile, and the
+    * calibration shift between them — the quantity a mixing pipeline
+    * thresholds on instead of the raw score.
+    *
+    * Exact integer arithmetic: percent_rank is (rank−1)·10⁶ div (n−1)
+    * on tie-aware `rank()`, so no float folds anywhere. The global
+    * window is single-partition here (exact audit form); at 100 TB the
+    * global percentile comes from the histogram-CDF of scores (the
+    * [[graft.llm.SimilarityOps.qDocOutlier]] convention) while the
+    * per-source windows stay exact — sources partition the shuffle. */
+  private def qScoreCalibrate(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    documents(s, d).select($"doc_id", $"source", $"n_chars")
+      .withColumn("r",
+        rank().over(Window.partitionBy($"source").orderBy($"n_chars".asc))
+          .cast("long"))
+      .withColumn("n",
+        count(lit(1)).over(Window.partitionBy($"source")))
+      .withColumn("rg", rank().over(Window.orderBy($"n_chars".asc)).cast("long"))
+      .withColumn("ng", count(lit(1)).over(
+        Window.partitionBy().rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .select($"doc_id", $"source", $"n_chars",
+        expr("(r - 1) * 1000000L div greatest(n - 1, 1)").as("src_pct_ppm"),
+        expr("(rg - 1) * 1000000L div greatest(ng - 1, 1)").as("global_pct_ppm"),
+        expr("""(r - 1) * 1000000L div greatest(n - 1, 1)
+             | - (rg - 1) * 1000000L div greatest(ng - 1, 1)""".stripMargin)
+          .as("shift_ppm"))
+  }
+  private val qScoreCalibrateSql =
+    """WITH r AS (
+      |  SELECT doc_id, source, n_chars,
+      |    CAST(rank() OVER (PARTITION BY source ORDER BY n_chars ASC)
+      |      AS BIGINT) AS r,
+      |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n,
+      |    CAST(rank() OVER (ORDER BY n_chars ASC) AS BIGINT) AS rg,
+      |    CAST(count(*) OVER () AS BIGINT) AS ng
+      |  FROM documents)
+      |SELECT doc_id, source, n_chars,
+      |  (r - 1) * 1000000 // greatest(n - 1, 1) AS src_pct_ppm,
+      |  (rg - 1) * 1000000 // greatest(ng - 1, 1) AS global_pct_ppm,
+      |  (r - 1) * 1000000 // greatest(n - 1, 1)
+      |    - (rg - 1) * 1000000 // greatest(ng - 1, 1) AS shift_ppm
+      |FROM r""".stripMargin
+
+  // ---------------------------------------------------- q_source_mix_kl
+  /** Source-mix audit: the corpus' source composition against the
+    * declared target mix (uniform here — the config a mixing pipeline
+    * would supply), as per-source shares and KL-divergence
+    * contributions p·ln(p/q). This is the standing "is my training
+    * mix drifting from spec" check that pairs with
+    * [[graft.operators.Sampling]]'s temperature/mix-epoch CONSTRUCTORS
+    * — they build the mix, this monitors it.
+    *
+    * Determinism: shares become integer ppm FIRST, and both engines
+    * compute ln on the identical ppm-derived doubles (the
+    * [[qLmPerplexity]] ln-parity precedent), rounded 6dp. Cost: one
+    * hash aggregate to |sources| rows; everything after is
+    * constant-sized. */
+  private def qSourceMixKl(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val by = documents(s, d).groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"))
+    val tot = by.agg(sum($"n_docs").as("total"),
+      count(lit(1)).as("k"))
+    by.crossJoin(broadcast(tot))
+      .select($"source", $"n_docs",
+        expr("(n_docs * 1000000) div total").as("share_ppm"),
+        expr("1000000 div k").as("target_ppm"))
+      .withColumn("kl_contrib", round(
+        ($"share_ppm" / 1000000.0d) *
+          log(($"share_ppm" / 1000000.0d) / ($"target_ppm" / 1000000.0d)),
+        6))
+  }
+  private val qSourceMixKlSql =
+    """WITH by AS (SELECT source, count(*) AS n_docs FROM documents
+      |            GROUP BY 1),
+      |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total,
+      |             count(*) AS k FROM by),
+      |p AS (
+      |  SELECT source, n_docs,
+      |    CAST((n_docs * 1000000) // total AS BIGINT) AS share_ppm,
+      |    CAST(1000000 // k AS BIGINT) AS target_ppm
+      |  FROM by, t)
+      |SELECT source, n_docs, share_ppm, target_ppm,
+      |  round((share_ppm / 1000000.0)
+      |    * ln((share_ppm / 1000000.0) / (target_ppm / 1000000.0)), 6)
+      |    AS kl_contrib
+      |FROM p""".stripMargin
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q_gopher_quality"     -> qGopherQuality _,
     "q_boilerplate_ngrams" -> qBoilerplateNgrams _,
@@ -680,7 +776,9 @@ object CorpusQuality extends QueryModule {
     "q_winsorize"          -> qWinsorize _,
     "q_dsir_weights"       -> qDsirWeights _,
     "q_quality_classifier" -> qQualityClassifier _,
-    "q_pii_scrub"          -> qPiiScrub _)
+    "q_pii_scrub"          -> qPiiScrub _,
+    "q_source_mix_kl"      -> qSourceMixKl _,
+    "q_score_calibrate"    -> qScoreCalibrate _)
 
   override val oracles: Seq[(String, String)] = Seq(
     "q_gopher_quality"     -> qGopherQualitySql,
@@ -692,5 +790,7 @@ object CorpusQuality extends QueryModule {
     "q_winsorize"          -> qWinsorizeSql,
     "q_dsir_weights"       -> qDsirWeightsSql,
     "q_quality_classifier" -> qQualityClassifierSql,
-    "q_pii_scrub"          -> qPiiScrubSql)
+    "q_pii_scrub"          -> qPiiScrubSql,
+    "q_source_mix_kl"      -> qSourceMixKlSql,
+    "q_score_calibrate"    -> qScoreCalibrateSql)
 }

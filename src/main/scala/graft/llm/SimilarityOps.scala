@@ -1345,6 +1345,71 @@ object SimilarityOps extends QueryModule {
       |FROM r""".stripMargin
   }
 
+  // ----------------------------------------------- q_embed_dim_stats
+  /** Per-dimension embedding-table health audit: n / mean / std /
+    * min / max / exact-zero count for each of the [[DIMS]] coordinates.
+    * This is the monitoring row an embedding store runs before anything
+    * consumes the vectors — dead dimensions (std ≈ 0), mean drift after
+    * an encoder redeploy, and zero-inflated coordinates (a truncation
+    * bug's signature) all show up here first, and the same table is
+    * what [[graft.llm.IncrementalIndex]] REINDEX decisions key off.
+    *
+    * Determinism (the [[qDocOutlier]] idiom): components quantize to
+    * the 2²⁰ integer grid first, so sums and sums-of-squares are exact
+    * mergeable integers — order-free across engines — and both engines
+    * derive the double mean/std from the same integers with the same
+    * division sequence. q² ≤ 2⁴⁰ keeps the squared sum inside a long
+    * through ~10⁶ rows per dimension at these SFs; at 100 TB the same
+    * aggregate runs per-shard (the integer cells merge exactly) or
+    * widens to decimal. Cost: one partial-aggregated pass, DIMS-row
+    * output, no joins. */
+  private def qEmbedDimStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    embeddings(s, d)
+      .select(posexplode(expr(
+        s"""transform(embedding,
+           |  x -> CAST(round(CAST(x AS DOUBLE) * $OUTLIER_Q) AS BIGINT))"""
+          .stripMargin)).as(Seq("j", "q")))
+      .groupBy($"j")
+      .agg(
+        count(lit(1)).as("n"),
+        sum($"q").as("sq"),
+        sum($"q" * $"q").as("sqq"),
+        min($"q").as("minq"),
+        max($"q").as("maxq"),
+        sum(when($"q" === 0L, 1L).otherwise(0L)).as("n_zero"))
+      .select(($"j" + 1).cast("int").as("dim"), $"n",
+        expr(s"round(CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) / $OUTLIER_Q.0D, 6)")
+          .as("mean_val"),
+        expr(s"""round(sqrt(CAST(sqq AS DOUBLE) / CAST(n AS DOUBLE)
+             |  - (CAST(sq AS DOUBLE) / CAST(n AS DOUBLE))
+             |    * (CAST(sq AS DOUBLE) / CAST(n AS DOUBLE)))
+             |  / $OUTLIER_Q.0D, 6)""".stripMargin).as("std_val"),
+        expr(s"round(CAST(minq AS DOUBLE) / $OUTLIER_Q.0D, 6)").as("min_val"),
+        expr(s"round(CAST(maxq AS DOUBLE) / $OUTLIER_Q.0D, 6)").as("max_val"),
+        $"n_zero")
+  }
+  private val qEmbedDimStatsSql =
+    s"""WITH ex AS (
+      |  SELECT j, CAST(round(embedding[j]::DOUBLE * $OUTLIER_Q) AS BIGINT) AS q
+      |  FROM embeddings, generate_series(1, $DIMS) t(j)),
+      |g AS (
+      |  SELECT j, count(*) AS n,
+      |    CAST(sum(q) AS BIGINT) AS sq,
+      |    CAST(sum(q * q) AS BIGINT) AS sqq,
+      |    min(q) AS minq, max(q) AS maxq,
+      |    CAST(sum(CASE WHEN q = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+      |  FROM ex GROUP BY 1)
+      |SELECT CAST(j AS INT) AS dim, n,
+      |  round(sq::DOUBLE / n::DOUBLE / $OUTLIER_Q.0, 6) AS mean_val,
+      |  round(sqrt(sqq::DOUBLE / n::DOUBLE
+      |    - (sq::DOUBLE / n::DOUBLE) * (sq::DOUBLE / n::DOUBLE))
+      |    / $OUTLIER_Q.0, 6) AS std_val,
+      |  round(minq::DOUBLE / $OUTLIER_Q.0, 6) AS min_val,
+      |  round(maxq::DOUBLE / $OUTLIER_Q.0, 6) AS max_val,
+      |  n_zero
+      |FROM g""".stripMargin
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q_topk_cosine" -> qTopkCosine _,
     "q_triplet_mine" -> qTripletMine _,
@@ -1357,6 +1422,7 @@ object SimilarityOps extends QueryModule {
     "q_sq8_index"   -> qSq8Index _,
     "q_hybrid_rrf"  -> qHybridRrf _,
     "q_doc_outlier" -> qDocOutlier _,
+    "q_embed_dim_stats" -> qEmbedDimStats _,
     "q_ann_recall"  -> qAnnRecall _)
 
   override val oracles: Seq[(String, String)] = Seq(
@@ -1371,5 +1437,6 @@ object SimilarityOps extends QueryModule {
     "q_sq8_index"   -> qSq8IndexSql,
     "q_hybrid_rrf"  -> qHybridRrfSql,
     "q_doc_outlier" -> qDocOutlierSql,
+    "q_embed_dim_stats" -> qEmbedDimStatsSql,
     "q_ann_recall"  -> qAnnRecallSql)
 }

@@ -115,6 +115,39 @@ object TextOps extends QueryModule {
       |  FROM (SELECT doc_id, lang, string_split(lower(text), ' ') AS t FROM documents))""".stripMargin
   }
 
+  // --------------------------------------------------- q_lang_confusion
+  /** Language-ID quality readout: the confusion matrix of
+    * [[qLangId]]'s prediction against the labeled language, with each
+    * cell's integer-ppm share of its actual-language row (the recall
+    * diagonal). Classifier evaluation is itself a corpus-scale
+    * operator — the matrix is |langs|² rows off one aggregate over the
+    * per-doc predictions, and at 100 TB it is the ONLY view of the
+    * classifier anyone looks at, so it belongs beside the classifier
+    * as a first-class query, not a notebook afterthought. */
+  private def qLangConfusion(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    qLangId(s, d)
+      .groupBy($"actual_lang", $"predicted_lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("row_total",
+        sum($"n_docs").over(Window.partitionBy($"actual_lang")))
+      .select($"actual_lang", $"predicted_lang", $"n_docs",
+        expr("n_docs * 1000000L div row_total").as("row_share_ppm"),
+        ($"actual_lang" === $"predicted_lang").as("is_diagonal"))
+  }
+  private val qLangConfusionSql =
+    s"""WITH pred AS ($qLangIdSql),
+      |cell AS (
+      |  SELECT actual_lang, predicted_lang, count(*) AS n_docs
+      |  FROM pred GROUP BY 1, 2)
+      |SELECT actual_lang, predicted_lang, n_docs,
+      |  (n_docs * 1000000)
+      |    // CAST(sum(n_docs) OVER (PARTITION BY actual_lang) AS BIGINT)
+      |    AS row_share_ppm,
+      |  actual_lang = predicted_lang AS is_diagonal
+      |FROM cell""".stripMargin
+
   // ----------------------------------------------------- q_token_count
   /** Token counting three ways: whitespace, a BPE-ish subword regex
     * (word pieces capped at 4 chars — the shape of byte-pair chunking),
@@ -723,9 +756,62 @@ object TextOps extends QueryModule {
       |  (count(DISTINCT gram) * 1000000) // count(*) AS diversity_ppm
       |FROM grams GROUP BY lang""".stripMargin
 
+  // --------------------------------------------------- q_word_entropy
+  /** Per-document word-distribution shape: Shannon entropy (nats), the
+    * max-word repetition fraction, and the doc's distance from its own
+    * uniform bound `ln(n_distinct)` — the "natural text or degenerate
+    * repetition?" triple Gopher-style filters threshold on that
+    * [[qTextStats]]'s type/token ratio alone can't see (a doc cycling
+    * two words 50/50 has TTR ≈ 0 but also entropy ≈ ln 2, while a doc
+    * that is 95% one filler word scores near 0 entropy).
+    *
+    * Determinism ([[qLmPerplexity]] precedent): each entropy term is
+    * `tf/n · ln(tf/n)` on integer-derived doubles, summed PER DOC over
+    * at most a few hundred same-magnitude terms, then rounded 4dp —
+    * both engines fold identically at that resolution. Cost: one
+    * explode + one (doc, word) hash aggregate, partial-aggregated
+    * map-side; per-doc state is O(distinct words). At 100 TB this is
+    * the same shuffle shape as [[qTextStats]] — per-doc rows, no
+    * corpus-wide join. */
+  private def qWordEntropy(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tf = withTokens(documents(s, d))
+      .select($"doc_id", explode($"tokens").as("tok"))
+      .filter(length($"tok") > 0)
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+    tf.groupBy($"doc_id").agg(
+        sum($"tf").as("n_tok"),
+        count(lit(1)).as("n_distinct"),
+        max($"tf").as("max_tf"),
+        // Σ tf·ln(tf), stabilized at 10dp before the per-doc finisher:
+        // ~1e-13 fold-order noise on a ~1e2 sum, 1e-10 grid kills it.
+        round(sum($"tf".cast("double") * log($"tf")), 10).as("sum_tlnt"))
+      .select($"doc_id", $"n_tok", $"n_distinct",
+        round(log($"n_tok") - $"sum_tlnt" / $"n_tok", 4).as("entropy_nats"),
+        expr("max_tf * 1000000L div n_tok").as("top_word_ppm"),
+        round(log(greatest($"n_distinct", lit(1L))), 4).as("max_entropy"))
+  }
+  private val qWordEntropySql =
+    """WITH tf AS (
+      |  SELECT doc_id, tok, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+      |        FROM documents)
+      |  WHERE length(tok) > 0
+      |  GROUP BY 1, 2)
+      |SELECT doc_id,
+      |  CAST(sum(tf) AS BIGINT) AS n_tok,
+      |  count(*) AS n_distinct,
+      |  round(ln(CAST(sum(tf) AS BIGINT))
+      |    - round(sum(CAST(tf AS DOUBLE) * ln(tf)), 10)
+      |      / CAST(sum(tf) AS BIGINT), 4) AS entropy_nats,
+      |  (max(tf) * 1000000) // CAST(sum(tf) AS BIGINT) AS top_word_ppm,
+      |  round(ln(greatest(count(*), 1)), 4) AS max_entropy
+      |FROM tf GROUP BY doc_id""".stripMargin
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q_text_stats"      -> qTextStats _,
     "q_lang_id"         -> qLangId _,
+    "q_lang_confusion"  -> qLangConfusion _,
     "q_token_count"     -> qTokenCount _,
     "q_doc_fingerprint" -> qDocFingerprint _,
     "q_corpus_prep"     -> qCorpusPrep _,
@@ -737,11 +823,13 @@ object TextOps extends QueryModule {
     "q_vocab_coverage"  -> qVocabCoverage _,
     "q_seq_pack"        -> qSeqPack _,
     "q_ngram_diversity" -> qNgramDiversity _,
+    "q_word_entropy"    -> qWordEntropy _,
     "q_bm25"            -> qBm25 _)
 
   override val oracles: Seq[(String, String)] = Seq(
     "q_text_stats"      -> qTextStatsSql,
     "q_lang_id"         -> qLangIdSql,
+    "q_lang_confusion"  -> qLangConfusionSql,
     "q_token_count"     -> qTokenCountSql,
     "q_doc_fingerprint" -> qDocFingerprintSql,
     "q_corpus_prep"     -> qCorpusPrepSql,
@@ -753,5 +841,6 @@ object TextOps extends QueryModule {
     "q_vocab_coverage"  -> qVocabCoverageSql,
     "q_seq_pack"        -> qSeqPackSql,
     "q_ngram_diversity" -> qNgramDiversitySql,
+    "q_word_entropy"    -> qWordEntropySql,
     "q_bm25"            -> qBm25Sql)
 }

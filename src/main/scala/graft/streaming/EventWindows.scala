@@ -1648,6 +1648,57 @@ object EventWindows extends QueryModule {
       |  CAST(sum(n_new) OVER (ORDER BY day ASC) AS BIGINT) AS cum_users
       |FROM sp""".stripMargin
 
+  // --------------------------------------------------- q_user_lifecycle
+  /** Weekly user-lifecycle accounting — the full state machine behind
+    * [[qNewReturning]]'s daily split: every active (user, week) is NEW
+    * (first week ever), RETAINED (also active the week before) or
+    * RESURRECTED (returning after ≥ 1 skipped week), and CHURNING-OUT
+    * (not active the following week — the last-observed week churns by
+    * definition). WAU = new + retained + resurrected per week, so the
+    * rows reconcile against [[qActiveUsers]] exactly.
+    *
+    * One distinct (user, week) relation, one per-user lag/lead window,
+    * one week-level aggregate — the user window shuffles on user_id
+    * (millions of small groups, the scalable direction) and the final
+    * aggregate is |weeks|-row. No joins, no per-week distinct rescans. */
+  private def qUserLifecycle(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val uw = Tables.events(s, d)
+      .select($"user_id", expr(s"unix_micros(ts) div ${WEEK_US}L").as("week"))
+      .distinct()
+    val w = Window.partitionBy($"user_id").orderBy($"week".asc)
+    uw.withColumn("prev_w", lag($"week", 1).over(w))
+      .withColumn("next_w", lead($"week", 1).over(w))
+      .groupBy($"week")
+      .agg(
+        count(lit(1)).as("wau"),
+        sum(when($"prev_w".isNull, 1L).otherwise(0L)).as("n_new"),
+        sum(when($"week" - $"prev_w" === 1L, 1L).otherwise(0L)).as("n_retained"),
+        sum(when($"week" - $"prev_w" > 1L, 1L).otherwise(0L)).as("n_resurrected"),
+        sum(when($"next_w".isNull || $"next_w" - $"week" > 1L, 1L).otherwise(0L))
+          .as("n_churning_out"))
+  }
+  private val qUserLifecycleSql =
+    s"""WITH uw AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // $WEEK_US AS week
+      |  FROM events),
+      |st AS (
+      |  SELECT user_id, week,
+      |    lag(week) OVER (PARTITION BY user_id ORDER BY week ASC) AS prev_w,
+      |    lead(week) OVER (PARTITION BY user_id ORDER BY week ASC) AS next_w
+      |  FROM uw)
+      |SELECT week, count(*) AS wau,
+      |  CAST(sum(CASE WHEN prev_w IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_new,
+      |  CAST(sum(CASE WHEN week - prev_w = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_retained,
+      |  CAST(sum(CASE WHEN week - prev_w > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_resurrected,
+      |  CAST(sum(CASE WHEN next_w IS NULL OR next_w - week > 1
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS n_churning_out
+      |FROM st GROUP BY week""".stripMargin
+
   // ---------------------------------------------------- q_item_cooccur
   /** Item-item co-occurrence similarity ("users who engaged with X
     * also engaged with Y") — the collaborative-filtering statistic,
@@ -1732,6 +1783,7 @@ object EventWindows extends QueryModule {
     "q_gini"            -> qGini _,
     "q_active_users"    -> qActiveUsers _,
     "q_new_returning"   -> qNewReturning _,
+    "q_user_lifecycle"  -> qUserLifecycle _,
     "q_event_paths"     -> qEventPaths _,
     "q_peak_concurrency" -> qPeakConcurrency _,
     "q_drawdown"        -> qDrawdown _,
@@ -1760,6 +1812,7 @@ object EventWindows extends QueryModule {
     "q_gini"            -> qGiniSql,
     "q_active_users"    -> qActiveUsersSql,
     "q_new_returning"   -> qNewReturningSql,
+    "q_user_lifecycle"  -> qUserLifecycleSql,
     "q_event_paths"     -> qEventPathsSql,
     "q_peak_concurrency" -> qPeakConcurrencySql,
     "q_drawdown"        -> qDrawdownSql,

@@ -1,0 +1,139 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Semantic invariants of the corpus/index AUDIT operators (entropy,
+  * mix-KL, cross-source overlap, embedding health, lang-ID confusion,
+  * lifecycle accounting, calibration, dup weights). The oracle rows pin
+  * cross-engine content; these pin the identities a user relies on.
+  */
+class AuditOpsSpec extends SparkSpec {
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  // ------------------------------------------------------ word entropy
+  test("word entropy: 0 ≤ entropy ≤ ln(n_distinct), counts consistent") {
+    val out = run("q_word_entropy").cache()
+    try {
+      assert(out.count() > 0)
+      assert(out.filter(col("entropy_nats") > col("max_entropy") + 1e-4).count() === 0)
+      assert(out.filter(col("entropy_nats") < -1e-9).count() === 0)
+      assert(out.filter(col("n_distinct") > col("n_tok")).count() === 0)
+      // top-word fraction is a valid ppm and consistent with entropy's
+      // degenerate end: a doc that is one repeated word has entropy 0
+      assert(out.filter(col("top_word_ppm") > 1000000L).count() === 0)
+      assert(out.filter(col("top_word_ppm") === 1000000L &&
+        col("entropy_nats") =!= 0.0).count() === 0)
+    } finally out.unpersist()
+  }
+
+  // ----------------------------------------------------- source mix KL
+  test("source mix KL: truncated shares conserve mass, contribution signs follow shares") {
+    val out = run("q_source_mix_kl").cache()
+    try {
+      val k = out.count()
+      assert(k > 1)
+      val tot = out.agg(sum("share_ppm")).first().getLong(0)
+      // div-truncated ppm shares lose < 1 ppm per source
+      assert(tot <= 1000000L && tot > 1000000L - k)
+      // p > q ⇒ p·ln(p/q) ≥ 0; p < q ⇒ ≤ 0 (6dp rounding can park tiny
+      // contributions at exactly 0, so the sign tests are non-strict)
+      assert(out.filter(col("share_ppm") > col("target_ppm") &&
+        col("kl_contrib") < -1e-9).count() === 0)
+      assert(out.filter(col("share_ppm") < col("target_ppm") &&
+        col("share_ppm") > 0 && col("kl_contrib") > 1e-9).count() === 0)
+    } finally out.unpersist()
+  }
+
+  // ---------------------------------------------------- source overlap
+  test("source overlap: ordered pairs, jaccard ≤ containment ≤ 1, shared ≤ min set") {
+    val out = run("q_source_overlap").cache()
+    try {
+      assert(out.count() > 0)
+      assert(out.filter(col("source_a") >= col("source_b")).count() === 0)
+      assert(out.filter(col("jaccard_ppm") > col("containment_ppm")).count() === 0)
+      assert(out.filter(col("containment_ppm") > 1000000L).count() === 0)
+      assert(out.filter(col("n_shared") > least(col("n_a"), col("n_b"))).count() === 0)
+    } finally out.unpersist()
+  }
+
+  // --------------------------------------------------- embed dim stats
+  test("embed dim stats: one row per dimension covering every vector, moments ordered") {
+    val out = run("q_embed_dim_stats").cache()
+    try {
+      val nVecs = graft.Tables.embeddings(spark, sf).count()
+      assert(out.count() === 64L)
+      assert(out.filter(col("n") =!= nVecs).count() === 0)
+      assert(out.filter(col("std_val") < 0.0).count() === 0)
+      assert(out.filter(col("min_val") > col("mean_val") ||
+        col("mean_val") > col("max_val")).count() === 0)
+      assert(out.filter(col("n_zero") > col("n")).count() === 0)
+    } finally out.unpersist()
+  }
+
+  // --------------------------------------------------- lang confusion
+  test("lang confusion: cells partition the corpus, row shares fill each row") {
+    val out = run("q_lang_confusion").cache()
+    try {
+      val nDocs = graft.Tables.documents(spark, sf).count()
+      assert(out.agg(sum("n_docs")).first().getLong(0) === nDocs)
+      assert(out.filter(col("is_diagonal")).count() > 0)
+      // per actual language the truncated shares lose < 1 ppm per cell
+      val rows = out.groupBy("actual_lang")
+        .agg(sum("row_share_ppm").as("s"), count(lit(1)).as("cells"))
+      assert(rows.filter(col("s") > 1000000L).count() === 0)
+      assert(rows.filter(col("s") <= lit(1000000L) - col("cells")).count() === 0)
+    } finally out.unpersist()
+  }
+
+  // --------------------------------------------------- user lifecycle
+  test("user lifecycle: wau decomposes, first week all-new, last week all-churning") {
+    val out = run("q_user_lifecycle").cache()
+    try {
+      assert(out.count() > 1)
+      assert(out.filter(col("wau") =!=
+        col("n_new") + col("n_retained") + col("n_resurrected")).count() === 0)
+      val first = out.orderBy(col("week").asc).first()
+      assert(first.getAs[Long]("n_new") === first.getAs[Long]("wau"))
+      val last = out.orderBy(col("week").desc).first()
+      assert(last.getAs[Long]("n_churning_out") === last.getAs[Long]("wau"))
+      // weekly actives reconcile against a direct distinct count
+      val direct = graft.Tables.events(spark, sf)
+        .select(col("user_id"),
+          expr(s"unix_micros(ts) div ${7L * 86400000000L}L").as("week"))
+        .distinct().groupBy("week").agg(count(lit(1)).as("w2"))
+      assert(out.join(direct, "week").filter(col("wau") =!= col("w2"))
+        .count() === 0)
+    } finally out.unpersist()
+  }
+
+  // -------------------------------------------------- score calibrate
+  test("score calibrate: ppm bounds, each source anchors at percentile 0") {
+    val out = run("q_score_calibrate").cache()
+    try {
+      assert(out.count() === graft.Tables.documents(spark, sf).count())
+      assert(out.filter(col("src_pct_ppm") < 0 ||
+        col("src_pct_ppm") > 1000000L).count() === 0)
+      assert(out.filter(col("global_pct_ppm") < 0 ||
+        col("global_pct_ppm") > 1000000L).count() === 0)
+      val mins = out.groupBy("source").agg(min("src_pct_ppm").as("m"))
+      assert(mins.filter(col("m") =!= 0L).count() === 0)
+      assert(out.filter(col("shift_ppm") =!=
+        col("src_pct_ppm") - col("global_pct_ppm")).count() === 0)
+    } finally out.unpersist()
+  }
+
+  // ------------------------------------------------- cluster weights
+  test("cluster weights: every doc weighted once, weight = 1e6 div size, dups downweighted") {
+    val out = run("q_cluster_weights").cache()
+    try {
+      assert(out.count() === graft.Tables.documents(spark, sf).count())
+      assert(out.filter(col("weight_ppm") =!=
+        expr("1000000L div cluster_size")).count() === 0)
+      assert(out.filter(col("cluster_size") === 1L &&
+        col("weight_ppm") =!= 1000000L).count() === 0)
+      assert(out.filter(col("cluster_size") < 1L).count() === 0)
+    } finally out.unpersist()
+  }
+}
