@@ -102,7 +102,12 @@ object Bench {
     "q_lang_confusion",                                     // lang-ID confusion matrix
     "q_user_lifecycle",                                     // weekly lifecycle states
     "q_score_calibrate",                                    // per-source calibration
-    "q_cluster_weights")                                    // dup-aware train weights
+    "q_cluster_weights",                                    // dup-aware train weights
+    "q_data_split",                                         // deterministic splits
+    "q_repetition_stats",                                   // n-gram repetition gate
+    "q_survivor_stats",                                     // dedup cost accounting
+    "q_budget_select",                                      // token-budget knapsack
+    "q_lsh_eval")                                           // detector P/R eval
   // q_semantic_dedup stays sf0.1-only: its oracle-replayable form fixes
   // CENTROIDS=16, so per-cell pair cost grows ~(N/16)² — the sf1 scale
   // path is the adaptive-cell VectorIndex (cells ~ √N), already timed

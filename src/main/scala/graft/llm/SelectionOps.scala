@@ -264,13 +264,68 @@ object SelectionOps extends QueryModule {
       |  SELECT 1 FROM pts q
       |  WHERE q.x >= p.x AND q.y >= p.y AND (q.x > p.x OR q.y > p.y))""".stripMargin
 
+  // ------------------------------------------------- q_budget_select
+  /** Token-budgeted data selection — the fractional-knapsack pass that
+    * answers "I can afford to train on 20% of these tokens; which
+    * documents?": rank by lexical-density value-per-token (distinct
+    * words per token, ppm — a quality score whose cost unit matches
+    * the budget unit), take the cumulative-token prefix under the
+    * budget (total tokens div 5, so the operator is scale-invariant).
+    * Greedy-by-density is exactly optimal for the fractional knapsack
+    * and the standard approximation for the 0/1 form.
+    *
+    * The per-doc stats are shuffle-free HOF arithmetic; the ranking is
+    * one global window (exact audit form — at 100 TB the density
+    * CUTOFF comes from the histogram-CDF of densities, the
+    * q_hist_quantiles convention, making selection a broadcast
+    * threshold filter; the greedy semantics are unchanged). Integer
+    * arithmetic end-to-end. */
+  private def qBudgetSelect(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val docs = documents(s, d).select($"doc_id",
+      expr("""CAST(size(filter(split(lower(text), ' '),
+           |  t -> length(t) > 0)) AS BIGINT)""".stripMargin).as("n_tok"),
+      expr("""CAST(size(array_distinct(filter(split(lower(text), ' '),
+           |  t -> length(t) > 0))) AS BIGINT)""".stripMargin).as("n_distinct"))
+      .withColumn("density_ppm",
+        expr("n_distinct * 1000000L div greatest(n_tok, 1L)"))
+    val budget = docs.agg(expr("sum(n_tok) div 5").as("budget"))
+    val w = Window.orderBy($"density_ppm".desc, $"doc_id".asc)
+    docs.crossJoin(broadcast(budget))
+      .withColumn("cum_tok", sum($"n_tok").over(w))
+      .select($"doc_id", $"n_tok", $"density_ppm", $"cum_tok",
+        ($"cum_tok" <= $"budget").as("selected"))
+  }
+  private val qBudgetSelectSql =
+    """WITH docs AS (
+      |  SELECT doc_id,
+      |    CAST(len(ft) AS BIGINT) AS n_tok,
+      |    CAST(len(list_distinct(ft)) AS BIGINT) AS n_distinct
+      |  FROM (SELECT doc_id,
+      |          list_filter(string_split(lower(text), ' '),
+      |                      t -> length(t) > 0) AS ft
+      |        FROM documents)),
+      |d2 AS (SELECT doc_id, n_tok,
+      |         n_distinct * 1000000 // greatest(n_tok, 1) AS density_ppm
+      |       FROM docs),
+      |b AS (SELECT CAST(sum(n_tok) AS BIGINT) // 5 AS budget FROM docs)
+      |SELECT doc_id, n_tok, density_ppm,
+      |  CAST(sum(n_tok) OVER (ORDER BY density_ppm DESC, doc_id ASC)
+      |    AS BIGINT) AS cum_tok,
+      |  CAST(sum(n_tok) OVER (ORDER BY density_ppm DESC, doc_id ASC)
+      |    AS BIGINT) <= budget AS selected
+      |FROM d2, b""".stripMargin
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q_mmr_select"     -> (qMmrSelect _),
     "q_cluster_sample" -> (qClusterSample _),
-    "q_pareto_select"  -> (qParetoSelect _))
+    "q_pareto_select"  -> (qParetoSelect _),
+    "q_budget_select"  -> (qBudgetSelect _))
 
   override val oracles: Seq[(String, String)] = Seq(
     "q_mmr_select"     -> qMmrSelectSql,
     "q_cluster_sample" -> qClusterSampleSql,
-    "q_pareto_select"  -> qParetoSelectSql)
+    "q_pareto_select"  -> qParetoSelectSql,
+    "q_budget_select"  -> qBudgetSelectSql)
 }

@@ -808,6 +808,64 @@ object TextOps extends QueryModule {
       |  round(ln(greatest(count(*), 1)), 4) AS max_entropy
       |FROM tf GROUP BY doc_id""".stripMargin
 
+  // ------------------------------------------------- q_repetition_stats
+  /** Within-document repetition metrics — the Gopher "rep." signal
+    * family at n-gram granularity: duplicate-trigram fraction (1 −
+    * distinct/total word 3-grams) and top-bigram mass, the two
+    * thresholds that catch template/keyword-stuffed pages that
+    * [[qWordEntropy]]'s unigram view under-penalizes (a page cycling
+    * a 5-word phrase has healthy word entropy but ~100% duplicate
+    * trigrams). The trigram side is pure per-row HOF arithmetic
+    * (shuffle-free, codegen-riding); the bigram mode needs one
+    * explode + (doc, bigram) hash aggregate — the qWordEntropy shuffle
+    * shape, per-doc groups, no corpus-wide join. Exact integer ppm. */
+  private def qRepetitionStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = withTokens(documents(s, d)).filter(size($"tokens") >= 3)
+    val tri = base.select($"doc_id",
+      (size($"tokens") - 2).cast("long").as("n_tri"),
+      size(array_distinct(expr(
+        """transform(sequence(1, size(tokens) - 2),
+          |  i -> concat(element_at(tokens, i), ' ',
+          |              element_at(tokens, i + 1), ' ',
+          |              element_at(tokens, i + 2)))""".stripMargin)))
+        .cast("long").as("n_tri_distinct"))
+    val big = base
+      .select($"doc_id", explode(expr(
+        """transform(sequence(1, size(tokens) - 1),
+          |  i -> concat(element_at(tokens, i), ' ',
+          |              element_at(tokens, i + 1)))""".stripMargin)).as("bg"))
+      .groupBy($"doc_id", $"bg").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(max($"c").as("top_big"), sum($"c").as("n_big"))
+    tri.join(big, "doc_id")
+      .select($"doc_id", $"n_tri", $"n_tri_distinct",
+        expr("(n_tri - n_tri_distinct) * 1000000L div n_tri").as("dup_tri_ppm"),
+        expr("top_big * 1000000L div n_big").as("top_bigram_ppm"))
+  }
+  private val qRepetitionStatsSql =
+    """WITH tk AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+      |  WHERE len(string_split(lower(text), ' ')) >= 3),
+      |tri AS (
+      |  SELECT doc_id, CAST(len(t) - 2 AS BIGINT) AS n_tri,
+      |    CAST(len(list_distinct(list_transform(
+      |      generate_series(1, len(t) - 2),
+      |      i -> concat(t[i], ' ', t[i + 1], ' ', t[i + 2])))) AS BIGINT)
+      |      AS n_tri_distinct
+      |  FROM tk),
+      |bg AS (
+      |  SELECT doc_id, concat(t[i], ' ', t[i + 1]) AS bg
+      |  FROM tk, unnest(generate_series(1, len(t) - 1)) AS s(i)),
+      |bc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
+      |ba AS (SELECT doc_id, max(c) AS top_big,
+      |              CAST(sum(c) AS BIGINT) AS n_big
+      |       FROM bc GROUP BY 1)
+      |SELECT doc_id, n_tri, n_tri_distinct,
+      |  (n_tri - n_tri_distinct) * 1000000 // n_tri AS dup_tri_ppm,
+      |  top_big * 1000000 // n_big AS top_bigram_ppm
+      |FROM tri JOIN ba USING (doc_id)""".stripMargin
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q_text_stats"      -> qTextStats _,
     "q_lang_id"         -> qLangId _,
@@ -824,6 +882,7 @@ object TextOps extends QueryModule {
     "q_seq_pack"        -> qSeqPack _,
     "q_ngram_diversity" -> qNgramDiversity _,
     "q_word_entropy"    -> qWordEntropy _,
+    "q_repetition_stats" -> qRepetitionStats _,
     "q_bm25"            -> qBm25 _)
 
   override val oracles: Seq[(String, String)] = Seq(
@@ -842,5 +901,6 @@ object TextOps extends QueryModule {
     "q_seq_pack"        -> qSeqPackSql,
     "q_ngram_diversity" -> qNgramDiversitySql,
     "q_word_entropy"    -> qWordEntropySql,
+    "q_repetition_stats" -> qRepetitionStatsSql,
     "q_bm25"            -> qBm25Sql)
 }

@@ -396,6 +396,39 @@ object Sampling extends QueryModule {
       |FROM k""".stripMargin
   }
 
+  // ------------------------------------------------------- q_data_split
+  /** Deterministic train/val/test assignment (80/10/10): the split is a
+    * pure function of md5(doc_id), so a document lands in the SAME
+    * split on every rerun, retry, cluster size, and engine — the
+    * property that makes eval splits leakage-proof under reprocessing
+    * (a random() split re-deals documents across the boundary every
+    * run, silently contaminating eval). Per-row expression riding the
+    * scan: no shuffle, no state, exact thresholds out of 65536
+    * (52429 ≈ 80%, 58982 ≈ 90% cumulative). The audit `bucket` column
+    * makes threshold placement reviewable. */
+  private val SPLIT_TRAIN = 52429
+  private val SPLIT_VAL = 58982
+  private def qDataSplit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d)
+      .withColumn("bucket", hashBucket16($"doc_id"))
+      .select($"doc_id", $"lang", $"source", $"bucket",
+        when($"bucket" < SPLIT_TRAIN, "train")
+          .when($"bucket" < SPLIT_VAL, "val")
+          .otherwise("test").as("split"))
+  }
+  private val qDataSplitSql = {
+    val bucket = (1 to 4).map(i =>
+      s"(strpos('0123456789abcdef', substring(md5(doc_id::VARCHAR), $i, 1)) - 1) * ${math.pow(16, 4 - i).toLong}")
+      .mkString(" + ")
+    s"""SELECT doc_id, lang, source, bucket,
+      |  CASE WHEN bucket < $SPLIT_TRAIN THEN 'train'
+      |       WHEN bucket < $SPLIT_VAL THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM (SELECT doc_id, lang, source, CAST($bucket AS BIGINT) AS bucket
+      |      FROM documents)""".stripMargin
+  }
+
   override def queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q_stratified_sample"  -> (qStratifiedSample _),
     "q_mix_epochs"         -> (qMixEpochs _),
@@ -403,7 +436,8 @@ object Sampling extends QueryModule {
     "q_shard_manifest"     -> (qShardManifest _),
     "q_temperature_sample" -> (qTemperatureSample _),
     "q_weighted_sample"    -> (qWeightedSample _),
-    "q_curriculum_order"   -> (qCurriculumOrder _))
+    "q_curriculum_order"   -> (qCurriculumOrder _),
+    "q_data_split"         -> (qDataSplit _))
 
   override def oracles: Seq[(String, String)] = Seq(
     "q_stratified_sample"  -> qStratifiedSampleSql,
@@ -412,5 +446,6 @@ object Sampling extends QueryModule {
     "q_shard_manifest"     -> qShardManifestSql,
     "q_temperature_sample" -> qTemperatureSampleSql,
     "q_weighted_sample"    -> qWeightedSampleSql,
-    "q_curriculum_order"   -> qCurriculumOrderSql)
+    "q_curriculum_order"   -> qCurriculumOrderSql,
+    "q_data_split"         -> qDataSplitSql)
 }

@@ -124,6 +124,90 @@ class AuditOpsSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  // ----------------------------------------------------- data split
+  test("data split: exhaustive, deterministic, thresholds respected") {
+    val out = run("q_data_split").cache()
+    try {
+      assert(out.count() === graft.Tables.documents(spark, sf).count())
+      assert(out.filter(col("split") === "train" &&
+        col("bucket") >= 52429).count() === 0)
+      assert(out.filter(col("split") === "test" &&
+        col("bucket") < 58982).count() === 0)
+      // pure function of doc_id: a second run assigns identically
+      val again = run("q_data_split")
+        .select(col("doc_id"), col("split").as("split2"))
+      assert(out.join(again, "doc_id")
+        .filter(col("split") =!= col("split2")).count() === 0)
+      // all three splits materialize at the fixture's size
+      assert(out.select("split").distinct().count() === 3)
+    } finally out.unpersist()
+  }
+
+  // ------------------------------------------------ repetition stats
+  test("repetition stats: ppm bounds and distinct ≤ total") {
+    val out = run("q_repetition_stats").cache()
+    try {
+      assert(out.count() > 0)
+      assert(out.filter(col("n_tri_distinct") > col("n_tri")).count() === 0)
+      assert(out.filter(col("dup_tri_ppm") < 0 ||
+        col("dup_tri_ppm") > 1000000L).count() === 0)
+      assert(out.filter(col("top_bigram_ppm") <= 0 ||
+        col("top_bigram_ppm") > 1000000L).count() === 0)
+    } finally out.unpersist()
+  }
+
+  // ------------------------------------------------- survivor stats
+  test("survivor stats: kept ≤ total, reconciles with dup clusters") {
+    val out = run("q_survivor_stats").cache()
+    try {
+      assert(out.filter(col("n_kept") > col("n_docs")).count() === 0)
+      assert(out.filter(col("tok_kept") > col("tok_total")).count() === 0)
+      val nDocs = graft.Tables.documents(spark, sf).count()
+      assert(out.agg(sum("n_docs")).first().getLong(0) === nDocs)
+      // kept total = corpus − (cluster members − clusters)
+      val labels = run("q_dup_clusters").cache()
+      try {
+        val members = labels.count()
+        val clusters = labels.select("cluster_id").distinct().count()
+        assert(out.agg(sum("n_kept")).first().getLong(0) ===
+          nDocs - (members - clusters))
+      } finally labels.unpersist()
+    } finally out.unpersist()
+  }
+
+  // -------------------------------------------------- budget select
+  test("budget select: prefix under budget, boundary tight, cum monotone") {
+    val out = run("q_budget_select").cache()
+    try {
+      val budget = {
+        val total = out.agg(sum("n_tok")).first().getLong(0)
+        total / 5
+      }
+      assert(out.filter(col("selected")).count() > 0)
+      assert(out.filter(col("selected") &&
+        col("cum_tok") > budget).count() === 0)
+      // the first excluded document would have crossed the budget
+      val minUnsel = out.filter(!col("selected"))
+        .agg(min("cum_tok")).first().getLong(0)
+      assert(minUnsel > budget)
+    } finally out.unpersist()
+  }
+
+  // ------------------------------------------------------- lsh eval
+  test("lsh eval: tp bounded by both sides, ppm well-formed") {
+    val out = run("q_lsh_eval").cache()
+    try {
+      val r = out.first()
+      val (nc, nt, tp) = (r.getAs[Long]("n_cand"), r.getAs[Long]("n_truth"),
+        r.getAs[Long]("n_tp"))
+      assert(tp <= nc && tp <= nt)
+      assert(r.getAs[Long]("precision_ppm") <= 1000000L)
+      assert(r.getAs[Long]("recall_ppm") <= 1000000L)
+      // the banded scheme must actually surface exact dups here
+      assert(nt > 0 && tp > 0)
+    } finally out.unpersist()
+  }
+
   // ------------------------------------------------- cluster weights
   test("cluster weights: every doc weighted once, weight = 1e6 div size, dups downweighted") {
     val out = run("q_cluster_weights").cache()
