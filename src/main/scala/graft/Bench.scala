@@ -107,7 +107,11 @@ object Bench {
     "q_repetition_stats",                                   // n-gram repetition gate
     "q_survivor_stats",                                     // dedup cost accounting
     "q_budget_select",                                      // token-budget knapsack
-    "q_lsh_eval")                                           // detector P/R eval
+    "q_lsh_eval",                                           // detector P/R eval
+    "q_eval_leakage",                                       // split-leakage audit
+    "q_source_cap",                                         // domain cap rule
+    "q_embed_norms",                                        // row-level vector health
+    "q_pmi_bigrams")                                        // PMI collocations
   // q_semantic_dedup stays sf0.1-only: its oracle-replayable form fixes
   // CENTROIDS=16, so per-cell pair cost grows ~(N/16)² — the sf1 scale
   // path is the adaptive-cell VectorIndex (cells ~ √N), already timed

@@ -1410,6 +1410,58 @@ object SimilarityOps extends QueryModule {
       |  n_zero
       |FROM g""".stripMargin
 
+  // -------------------------------------------------- q_embed_norms
+  /** Row-level embedding health — the companion of [[qEmbedDimStats]]'s
+    * column view: every vector's L2 norm plus a 3σ outlier flag against
+    * the corpus norm distribution. Truncated/corrupt vectors (norm ≈ 0)
+    * and un-normalized stragglers after an encoder that should emit
+    * unit vectors both surface here; the flag feeds straight into a
+    * quarantine filter before indexing.
+    *
+    * Determinism: norm² is the usual left-to-right double fold on
+    * identical operands ([[qDocOutlier]]'s vv); the norm then quantizes
+    * to the 2²⁰ grid so the corpus mean/variance accumulate as exact
+    * integers, and the 3σ test compares doubles DERIVED from those
+    * integers with one fixed expression sequence — engine-portable.
+    * Shape: one shuffle-free scoring scan + a single-row stats
+    * aggregate broadcast back; sqq ≤ 2⁴⁰·N keeps the squared sum in a
+    * long through ~10⁶ vectors (per-shard merge or decimal beyond). */
+  private def qEmbedNorms(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val v = embeddings(s, d).select(col("vec_id"),
+      expr(s"""CAST(round(sqrt(aggregate(transform(embedding,
+           |  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+           |  0D, (acc, v) -> acc + v)) * $OUTLIER_Q) AS BIGINT)"""
+        .stripMargin).as("qnorm"))
+    val stats = v.agg(count(lit(1)).as("n"), sum($"qnorm").as("sq"),
+      sum($"qnorm" * $"qnorm").as("sqq"))
+    v.crossJoin(broadcast(stats))
+      .select(col("vec_id"),
+        expr(s"round(CAST(qnorm AS DOUBLE) / $OUTLIER_Q.0D, 6)").as("norm_val"),
+        expr(s"""abs(CAST(qnorm AS DOUBLE) - CAST(sq AS DOUBLE) / CAST(n AS DOUBLE))
+             |  > 3 * sqrt(greatest(CAST(sqq AS DOUBLE) / CAST(n AS DOUBLE)
+             |    - (CAST(sq AS DOUBLE) / CAST(n AS DOUBLE))
+             |      * (CAST(sq AS DOUBLE) / CAST(n AS DOUBLE)), 0D))"""
+          .stripMargin).as("is_outlier"))
+  }
+  private val qEmbedNormsSql =
+    s"""WITH v AS (
+      |  SELECT vec_id,
+      |    CAST(round(sqrt(list_sum(list_transform(embedding,
+      |      x -> x::DOUBLE * x::DOUBLE))) * $OUTLIER_Q) AS BIGINT) AS qnorm
+      |  FROM embeddings),
+      |st AS (
+      |  SELECT count(*) AS n, CAST(sum(qnorm) AS BIGINT) AS sq,
+      |         CAST(sum(qnorm * qnorm) AS BIGINT) AS sqq
+      |  FROM v)
+      |SELECT vec_id,
+      |  round(qnorm::DOUBLE / $OUTLIER_Q.0, 6) AS norm_val,
+      |  abs(qnorm::DOUBLE - sq::DOUBLE / n::DOUBLE)
+      |    > 3 * sqrt(greatest(sqq::DOUBLE / n::DOUBLE
+      |      - (sq::DOUBLE / n::DOUBLE) * (sq::DOUBLE / n::DOUBLE), 0))
+      |    AS is_outlier
+      |FROM v, st""".stripMargin
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q_topk_cosine" -> qTopkCosine _,
     "q_triplet_mine" -> qTripletMine _,
@@ -1423,6 +1475,7 @@ object SimilarityOps extends QueryModule {
     "q_hybrid_rrf"  -> qHybridRrf _,
     "q_doc_outlier" -> qDocOutlier _,
     "q_embed_dim_stats" -> qEmbedDimStats _,
+    "q_embed_norms" -> qEmbedNorms _,
     "q_ann_recall"  -> qAnnRecall _)
 
   override val oracles: Seq[(String, String)] = Seq(
@@ -1438,5 +1491,6 @@ object SimilarityOps extends QueryModule {
     "q_hybrid_rrf"  -> qHybridRrfSql,
     "q_doc_outlier" -> qDocOutlierSql,
     "q_embed_dim_stats" -> qEmbedDimStatsSql,
+    "q_embed_norms" -> qEmbedNormsSql,
     "q_ann_recall"  -> qAnnRecallSql)
 }

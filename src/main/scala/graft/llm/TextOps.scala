@@ -866,6 +866,81 @@ object TextOps extends QueryModule {
       |  top_big * 1000000 // n_big AS top_bigram_ppm
       |FROM tri JOIN ba USING (doc_id)""".stripMargin
 
+  // ---------------------------------------------------- q_pmi_bigrams
+  /** Top word associations by pointwise mutual information — the
+    * collocation statistic behind phrase detection (word2vec-style
+    * phrase merging, multi-word tokenizer entries): for every adjacent
+    * word pair seen ≥ [[PMI_MIN]] times, PMI = ln p(x,y) − ln p(x) −
+    * ln p(y), ranked and cut at [[PMI_K]]. Corpus-scale shape: one
+    * unigram aggregate, one bigram aggregate, two |vocab|-bounded
+    * equi-joins; the ranking window runs over the ≥min-count pair
+    * table, frequency-truncated far below corpus size.
+    *
+    * Determinism: PMI is a fixed SUM OF LOGS of integer-derived
+    * doubles (never a product first — c_xy·N² overflows a long at
+    * corpus scale, and a different factoring would round differently),
+    * rounded 4dp; ties in the rounded score break on the pair text. */
+  private val PMI_MIN = 5L
+  private val PMI_K = 50
+  private def qPmiBigrams(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val ft = documents(s, d).select(
+      expr("filter(split(lower(text), ' '), x -> length(x) > 0)").as("t"))
+    val uc = ft.select(explode($"t").as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("c"))
+    val nu = uc.agg(sum($"c").as("n_uni"))
+    val bc = ft.filter(size($"t") >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(t) - 1),
+          |  i -> struct(element_at(t, i) AS w1,
+          |              element_at(t, i + 1) AS w2))""".stripMargin)).as("p"))
+      .select($"p.w1", $"p.w2")
+      .groupBy($"w1", $"w2").agg(count(lit(1)).as("c_xy"))
+    val nb = bc.agg(sum($"c_xy").as("n_big"))
+    val scored = bc.filter($"c_xy" >= PMI_MIN)
+      .join(broadcast(uc.select($"w".as("w1"), $"c".as("c_x"))), "w1")
+      .join(broadcast(uc.select($"w".as("w2"), $"c".as("c_y"))), "w2")
+      .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
+      .select($"w1", $"w2", $"c_xy",
+        expr("round(ln(c_xy) + 2 * ln(n_uni) - ln(n_big) - ln(c_x) - ln(c_y), 4)")
+          .as("pmi"))
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.orderBy($"pmi".desc, $"w1".asc, $"w2".asc)).cast("long"))
+      .filter($"rnk" <= PMI_K)
+      .select($"rnk", $"w1", $"w2", $"c_xy", $"pmi")
+  }
+  private val qPmiBigramsSql =
+    s"""WITH ft AS (
+      |  SELECT list_filter(string_split(lower(text), ' '),
+      |                     x -> length(x) > 0) AS t
+      |  FROM documents),
+      |uc AS (
+      |  SELECT w, count(*) AS c
+      |  FROM (SELECT unnest(t) AS w FROM ft) GROUP BY 1),
+      |nu AS (SELECT CAST(sum(c) AS BIGINT) AS n_uni FROM uc),
+      |bc AS (
+      |  SELECT w1, w2, count(*) AS c_xy
+      |  FROM (SELECT t[i] AS w1, t[i + 1] AS w2
+      |        FROM (SELECT t FROM ft WHERE len(t) >= 2),
+      |             unnest(generate_series(1, len(t) - 1)) AS s(i))
+      |  GROUP BY 1, 2),
+      |nb AS (SELECT CAST(sum(c_xy) AS BIGINT) AS n_big FROM bc),
+      |p AS (
+      |  SELECT w1, w2, CAST(c_xy AS BIGINT) AS c_xy,
+      |    round(ln(c_xy) + 2 * ln(n_uni) - ln(n_big) - ln(ux.c) - ln(uy.c), 4)
+      |      AS pmi
+      |  FROM bc
+      |  JOIN uc ux ON ux.w = bc.w1
+      |  JOIN uc uy ON uy.w = bc.w2, nu, nb
+      |  WHERE c_xy >= $PMI_MIN)
+      |SELECT rnk, w1, w2, c_xy, pmi
+      |FROM (SELECT *, CAST(row_number() OVER (ORDER BY pmi DESC, w1 ASC,
+      |        w2 ASC) AS BIGINT) AS rnk
+      |      FROM p)
+      |WHERE rnk <= $PMI_K""".stripMargin
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q_text_stats"      -> qTextStats _,
     "q_lang_id"         -> qLangId _,
@@ -883,6 +958,7 @@ object TextOps extends QueryModule {
     "q_ngram_diversity" -> qNgramDiversity _,
     "q_word_entropy"    -> qWordEntropy _,
     "q_repetition_stats" -> qRepetitionStats _,
+    "q_pmi_bigrams"     -> qPmiBigrams _,
     "q_bm25"            -> qBm25 _)
 
   override val oracles: Seq[(String, String)] = Seq(
@@ -902,5 +978,6 @@ object TextOps extends QueryModule {
     "q_ngram_diversity" -> qNgramDiversitySql,
     "q_word_entropy"    -> qWordEntropySql,
     "q_repetition_stats" -> qRepetitionStatsSql,
+    "q_pmi_bigrams"     -> qPmiBigramsSql,
     "q_bm25"            -> qBm25Sql)
 }

@@ -406,8 +406,24 @@ object Sampling extends QueryModule {
     * scan: no shuffle, no state, exact thresholds out of 65536
     * (52429 ≈ 80%, 58982 ≈ 90% cumulative). The audit `bucket` column
     * makes threshold placement reviewable. */
-  private val SPLIT_TRAIN = 52429
-  private val SPLIT_VAL = 58982
+  val SPLIT_TRAIN = 52429
+  val SPLIT_VAL = 58982
+  /** The q_data_split assignment as a reusable per-row expression (the
+    * leakage audit joins it onto near-dup pairs). */
+  def splitOf(id: Column): Column =
+    when(hashBucket16(id) < SPLIT_TRAIN, "train")
+      .when(hashBucket16(id) < SPLIT_VAL, "val")
+      .otherwise("test")
+  /** The identical assignment in DuckDB SQL, parameterized on the id
+    * column expression. */
+  def splitOfSql(idExpr: String): String = {
+    val bucket = (1 to 4).map(i =>
+      s"(strpos('0123456789abcdef', substring(md5(($idExpr)::VARCHAR), $i, 1)) - 1) * ${math.pow(16, 4 - i).toLong}")
+      .mkString(" + ")
+    s"""CASE WHEN ($bucket) < $SPLIT_TRAIN THEN 'train'
+       |     WHEN ($bucket) < $SPLIT_VAL THEN 'val'
+       |     ELSE 'test' END""".stripMargin
+  }
   private def qDataSplit(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     documents(s, d)
@@ -429,6 +445,31 @@ object Sampling extends QueryModule {
       |      FROM documents)""".stripMargin
   }
 
+  // ------------------------------------------------------ q_source_cap
+  /** Per-source document cap — the "domain cap" rule crawl pipelines
+    * apply before any quality filtering (no single host may contribute
+    * more than K documents, or boilerplate-heavy domains dominate the
+    * mix): rank each source's documents by quality (n_chars desc,
+    * doc_id tiebreak) and keep the top [[CAP_K]]. One window shuffle
+    * partitioned by source — millions of small groups at 100 TB, the
+    * scalable direction — emitting every doc with its rank and keep
+    * flag so the drop set is auditable. */
+  private val CAP_K = 15
+  private def qSourceCap(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    documents(s, d).select($"doc_id", $"source", $"n_chars")
+      .withColumn("rnk", row_number().over(Window.partitionBy($"source")
+        .orderBy($"n_chars".desc, $"doc_id".asc)).cast("long"))
+      .select($"doc_id", $"source", $"rnk", ($"rnk" <= CAP_K).as("kept"))
+  }
+  private val qSourceCapSql =
+    s"""SELECT doc_id, source, rnk, rnk <= $CAP_K AS kept
+      |FROM (SELECT doc_id, source,
+      |        CAST(row_number() OVER (PARTITION BY source
+      |          ORDER BY n_chars DESC, doc_id ASC) AS BIGINT) AS rnk
+      |      FROM documents)""".stripMargin
+
   override def queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q_stratified_sample"  -> (qStratifiedSample _),
     "q_mix_epochs"         -> (qMixEpochs _),
@@ -437,7 +478,8 @@ object Sampling extends QueryModule {
     "q_temperature_sample" -> (qTemperatureSample _),
     "q_weighted_sample"    -> (qWeightedSample _),
     "q_curriculum_order"   -> (qCurriculumOrder _),
-    "q_data_split"         -> (qDataSplit _))
+    "q_data_split"         -> (qDataSplit _),
+    "q_source_cap"         -> (qSourceCap _))
 
   override def oracles: Seq[(String, String)] = Seq(
     "q_stratified_sample"  -> qStratifiedSampleSql,
@@ -447,5 +489,6 @@ object Sampling extends QueryModule {
     "q_temperature_sample" -> qTemperatureSampleSql,
     "q_weighted_sample"    -> qWeightedSampleSql,
     "q_curriculum_order"   -> qCurriculumOrderSql,
-    "q_data_split"         -> qDataSplitSql)
+    "q_data_split"         -> qDataSplitSql,
+    "q_source_cap"         -> qSourceCapSql)
 }

@@ -208,6 +208,55 @@ class AuditOpsSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  // ------------------------------------------------- eval leakage
+  test("eval leakage: pair mass conserved, leak flag consistent") {
+    val out = run("q_eval_leakage").cache()
+    try {
+      val totalPairs = run("q_minhash_lsh").count()
+      assert(out.agg(sum("n_pairs")).first().getLong(0) === totalPairs)
+      assert(out.filter(col("is_leak") =!=
+        (col("split_a") =!= col("split_b"))).count() === 0)
+    } finally out.unpersist()
+  }
+
+  // --------------------------------------------------- source cap
+  test("source cap: dense per-source ranks, kept = min(K, group size)") {
+    val out = run("q_source_cap").cache()
+    try {
+      assert(out.count() === graft.Tables.documents(spark, sf).count())
+      val per = out.groupBy("source").agg(
+        count(lit(1)).as("n"), max("rnk").as("maxr"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("nk"))
+      assert(per.filter(col("maxr") =!= col("n")).count() === 0)
+      assert(per.filter(col("nk") =!= least(lit(15L), col("n"))).count() === 0)
+    } finally out.unpersist()
+  }
+
+  // -------------------------------------------------- embed norms
+  test("embed norms: every vector scored, non-negative, outliers a minority") {
+    val out = run("q_embed_norms").cache()
+    try {
+      val n = graft.Tables.embeddings(spark, sf).count()
+      assert(out.count() === n)
+      assert(out.filter(col("norm_val") < 0.0).count() === 0)
+      assert(out.filter(col("is_outlier")).count() < n / 10)
+    } finally out.unpersist()
+  }
+
+  // -------------------------------------------------- pmi bigrams
+  test("pmi bigrams: dense ranks, min-count respected, score non-increasing") {
+    val out = run("q_pmi_bigrams").cache()
+    try {
+      val k = out.count()
+      assert(k > 0 && k <= 50)
+      assert(out.agg(max("rnk")).first().getLong(0) === k)
+      assert(out.filter(col("c_xy") < 5L).count() === 0)
+      val rows = out.orderBy(col("rnk").asc).select("pmi")
+        .collect().map(_.getDouble(0))
+      assert(rows.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    } finally out.unpersist()
+  }
+
   // ------------------------------------------------- cluster weights
   test("cluster weights: every doc weighted once, weight = 1e6 div size, dups downweighted") {
     val out = run("q_cluster_weights").cache()
