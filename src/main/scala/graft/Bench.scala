@@ -111,7 +111,13 @@ object Bench {
     "q_eval_leakage",                                       // split-leakage audit
     "q_source_cap",                                         // domain cap rule
     "q_embed_norms",                                        // row-level vector health
-    "q_pmi_bigrams")                                        // PMI collocations
+    "q_pmi_bigrams",                                        // PMI collocations
+    "q_field_completeness",                                 // payload-quality monitor
+    "q_zipf_fit",                                           // corpus Zipf diagnostic
+    "q_len_profile",                                        // per-lang length deciles
+    "q_sim_calibration",                                    // estimator calibration
+    "q_mix_kl_incr",                                        // maintained mix monitor
+    "q_completeness_incr")                                  // maintained quality monitor
   // q_semantic_dedup stays sf0.1-only: its oracle-replayable form fixes
   // CENTROIDS=16, so per-cell pair cost grows ~(N/16)² — the sf1 scale
   // path is the adaptive-cell VectorIndex (cells ~ √N), already timed

@@ -766,6 +766,45 @@ object CorpusQuality extends QueryModule {
       |    AS kl_contrib
       |FROM p""".stripMargin
 
+  // ---------------------------------------------------- q_mix_kl_incr
+  /** The [[qSourceMixKl]] monitor MAINTAINED instead of recomputed:
+    * per-source doc counts live in an [[graft.table.AggView]] over a
+    * CDF-tracked corpus table, so each ingest batch updates only the
+    * touched source rows (O(Δ + touched groups)) and the KL readout
+    * runs off the |sources|-row view — the standing-drift check a
+    * 100 TB pipeline refreshes per append, never rescanning the
+    * corpus. Fixture: two-thirds of the corpus seeds the view, the
+    * rest arrives as a delta, one refresh catches up — and the result
+    * hash-matches the batch oracle, proving maintained ≡ recomputed. */
+  private def qMixKlIncr(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.table.{AggView, VersionedTable}
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val root = graft.Scratch.dir("graft-mixklv")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("source", StringType)))
+    val t = VersionedTable.create(s, root.resolve("t").toString, schema,
+      Map(VersionedTable.PROP_CDF -> "true"))
+    val docs = documents(s, d).select($"doc_id", $"source")
+    t.append(docs.filter($"doc_id" % 3 =!= 0L))
+    val v = AggView.build(t, root.resolve("v").toString,
+      Seq("source"), Seq.empty)
+    t.append(docs.filter($"doc_id" % 3 === 0L))
+    v.refresh(t)
+    val by = v.table.snapshot()
+      .select($"source", $"n_rows".cast("long").as("n_docs"))
+    val tot = by.agg(sum($"n_docs").as("total"), count(lit(1)).as("k"))
+    by.crossJoin(broadcast(tot))
+      .select($"source", $"n_docs",
+        expr("(n_docs * 1000000) div total").as("share_ppm"),
+        expr("1000000 div k").as("target_ppm"))
+      .withColumn("kl_contrib", round(
+        ($"share_ppm" / 1000000.0d) *
+          log(($"share_ppm" / 1000000.0d) / ($"target_ppm" / 1000000.0d)),
+        6))
+  }
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q_gopher_quality"     -> qGopherQuality _,
     "q_boilerplate_ngrams" -> qBoilerplateNgrams _,
@@ -778,6 +817,7 @@ object CorpusQuality extends QueryModule {
     "q_quality_classifier" -> qQualityClassifier _,
     "q_pii_scrub"          -> qPiiScrub _,
     "q_source_mix_kl"      -> qSourceMixKl _,
+    "q_mix_kl_incr"        -> qMixKlIncr _,
     "q_score_calibrate"    -> qScoreCalibrate _)
 
   override val oracles: Seq[(String, String)] = Seq(
@@ -792,5 +832,6 @@ object CorpusQuality extends QueryModule {
     "q_quality_classifier" -> qQualityClassifierSql,
     "q_pii_scrub"          -> qPiiScrubSql,
     "q_source_mix_kl"      -> qSourceMixKlSql,
+    "q_mix_kl_incr"        -> qSourceMixKlSql,
     "q_score_calibrate"    -> qScoreCalibrateSql)
 }

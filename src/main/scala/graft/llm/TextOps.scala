@@ -941,6 +941,105 @@ object TextOps extends QueryModule {
       |      FROM p)
       |WHERE rnk <= $PMI_K""".stripMargin
 
+  // -------------------------------------------------------- q_zipf_fit
+  /** Zipf's-law diagnostic: least-squares slope/intercept of
+    * ln(frequency) on ln(rank) over the term table — natural corpora
+    * fit slope ≈ −1, and a corpus whose slope collapses toward 0
+    * (flat, templated vocabulary) or steepens sharply (a few tokens
+    * dominating) fails quality review before any per-doc filter runs.
+    * One vocabulary aggregate, one |V|-row ranking window, closed-form
+    * fit — no iteration.
+    *
+    * Determinism: each point's (ln rank, ln freq) quantizes to the
+    * MILLI-nat integer grid first, so the five fit sums accumulate as
+    * exact order-free integers (milli keeps Σx² inside a long through
+    * ~10⁶-term vocabularies), and both engines derive slope/intercept
+    * from the same integers with one fixed expression sequence. */
+  private def qZipfFit(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val uc = withTokens(documents(s, d))
+      .select(explode($"tokens").as("w")).filter(length($"w") > 0)
+      .groupBy($"w").agg(count(lit(1)).as("c"))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy($"c".desc, $"w".asc)).cast("long"))
+    val pts = uc.select(
+      expr("CAST(round(ln(rnk) * 1000) AS BIGINT)").as("x"),
+      expr("CAST(round(ln(c) * 1000) AS BIGINT)").as("y"))
+    pts.agg(
+        count(lit(1)).as("n"),
+        sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"x").as("sxx"), sum($"x" * $"y").as("sxy"))
+      .select($"n".as("n_terms"),
+        expr("""round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+             |  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             |  / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             |  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)"""
+          .stripMargin).as("slope"),
+        expr("""round((CAST(sy AS DOUBLE) - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+             |  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             |  / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             |  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * CAST(sx AS DOUBLE))
+             |  / CAST(n AS DOUBLE) / 1000.0D, 6)""".stripMargin)
+          .as("intercept"))
+  }
+  private val qZipfFitSql =
+    """WITH uc AS (
+      |  SELECT w, count(*) AS c
+      |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
+      |        FROM documents)
+      |  WHERE length(w) > 0 GROUP BY w),
+      |r AS (
+      |  SELECT c, CAST(row_number() OVER (ORDER BY c DESC, w ASC) AS BIGINT)
+      |    AS rnk
+      |  FROM uc),
+      |pts AS (
+      |  SELECT CAST(round(ln(rnk) * 1000) AS BIGINT) AS x,
+      |         CAST(round(ln(c) * 1000) AS BIGINT) AS y
+      |  FROM r),
+      |s AS (
+      |  SELECT count(*) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx,
+      |    CAST(sum(x * y) AS BIGINT) AS sxy
+      |  FROM pts)
+      |SELECT n AS n_terms,
+      |  round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+      |    / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE), 6) AS slope,
+      |  round((sy::DOUBLE - ((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+      |    / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)) * sx::DOUBLE)
+      |    / n::DOUBLE / 1000.0, 6) AS intercept
+      |FROM s""".stripMargin
+
+  // ----------------------------------------------------- q_len_profile
+  /** Per-language token-length decile profile — the calibration table
+    * sequence-packing and truncation configs are read off (pack length
+    * should sit near a high decile of the lengths it will see, per
+    * language, not a global guess). ntile(10) over the (n_tok, doc_id)
+    * total order is deterministic; output is the |langs|×10 boundary
+    * table: per decile its doc count and max token length. One window
+    * shuffle partitioned by lang, |langs|·10-row output. */
+  private def qLenProfile(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    documents(s, d)
+      .select($"doc_id", $"lang",
+        size(split(lower($"text"), " ")).cast("long").as("n_tok"))
+      .withColumn("dec", ntile(10).over(Window.partitionBy($"lang")
+        .orderBy($"n_tok".asc, $"doc_id".asc)).cast("long"))
+      .groupBy($"lang", $"dec")
+      .agg(count(lit(1)).as("n_docs"), max($"n_tok").as("max_tok"))
+  }
+  private val qLenProfileSql =
+    """SELECT lang, dec, count(*) AS n_docs, max(n_tok) AS max_tok
+      |FROM (SELECT lang,
+      |        CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tok,
+      |        CAST(ntile(10) OVER (PARTITION BY lang
+      |          ORDER BY len(string_split(lower(text), ' ')) ASC,
+      |                   doc_id ASC) AS BIGINT) AS dec
+      |      FROM documents)
+      |GROUP BY lang, dec""".stripMargin
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q_text_stats"      -> qTextStats _,
     "q_lang_id"         -> qLangId _,
@@ -959,6 +1058,8 @@ object TextOps extends QueryModule {
     "q_word_entropy"    -> qWordEntropy _,
     "q_repetition_stats" -> qRepetitionStats _,
     "q_pmi_bigrams"     -> qPmiBigrams _,
+    "q_zipf_fit"        -> qZipfFit _,
+    "q_len_profile"     -> qLenProfile _,
     "q_bm25"            -> qBm25 _)
 
   override val oracles: Seq[(String, String)] = Seq(
@@ -979,5 +1080,7 @@ object TextOps extends QueryModule {
     "q_word_entropy"    -> qWordEntropySql,
     "q_repetition_stats" -> qRepetitionStatsSql,
     "q_pmi_bigrams"     -> qPmiBigramsSql,
+    "q_zipf_fit"        -> qZipfFitSql,
+    "q_len_profile"     -> qLenProfileSql,
     "q_bm25"            -> qBm25Sql)
 }

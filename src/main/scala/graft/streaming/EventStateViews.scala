@@ -674,6 +674,77 @@ object EventStateViews extends QueryModule {
       |LEFT JOIN dau d ON d.day = s.day
       |LEFT JOIN wau w ON w.day = s.day""".stripMargin
 
+  // ---------------------------------------------- q_completeness_incr
+  /** The [[EventWindows]] `q_field_completeness` payload-quality
+    * monitor MAINTAINED: additive flag counts per event type live in
+    * one [[AggView]] over a CDF-tracked entry table, and the DISTINCT
+    * user coverage — not additive — rides the chained refcount→count
+    * AggView pair (the [[qActiveUsersIncr]] construction: the refcount
+    * view's group rows exist iff ≥ 1 supporting event survives, so its
+    * own CDF feeds the count view exact set inserts/deletes). Fixture
+    * churn: even events seed, odd events arrive late, an
+    * `event_id % 17 = 3` slice is retroactively DELETED, one refresh
+    * per level catches up — the readout must hash-match the
+    * declarative SQL over the surviving rows, proving maintained ≡
+    * rebuilt through add AND subtract on both chain levels. */
+  private val complEntrySchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("event_type", org.apache.spark.sql.types.StringType),
+    StructField("user_id", LongType),
+    StructField("is_vnull", IntegerType),
+    StructField("is_pempty", IntegerType),
+    StructField("is_pk", IntegerType)))
+
+  private def qCompletenessIncr(s: SparkSession, d: String): DataFrame = {
+    val root = graft.Scratch.dir("graft-complv")
+    val t = VersionedTable.create(s, root.resolve("t").toString,
+      complEntrySchema, Map(VersionedTable.PROP_CDF -> "true"))
+    val all = Tables.events(s, d).select(col("event_id"), col("event_type"),
+      col("user_id"),
+      when(col("value").isNull, 1).otherwise(0).as("is_vnull"),
+      when(col("props").isNull || col("props") === "", 1).otherwise(0)
+        .as("is_pempty"),
+      when(col("props").like("%\"k\":%"), 1).otherwise(0).as("is_pk"))
+    t.append(all.filter(col("event_id") % 2 === 0))
+    val flags = AggView.build(t, root.resolve("flags").toString,
+      Seq("event_type"),
+      Seq("vnull" -> "CAST(is_vnull AS BIGINT)",
+        "pempty" -> "CAST(is_pempty AS BIGINT)",
+        "pk" -> "CAST(is_pk AS BIGINT)"))
+    val refUsers = AggView.build(t, root.resolve("refu").toString,
+      Seq("event_type", "user_id"), Seq.empty)
+    val users = AggView.build(refUsers.table, root.resolve("users").toString,
+      Seq("event_type"), Seq.empty)
+    t.append(all.filter(col("event_id") % 2 === 1))
+    t.deleteWhere(col("event_id") % 17 === 3)
+    flags.refresh(t)
+    refUsers.refresh(t); users.refresh(refUsers.table)
+    val f = flags.table.snapshot().select(col("event_type"),
+      col("n_rows").cast("long").as("n"),
+      coalesce(col("sum_vnull"), lit(0L)).as("n_value_null"),
+      coalesce(col("sum_pempty"), lit(0L)).as("n_props_empty"),
+      coalesce(col("sum_pk"), lit(0L)).as("n_props_k"))
+    val u = users.table.snapshot().select(col("event_type"),
+      col("n_rows").cast("long").as("n_users"))
+    f.join(u, "event_type")
+      .select(col("event_type"), col("n"),
+        expr("n_value_null * 1000000L div n").as("value_null_ppm"),
+        expr("n_props_empty * 1000000L div n").as("props_empty_ppm"),
+        expr("n_props_k * 1000000L div n").as("props_k_ppm"),
+        col("n_users"))
+  }
+  private val qCompletenessIncrSql =
+    """WITH kept AS (SELECT * FROM events WHERE event_id % 17 <> 3)
+      |SELECT event_type, count(*) AS n,
+      |  CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    * 1000000 // count(*) AS value_null_ppm,
+      |  CAST(sum(CASE WHEN props IS NULL OR props = '' THEN 1 ELSE 0 END)
+      |    AS BIGINT) * 1000000 // count(*) AS props_empty_ppm,
+      |  CAST(sum(CASE WHEN props LIKE '%"k":%' THEN 1 ELSE 0 END)
+      |    AS BIGINT) * 1000000 // count(*) AS props_k_ppm,
+      |  count(DISTINCT user_id) AS n_users
+      |FROM kept GROUP BY event_type""".stripMargin
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q_sessionize_incr"    -> qSessionizeIncr _,
     "q_funnel_incr"        -> qFunnelIncr _,
@@ -681,7 +752,8 @@ object EventStateViews extends QueryModule {
     "q_funnel_refresh"     -> qFunnelRefresh _,
     "q_retention_refresh"  -> qRetentionRefresh _,
     "q_active_users_incr"  -> qActiveUsersIncr _,
-    "q_event_paths_incr"   -> qEventPathsIncr _)
+    "q_event_paths_incr"   -> qEventPathsIncr _,
+    "q_completeness_incr"  -> qCompletenessIncr _)
 
   override val oracles: Seq[(String, String)] = Seq(
     // the maintained state must equal the from-scratch batch
@@ -692,7 +764,8 @@ object EventStateViews extends QueryModule {
     "q_funnel_refresh"     -> qFunnelIncrSql,
     "q_retention_refresh"  -> qRetentionIncrSql,
     "q_active_users_incr"  -> qActiveUsersIncrSql,
-    "q_event_paths_incr"   -> qEventPathsIncrSql)
+    "q_event_paths_incr"   -> qEventPathsIncrSql,
+    "q_completeness_incr"  -> qCompletenessIncrSql)
 
   override val prepares: Seq[(String, (SparkSession, String) => Unit)] = Seq(
     "q_funnel_refresh"    -> (frPrepare _),

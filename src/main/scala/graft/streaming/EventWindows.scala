@@ -1699,6 +1699,45 @@ object EventWindows extends QueryModule {
       |                THEN 1 ELSE 0 END) AS BIGINT) AS n_churning_out
       |FROM st GROUP BY week""".stripMargin
 
+  // ---------------------------------------------- q_field_completeness
+  /** Event-stream data-quality profile: per event type, the null/empty
+    * rates of every payload field plus distinct-user coverage — the
+    * monitor that catches a producer deploy that silently stopped
+    * populating `value` or `props` long before any downstream metric
+    * drifts. One hash aggregate over the stream (the countDistinct adds
+    * the usual expand — at 100 TB swap in the HLL sketch row
+    * (q_hll_distinct) if exactness isn't required); integer ppm output.
+    * The `props` key probe is a plain LIKE so both engines evaluate the
+    * identical predicate. */
+  private def qFieldCompleteness(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when($"value".isNull, 1L).otherwise(0L)).as("n_value_null"),
+        sum(when($"props".isNull || $"props" === "", 1L).otherwise(0L))
+          .as("n_props_empty"),
+        sum(when($"props".like("%\"k\":%"), 1L).otherwise(0L))
+          .as("n_props_k"),
+        countDistinct($"user_id").as("n_users"))
+      .select($"event_type", $"n",
+        expr("n_value_null * 1000000L div n").as("value_null_ppm"),
+        expr("n_props_empty * 1000000L div n").as("props_empty_ppm"),
+        expr("n_props_k * 1000000L div n").as("props_k_ppm"),
+        $"n_users")
+  }
+  private val qFieldCompletenessSql =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    * 1000000 // count(*) AS value_null_ppm,
+      |  CAST(sum(CASE WHEN props IS NULL OR props = '' THEN 1 ELSE 0 END)
+      |    AS BIGINT) * 1000000 // count(*) AS props_empty_ppm,
+      |  CAST(sum(CASE WHEN props LIKE '%"k":%' THEN 1 ELSE 0 END)
+      |    AS BIGINT) * 1000000 // count(*) AS props_k_ppm,
+      |  count(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY event_type""".stripMargin
+
   // ---------------------------------------------------- q_item_cooccur
   /** Item-item co-occurrence similarity ("users who engaged with X
     * also engaged with Y") — the collaborative-filtering statistic,
@@ -1784,6 +1823,7 @@ object EventWindows extends QueryModule {
     "q_active_users"    -> qActiveUsers _,
     "q_new_returning"   -> qNewReturning _,
     "q_user_lifecycle"  -> qUserLifecycle _,
+    "q_field_completeness" -> qFieldCompleteness _,
     "q_event_paths"     -> qEventPaths _,
     "q_peak_concurrency" -> qPeakConcurrency _,
     "q_drawdown"        -> qDrawdown _,
@@ -1813,6 +1853,7 @@ object EventWindows extends QueryModule {
     "q_active_users"    -> qActiveUsersSql,
     "q_new_returning"   -> qNewReturningSql,
     "q_user_lifecycle"  -> qUserLifecycleSql,
+    "q_field_completeness" -> qFieldCompletenessSql,
     "q_event_paths"     -> qEventPathsSql,
     "q_peak_concurrency" -> qPeakConcurrencySql,
     "q_drawdown"        -> qDrawdownSql,

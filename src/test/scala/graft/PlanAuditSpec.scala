@@ -421,4 +421,45 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"),
       s"the 1-row total must broadcast:\n$p")
   }
+
+  test("data split is a shuffle-free pruned scan") {
+    val p = plan("q_data_split")
+    assert(!p.contains("Exchange"), s"split assignment must not shuffle:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string,source:string>"),
+      s"scan must prune to doc_id+lang+source (no text):\n$p")
+  }
+
+  test("source cap shuffles once, on the source partition key") {
+    val p = plan("q_source_cap")
+    assert(p.contains("hashpartitioning(source"),
+      s"window must partition by source:\n$p")
+    assert(!p.contains("text"), s"scan must not read text:\n$p")
+  }
+
+  test("embedding health audits broadcast their single-row stats") {
+    for (q <- Seq("q_embed_norms", "q_source_mix_kl")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastExchange") ||
+        p.contains("BroadcastNestedLoopJoin"),
+        s"$q: corpus stats must ride a broadcast:\n$p")
+      assert(!p.contains("SortMergeJoin"),
+        s"$q: no shuffled join for a 1-row side:\n$p")
+    }
+  }
+
+  test("word entropy and repetition stats never join corpus-wide") {
+    for (q <- Seq("q_word_entropy", "q_repetition_stats")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$q must stay per-doc shaped:\n$p")
+    }
+  }
+
+  test("PMI scoring broadcasts the vocab-bounded marginals") {
+    val p = plan("q_pmi_bigrams")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      s"unigram marginals must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no all-pairs:\n$p")
+  }
 }

@@ -257,6 +257,84 @@ class AuditOpsSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  // ------------------------------------------- field completeness
+  test("field completeness: rows partition events, ppm bounded") {
+    val out = run("q_field_completeness").cache()
+    try {
+      val nEvents = graft.Tables.events(spark, sf).count()
+      assert(out.agg(sum("n")).first().getLong(0) === nEvents)
+      for (c <- Seq("value_null_ppm", "props_empty_ppm", "props_k_ppm"))
+        assert(out.filter(col(c) < 0 || col(c) > 1000000L).count() === 0,
+          s"$c out of range")
+      assert(out.filter(col("n_users") > col("n")).count() === 0)
+    } finally out.unpersist()
+  }
+
+  // --------------------------------------------------- zipf fit
+  test("zipf fit: negative slope, intercept anchors near the top frequency") {
+    val out = run("q_zipf_fit").cache()
+    try {
+      val r = out.first()
+      assert(r.getAs[Long]("n_terms") > 1)
+      val slope = r.getAs[Double]("slope")
+      assert(slope < 0.0, s"frequency must fall with rank, got $slope")
+      // intercept ≈ ln(top frequency): within an order of magnitude
+      val topC = graft.Tables.documents(spark, sf)
+        .select(explode(split(lower(col("text")), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("w").count().agg(max("count")).first().getLong(0)
+      assert(math.abs(r.getAs[Double]("intercept") - math.log(topC.toDouble)) < 2.5)
+    } finally out.unpersist()
+  }
+
+  // ------------------------------------------------ length profile
+  test("length profile: 10 deciles per language, boundaries non-decreasing") {
+    val out = run("q_len_profile").cache()
+    try {
+      val langs = graft.Tables.documents(spark, sf)
+        .select("lang").distinct().count()
+      assert(out.select("lang").distinct().count() === langs)
+      // per language: deciles 1..10, max_tok non-decreasing with decile
+      val bad = out.as("a").join(out.as("b"),
+        col("a.lang") === col("b.lang") && col("a.dec") < col("b.dec") &&
+          col("a.max_tok") > col("b.max_tok"))
+      assert(bad.count() === 0)
+      assert(out.groupBy("lang").count().filter(col("count") =!= 10L)
+        .count() === 0)
+    } finally out.unpersist()
+  }
+
+  // --------------------------------------------- sim calibration
+  test("sim calibration: levels in [4,8], jaccard mean within min/max") {
+    val out = run("q_sim_calibration").cache()
+    try {
+      assert(out.count() > 0)
+      assert(out.filter(col("est_k") < 4L || col("est_k") > 8L).count() === 0)
+      assert(out.filter(col("avg_jaccard_ppm") < col("min_jaccard_ppm") ||
+        col("avg_jaccard_ppm") > col("max_jaccard_ppm")).count() === 0)
+      assert(out.filter(col("max_jaccard_ppm") > 1000000L).count() === 0)
+    } finally out.unpersist()
+  }
+
+  // ------------------------------------------- incremental monitors
+  test("mix-KL view: maintained result equals the batch recompute") {
+    val a = run("q_source_mix_kl").orderBy("source").collect()
+    val b = run("q_mix_kl_incr").orderBy("source").collect()
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("completeness view: totals reconcile with the surviving row set") {
+    val out = run("q_completeness_incr").cache()
+    try {
+      val kept = graft.Tables.events(spark, sf)
+        .filter(col("event_id") % 17 =!= 3)
+      assert(out.agg(sum("n")).first().getLong(0) === kept.count())
+      assert(out.filter(col("n_users") > col("n")).count() === 0)
+      for (c <- Seq("value_null_ppm", "props_empty_ppm", "props_k_ppm"))
+        assert(out.filter(col(c) < 0 || col(c) > 1000000L).count() === 0)
+    } finally out.unpersist()
+  }
+
   // ------------------------------------------------- cluster weights
   test("cluster weights: every doc weighted once, weight = 1e6 div size, dups downweighted") {
     val out = run("q_cluster_weights").cache()
