@@ -766,6 +766,123 @@ object CorpusQuality extends QueryModule {
       |    AS kl_contrib
       |FROM p""".stripMargin
 
+  // --------------------------------------------------- q_dataset_card
+  /** The one-row DATASET CARD — the summary block every released
+    * corpus ships: document/source/language counts, total and mean
+    * whitespace tokens, and the exact-duplicate count (docs minus
+    * distinct md5(text)). One aggregate pass; the multi-DISTINCT
+    * expand is the exactness trade — at 100 TB the HLL sketch row
+    * (q_hll_distinct) supplies the cardinalities and this stays the
+    * release-gate exact form. */
+  private def qDatasetCard(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct($"source").as("n_sources"),
+        countDistinct($"lang").as("n_langs"),
+        sum(size(split($"text", " ")).cast("long")).as("n_tokens"),
+        countDistinct(md5($"text")).as("n_unique_texts"))
+      .select($"n_docs", $"n_sources", $"n_langs", $"n_tokens",
+        expr("n_tokens div n_docs").as("mean_tokens"),
+        ($"n_docs" - $"n_unique_texts").as("n_exact_dups"))
+  }
+  private val qDatasetCardSql =
+    """SELECT n_docs, n_sources, n_langs, n_tokens,
+      |  n_tokens // n_docs AS mean_tokens,
+      |  n_docs - n_unique_texts AS n_exact_dups
+      |FROM (SELECT count(*) AS n_docs,
+      |        count(DISTINCT source) AS n_sources,
+      |        count(DISTINCT lang) AS n_langs,
+      |        CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+      |        count(DISTINCT md5(text)) AS n_unique_texts
+      |      FROM documents)""".stripMargin
+
+  // -------------------------------------------------- q_quantile_norm
+  /** True QUANTILE NORMALIZATION of a per-doc score across sources —
+    * the strong form of [[qScoreCalibrate]]: instead of reporting the
+    * percentile, each document's n_chars is REPLACED by the global
+    * n_chars value at its within-source percentile, so every source's
+    * score distribution maps onto the global one exactly (the
+    * microarray-normalization construction, applied to corpus quality
+    * scores before a single global threshold). Integer rank
+    * arithmetic: target index = (r−1)(N−1) div (n−1) + 1, then one
+    * equi-join into the globally-ranked value table. The global rank
+    * is the exact audit form; at 100 TB the rank→value map comes from
+    * the histogram-CDF (q_hist_quantiles convention) and the per-
+    * source windows stay exact. */
+  private def qQuantileNorm(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val docs = documents(s, d).select($"doc_id", $"source", $"n_chars")
+    val ranked = docs
+      .withColumn("r", rank().over(Window.partitionBy($"source")
+        .orderBy($"n_chars".asc, $"doc_id".asc)).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"source")))
+    val globalVals = docs
+      .withColumn("gidx", row_number().over(
+        Window.orderBy($"n_chars".asc, $"doc_id".asc)).cast("long"))
+      .select($"gidx", $"n_chars".as("norm_chars"))
+    val total = docs.agg(count(lit(1)).as("nn"))
+    ranked.crossJoin(broadcast(total))
+      .withColumn("gidx",
+        expr("(r - 1) * (nn - 1) div greatest(n - 1, 1L) + 1"))
+      .join(globalVals, "gidx")
+      .select($"doc_id", $"source", $"n_chars", $"norm_chars")
+  }
+  private val qQuantileNormSql =
+    """WITH docs AS (SELECT doc_id, source, n_chars FROM documents),
+      |ranked AS (
+      |  SELECT doc_id, source, n_chars,
+      |    CAST(rank() OVER (PARTITION BY source
+      |      ORDER BY n_chars ASC, doc_id ASC) AS BIGINT) AS r,
+      |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+      |  FROM docs),
+      |gv AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY n_chars ASC, doc_id ASC)
+      |    AS BIGINT) AS gidx, n_chars AS norm_chars
+      |  FROM docs),
+      |t AS (SELECT count(*) AS nn FROM docs)
+      |SELECT r.doc_id, r.source, r.n_chars, gv.norm_chars
+      |FROM ranked r, t
+      |JOIN gv ON gv.gidx =
+      |  (r.r - 1) * (t.nn - 1) // greatest(r.n - 1, 1) + 1""".stripMargin
+
+  // ------------------------------------------------ q_source_lang_mix
+  /** Per-source LANGUAGE-MIX profile: how many languages each source
+    * carries and the Shannon entropy of its language shares — the
+    * "is this crawl monolingual or a mixture" axis of mix planning
+    * ([[qSourceMixKl]] watches sources; this watches the language
+    * dimension INSIDE each source). Entropy via the exact
+    * ln(n) − Σc·ln(c)/n decomposition on integer counts
+    * ([[graft.llm.TextOps]] word-entropy idiom), per-source small
+    * sums, 4dp. One (source, lang) aggregate then a |sources|-row
+    * finisher. */
+  private def qSourceLangMix(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d)
+      .groupBy($"source", $"lang").agg(count(lit(1)).as("c"))
+      .groupBy($"source")
+      .agg(
+        sum($"c").as("n_docs"),
+        count(lit(1)).as("n_langs"),
+        round(sum($"c".cast("double") * log($"c")), 10).as("sum_clnc"))
+      .select($"source", $"n_docs", $"n_langs",
+        round(log($"n_docs") - $"sum_clnc" / $"n_docs", 4)
+          .as("lang_entropy"))
+  }
+  private val qSourceLangMixSql =
+    """WITH cl AS (
+      |  SELECT source, lang, count(*) AS c
+      |  FROM documents GROUP BY 1, 2)
+      |SELECT source,
+      |  CAST(sum(c) AS BIGINT) AS n_docs,
+      |  count(*) AS n_langs,
+      |  round(ln(CAST(sum(c) AS BIGINT))
+      |    - round(sum(CAST(c AS DOUBLE) * ln(c)), 10)
+      |      / CAST(sum(c) AS BIGINT), 4) AS lang_entropy
+      |FROM cl GROUP BY source""".stripMargin
+
   // ---------------------------------------------------- q_mix_kl_incr
   /** The [[qSourceMixKl]] monitor MAINTAINED instead of recomputed:
     * per-source doc counts live in an [[graft.table.AggView]] over a
@@ -818,7 +935,10 @@ object CorpusQuality extends QueryModule {
     "q_pii_scrub"          -> qPiiScrub _,
     "q_source_mix_kl"      -> qSourceMixKl _,
     "q_mix_kl_incr"        -> qMixKlIncr _,
-    "q_score_calibrate"    -> qScoreCalibrate _)
+    "q_score_calibrate"    -> qScoreCalibrate _,
+    "q_dataset_card"       -> qDatasetCard _,
+    "q_quantile_norm"      -> qQuantileNorm _,
+    "q_source_lang_mix"    -> qSourceLangMix _)
 
   override val oracles: Seq[(String, String)] = Seq(
     "q_gopher_quality"     -> qGopherQualitySql,
@@ -833,5 +953,8 @@ object CorpusQuality extends QueryModule {
     "q_pii_scrub"          -> qPiiScrubSql,
     "q_source_mix_kl"      -> qSourceMixKlSql,
     "q_mix_kl_incr"        -> qSourceMixKlSql,
-    "q_score_calibrate"    -> qScoreCalibrateSql)
+    "q_score_calibrate"    -> qScoreCalibrateSql,
+    "q_dataset_card"       -> qDatasetCardSql,
+    "q_quantile_norm"      -> qQuantileNormSql,
+    "q_source_lang_mix"    -> qSourceLangMixSql)
 }

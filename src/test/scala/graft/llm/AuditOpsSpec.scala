@@ -335,6 +335,47 @@ class AuditOpsSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  // --------------------------------------------------- dataset card
+  test("dataset card: counts reconcile with the corpus") {
+    val out = run("q_dataset_card").first()
+    val docs = graft.Tables.documents(spark, sf)
+    assert(out.getAs[Long]("n_docs") === docs.count())
+    assert(out.getAs[Long]("n_sources") ===
+      docs.select("source").distinct().count())
+    assert(out.getAs[Long]("n_langs") ===
+      docs.select("lang").distinct().count())
+    assert(out.getAs[Long]("n_exact_dups") >= 0L)
+    assert(out.getAs[Long]("mean_tokens") ===
+      out.getAs[Long]("n_tokens") / out.getAs[Long]("n_docs"))
+  }
+
+  // ------------------------------------------------- quantile norm
+  test("quantile norm: count preserved, each source spans the global range") {
+    val out = run("q_quantile_norm").cache()
+    try {
+      val docs = graft.Tables.documents(spark, sf)
+      assert(out.count() === docs.count())
+      val gmin = docs.agg(min("n_chars")).first().getLong(0)
+      val gmax = docs.agg(max("n_chars")).first().getLong(0)
+      val per = out.groupBy("source")
+        .agg(min("norm_chars").as("lo"), max("norm_chars").as("hi"))
+      assert(per.filter(col("lo") =!= gmin).count() === 0)
+      assert(per.filter(col("hi") =!= gmax).count() === 0)
+    } finally out.unpersist()
+  }
+
+  // ---------------------------------------------- source lang mix
+  test("source lang mix: entropy bounded by ln(k), docs conserve") {
+    val out = run("q_source_lang_mix").cache()
+    try {
+      val nDocs = graft.Tables.documents(spark, sf).count()
+      assert(out.agg(sum("n_docs")).first().getLong(0) === nDocs)
+      assert(out.filter(col("lang_entropy") < -1e-9).count() === 0)
+      assert(out.filter(col("lang_entropy") >
+        log(col("n_langs").cast("double")) + 1e-4).count() === 0)
+    } finally out.unpersist()
+  }
+
   // ------------------------------------------------- cluster weights
   test("cluster weights: every doc weighted once, weight = 1e6 div size, dups downweighted") {
     val out = run("q_cluster_weights").cache()
