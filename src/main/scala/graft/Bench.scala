@@ -120,7 +120,8 @@ object Bench {
     "q_completeness_incr",                                  // maintained quality monitor
     "q_dataset_card",                                       // release summary row
     "q_quantile_norm",                                      // cross-source normalization
-    "q_source_lang_mix")                                    // per-source lang entropy
+    "q_source_lang_mix",                                    // per-source lang entropy
+    "q_chunk_bm25")                                         // RAG chunk retrieval
   // q_semantic_dedup stays sf0.1-only: its oracle-replayable form fixes
   // CENTROIDS=16, so per-cell pair cost grows ~(N/16)² — the sf1 scale
   // path is the adaptive-cell VectorIndex (cells ~ √N), already timed

@@ -714,6 +714,94 @@ object TextOps extends QueryModule {
       .replace("TERMS_LIST", terms)
   }
 
+  // ------------------------------------------------------ q_chunk_bm25
+  /** Chunk-granular BM25 retrieval — the RAG composition: score the
+    * [[qDocChunks]] sliding windows (not whole documents) against the
+    * query terms and return the global top-[[CHUNK_K]] chunks WITH
+    * provenance (doc_id, chunk_start), which is what a
+    * retrieval-augmented pipeline actually feeds a context window.
+    * Same BM25 shape as [[qBm25]] — term filter BEFORE any shuffle,
+    * |terms|-row df and 1-row stats broadcasts — over the chunk
+    * relation, whose explode is itself shuffle-free. Chunk-level df/
+    * length stats differ from doc-level ones by design (that locality
+    * is the point of chunk retrieval). The final global top-K window
+    * runs over the scored-chunk table, already reduced to documents
+    * containing query terms; ties in the 4dp score break on
+    * (doc_id, chunk_start). */
+  private val CHUNK_K = 10
+  private def qChunkBm25(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val chunks = qDocChunks(s, d)
+    val dl = chunks.select($"doc_id", $"chunk_start",
+      $"n_chunk_tokens".as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_chunks"), sum($"dl").as("sum_dl"))
+    val tf = chunks
+      .select($"doc_id", $"chunk_start",
+        explode(split(lower($"chunk_text"), " ")).as("tok"))
+      .filter($"tok".isin(BM25_TERMS: _*))
+      .groupBy($"doc_id", $"chunk_start", $"tok")
+      .agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(df_), "tok")
+      .join(dl, Seq("doc_id", "chunk_start"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(($"n_chunks" - $"df" + lit(0.5)) / ($"df" + lit(0.5)) + lit(1.0)))
+      .withColumn("part",
+        $"idf" * ($"tf" * lit(2.2)) /
+          ($"tf" + lit(1.2) * (lit(0.25) +
+            lit(0.75) * $"dl" * $"n_chunks" / $"sum_dl")))
+      .groupBy($"doc_id", $"chunk_start")
+      .agg(count(lit(1)).cast("long").as("n_terms"),
+        round(sum($"part"), 4).as("score"))
+    scored.withColumn("rnk", row_number().over(Window.orderBy(
+        $"score".desc, $"doc_id".asc, $"chunk_start".asc)).cast("long"))
+      .filter($"rnk" <= CHUNK_K)
+      .select($"rnk", $"doc_id", $"chunk_start", $"n_terms", $"score")
+  }
+  private val qChunkBm25Sql = {
+    val terms = BM25_TERMS.map(t => s"'$t'").mkString(", ")
+    s"""WITH ch AS (
+      |  SELECT d.doc_id, s.start AS chunk_start,
+      |    least(len(d.t) - s.start, $CHUNK) AS dl,
+      |    array_to_string(
+      |      list_slice(d.t, s.start + 1, least(s.start + $CHUNK, len(d.t))),
+      |      ' ') AS chunk_text
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) d,
+      |       unnest(generate_series(0, len(d.t) - 1, $STRIDE)) AS s(start)),
+      |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_chunks,
+      |                 CAST(sum(dl) AS BIGINT) AS sum_dl FROM ch),
+      |tf AS (
+      |  SELECT doc_id, chunk_start, tok, CAST(count(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id, chunk_start,
+      |          unnest(string_split(lower(chunk_text), ' ')) AS tok
+      |        FROM ch)
+      |  WHERE tok IN ($terms) GROUP BY 1, 2, 3),
+      |df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      |part AS (
+      |  SELECT tf.doc_id, tf.chunk_start,
+      |    ln((n_chunks - df.df + 0.5::DOUBLE) / (df.df + 0.5::DOUBLE)
+      |       + 1.0::DOUBLE)
+      |      * (tf.tf * 2.2::DOUBLE)
+      |      / (tf.tf + 1.2::DOUBLE
+      |         * (0.25::DOUBLE + 0.75::DOUBLE * ch.dl * n_chunks / sum_dl))
+      |      AS p
+      |  FROM tf
+      |  JOIN df USING (tok)
+      |  JOIN ch ON ch.doc_id = tf.doc_id AND ch.chunk_start = tf.chunk_start,
+      |  stats),
+      |sc AS (
+      |  SELECT doc_id, chunk_start, CAST(count(*) AS BIGINT) AS n_terms,
+      |         round(sum(p), 4) AS score
+      |  FROM part GROUP BY 1, 2)
+      |SELECT rnk, doc_id, chunk_start, n_terms, score
+      |FROM (SELECT *, CAST(row_number() OVER (ORDER BY score DESC,
+      |        doc_id ASC, chunk_start ASC) AS BIGINT) AS rnk
+      |      FROM sc)
+      |WHERE rnk <= $CHUNK_K""".stripMargin
+  }
+
   // ---------------------------------------------------- q_ngram_diversity
   /** Corpus DIVERSITY profile per language slice: distinct-trigram
     * ratio (type/token ratio over word 3-grams) — the standing
@@ -1060,7 +1148,8 @@ object TextOps extends QueryModule {
     "q_pmi_bigrams"     -> qPmiBigrams _,
     "q_zipf_fit"        -> qZipfFit _,
     "q_len_profile"     -> qLenProfile _,
-    "q_bm25"            -> qBm25 _)
+    "q_bm25"            -> qBm25 _,
+    "q_chunk_bm25"      -> qChunkBm25 _)
 
   override val oracles: Seq[(String, String)] = Seq(
     "q_text_stats"      -> qTextStatsSql,
@@ -1082,5 +1171,6 @@ object TextOps extends QueryModule {
     "q_pmi_bigrams"     -> qPmiBigramsSql,
     "q_zipf_fit"        -> qZipfFitSql,
     "q_len_profile"     -> qLenProfileSql,
-    "q_bm25"            -> qBm25Sql)
+    "q_bm25"            -> qBm25Sql,
+    "q_chunk_bm25"      -> qChunkBm25Sql)
 }

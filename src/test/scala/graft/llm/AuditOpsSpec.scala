@@ -376,6 +376,24 @@ class AuditOpsSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  // ---------------------------------------------------- chunk bm25
+  test("chunk bm25: dense top-k, scores non-increasing, provenance resolvable") {
+    val out = run("q_chunk_bm25").cache()
+    try {
+      val k = out.count()
+      assert(k > 0 && k <= 10)
+      assert(out.agg(max("rnk")).first().getLong(0) === k)
+      val scores = out.orderBy(col("rnk").asc).select("score")
+        .collect().map(_.getDouble(0))
+      assert(scores.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+      // every hit's (doc_id, chunk_start) resolves to a real chunk
+      val chunks = run("q_doc_chunks")
+        .select(col("doc_id"), col("chunk_start"))
+      assert(out.join(chunks, Seq("doc_id", "chunk_start"), "left_anti")
+        .count() === 0)
+    } finally out.unpersist()
+  }
+
   // ------------------------------------------------- cluster weights
   test("cluster weights: every doc weighted once, weight = 1e6 div size, dups downweighted") {
     val out = run("q_cluster_weights").cache()
