@@ -121,7 +121,12 @@ object Bench {
     "q_dataset_card",                                       // release summary row
     "q_quantile_norm",                                      // cross-source normalization
     "q_source_lang_mix",                                    // per-source lang entropy
-    "q_chunk_bm25")                                         // RAG chunk retrieval
+    "q_chunk_bm25",                                         // RAG chunk retrieval
+    "q_tokenizer_fertility",                                // per-lang BPE fertility
+    "q_attribution_incr",                                   // maintained attribution
+    "q_attribution_refresh",                                // steady-state attr cost
+    "q_holt_forecast",                                      // trend projection
+    "q_release_diff")                                       // O(Δ) release audit
   // q_semantic_dedup stays sf0.1-only: its oracle-replayable form fixes
   // CENTROIDS=16, so per-cell pair cost grows ~(N/16)² — the sf1 scale
   // path is the adaptive-cell VectorIndex (cells ~ √N), already timed

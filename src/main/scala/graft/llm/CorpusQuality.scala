@@ -798,6 +798,95 @@ object CorpusQuality extends QueryModule {
       |        count(DISTINCT md5(text)) AS n_unique_texts
       |      FROM documents)""".stripMargin
 
+  // -------------------------------------------------- q_release_diff
+  /** RELEASE DIFF — the per-source added/removed/changed/reverted audit
+    * between two versions of a CDF-enabled corpus table, computed from
+    * the CHANGE FEED ALONE: no snapshot is read, so the cost is O(Δ)
+    * regardless of corpus size — the shape that lets a 100 TB release
+    * publish its diff card from the commits since the last release.
+    *
+    * Net effect per touched doc from one CDF aggregation: the FIRST
+    * change row in the span (ordered by commit, preimage-before-
+    * postimage within a commit) tells whether the doc existed before
+    * (preimage/delete ⇒ yes, insert ⇒ no) and carries its pre-release
+    * text; the LAST row tells whether it exists after and carries the
+    * post-release text. added = ¬before ∧ after; removed = before ∧
+    * ¬after; changed = both ∧ text hash moved; reverted = both ∧ text
+    * hash equal (an edit later undone — the net-effect case a naive
+    * per-event count double-reports). Docs inserted AND deleted inside
+    * the span net to nothing and are excluded.
+    *
+    * Fixture lifecycle (oracle-reproducible rules): release A = the sf
+    * documents; release B mutates it — `doc_id % 7 = 3` texts get a
+    * marker suffix, the `% 21 = 3` sub-slice is edited BACK (revert),
+    * `% 11 = 5` docs are deleted, and `% 13 = 0` docs re-enter with
+    * shifted ids (adds). The oracle recomputes the per-source counts
+    * from those rules over the base table. */
+  private def qReleaseDiff(s: SparkSession, d: String): DataFrame = {
+    import graft.table.VersionedTable
+    import s.implicits._
+    val root = graft.Scratch.dir("graft-release-diff")
+    val base = documents(s, d)
+    val t = VersionedTable.create(s, root.resolve("docs").toString,
+      base.schema, Map(VersionedTable.PROP_CDF -> "true"))
+    t.append(base)
+    val v1 = t.latestVersion
+    // release B edits
+    t.updateWhere(col("doc_id") % 7 === 3,
+      Map("text" -> concat(col("text"), lit(" __rev2"))))
+    t.updateWhere(col("doc_id") % 21 === 3,
+      Map("text" -> expr("replace(text, ' __rev2', '')")))
+    t.deleteWhere(col("doc_id") % 11 === 5)
+    t.append(base.filter(col("doc_id") % 13 === 0)
+      .withColumn("doc_id", col("doc_id") + lit(1000000000L)))
+    // the diff, from the change feed alone
+    diffFromChanges(t.changes(v1 + 1))
+  }
+
+  /** The net-effect release diff over a raw CDF frame (any span of a
+    * doc-shaped table's change feed) — see [[qReleaseDiff]]. Public to
+    * the package so the classification is testable on crafted feeds. */
+  private[llm] def diffFromChanges(changes: DataFrame): DataFrame = {
+    val ch = changes.select(col("doc_id"), col("source"),
+      md5(col("text")).as("h"), col("_change_type").as("ct"),
+      (col("_commit_version") * 2 + when(
+        col("_change_type").isin("update_preimage", "delete"), 0).otherwise(1))
+        .as("ord"))
+    val net = ch.groupBy(col("doc_id")).agg(
+      min_by(struct(col("ct"), col("h"), col("source")), col("ord")).as("fst"),
+      max_by(struct(col("ct"), col("h"), col("source")), col("ord")).as("lst"))
+    val before = col("fst.ct").isin("update_preimage", "delete")
+    val after = col("lst.ct").isin("insert", "update_postimage")
+    net
+      .withColumn("cls",
+        when(!before && after, "added")
+          .when(before && !after, "removed")
+          .when(before && after && col("fst.h") =!= col("lst.h"), "changed")
+          .when(before && after, "reverted")
+          .otherwise("ephemeral"))
+      .filter(col("cls") =!= "ephemeral")
+      .groupBy(coalesce(col("fst.source"), col("lst.source")).as("source"))
+      .agg(
+        sum(when(col("cls") === "added", 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("cls") === "removed", 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("cls") === "changed", 1L).otherwise(0L)).as("n_changed"),
+        sum(when(col("cls") === "reverted", 1L).otherwise(0L)).as("n_reverted"))
+  }
+  private val qReleaseDiffSql =
+    """SELECT source,
+      |  CAST(sum(CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_added,
+      |  CAST(sum(CASE WHEN doc_id % 11 = 5 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_removed,
+      |  CAST(sum(CASE WHEN doc_id % 7 = 3 AND doc_id % 11 <> 5
+      |                 AND doc_id % 21 <> 3 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_changed,
+      |  CAST(sum(CASE WHEN doc_id % 21 = 3 AND doc_id % 11 <> 5
+      |            THEN 1 ELSE 0 END) AS BIGINT) AS n_reverted
+      |FROM documents
+      |WHERE doc_id % 13 = 0 OR doc_id % 11 = 5 OR doc_id % 7 = 3
+      |GROUP BY source""".stripMargin
+
   // -------------------------------------------------- q_quantile_norm
   /** True QUANTILE NORMALIZATION of a per-doc score across sources —
     * the strong form of [[qScoreCalibrate]]: instead of reporting the
@@ -938,7 +1027,8 @@ object CorpusQuality extends QueryModule {
     "q_score_calibrate"    -> qScoreCalibrate _,
     "q_dataset_card"       -> qDatasetCard _,
     "q_quantile_norm"      -> qQuantileNorm _,
-    "q_source_lang_mix"    -> qSourceLangMix _)
+    "q_source_lang_mix"    -> qSourceLangMix _,
+    "q_release_diff"       -> qReleaseDiff _)
 
   override val oracles: Seq[(String, String)] = Seq(
     "q_gopher_quality"     -> qGopherQualitySql,
@@ -956,5 +1046,6 @@ object CorpusQuality extends QueryModule {
     "q_score_calibrate"    -> qScoreCalibrateSql,
     "q_dataset_card"       -> qDatasetCardSql,
     "q_quantile_norm"      -> qQuantileNormSql,
-    "q_source_lang_mix"    -> qSourceLangMixSql)
+    "q_source_lang_mix"    -> qSourceLangMixSql,
+    "q_release_diff"       -> qReleaseDiffSql)
 }

@@ -558,6 +558,81 @@ object TextOps extends QueryModule {
       |FROM enc GROUP BY doc_id""".stripMargin
   }
 
+  // --------------------------------------------- q_tokenizer_fertility
+  /** Tokenizer FERTILITY per language — the per-slice tokenizer-quality
+    * readout (pieces per word, chars per piece) that decides whether a
+    * vocabulary trained on the whole corpus under-serves a language:
+    * high pieces-per-word on a slice means its text fragments into more
+    * subwords, inflating context-window cost for that language. Applies
+    * [[trainBpeMerges]]'s learned table exactly like [[qBpeEncode]]
+    * (same fold chain, same `[a-z]{2,}` rule), then aggregates by
+    * `lang`. Ratios are integer ppm (`div`-truncated) so the values are
+    * bit-identical across engines and summation orders.
+    *
+    * == 100 TB design ==
+    * Per-row fold work beside the scan (merges are a collected constant
+    * — no join), then ONE |langs|-row aggregation: the only shuffle is
+    * the tiny final groupBy. The oracle re-derives the merge table via
+    * the shared training CTEs and replays the identical folds. */
+  private def qTokenizerFertility(s: SparkSession, d: String): DataFrame = {
+    val merges = trainBpeMerges(s, d)
+    val chars = "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+    val folded = merges.foldLeft(chars) { case (e, (_, a, b, _, _)) =>
+      mergeFoldSql(a, b, e)
+    }
+    withTokens(documents(s, d))
+      .select(
+        col("lang"),
+        size(col("tokens")).cast("long").as("d_tokens"),
+        expr(s"""aggregate(transform(tokens, w ->
+          |  CASE WHEN w RLIKE '^[a-z]{2,}$$' THEN size($folded) ELSE 1 END),
+          |  0, (acc, x) -> acc + x)""".stripMargin).cast("long")
+          .as("d_pieces"),
+        expr("aggregate(transform(tokens, w -> length(w))," +
+          " 0, (acc, x) -> acc + x)").cast("long").as("d_word_chars"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("d_tokens")).as("n_tokens"),
+        sum(col("d_pieces")).as("n_pieces"),
+        sum(col("d_word_chars")).as("n_word_chars"))
+      .withColumn("pieces_per_token_ppm",
+        expr("n_pieces * 1000000L div n_tokens"))
+      .withColumn("chars_per_piece_ppm",
+        expr("n_word_chars * 1000000L div n_pieces"))
+  }
+
+  private val qTokenizerFertilitySql = {
+    val chars = "[substr(w, i, 1) for i in range(1, length(w) + 1)]"
+    val folded = (1 to BPE_ITERS).foldLeft(chars) { (e, i) =>
+      s"""string_split(ltrim(list_reduce(list_prepend('', $e),
+         |  (acc, x) -> CASE WHEN ends_with(acc, ' ' || b$i.a) AND x = b$i.b
+         |              THEN acc || b$i.b ELSE acc || ' ' || x END)), ' ')"""
+        .stripMargin
+    }
+    val bs = (1 to BPE_ITERS).map("b" + _).mkString(", ")
+    s"""WITH $bpeCtesSql,
+      |enc AS (
+      |  SELECT lang,
+      |    CASE WHEN regexp_full_match(w, '[a-z]{2,}')
+      |         THEN len($folded) ELSE 1 END AS pieces,
+      |    length(w) AS wchars
+      |  FROM (SELECT lang, unnest(string_split(lower(text), ' ')) AS w
+      |        FROM documents), $bs),
+      |agg AS (
+      |  SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens,
+      |         CAST(sum(pieces) AS BIGINT) AS n_pieces,
+      |         CAST(sum(wchars) AS BIGINT) AS n_word_chars
+      |  FROM enc GROUP BY 1),
+      |docs AS (
+      |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+      |  FROM documents GROUP BY 1)
+      |SELECT lang, n_docs, n_tokens, n_pieces, n_word_chars,
+      |  (n_pieces * 1000000) // n_tokens AS pieces_per_token_ppm,
+      |  (n_word_chars * 1000000) // n_pieces AS chars_per_piece_ppm
+      |FROM agg JOIN docs USING (lang)""".stripMargin
+  }
+
   // -------------------------------------------------- q_vocab_coverage
   /** Vocabulary coverage analysis: token frequencies ranked by the
     * exact total order, with each prefix's cumulative share of all
@@ -1149,7 +1224,8 @@ object TextOps extends QueryModule {
     "q_zipf_fit"        -> qZipfFit _,
     "q_len_profile"     -> qLenProfile _,
     "q_bm25"            -> qBm25 _,
-    "q_chunk_bm25"      -> qChunkBm25 _)
+    "q_chunk_bm25"      -> qChunkBm25 _,
+    "q_tokenizer_fertility" -> qTokenizerFertility _)
 
   override val oracles: Seq[(String, String)] = Seq(
     "q_text_stats"      -> qTextStatsSql,
@@ -1172,5 +1248,6 @@ object TextOps extends QueryModule {
     "q_zipf_fit"        -> qZipfFitSql,
     "q_len_profile"     -> qLenProfileSql,
     "q_bm25"            -> qBm25Sql,
-    "q_chunk_bm25"      -> qChunkBm25Sql)
+    "q_chunk_bm25"      -> qChunkBm25Sql,
+    "q_tokenizer_fertility" -> qTokenizerFertilitySql)
 }

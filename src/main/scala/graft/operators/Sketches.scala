@@ -791,6 +791,81 @@ object Sketches extends QueryModule {
       |    AS alert
       |FROM lg""".stripMargin
 
+  // --------------------------------------------------- q_holt_forecast
+  /** HOLT double-exponential forecast over the per-(event_type, day)
+    * volume series — the projection step the volume family feeds: EWMA
+    * tracks the level; Holt also carries a TREND state so the h-step
+    * projection `l_T + h·b_T` extrapolates growth instead of flat-
+    * lining. α = β = 1/2 in integer milli-units with `div`-truncated
+    * recurrences (both engines truncate integer division toward zero,
+    * so the signed trend state stays bit-identical):
+    *
+    *   l₁ = y₁·1000, b₁ = 0
+    *   lₜ = (yₜ·1000 + lₜ₋₁ + bₜ₋₁) div 2
+    *   bₜ = (lₜ − lₜ₋₁ + bₜ₋₁) div 2
+    *
+    * Output: per type, the final (level, trend) state and the next
+    * [[HOLT_H]] daily forecasts. Same 100 TB shape as the EWMA chart:
+    * ONE (type, day) hash aggregate, then a constant-bounded per-type
+    * fold; the oracle replays the recurrence with a recursive CTE. */
+  private val HOLT_H = 7
+  private def qHoltForecast(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = events(s, d)
+      .groupBy($"event_type",
+        expr("CAST(unix_micros(ts) div 86400000000 AS BIGINT)").as("day"))
+      .agg(count(lit(1)).as("n"))
+    daily
+      .groupBy($"event_type")
+      .agg(sort_array(collect_list(struct($"day", $"n"))).as("seq"))
+      .select($"event_type", expr(
+        """aggregate(seq,
+          |  named_struct('day', CAST(0 AS BIGINT), 'l', CAST(0 AS BIGINT),
+          |               'b', CAST(0 AS BIGINT), 'init', false),
+          |  (acc, e) -> CASE WHEN NOT acc.init
+          |    THEN named_struct('day', e.day, 'l', e.n * 1000L,
+          |                      'b', CAST(0 AS BIGINT), 'init', true)
+          |    ELSE named_struct('day', e.day,
+          |      'l', (e.n * 1000L + acc.l + acc.b) div 2L,
+          |      'b', ((e.n * 1000L + acc.l + acc.b) div 2L - acc.l + acc.b)
+          |             div 2L,
+          |      'init', true) END)""".stripMargin).as("st"))
+      .select($"event_type", explode(expr(
+        s"sequence(1L, ${HOLT_H}L)")).as("h"),
+        $"st.day".as("last_day"), $"st.l".as("level_milli"),
+        $"st.b".as("trend_milli"))
+      .select($"event_type", $"h",
+        ($"last_day" + $"h").as("forecast_day"),
+        ($"level_milli" + $"h" * $"trend_milli").as("forecast_milli"),
+        $"level_milli", $"trend_milli")
+  }
+  private val qHoltForecastSql =
+    s"""WITH RECURSIVE daily AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |idx AS (
+      |  SELECT *, row_number() OVER (PARTITION BY event_type
+      |                               ORDER BY day) AS i
+      |  FROM daily),
+      |r AS (
+      |  SELECT event_type, day, i, n * 1000 AS l, CAST(0 AS BIGINT) AS b
+      |  FROM idx WHERE i = 1
+      |  UNION ALL
+      |  SELECT d.event_type, d.day, d.i,
+      |    (d.n * 1000 + r.l + r.b) // 2,
+      |    ((d.n * 1000 + r.l + r.b) // 2 - r.l + r.b) // 2
+      |  FROM idx d JOIN r ON d.event_type = r.event_type AND d.i = r.i + 1),
+      |fin AS (
+      |  SELECT *, row_number() OVER (PARTITION BY event_type
+      |                               ORDER BY i DESC) AS rk
+      |  FROM r)
+      |SELECT event_type, h, day + h AS forecast_day,
+      |  l + h * b AS forecast_milli,
+      |  l AS level_milli, b AS trend_milli
+      |FROM fin, unnest(generate_series(1, $HOLT_H)) AS t(h)
+      |WHERE rk = 1""".stripMargin
+
   // ------------------------------------------------ q_cusum_changepoint
   /** CUSUM CHANGEPOINT detection over the per-(event_type, day) volume
     * series: the cumulative sum of deviations from the series mean
@@ -1171,6 +1246,7 @@ object Sketches extends QueryModule {
     "q_anomaly_windows" -> (qAnomalyWindows _),
     "q_seasonal_anomaly" -> (qSeasonalAnomaly _),
     "q_ewma_control"     -> (qEwmaControl _),
+    "q_holt_forecast"    -> (qHoltForecast _),
     "q_cusum_changepoint" -> (qCusumChangepoint _),
     "q_gap_fill" -> (qGapFill _))
 
@@ -1190,6 +1266,7 @@ object Sketches extends QueryModule {
     "q_anomaly_windows" -> qAnomalyWindowsSql,
     "q_seasonal_anomaly" -> qSeasonalAnomalySql,
     "q_ewma_control"     -> qEwmaControlSql,
+    "q_holt_forecast"    -> qHoltForecastSql,
     "q_cusum_changepoint" -> qCusumChangepointSql,
     "q_gap_fill" -> qGapFillSql)
 }

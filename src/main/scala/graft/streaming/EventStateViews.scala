@@ -170,11 +170,48 @@ final class PathsView private[streaming] (
         col("n_rows").cast("long").as("n_users")))
 }
 
+/** See [[FunnelView]] — same maintenance contract for LAST-TOUCH
+  * attribution. State: one row per purchase (keyed (user_id,
+  * purchase_id)) carrying its attributed channel/touch/gap/cents. A
+  * late-arriving touch BETWEEN an old touch and a purchase re-credits
+  * the purchase, and deleting the credited touch falls attribution
+  * back to an earlier one — positional effects only the per-changed-
+  * user window re-derive ([[EventWindows.userAttribution]], the same
+  * code the batch query runs) captures exactly. The per-channel
+  * revenue readout is an [[AggView]] off the state's own CDF —
+  * O(channels), never an O(purchases) scan. */
+final class AttributionView private[streaming] (
+    val state: VersionedTable, val counts: AggView) {
+  import EventStateViews._
+
+  def refresh(events: VersionedTable): Option[Long] = {
+    val latest = events.latestVersion
+    val since = state.lastTxn(ATTR_APP).getOrElse(0L) + 1
+    val out =
+      if (latest < since) None
+      else {
+        val users = events.changes(since).select(col("user_id")).distinct()
+        stateDelta(events, users, EventWindows.userAttribution,
+          state, Seq("user_id", "purchase_id"), Map(ATTR_APP -> latest))
+      }
+    counts.refresh(state)
+    out
+  }
+
+  /** Per-channel conversion/revenue readout `(channel, n_purchases,
+    * cents)` from the maintained aggregate. */
+  def byChannel(): DataFrame =
+    counts.table.snapshot().select(col("channel"),
+      col("n_rows").cast("long").as("n_purchases"),
+      col("sum_cents").cast("long").as("cents"))
+}
+
 object EventStateViews extends QueryModule {
   val FUNNEL_APP = "funnel-view"
   val RETENTION_APP = "retention-view"
   val SESSION_APP = "session-view"
   val PATHS_APP = "paths-view"
+  val ATTR_APP = "attribution-view"
   private val STATE_BUCKETS = 8
 
   private val stateClauses = Seq(
@@ -302,6 +339,29 @@ object EventStateViews extends QueryModule {
     val counts = AggView.build(state, s"$root/counts", Seq("path"),
       Seq(("occ", "n_occ")))
     new PathsView(state, counts)
+  }
+
+  def buildAttribution(events: VersionedTable, root: String): AttributionView = {
+    val spark = events.spark
+    val stateSchema = StructType(Seq(
+      StructField("user_id", LongType),
+      StructField("purchase_id", LongType),
+      StructField("channel", org.apache.spark.sql.types.StringType),
+      StructField("touch_id", LongType),
+      StructField("gap_us", LongType),
+      StructField("cents", LongType)))
+    val state = VersionedTable.create(spark, s"$root/state", stateSchema,
+      Map(VersionedTable.PROP_CDF -> "true"),
+      bucketBy = Some(BucketSpec(Seq("user_id", "purchase_id"), STATE_BUCKETS)))
+    val latest = events.latestVersion
+    Merge.run(state,
+      EventWindows.userAttribution(events.snapshot())
+        .withColumn("__op", lit("UPSERT")),
+      Seq("user_id", "purchase_id"), stateClauses,
+      extraTxn = Map(ATTR_APP -> latest))
+    val counts = AggView.build(state, s"$root/counts", Seq("channel"),
+      Seq("cents" -> "cents"))
+    new AttributionView(state, counts)
   }
 
   /** The sessionize fold over an engine-table slice: micros → ts, run
@@ -745,6 +805,111 @@ object EventStateViews extends QueryModule {
       |  count(DISTINCT user_id) AS n_users
       |FROM kept GROUP BY event_type""".stripMargin
 
+  // ---------------------------------------------- q_attribution_incr
+  /** Incremental-attribution LIFECYCLE: even events seed the state,
+    * the view builds, the odd half lands out of order (late touches
+    * that RE-CREDIT existing purchases — the positional effect no
+    * per-channel delta can express), an `event_id % 23 = 7` slice is
+    * retroactively DELETED (removing purchases outright and felling
+    * credited touches back to earlier ones), and one refresh catches
+    * up — the oracle recomputes the per-channel readout declaratively
+    * over the surviving events. */
+  private val attrEventsSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", org.apache.spark.sql.types.StringType),
+    StructField("t", LongType),
+    StructField("value", org.apache.spark.sql.types.DoubleType)))
+
+  private def attrEventRows(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(col("event_id"), col("user_id"),
+      col("event_type"), unix_micros(col("ts")).as("t"), col("value"))
+
+  private def qAttributionIncr(s: SparkSession, d: String): DataFrame = {
+    val root = graft.Scratch.dir("graft-attr-incr")
+    val ev = VersionedTable.create(s, root.resolve("ev").toString,
+      attrEventsSchema, Map(VersionedTable.PROP_CDF -> "true"))
+    val all = attrEventRows(s, d)
+    appendClustered(ev, all.filter(col("event_id") % 2 === 0))
+    val v = buildAttribution(ev, root.resolve("v").toString)
+    appendClustered(ev, all.filter(col("event_id") % 2 === 1))
+    ev.deleteWhere(col("event_id") % 23 === 7)
+    v.refresh(ev)
+    v.byChannel()
+  }
+
+  /** Per-channel attribution SQL over events surviving `filter` — the
+    * same window/lookback arithmetic as the batch `q_attribution`
+    * oracle, aggregated to the maintained readout's shape. */
+  private def attrChannelSql(filter: String): String =
+    s"""WITH ev AS (
+      |  SELECT event_id, user_id, event_type, epoch_us(ts) AS t, value
+      |  FROM events$filter),
+      |m AS (
+      |  SELECT *,
+      |    last_value(CASE WHEN event_type IN ('view','click') THEN t END
+      |      IGNORE NULLS) OVER w AS lt,
+      |    last_value(CASE WHEN event_type IN ('view','click') THEN event_type END
+      |      IGNORE NULLS) OVER w AS lty
+      |  FROM ev
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      |p AS (
+      |  SELECT CASE WHEN lt IS NOT NULL AND t - lt <= ${EventWindows.ATTR_US}
+      |              THEN lty ELSE 'direct' END AS channel,
+      |         CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM m WHERE event_type = 'purchase')
+      |SELECT channel, CAST(count(*) AS BIGINT) AS n_purchases,
+      |       CAST(sum(cents) AS BIGINT) AS cents
+      |FROM p GROUP BY 1""".stripMargin
+
+  private val qAttributionIncrSql =
+    attrChannelSql(" WHERE event_id % 23 <> 7")
+
+  // ------------------------------------------- q_attribution_refresh
+  /** STEADY-STATE incremental-attribution cost — the [[qFunnelRefresh]]
+    * construction: each untimed staging call appends a fresh-id copy of
+    * the toggled users' `signup`/`error` events (real CDF rows, real
+    * per-user re-derives) which are neither touches nor purchases, so
+    * the attribution readout is provably unchanged and the oracle
+    * recomputes it declaratively over the base events. */
+  private val arCache = scala.collection.concurrent.TrieMap.empty[
+    (SparkSession, String),
+    (VersionedTable, AttributionView, java.util.concurrent.atomic.AtomicLong)]
+
+  private def arFixture(s: SparkSession, d: String)
+      : (VersionedTable, AttributionView,
+         java.util.concurrent.atomic.AtomicLong) =
+    arCache.synchronized {
+      arCache.getOrElseUpdate((s, d), {
+        val root = graft.Scratch.dir("graft-attr-steady")
+        val ev = VersionedTable.create(s, root.resolve("ev").toString,
+          attrEventsSchema, Map(VersionedTable.PROP_CDF -> "true"))
+        appendClustered(ev, attrEventRows(s, d))
+        val v = buildAttribution(ev, root.resolve("v").toString)
+        (ev, v, new java.util.concurrent.atomic.AtomicLong)
+      })
+    }
+
+  private def arPrepare(s: SparkSession, d: String): Unit = {
+    val (ev, _, calls) = arFixture(s, d)
+    val n = calls.getAndIncrement()
+    appendClustered(ev,
+      attrEventRows(s, d)
+        .filter(col("user_id") % 50 === 0 &&
+          col("event_type").isin("signup", "error"))
+        .withColumn("event_id",
+          col("event_id") + lit((n + 1) * 100000000L)))
+  }
+
+  private def qAttributionRefresh(s: SparkSession, d: String): DataFrame = {
+    val (ev, v, _) = arFixture(s, d)
+    v.refresh(ev)
+    v.byChannel()
+  }
+
+  private val qAttributionRefreshSql = attrChannelSql("")
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q_sessionize_incr"    -> qSessionizeIncr _,
     "q_funnel_incr"        -> qFunnelIncr _,
@@ -753,7 +918,9 @@ object EventStateViews extends QueryModule {
     "q_retention_refresh"  -> qRetentionRefresh _,
     "q_active_users_incr"  -> qActiveUsersIncr _,
     "q_event_paths_incr"   -> qEventPathsIncr _,
-    "q_completeness_incr"  -> qCompletenessIncr _)
+    "q_completeness_incr"  -> qCompletenessIncr _,
+    "q_attribution_incr"   -> qAttributionIncr _,
+    "q_attribution_refresh" -> qAttributionRefresh _)
 
   override val oracles: Seq[(String, String)] = Seq(
     // the maintained state must equal the from-scratch batch
@@ -765,9 +932,12 @@ object EventStateViews extends QueryModule {
     "q_retention_refresh"  -> qRetentionIncrSql,
     "q_active_users_incr"  -> qActiveUsersIncrSql,
     "q_event_paths_incr"   -> qEventPathsIncrSql,
-    "q_completeness_incr"  -> qCompletenessIncrSql)
+    "q_completeness_incr"  -> qCompletenessIncrSql,
+    "q_attribution_incr"   -> qAttributionIncrSql,
+    "q_attribution_refresh" -> qAttributionRefreshSql)
 
   override val prepares: Seq[(String, (SparkSession, String) => Unit)] = Seq(
     "q_funnel_refresh"    -> (frPrepare _),
-    "q_retention_refresh" -> (rrPrepare _))
+    "q_retention_refresh" -> (rrPrepare _),
+    "q_attribution_refresh" -> (arPrepare _))
 }

@@ -455,24 +455,33 @@ object EventWindows extends QueryModule {
     * micros. */
   private[streaming] val ATTR_US = 86400000000L // 24 h lookback
 
+  /** The attribution derive over a pre-projected
+    * (event_id, user_id, event_type, t, value) frame — shared by the
+    * batch query and [[EventStateViews]]' maintained view (whose
+    * changed-user refresh re-runs exactly this window over one user's
+    * history). */
+  private[streaming] def userAttribution(ev: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+      .rowsBetween(Long.MinValue, -1)
+    val touch = when(col("event_type").isin("view", "click"),
+      struct(col("t").as("tt"), col("event_id").as("tid"),
+        col("event_type").as("tty")))
+    val attributed = col("lt").isNotNull && col("t") - col("lt.tt") <= ATTR_US
+    ev.withColumn("lt", last(touch, ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("event_id").as("purchase_id"), col("user_id"),
+        when(attributed, col("lt.tty")).otherwise("direct").as("channel"),
+        when(attributed, col("lt.tid")).otherwise(-1L).as("touch_id"),
+        when(attributed, col("t") - col("lt.tt")).otherwise(-1L).as("gap_us"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+  }
+
   private def qAttribution(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val ev = Tables.events(s, d).select($"event_id", $"user_id",
-      $"event_type", unix_micros($"ts").as("t"), $"value")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"user_id").orderBy($"t", $"event_id")
-      .rowsBetween(Long.MinValue, -1)
-    val touch = when($"event_type".isin("view", "click"),
-      struct($"t".as("tt"), $"event_id".as("tid"), $"event_type".as("tty")))
-    val attributed = $"lt".isNotNull && $"t" - $"lt.tt" <= ATTR_US
-    ev.withColumn("lt", last(touch, ignoreNulls = true).over(w))
-      .filter($"event_type" === "purchase")
-      .select(
-        $"event_id".as("purchase_id"), $"user_id",
-        when(attributed, $"lt.tty").otherwise("direct").as("channel"),
-        when(attributed, $"lt.tid").otherwise(-1L).as("touch_id"),
-        when(attributed, $"t" - $"lt.tt").otherwise(-1L).as("gap_us"),
-        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    userAttribution(Tables.events(s, d).select($"event_id", $"user_id",
+      $"event_type", unix_micros($"ts").as("t"), $"value"))
   }
   private val qAttributionSql =
     s"""WITH ev AS (

@@ -462,4 +462,26 @@ class PlanAuditSpec extends SparkSpec {
       s"unigram marginals must broadcast:\n$p")
     assert(!p.contains("CartesianProduct"), s"no all-pairs:\n$p")
   }
+
+  test("chunk BM25: df/stats broadcast, no corpus-wide cartesian") {
+    val p = plan("q_chunk_bm25")
+    assert(p.contains("BroadcastExchange"),
+      s"term-df and corpus stats must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the only nested-loop is the broadcast 1-row stats join:\n$p")
+  }
+
+  test("tokenizer fertility folds beside the scan; only the lang aggregate shuffles") {
+    val p = plan("q_tokenizer_fertility")
+    // one hash-aggregate exchange on lang, nothing else
+    assert(p.split("Exchange hashpartitioning").length - 1 <= 1,
+      s"exactly one shuffle (the |langs|-row aggregate):\n$p")
+    assert(!p.contains("Join"), s"merge table is a literal, not a join:\n$p")
+  }
+
+  test("Holt forecast: one (type,day) aggregate then constant-bounded per-type fold") {
+    val p = plan("q_holt_forecast")
+    assert(!p.contains("Join"), s"no join anywhere:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no all-pairs:\n$p")
+  }
 }

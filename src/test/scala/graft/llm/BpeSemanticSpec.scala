@@ -75,6 +75,30 @@ class BpeSemanticSpec extends SparkSpec {
       "no document was compressed by the learned merges")
   }
 
+  test("tokenizer fertility: per-lang rows reconcile with per-doc encode totals") {
+    val fert = q("q_tokenizer_fertility").cache()
+    try {
+      val rows = fert.select("lang", "n_docs", "n_tokens", "n_pieces",
+          "pieces_per_token_ppm")
+        .as[(String, Long, Long, Long, Long)].collect()
+      assert(rows.nonEmpty)
+      // lang partition is exhaustive: doc/token/piece totals must equal
+      // the per-doc encoder's corpus totals exactly
+      val (totTok, totPieces) = q("q_bpe_encode")
+        .agg(sum("n_tokens"), sum("n_pieces"))
+        .as[(Long, Long)].first()
+      assert(rows.map(_._3).sum === totTok)
+      assert(rows.map(_._4).sum === totPieces)
+      assert(rows.map(_._2).sum ===
+        graft.Tables.documents(spark, sf).count())
+      rows.foreach { case (lang, _, tok, pieces, ppm) =>
+        assert(pieces >= tok, s"$lang: fewer pieces than tokens")
+        assert(ppm === pieces * 1000000L / tok, s"$lang: ppm arithmetic")
+        assert(ppm >= 1000000L, s"$lang: fertility below 1 piece/token")
+      }
+    } finally fert.unpersist()
+  }
+
   test("semantic dedup finds exactly the planted near-dups, keeper = source") {
     val dups = q("q_semantic_dedup")
       .select("dup_id", "keep_id", "cos")

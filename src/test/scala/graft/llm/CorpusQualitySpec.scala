@@ -102,6 +102,38 @@ class CorpusQualitySpec extends SparkSpec {
     } finally { df.unpersist(); () }
   }
 
+  test("release diff nets multi-commit churn: add/change/revert/remove/ephemeral") {
+    import spark.implicits._
+    val feed = Seq(
+      // doc 1: net add
+      (1L, "s1", "new doc", "insert", 1L),
+      // doc 2: net change
+      (2L, "s1", "a", "update_preimage", 2L),
+      (2L, "s1", "b", "update_postimage", 2L),
+      // doc 3: edited then edited back — net revert
+      (3L, "s1", "x", "update_preimage", 2L),
+      (3L, "s1", "y", "update_postimage", 2L),
+      (3L, "s1", "y", "update_preimage", 3L),
+      (3L, "s1", "x", "update_postimage", 3L),
+      // doc 4: net remove (other source)
+      (4L, "s2", "gone", "delete", 3L),
+      // doc 5: inserted then deleted inside the span — nets to nothing
+      (5L, "s1", "flash", "insert", 1L),
+      (5L, "s1", "flash", "delete", 4L),
+      // doc 6: inserted, edited, deleted — still nets to nothing
+      (6L, "s1", "p", "insert", 1L),
+      (6L, "s1", "p", "update_preimage", 2L),
+      (6L, "s1", "q", "update_postimage", 2L),
+      (6L, "s1", "q", "delete", 5L))
+      .toDF("doc_id", "source", "text", "_change_type", "_commit_version")
+    val got = CorpusQuality.diffFromChanges(feed).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got === Map(
+      "s1" -> ((1L, 0L, 1L, 1L)),
+      "s2" -> ((0L, 1L, 0L, 0L))))
+  }
+
   test("bloom-prefiltered decontamination equals the exact formulation") {
     val exact = run("q_decontaminate")
     val bloom = run("q_decontaminate_bloom")

@@ -246,6 +246,40 @@ class SketchesSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(math.abs(got("2024-03-12")._4) < 3.0)
   }
 
+  test("Holt forecast: final state replays the recurrence, projections extrapolate it") {
+    import spark.implicits._
+    val rows = graft.SparkEntry.queries("q_holt_forecast")(spark, sf)
+      .select($"event_type", $"h", $"forecast_day", $"forecast_milli",
+        $"level_milli", $"trend_milli")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    // recompute the daily series and replay the integer recurrence
+    val daily = graft.Tables.events(spark, sf)
+      .groupBy($"event_type",
+        expr("CAST(unix_micros(ts) div 86400000000 AS BIGINT)").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .as[(String, Long, Long)].collect()
+      .groupBy(_._1).map { case (ty, xs) =>
+        val series = xs.sortBy(_._2)
+        var l = series.head._3 * 1000L; var b = 0L
+        series.tail.foreach { case (_, _, n) =>
+          val l2 = (n * 1000L + l + b) / 2
+          b = (l2 - l + b) / 2; l = l2
+        }
+        ty -> ((series.last._2, l, b))
+      }
+    rows.groupBy(_._1).foreach { case (ty, fs) =>
+      val (lastDay, l, b) = daily(ty)
+      assert(fs.map(_._2).sorted.toSeq === (1L to 7L),
+        s"$ty: horizons must be exactly 1..7")
+      fs.foreach { case (_, h, fDay, fMilli, lm, bm) =>
+        assert(lm === l && bm === b, s"$ty: final Holt state mismatch")
+        assert(fDay === lastDay + h)
+        assert(fMilli === l + h * b, s"$ty: projection arithmetic")
+      }
+    }
+  }
+
   test("EWMA control: trajectory replays the integer recurrence exactly") {
     import spark.implicits._
     val rows = graft.SparkEntry.queries("q_ewma_control")(spark, sf)

@@ -244,6 +244,72 @@ class EventStateViewsSpec extends SparkSpec {
     assert(viewTop(v) === batchTop())
   }
 
+  private val attrSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("t", LongType),
+    StructField("value", DoubleType)))
+
+  private def attrRows(ts: (Long, Long, String, Long, Double)*): DataFrame =
+    ts.toDF("event_id", "user_id", "event_type", "t", "value")
+
+  private def attrState(v: AttributionView): Set[(Long, String, Long, Long)] =
+    v.state.snapshot().collect()
+      .map(r => (r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))
+      .toSet
+
+  test("attribution view: late touch re-credits, touch delete falls back, purchase delete evicts") {
+    val root = graft.Scratch.dir("graft-attr-spec")
+    val ev = VersionedTable.create(spark, root.resolve("ev").toString,
+      attrSchema, Map(VersionedTable.PROP_CDF -> "true"))
+    val day = EventWindows.ATTR_US
+    ev.append(attrRows(
+      (10L, 1L, "view", 1000L, 0.0),
+      (11L, 1L, "purchase", 5000L, 10.0),
+      (20L, 2L, "purchase", 100L, 5.0),
+      (30L, 3L, "view", 0L, 0.0),
+      (31L, 3L, "purchase", day + 1L, 1.0)))
+    val v = EventStateViews.buildAttribution(ev, root.resolve("v").toString)
+    // initial: 11 ← view 10; 20 direct (no touch); 31 direct (stale touch)
+    assert(attrState(v) === Set(
+      (11L, "view", 10L, 4000L),
+      (20L, "direct", -1L, -1L),
+      (31L, "direct", -1L, -1L)))
+    // late arrivals: click BETWEEN 10 and 11 re-credits purchase 11;
+    // a touch AFTER user 2's purchase must not attribute it
+    ev.append(attrRows(
+      (12L, 1L, "click", 3000L, 0.0),
+      (21L, 2L, "view", 200L, 0.0)))
+    v.refresh(ev)
+    assert(attrState(v) === Set(
+      (11L, "click", 12L, 2000L),
+      (20L, "direct", -1L, -1L),
+      (31L, "direct", -1L, -1L)))
+    // deleting the credited click falls purchase 11 back to view 10
+    ev.deleteWhere(col("event_id") === 12L)
+    v.refresh(ev)
+    assert(attrState(v) === Set(
+      (11L, "view", 10L, 4000L),
+      (20L, "direct", -1L, -1L),
+      (31L, "direct", -1L, -1L)))
+    // deleting a purchase evicts its state row; readout tracks exactly
+    ev.deleteWhere(col("event_id") === 11L)
+    v.refresh(ev)
+    assert(attrState(v) === Set(
+      (20L, "direct", -1L, -1L),
+      (31L, "direct", -1L, -1L)))
+    val chan = v.byChannel().collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(chan === Set(("direct", 2L, 600L)))
+    // idempotent refresh: watermark current, no state churn
+    val ver = v.state.latestVersion
+    v.refresh(ev)
+    assert(v.state.snapshot().count() === 2L)
+    assert(v.state.latestVersion === ver ||
+      v.state.changes(ver + 1).isEmpty)
+  }
+
   test("chained distinct views: refcount churn cancels, last-support delete evicts") {
     import graft.table.AggView
     val root = graft.Scratch.dir("graft-esv-dau")
