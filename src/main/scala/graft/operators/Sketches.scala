@@ -425,12 +425,17 @@ object Sketches extends QueryModule {
     * and SketchesSpec pins the relative-error envelope. */
   private val JE_D = 5
 
-  /** (i, bucket, sign) triples for join key `k`, i in [0, JE_D). */
+  /** (i, bucket, sign) triples for join key `k`, i in [0, JE_D). The
+    * inner transform materializes each row's md5 ONCE; bucket and sign
+    * then slice it (halves the hot-path hashing vs recomputing the
+    * digest per field). */
   private def amsEntries(k: String) = expr(
-    s"""transform(sequence(0, ${JE_D - 1}), i -> struct(i AS i,
-       |  substring(md5(concat(cast(i AS string), '|', cast($k AS string))), 1, 3) AS b,
-       |  IF(CAST(conv(substring(md5(concat(cast(i AS string), '|', cast($k AS string))), 4, 1), 16, 10) AS INT) % 2 = 0,
-       |     CAST(1 AS BIGINT), CAST(-1 AS BIGINT)) AS sg))""".stripMargin)
+    s"""transform(
+       |  transform(sequence(0, ${JE_D - 1}), i -> struct(i AS i,
+       |    md5(concat(cast(i AS string), '|', cast($k AS string))) AS h)),
+       |  e -> struct(e.i AS i, substring(e.h, 1, 3) AS b,
+       |    IF(CAST(conv(substring(e.h, 4, 1), 16, 10) AS INT) % 2 = 0,
+       |       CAST(1 AS BIGINT), CAST(-1 AS BIGINT)) AS sg))""".stripMargin)
 
   /** Signed count grid of `df`'s column `k`: (i, b, v). */
   def amsSketch(df: DataFrame, k: String): DataFrame =
