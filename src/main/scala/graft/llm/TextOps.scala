@@ -835,9 +835,12 @@ object TextOps extends QueryModule {
       .filter($"rnk" <= CHUNK_K)
       .select($"rnk", $"doc_id", $"chunk_start", $"n_terms", $"score")
   }
-  private val qChunkBm25Sql = {
+  /** The chunk-BM25 CTE chain (everything up to the ranked top-K),
+    * shared by [[qChunkBm25]]'s oracle and the context-expansion
+    * oracle. */
+  private val chunkBm25Ctes = {
     val terms = BM25_TERMS.map(t => s"'$t'").mkString(", ")
-    s"""WITH ch AS (
+    s"""ch AS (
       |  SELECT d.doc_id, s.start AS chunk_start,
       |    least(len(d.t) - s.start, $CHUNK) AS dl,
       |    array_to_string(
@@ -869,13 +872,62 @@ object TextOps extends QueryModule {
       |sc AS (
       |  SELECT doc_id, chunk_start, CAST(count(*) AS BIGINT) AS n_terms,
       |         round(sum(p), 4) AS score
-      |  FROM part GROUP BY 1, 2)
-      |SELECT rnk, doc_id, chunk_start, n_terms, score
-      |FROM (SELECT *, CAST(row_number() OVER (ORDER BY score DESC,
-      |        doc_id ASC, chunk_start ASC) AS BIGINT) AS rnk
-      |      FROM sc)
-      |WHERE rnk <= $CHUNK_K""".stripMargin
+      |  FROM part GROUP BY 1, 2),
+      |hits AS (
+      |  SELECT rnk, doc_id, chunk_start, n_terms, score
+      |  FROM (SELECT *, CAST(row_number() OVER (ORDER BY score DESC,
+      |          doc_id ASC, chunk_start ASC) AS BIGINT) AS rnk
+      |        FROM sc)
+      |  WHERE rnk <= $CHUNK_K)""".stripMargin
   }
+
+  private val qChunkBm25Sql =
+    s"""WITH $chunkBm25Ctes
+      |SELECT rnk, doc_id, chunk_start, n_terms, score FROM hits""".stripMargin
+
+  // --------------------------------------------------- q_expand_context
+  /** RAG CONTEXT EXPANSION — the step after [[qChunkBm25]]: each
+    * retrieval hit widens to a [STRIDE]-token margin on both sides
+    * ([max(0, start−STRIDE), min(len, start+CHUNK+STRIDE))), sliced
+    * DIRECTLY from the document token array rather than by stitching
+    * neighboring chunks (whose STRIDE < CHUNK overlap would duplicate
+    * tokens). What a retrieval pipeline actually puts in the prompt:
+    * the scoring unit stays small (precision), the context unit grows
+    * back around the match (recall for the reader).
+    *
+    * == 100 TB design ==
+    * The K-row hit set BROADCASTS onto one pruned documents scan (only
+    * doc_id+text read); the slice is per-row array arithmetic beside
+    * that scan — no shuffle beyond [[qChunkBm25]]'s own. */
+  private def qExpandContext(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hits = qChunkBm25(s, d)
+      .select($"rnk", $"doc_id", $"chunk_start", $"score")
+    documents(s, d)
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .join(broadcast(hits), "doc_id")
+      .withColumn("ctx_start", greatest($"chunk_start" - STRIDE, lit(0L)))
+      .withColumn("n_ctx_tokens",
+        least($"chunk_start" + (CHUNK + STRIDE),
+          size($"toks").cast("long")) - $"ctx_start")
+      .select($"rnk", $"doc_id", $"chunk_start", $"score",
+        $"ctx_start", $"n_ctx_tokens",
+        concat_ws(" ", slice($"toks", ($"ctx_start" + 1).cast("int"),
+          $"n_ctx_tokens".cast("int"))).as("ctx_text"))
+  }
+  private val qExpandContextSql =
+    s"""WITH $chunkBm25Ctes,
+      |dd AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      |SELECT h.rnk, h.doc_id, h.chunk_start, h.score,
+      |  CAST(greatest(h.chunk_start - $STRIDE, 0) AS BIGINT) AS ctx_start,
+      |  CAST(least(h.chunk_start + ${CHUNK + STRIDE}, len(t))
+      |       - greatest(h.chunk_start - $STRIDE, 0) AS BIGINT)
+      |    AS n_ctx_tokens,
+      |  array_to_string(list_slice(t,
+      |    greatest(h.chunk_start - $STRIDE, 0) + 1,
+      |    least(h.chunk_start + ${CHUNK + STRIDE}, len(t))), ' ')
+      |    AS ctx_text
+      |FROM hits h JOIN dd USING (doc_id)""".stripMargin
 
   // ---------------------------------------------------- q_ngram_diversity
   /** Corpus DIVERSITY profile per language slice: distinct-trigram
@@ -1225,6 +1277,7 @@ object TextOps extends QueryModule {
     "q_len_profile"     -> qLenProfile _,
     "q_bm25"            -> qBm25 _,
     "q_chunk_bm25"      -> qChunkBm25 _,
+    "q_expand_context"  -> qExpandContext _,
     "q_tokenizer_fertility" -> qTokenizerFertility _)
 
   override val oracles: Seq[(String, String)] = Seq(
@@ -1249,5 +1302,6 @@ object TextOps extends QueryModule {
     "q_len_profile"     -> qLenProfileSql,
     "q_bm25"            -> qBm25Sql,
     "q_chunk_bm25"      -> qChunkBm25Sql,
+    "q_expand_context"  -> qExpandContextSql,
     "q_tokenizer_fertility" -> qTokenizerFertilitySql)
 }

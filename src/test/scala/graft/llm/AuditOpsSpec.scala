@@ -394,6 +394,29 @@ class AuditOpsSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  // ------------------------------------------------ context expansion
+  test("context expansion: covers every hit, margins bounded, token count exact") {
+    val out = run("q_expand_context").cache()
+    try {
+      val hits = run("q_chunk_bm25")
+        .select(col("rnk"), col("doc_id"), col("chunk_start"),
+          col("n_terms").as("nt"))
+      // exactly the hit set, one context per hit
+      assert(out.count() === hits.count())
+      assert(out.join(hits, Seq("rnk", "doc_id", "chunk_start"), "left_anti")
+        .count() === 0)
+      out.collect().foreach { r =>
+        val (cs, ctxS, nCtx) = (r.getLong(2), r.getLong(4), r.getLong(5))
+        val ctxText = r.getString(6)
+        assert(ctxS <= cs, "context must start at or before the chunk")
+        assert(ctxS >= math.max(cs - 20L, 0L), "left margin bounded by STRIDE")
+        assert(nCtx >= 1 && nCtx <= 30L + 2 * 20L, "window bounded")
+        assert(ctxText.split(" ", -1).length.toLong === nCtx,
+          "n_ctx_tokens must equal the emitted token count")
+      }
+    } finally out.unpersist()
+  }
+
   // ------------------------------------------------- cluster weights
   test("cluster weights: every doc weighted once, weight = 1e6 div size, dups downweighted") {
     val out = run("q_cluster_weights").cache()
