@@ -127,7 +127,8 @@ object Bench {
     "q_attribution_refresh",                                // steady-state attr cost
     "q_holt_forecast",                                      // trend projection
     "q_release_diff",                                       // O(Δ) release audit
-    "q_expand_context")                                     // RAG context windows
+    "q_expand_context",                                     // RAG context windows
+    "q_dataset_card_incr")                                  // maintained release card
   // q_semantic_dedup stays sf0.1-only: its oracle-replayable form fixes
   // CENTROIDS=16, so per-cell pair cost grows ~(N/16)² — the sf1 scale
   // path is the adaptive-cell VectorIndex (cells ~ √N), already timed

@@ -834,6 +834,86 @@ object CorpusQuality extends QueryModule {
       |        count(DISTINCT md5(text)) AS n_unique_texts
       |      FROM documents)""".stripMargin
 
+  // ---------------------------------------------- q_dataset_card_incr
+  /** The [[qDatasetCard]] release card MAINTAINED at O(Δ): additive
+    * fields (doc count, token sum) live in one constant-key
+    * [[graft.table.AggView]] over a CDF-tracked per-doc entry table;
+    * each DISTINCT field (sources, langs, unique texts) rides its own
+    * refcount→count chain (the [[graft.streaming.EventStateViews]]
+    * DAU/WAU construction: the refcount view's group row exists iff
+    * ≥ 1 supporting doc survives, so its own CDF feeds the count view
+    * exact set inserts/deletes — a dup text's refcount churn surfaces
+    * downstream as a cancelling (−1,+1) pair). The constant `k` column
+    * is the grouping handle for the global rows (AggView groups are
+    * never empty). Fixture churn: even docs seed, odd docs arrive, a
+    * `doc_id % 13 = 4` slice is retroactively DELETED, one refresh per
+    * level — the readout must hash-match the declarative card over the
+    * surviving docs, through add AND subtract on both chain levels
+    * (dropping a source's last doc must decrement n_sources; deleting
+    * one copy of a duplicated text must shrink n_exact_dups but not
+    * n_unique_texts). */
+  private def qDatasetCardIncr(s: SparkSession, d: String): DataFrame = {
+    import graft.table.{AggView, VersionedTable}
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val root = graft.Scratch.dir("graft-cardv")
+    val entrySchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("k", LongType),
+      StructField("source", StringType),
+      StructField("lang", StringType),
+      StructField("h", StringType),
+      StructField("n_tokens", LongType)))
+    val t = VersionedTable.create(s, root.resolve("t").toString,
+      entrySchema, Map(VersionedTable.PROP_CDF -> "true"))
+    val all = documents(s, d).select(col("doc_id"), lit(0L).as("k"),
+      col("source"), col("lang"), md5(col("text")).as("h"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    t.append(all.filter(col("doc_id") % 2 === 0))
+    val card = AggView.build(t, root.resolve("card").toString,
+      Seq("k"), Seq("tokens" -> "n_tokens"))
+    val refSrc = AggView.build(t, root.resolve("refsrc").toString,
+      Seq("k", "source"), Seq.empty)
+    val cntSrc = AggView.build(refSrc.table, root.resolve("cntsrc").toString,
+      Seq("k"), Seq.empty)
+    val refLang = AggView.build(t, root.resolve("reflang").toString,
+      Seq("k", "lang"), Seq.empty)
+    val cntLang = AggView.build(refLang.table, root.resolve("cntlang").toString,
+      Seq("k"), Seq.empty)
+    val refText = AggView.build(t, root.resolve("reftext").toString,
+      Seq("k", "h"), Seq.empty)
+    val cntText = AggView.build(refText.table, root.resolve("cnttext").toString,
+      Seq("k"), Seq.empty)
+    // churn: late arrivals + a retroactive delete slice
+    t.append(all.filter(col("doc_id") % 2 === 1))
+    t.deleteWhere(col("doc_id") % 13 === 4)
+    card.refresh(t)
+    refSrc.refresh(t); cntSrc.refresh(refSrc.table)
+    refLang.refresh(t); cntLang.refresh(refLang.table)
+    refText.refresh(t); cntText.refresh(refText.table)
+    // readout off the four 1-row view tables only
+    val c = card.table.snapshot().select(col("k"),
+      col("n_rows").cast("long").as("n_docs"),
+      col("sum_tokens").cast("long").as("n_tokens"))
+    def one(v: AggView, name: String) = v.table.snapshot()
+      .select(col("k"), col("n_rows").cast("long").as(name))
+    c.join(one(cntSrc, "n_sources"), "k")
+      .join(one(cntLang, "n_langs"), "k")
+      .join(one(cntText, "n_unique_texts"), "k")
+      .select(col("n_docs"), col("n_sources"), col("n_langs"),
+        col("n_tokens"), expr("n_tokens div n_docs").as("mean_tokens"),
+        (col("n_docs") - col("n_unique_texts")).as("n_exact_dups"))
+  }
+  private val qDatasetCardIncrSql =
+    """SELECT n_docs, n_sources, n_langs, n_tokens,
+      |  n_tokens // n_docs AS mean_tokens,
+      |  n_docs - n_unique_texts AS n_exact_dups
+      |FROM (SELECT count(*) AS n_docs,
+      |        count(DISTINCT source) AS n_sources,
+      |        count(DISTINCT lang) AS n_langs,
+      |        CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+      |        count(DISTINCT md5(text)) AS n_unique_texts
+      |      FROM documents WHERE doc_id % 13 <> 4)""".stripMargin
+
   // -------------------------------------------------- q_release_diff
   /** RELEASE DIFF — the per-source added/removed/changed/reverted audit
     * between two versions of a CDF-enabled corpus table, computed from
@@ -1064,7 +1144,8 @@ object CorpusQuality extends QueryModule {
     "q_dataset_card"       -> qDatasetCard _,
     "q_quantile_norm"      -> qQuantileNorm _,
     "q_source_lang_mix"    -> qSourceLangMix _,
-    "q_release_diff"       -> qReleaseDiff _)
+    "q_release_diff"       -> qReleaseDiff _,
+    "q_dataset_card_incr"  -> qDatasetCardIncr _)
 
   override val oracles: Seq[(String, String)] = Seq(
     "q_gopher_quality"     -> qGopherQualitySql,
@@ -1083,5 +1164,6 @@ object CorpusQuality extends QueryModule {
     "q_dataset_card"       -> qDatasetCardSql,
     "q_quantile_norm"      -> qQuantileNormSql,
     "q_source_lang_mix"    -> qSourceLangMixSql,
-    "q_release_diff"       -> qReleaseDiffSql)
+    "q_release_diff"       -> qReleaseDiffSql,
+    "q_dataset_card_incr"  -> qDatasetCardIncrSql)
 }

@@ -102,6 +102,25 @@ class CorpusQualitySpec extends SparkSpec {
     } finally { df.unpersist(); () }
   }
 
+  test("maintained dataset card equals the batch recompute over surviving docs") {
+    import spark.implicits._
+    val got = SparkEntry.queries("q_dataset_card_incr")(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.length === 1)
+    val (nDocs, nSrc, nLang, nTok, meanTok, nDups) = got.head
+    val surv = graft.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 13 =!= 4).cache()
+    try {
+      assert(nDocs === surv.count())
+      assert(nSrc === surv.select("source").distinct().count())
+      assert(nLang === surv.select("lang").distinct().count())
+      assert(nTok === surv.agg(sum(size(split(col("text"), " "))
+        .cast("long"))).first().getLong(0))
+      assert(meanTok === nTok / nDocs)
+      assert(nDups === nDocs - surv.select(md5(col("text"))).distinct().count())
+    } finally surv.unpersist(): Unit
+  }
+
   test("release diff nets multi-commit churn: add/change/revert/remove/ephemeral") {
     import spark.implicits._
     val feed = Seq(
