@@ -539,6 +539,70 @@ object EventWindows extends QueryModule {
       .select($"prev_type", $"next_type", $"n",
         expr("n * 1000000L div row_tot").as("p_ppm"))
   }
+  // ------------------------------------------------- q_markov_anomaly
+  /** Markov SEQUENCE-ANOMALY scoring — the application of
+    * [[qMarkovTransitions]]'s model: each user's event stream scores by
+    * how improbable its observed transitions are under the corpus
+    * matrix. All-integer (order-free, bit-exact across engines):
+    *
+    *   mean_improb_ppm = Σ tf·(10⁶ − p_ppm) div Σ tf
+    *   min_p_ppm       = the rarest transition the user actually took
+    *
+    * — a bot replaying one hot loop scores near 0; a stream full of
+    * never-seen-elsewhere orderings scores near 10⁶. Same shape as the
+    * model build: ONE user-hash shuffle for the lag pairs, per-(user,
+    * pair) counts, then a join against the |types|²-row BROADCAST
+    * model and a per-user aggregate. */
+  private def qMarkovAnomaly(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"t", $"event_id")
+    val tf = Tables.events(s, d)
+      .select($"user_id", $"event_type", unix_micros($"ts").as("t"), $"event_id")
+      .withColumn("prev_type", lag($"event_type", 1).over(w))
+      .filter($"prev_type".isNotNull)
+      .groupBy($"user_id", $"prev_type", $"event_type".as("next_type"))
+      .agg(count(lit(1)).as("tf"))
+    val model = qMarkovTransitions(s, d)
+      .select($"prev_type", $"next_type", $"p_ppm")
+    tf.join(broadcast(model), Seq("prev_type", "next_type"))
+      .groupBy($"user_id")
+      .agg(sum($"tf").as("n_transitions"),
+        expr("sum(tf * (1000000L - p_ppm)) div sum(tf)")
+          .as("mean_improb_ppm"),
+        min($"p_ppm").as("min_p_ppm"))
+  }
+  private val qMarkovAnomalySql =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS t, event_id
+      |  FROM events),
+      |pairs AS (
+      |  SELECT user_id,
+      |    lag(event_type) OVER (PARTITION BY user_id
+      |                          ORDER BY t, event_id) AS prev_type,
+      |    event_type AS next_type
+      |  FROM ev),
+      |tf AS (
+      |  SELECT user_id, prev_type, next_type,
+      |    CAST(count(*) AS BIGINT) AS tf
+      |  FROM pairs WHERE prev_type IS NOT NULL GROUP BY 1, 2, 3),
+      |m AS (
+      |  SELECT prev_type, next_type,
+      |    CAST(count(*) AS BIGINT) AS n FROM pairs
+      |  WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+      |model AS (
+      |  SELECT prev_type, next_type,
+      |    (n * 1000000)
+      |      // CAST(sum(n) OVER (PARTITION BY prev_type) AS BIGINT)
+      |      AS p_ppm
+      |  FROM m)
+      |SELECT user_id, CAST(sum(tf) AS BIGINT) AS n_transitions,
+      |  CAST(sum(tf * (1000000 - p_ppm)) AS BIGINT)
+      |    // CAST(sum(tf) AS BIGINT) AS mean_improb_ppm,
+      |  CAST(min(p_ppm) AS BIGINT) AS min_p_ppm
+      |FROM tf JOIN model USING (prev_type, next_type)
+      |GROUP BY user_id""".stripMargin
+
   private val qMarkovTransitionsSql =
     """WITH seq AS (
       |  SELECT user_id, event_type, epoch_us(ts) AS t, event_id,
@@ -1824,6 +1888,7 @@ object EventWindows extends QueryModule {
     "q_conversion_lag"  -> qConversionLag _,
     "q_rfm"             -> qRfm _,
     "q_markov_transitions" -> qMarkovTransitions _,
+    "q_markov_anomaly"  -> qMarkovAnomaly _,
     "q_ohlc_bars"       -> qOhlcBars _,
     "q_time_weighted_avg" -> qTimeWeightedAvg _,
     "q_survival_hazard" -> qSurvivalHazard _,
@@ -1854,6 +1919,7 @@ object EventWindows extends QueryModule {
     "q_conversion_lag"  -> qConversionLagSql,
     "q_rfm"             -> qRfmSql,
     "q_markov_transitions" -> qMarkovTransitionsSql,
+    "q_markov_anomaly"  -> qMarkovAnomalySql,
     "q_ohlc_bars"       -> qOhlcBarsSql,
     "q_time_weighted_avg" -> qTimeWeightedAvgSql,
     "q_survival_hazard" -> qSurvivalHazardSql,

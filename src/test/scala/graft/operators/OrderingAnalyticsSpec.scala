@@ -33,6 +33,26 @@ class OrderingAnalyticsSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("markov anomaly: covers every multi-event user, ppm fields bounded and consistent") {
+    val out = run("q_markov_anomaly").cache()
+    try {
+      val ev = Tables.events(spark, sf)
+      // every user with >= 2 events scores; transition totals reconcile
+      val multi = ev.groupBy("user_id").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 2)
+      assert(out.count() === multi.count())
+      assert(out.agg(sum("n_transitions")).head.getLong(0) ===
+        ev.count() - ev.select("user_id").distinct().count())
+      out.collect().foreach { r =>
+        val (imp, minP) = (r.getLong(2), r.getLong(3))
+        assert(imp >= 0L && imp < 1000000L, s"improb ppm out of range: $imp")
+        assert(minP >= 1L && minP <= 1000000L, s"min p ppm out of range: $minP")
+        assert(imp <= 1000000L - minP,
+          "mean improbability cannot exceed the rarest transition's")
+      }
+    } finally out.unpersist()
+  }
+
   // -------------------------------------------------------- OHLC bars
   test("ohlc: bounds ordered, volume conserved, open/close from time order") {
     val out = run("q_ohlc_bars").cache()
