@@ -120,6 +120,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       """(?:\s+FOR\s+COLUMNS\s*\(([^)]*)\))?(\s+EXACT)?\s*;?\s*""").r
   private val DescribeStats =
     """(?is)\s*DESCRIBE\s+STATS\s+(\S+?)\s*;?\s*""".r
+  private val DescribeDiff =
+    ("""(?is)\s*DESCRIBE\s+DIFF\s+(\S+?)\s+KEY\s+`?(\w+)`?""" +
+      """\s+FROM\s+VERSION\s+(\d+)(?:\s+GROUP\s+BY\s+`?(\w+)`?)?\s*;?\s*""").r
   private val CountItem = """(?is)\s*COUNT\s*\(\s*\*\s*\)\s+AS\s+n_rows\s*""".r
   private val SumItem = """(?is)\s*SUM\s*\((.+)\)\s+AS\s+(\w+)\s*""".r
   private val MinItem = """(?is)\s*MIN\s*\((.+)\)\s+AS\s+(\w+)\s*""".r
@@ -194,6 +197,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty),
         exact != null)
     case DescribeStats(tbl) => DescribeStatsCommand(tbl)
+    case DescribeDiff(tbl, key, from, grp) =>
+      DescribeDiffCommand(tbl, key, from.toLong, Option(grp))
     case Update(tbl, rest) =>
       val (setPart, wherePart) = topLevelIndexOfWord(rest, "WHERE") match {
         case -1 => (rest, None)
@@ -416,6 +421,31 @@ case class HistoryCommand(table: String) extends LeafRunnableCommand {
     AttributeReference("num_rows", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] =
     GraftSqlParser.resolve(spark, table).history().collect().toSeq
+}
+
+/** `DESCRIBE DIFF t KEY k FROM VERSION n [GROUP BY g]` — net-effect
+  * release diff from the change feed alone (O(Δ) at any table size);
+  * see [[graft.table.TableDiff]]. */
+case class DescribeDiffCommand(table: String, key: String,
+    fromVersion: Long, groupCol: Option[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("group_key",
+      org.apache.spark.sql.types.StringType, nullable = true)(),
+    AttributeReference("n_added", LongType, nullable = true)(),
+    AttributeReference("n_removed", LongType, nullable = true)(),
+    AttributeReference("n_changed", LongType, nullable = true)(),
+    AttributeReference("n_reverted", LongType, nullable = true)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val t = GraftSqlParser.resolve(spark, table)
+    graft.table.TableDiff
+      .fromChanges(t.changes(fromVersion), key, groupCol)
+      .select(org.apache.spark.sql.functions.col("group_key")
+        .cast("string"), org.apache.spark.sql.functions.col("n_added"),
+        org.apache.spark.sql.functions.col("n_removed"),
+        org.apache.spark.sql.functions.col("n_changed"),
+        org.apache.spark.sql.functions.col("n_reverted"))
+      .collect().toSeq
+  }
 }
 
 case class RestoreCommand(table: String, version: Long) extends LeafRunnableCommand {
@@ -712,7 +742,7 @@ object GraftSql {
                 _: CreateIndexCommand | _: RefreshIndexCommand |
                 _: ReindexCommand | _: DescribeIndexCommand |
                 _: DropIndexCommand | _: AnalyzeCommand |
-                _: DescribeStatsCommand) =>
+                _: DescribeStatsCommand | _: DescribeDiffCommand) =>
         c.asInstanceOf[LeafRunnableCommand].run(spark)
       case _ => spark.sql(sqlText).collect().toSeq
     }

@@ -960,34 +960,14 @@ object CorpusQuality extends QueryModule {
   }
 
   /** The net-effect release diff over a raw CDF frame (any span of a
-    * doc-shaped table's change feed) — see [[qReleaseDiff]]. Public to
-    * the package so the classification is testable on crafted feeds. */
-  private[llm] def diffFromChanges(changes: DataFrame): DataFrame = {
-    val ch = changes.select(col("doc_id"), col("source"),
-      md5(col("text")).as("h"), col("_change_type").as("ct"),
-      (col("_commit_version") * 2 + when(
-        col("_change_type").isin("update_preimage", "delete"), 0).otherwise(1))
-        .as("ord"))
-    val net = ch.groupBy(col("doc_id")).agg(
-      min_by(struct(col("ct"), col("h"), col("source")), col("ord")).as("fst"),
-      max_by(struct(col("ct"), col("h"), col("source")), col("ord")).as("lst"))
-    val before = col("fst.ct").isin("update_preimage", "delete")
-    val after = col("lst.ct").isin("insert", "update_postimage")
-    net
-      .withColumn("cls",
-        when(!before && after, "added")
-          .when(before && !after, "removed")
-          .when(before && after && col("fst.h") =!= col("lst.h"), "changed")
-          .when(before && after, "reverted")
-          .otherwise("ephemeral"))
-      .filter(col("cls") =!= "ephemeral")
-      .groupBy(coalesce(col("fst.source"), col("lst.source")).as("source"))
-      .agg(
-        sum(when(col("cls") === "added", 1L).otherwise(0L)).as("n_added"),
-        sum(when(col("cls") === "removed", 1L).otherwise(0L)).as("n_removed"),
-        sum(when(col("cls") === "changed", 1L).otherwise(0L)).as("n_changed"),
-        sum(when(col("cls") === "reverted", 1L).otherwise(0L)).as("n_reverted"))
-  }
+    * doc-shaped table's change feed) — see [[qReleaseDiff]]. The
+    * classification itself is the general [[graft.table.TableDiff]]
+    * component (also reachable as `DESCRIBE DIFF` SQL); this wrapper
+    * fixes the corpus shape (key doc_id, grouped by source). Package-
+    * visible so crafted feeds can pin the classification. */
+  private[llm] def diffFromChanges(changes: DataFrame): DataFrame =
+    graft.table.TableDiff.fromChanges(changes, "doc_id", Some("source"))
+      .withColumnRenamed("group_key", "source")
   private val qReleaseDiffSql =
     """SELECT source,
       |  CAST(sum(CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END) AS BIGINT)

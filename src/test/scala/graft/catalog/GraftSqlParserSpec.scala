@@ -100,6 +100,45 @@ class GraftSqlParserSpec extends SparkSpec {
     }
   }
 
+  test("DESCRIBE DIFF nets a release span from the change feed: add/change/revert/remove") {
+    withExtendedSession { s =>
+      import s.implicits._
+      val path = Files.createTempDirectory("sqldiff").resolve("t").toString
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("grp",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.StringType)))
+      val t = VersionedTable.create(s, path, schema,
+        Map(VersionedTable.PROP_CDF -> "true"))
+      t.append(Seq((1L, "a", "x"), (2L, "a", "y"), (3L, "b", "z"))
+        .toDF("id", "grp", "v"))                       // release A = v1
+      val v1 = t.latestVersion
+      t.updateWhere($"id" === 1L, Map("v" -> lit("x2")))   // change
+      t.updateWhere($"id" === 2L, Map("v" -> lit("y2")))
+      t.updateWhere($"id" === 2L, Map("v" -> lit("y")))    // revert
+      t.deleteWhere($"id" === 3L)                          // remove
+      t.append(Seq((4L, "b", "w")).toDF("id", "grp", "v")) // add
+
+      val got = s.sql(s"DESCRIBE DIFF '$path' KEY id " +
+          s"FROM VERSION ${v1 + 1} GROUP BY grp").collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      assert(got === Map(
+        "a" -> ((0L, 0L, 1L, 1L)),
+        "b" -> ((1L, 1L, 0L, 0L))))
+      // ungrouped: one global row with the same totals
+      val all = s.sql(s"DESCRIBE DIFF '$path' KEY id " +
+        s"FROM VERSION ${v1 + 1}").collect()
+      assert(all.length === 1)
+      assert((all.head.getLong(1), all.head.getLong(2),
+        all.head.getLong(3), all.head.getLong(4)) === ((1L, 1L, 1L, 1L)))
+      VersionedTable.deleteRecursively(java.nio.file.Paths.get(path).getParent)
+    }
+  }
+
   test("DESCRIBE DETAIL reports layout, live counts, and properties in one row") {
     withExtendedSession { s =>
       import s.implicits._
