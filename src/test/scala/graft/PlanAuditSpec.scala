@@ -484,4 +484,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), s"no join anywhere:\n$p")
     assert(!p.contains("CartesianProduct"), s"no all-pairs:\n$p")
   }
+
+  test("Markov anomaly: model broadcasts onto the per-user frame, no all-pairs") {
+    val p = plan("q_markov_anomaly")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"the |types|^2-row model must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"no corpus-wide join:\n$p")
+  }
 }
