@@ -129,7 +129,8 @@ object Bench {
     "q_release_diff",                                       // O(Δ) release audit
     "q_expand_context",                                     // RAG context windows
     "q_dataset_card_incr",                                  // maintained release card
-    "q_markov_anomaly")                                     // sequence anomaly score
+    "q_markov_anomaly",                                     // sequence anomaly score
+    "q_wow_volume")                                         // WoW growth report
   // q_semantic_dedup stays sf0.1-only: its oracle-replayable form fixes
   // CENTROIDS=16, so per-cell pair cost grows ~(N/16)² — the sf1 scale
   // path is the adaptive-cell VectorIndex (cells ~ √N), already timed

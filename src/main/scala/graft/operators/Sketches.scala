@@ -871,6 +871,37 @@ object Sketches extends QueryModule {
       |FROM fin, unnest(generate_series(1, $HOLT_H)) AS t(h)
       |WHERE rk = 1""".stripMargin
 
+  // ----------------------------------------------------- q_wow_volume
+  /** Week-over-week volume growth per event type — the reporting row
+    * every monitor family ends in: weekly totals with the previous
+    * week's count and an integer-ppm growth rate ((n−prev)·10⁶ div
+    * prev; both engines truncate signed integer division toward zero,
+    * so shrinking weeks are exact too). First week of a type reports
+    * NULL prev/growth in both engines. ONE (type, week) aggregate then
+    * a |weeks|-row per-type lag window. */
+  private def qWowVolume(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val weekly = events(s, d)
+      .groupBy($"event_type",
+        expr("CAST(unix_micros(ts) div 604800000000 AS BIGINT)").as("week"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy($"event_type").orderBy($"week".asc)
+    weekly.withColumn("prev_n", lag($"n", 1).over(w))
+      .select($"event_type", $"week", $"n", $"prev_n",
+        expr("(n - prev_n) * 1000000L div prev_n").as("wow_ppm"))
+  }
+  private val qWowVolumeSql =
+    """WITH weekly AS (
+      |  SELECT event_type, epoch_us(ts) // 604800000000 AS week,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2)
+      |SELECT event_type, week, n,
+      |  lag(n) OVER w AS prev_n,
+      |  (n - lag(n) OVER w) * 1000000 // lag(n) OVER w AS wow_ppm
+      |FROM weekly
+      |WINDOW w AS (PARTITION BY event_type ORDER BY week)""".stripMargin
+
   // ------------------------------------------------ q_cusum_changepoint
   /** CUSUM CHANGEPOINT detection over the per-(event_type, day) volume
     * series: the cumulative sum of deviations from the series mean
@@ -1252,6 +1283,7 @@ object Sketches extends QueryModule {
     "q_seasonal_anomaly" -> (qSeasonalAnomaly _),
     "q_ewma_control"     -> (qEwmaControl _),
     "q_holt_forecast"    -> (qHoltForecast _),
+    "q_wow_volume"       -> (qWowVolume _),
     "q_cusum_changepoint" -> (qCusumChangepoint _),
     "q_gap_fill" -> (qGapFill _))
 
@@ -1272,6 +1304,7 @@ object Sketches extends QueryModule {
     "q_seasonal_anomaly" -> qSeasonalAnomalySql,
     "q_ewma_control"     -> qEwmaControlSql,
     "q_holt_forecast"    -> qHoltForecastSql,
+    "q_wow_volume"       -> qWowVolumeSql,
     "q_cusum_changepoint" -> qCusumChangepointSql,
     "q_gap_fill" -> qGapFillSql)
 }

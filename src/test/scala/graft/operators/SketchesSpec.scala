@@ -280,6 +280,28 @@ class SketchesSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     }
   }
 
+  test("WoW volume: totals reconcile, first weeks null, growth arithmetic exact") {
+    import spark.implicits._
+    val rows = graft.SparkEntry.queries("q_wow_volume")(spark, sf)
+      .select($"event_type", $"week", $"n", $"prev_n", $"wow_ppm")
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(2)).sum ===
+      graft.Tables.events(spark, sf).count())
+    rows.groupBy(_.getString(0)).values.foreach { series =>
+      val sorted = series.sortBy(_.getLong(1))
+      assert(sorted.head.isNullAt(3) && sorted.head.isNullAt(4),
+        "first week must report null prev/growth")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getLong(3) === a.getLong(2), "prev_n must chain")
+          assert(b.getLong(4) ===
+            (b.getLong(2) - b.getLong(3)) * 1000000L / b.getLong(3))
+        case _ =>
+      }
+    }
+  }
+
   test("EWMA control: trajectory replays the integer recurrence exactly") {
     import spark.implicits._
     val rows = graft.SparkEntry.queries("q_ewma_control")(spark, sf)
