@@ -20,11 +20,18 @@ import org.apache.spark.sql.SparkSession
   *     each query and the median discards it;
   *   - failures are reported per-query in an `"errors"` field instead of
   *     being swallowed into a fast-looking timing;
-  *   - when the `benchdata/sf1` dataset exists (built once via
-  *     `runMain graft.MakeSf1` — 10× sf0.1, see [[MakeSf1]]), a second
-  *     `"sf1"` section times the most expensive queries at 10× local
-  *     scale: the first direct evidence the plans hold as data grows
-  *     (VERDICT r3 next #8).
+  *   - a wall-clock budget (`SPARK_GRAFT_BENCH_BUDGET_S`, default
+  *     15 min) fits the protocol to the invoker: the first warmup pass
+  *     probes per-surface cost and the timed-pass count shrinks when
+  *     the full warmup×2 + 3-pass protocol would run past the budget —
+  *     the driver's unattended run always finishes with full totals
+  *     (BENCH_r09 was rc=124 under the fixed protocol at 209 rows);
+  *   - when `SPARK_GRAFT_SF1_DIR` is EXPLICITLY set (dataset built once
+  *     via `runMain graft.MakeSf1` — 10× sf0.1, see [[MakeSf1]]), a
+  *     second `"sf1"` section times the most expensive queries at 10×
+  *     local scale: the first direct evidence the plans hold as data
+  *     grows (VERDICT r3 next #8). Opt-in only, so the driver's
+  *     budgeted run never pays it.
   */
 object Bench {
 
@@ -154,13 +161,28 @@ object Bench {
     Thread.sleep(30)
   }
 
-  /** Warmups + `passes` timed pass-major runs of `names` against
-    * `sfDir`. Returns the JSON fields of one measured section. */
+  /** Warmups + up-to-`maxPasses` timed pass-major runs of `names`
+    * against `sfDir`, fitted to a wall-clock budget. Returns the JSON
+    * fields of one measured section plus the pass count actually run
+    * and the first-warmup wall time.
+    *
+    * Budget protocol (VERDICT r9 #1 — BENCH_r09 was rc=124: the fixed
+    * warmup×2 + 3-pass protocol grew past the driver's wall-clock
+    * budget as the surface doubled to 209 rows): the FIRST warmup pass
+    * doubles as the cost probe. Its wall time overstates a steady pass
+    * (it pays fixture builds, parquet footers, codegen), so projecting
+    * with it is conservative. If `warm1 × (1 + maxPasses)` still fits
+    * the remaining budget, the full protocol runs unchanged (second
+    * warmup retires C2 drift, 3 timed passes, median). Otherwise the
+    * second warmup is skipped and the timed passes shrink to what the
+    * remainder affords — never below 1, so every invocation produces a
+    * complete per-query record instead of a timeout with no totals. */
   private def measure(
       spark: SparkSession,
       sfDir: String,
       names: Seq[String],
-      passes: Int): (Seq[(String, Double)], String, Seq[Double], String) = {
+      maxPasses: Int,
+      budgetS: Double): (Seq[(String, Double)], String, Seq[Double], String, Int, Double) = {
     def force(name: String): Option[String] =
       try {
         SparkEntry.queries(name)(spark, sfDir)
@@ -176,12 +198,27 @@ object Bench {
       try SparkEntry.prepares.get(name).foreach(_(spark, sfDir))
       catch { case _: Throwable => () /* the timed run reports it */ }
 
-    // TWO untimed warmup passes: the first pays fixture builds, parquet
-    // footers, and codegen; the second (much cheaper) lets C2
-    // compilation finish so timed pass 1 isn't systematically slower
-    // than pass 3 (r7 observed pass totals drift ~10% from JIT warm-in
-    // with a single warmup)
-    (1 to 2).foreach(_ => names.foreach { n => prepare(n); force(n) })
+    // First untimed warmup pass — pays fixture builds, parquet footers,
+    // codegen — and doubles as the cost probe for the budget fit.
+    val w0 = System.nanoTime()
+    names.foreach { n => prepare(n); force(n) }
+    val warm1 = (System.nanoTime() - w0) / 1e9
+    val remaining = budgetS - warm1
+    val fullFits = budgetS <= 0 || warm1 * (1 + maxPasses) <= remaining
+    val passes =
+      if (fullFits) {
+        // Second untimed warmup: lets C2 compilation finish so timed
+        // pass 1 isn't systematically slower than pass 3 (r7 observed
+        // ~10% pass-total drift from JIT warm-in with a single warmup).
+        names.foreach { n => prepare(n); force(n) }
+        maxPasses
+      } else {
+        val afford = if (warm1 <= 0) maxPasses else (remaining / warm1).toInt
+        math.max(1, math.min(maxPasses, afford))
+      }
+    if (!fullFits)
+      System.err.println(f"bench: budget fit — warmup $warm1%.1fs of " +
+        f"$budgetS%.0fs budget, running $passes of $maxPasses timed passes")
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val perPass: Seq[Seq[(String, Double)]] = (1 to passes).map { pass =>
       // Per-query isolation (VERDICT r5/r6 finding 1): engine-fixture
@@ -222,7 +259,7 @@ object Bench {
       .mkString("{", ",", "}")
     (medians, passJson,
       perPass.map(_.collect { case (n, t) if !errors.contains(n) => t }.sum),
-      errJson)
+      errJson, passes, warm1)
   }
 
   def main(args: Array[String]): Unit = {
@@ -237,15 +274,21 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    val maxPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    // Wall-clock budget for the sf0.1 section, seconds. The default
+    // (15 min) keeps the driver's unattended round invocation inside
+    // its timeout at the full 209-row surface (BENCH_r09 was rc=124
+    // under the old fixed protocol); the builder's committed-artifact
+    // runs raise it (SPARK_GRAFT_BENCH_BUDGET_S=0 disables fitting).
+    val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "900").toDouble
     // Dev-only focus filter: comma-separated query names. The driver
     // never sets it, so round benches always time the full surface.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
-    val (medians, passJson, passTotals, errJson) =
-      measure(spark, sfDir, names, passes)
+    val (medians, passJson, passTotals, errJson, passes, warm1) =
+      measure(spark, sfDir, names, maxPasses, budgetS)
     val qs = medians.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = medians.map(_._2).sum
@@ -261,10 +304,15 @@ object Bench {
       else 100.0 * steady.map(t => math.abs(t - median(steady))).max /
         median(steady)
 
-    // sf1 scale point (only when the MakeSf1 dataset has been built)
-    val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", MakeSf1.DefaultOut)
+    // sf1 scale point — OPT-IN via explicit SPARK_GRAFT_SF1_DIR only
+    // (VERDICT r9 #1: the sf1 section auto-triggering off the committed
+    // benchdata/sf1 dir added ~27 min the driver's budget doesn't have;
+    // the driver never sets the env, the builder's committed-artifact
+    // workflow does).
+    val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "")
     val (sf1Json, sf1HadErrors) =
-      if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(sf1Dir))) ("", false)
+      if (sf1Dir.isEmpty ||
+          !java.nio.file.Files.isDirectory(java.nio.file.Paths.get(sf1Dir))) ("", false)
       else {
         // 3 passes so the median discards the cold pass: at sf1 the
         // first timed pass pays first-touch engine-table builds that
@@ -272,14 +320,16 @@ object Bench {
         // median-of-2 was averaging cold+warm, spreads up to 3×)
         val sf1Passes = sys.env.getOrElse("SPARK_GRAFT_SF1_PASSES", "3").toInt
         val sf1Names = Sf1Queries.filter(n => only.forall(_.contains(n)))
-        val (m1, p1, _, e1) = measure(spark, sf1Dir, sf1Names, sf1Passes)
+        // explicit opt-in section: no budget fitting (0 disables)
+        val (m1, p1, _, e1, ran1, _) =
+          measure(spark, sf1Dir, sf1Names, sf1Passes, 0.0)
         val q1 = m1.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
           .mkString("{", ",", "}")
-        (s""","sf1":{"value":${fmt(m1.map(_._2).sum)},"queries":$q1,"passes":$p1,"n_passes":$sf1Passes,"errors":$e1,"dir":"${esc(sf1Dir)}"}""",
+        (s""","sf1":{"value":${fmt(m1.map(_._2).sum)},"queries":$q1,"passes":$p1,"n_passes":$ran1,"errors":$e1,"dir":"${esc(sf1Dir)}"}""",
           e1 != "{}")
       }
 
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"passes":$passJson,"pass_totals":${passTotals.map(fmt).mkString("[", ",", "]")},"spread_pct":${fmt(spreadPct)},"n_passes":$passes,"errors":$errJson,"sf":"$sfDir"$sf1Json}"""
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"passes":$passJson,"pass_totals":${passTotals.map(fmt).mkString("[", ",", "]")},"spread_pct":${fmt(spreadPct)},"n_passes":$passes,"budget_s":${fmt(budgetS)},"warmup_s":${fmt(warm1)},"errors":$errJson,"sf":"$sfDir"$sf1Json}"""
     println(json)
     // Also persist to a file: the driver scrapes the sbt log tail, which
     // truncates — every BENCH_r*.json landed with "parsed": null
