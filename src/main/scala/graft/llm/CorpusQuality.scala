@@ -717,23 +717,21 @@ object CorpusQuality extends QueryModule {
     *
     * Exact integer arithmetic: percent_rank is (rank−1)·10⁶ div (n−1)
     * on tie-aware `rank()`, so no float folds anywhere. The global
-    * window is single-partition here (exact audit form); at 100 TB the
-    * global percentile comes from the histogram-CDF of scores (the
-    * [[graft.llm.SimilarityOps.qDocOutlier]] convention) while the
-    * per-source windows stay exact — sources partition the shuffle. */
+    * rank/count come from [[graft.operators.RankOps.withGlobalOrder]]
+    * — bucketed distributed sort, no single-partition window — and the
+    * per-source windows stay exact: sources partition that shuffle. */
   private def qScoreCalibrate(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import s.implicits._
-    documents(s, d).select($"doc_id", $"source", $"n_chars")
+    val perSource = documents(s, d).select($"doc_id", $"source", $"n_chars")
       .withColumn("r",
         rank().over(Window.partitionBy($"source").orderBy($"n_chars".asc))
           .cast("long"))
       .withColumn("n",
         count(lit(1)).over(Window.partitionBy($"source")))
-      .withColumn("rg", rank().over(Window.orderBy($"n_chars".asc)).cast("long"))
-      .withColumn("ng", count(lit(1)).over(
-        Window.partitionBy().rowsBetween(Window.unboundedPreceding,
-          Window.unboundedFollowing)))
+    graft.operators.RankOps.withGlobalOrder(perSource,
+        $"n_chars", ascending = true,
+        rankCol = Some("rg"), countCol = Some("ng"))
       .select($"doc_id", $"source", $"n_chars",
         expr("(r - 1) * 1000000L div greatest(n - 1, 1)").as("src_pct_ppm"),
         expr("(rg - 1) * 1000000L div greatest(ng - 1, 1)").as("global_pct_ppm"),
@@ -992,10 +990,10 @@ object CorpusQuality extends QueryModule {
     * microarray-normalization construction, applied to corpus quality
     * scores before a single global threshold). Integer rank
     * arithmetic: target index = (r−1)(N−1) div (n−1) + 1, then one
-    * equi-join into the globally-ranked value table. The global rank
-    * is the exact audit form; at 100 TB the rank→value map comes from
-    * the histogram-CDF (q_hist_quantiles convention) and the per-
-    * source windows stay exact. */
+    * equi-join into the globally-ranked value table. The rank→value
+    * table comes from [[graft.operators.RankOps.withGlobalOrder]]
+    * (bucketed distributed sort — no single-partition window) and the
+    * per-source windows stay exact. */
   private def qQuantileNorm(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import s.implicits._
@@ -1004,9 +1002,9 @@ object CorpusQuality extends QueryModule {
       .withColumn("r", rank().over(Window.partitionBy($"source")
         .orderBy($"n_chars".asc, $"doc_id".asc)).cast("long"))
       .withColumn("n", count(lit(1)).over(Window.partitionBy($"source")))
-    val globalVals = docs
-      .withColumn("gidx", row_number().over(
-        Window.orderBy($"n_chars".asc, $"doc_id".asc)).cast("long"))
+    val globalVals = graft.operators.RankOps.withGlobalOrder(docs,
+        $"n_chars", ascending = true, tiebreaks = Seq($"doc_id"),
+        rowNumCol = Some("gidx"))
       .select($"gidx", $"n_chars".as("norm_chars"))
     val total = docs.agg(count(lit(1)).as("nn"))
     ranked.crossJoin(broadcast(total))

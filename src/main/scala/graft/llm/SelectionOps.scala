@@ -274,14 +274,12 @@ object SelectionOps extends QueryModule {
     * Greedy-by-density is exactly optimal for the fractional knapsack
     * and the standard approximation for the 0/1 form.
     *
-    * The per-doc stats are shuffle-free HOF arithmetic; the ranking is
-    * one global window (exact audit form — at 100 TB the density
-    * CUTOFF comes from the histogram-CDF of densities, the
-    * q_hist_quantiles convention, making selection a broadcast
-    * threshold filter; the greedy semantics are unchanged). Integer
-    * arithmetic end-to-end. */
+    * The per-doc stats are shuffle-free HOF arithmetic; the exact
+    * cumulative-token prefix comes from
+    * [[graft.operators.RankOps.withGlobalOrder]] — bucketed
+    * distributed sort, no single-partition window at any corpus
+    * scale. Integer arithmetic end-to-end. */
   private def qBudgetSelect(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import s.implicits._
     val docs = documents(s, d).select($"doc_id",
       expr("""CAST(size(filter(split(lower(text), ' '),
@@ -291,9 +289,10 @@ object SelectionOps extends QueryModule {
       .withColumn("density_ppm",
         expr("n_distinct * 1000000L div greatest(n_tok, 1L)"))
     val budget = docs.agg(expr("sum(n_tok) div 5").as("budget"))
-    val w = Window.orderBy($"density_ppm".desc, $"doc_id".asc)
-    docs.crossJoin(broadcast(budget))
-      .withColumn("cum_tok", sum($"n_tok").over(w))
+    graft.operators.RankOps.withGlobalOrder(docs,
+        $"density_ppm", ascending = false, tiebreaks = Seq($"doc_id"),
+        runningSums = Seq(($"n_tok", "cum_tok")))
+      .crossJoin(broadcast(budget))
       .select($"doc_id", $"n_tok", $"density_ppm", $"cum_tok",
         ($"cum_tok" <= $"budget").as("selected"))
   }

@@ -637,9 +637,10 @@ object TextOps extends QueryModule {
   /** Vocabulary coverage analysis: token frequencies ranked by the
     * exact total order, with each prefix's cumulative share of all
     * corpus tokens — the "what does a 32k vocab actually cover" curve
-    * every tokenizer design starts from. The global window runs over
-    * the AGGREGATED vocabulary (not the corpus), so the single-
-    * partition sort is |vocab|-sized — fine at any corpus scale. */
+    * every tokenizer design starts from. The top-K comes from
+    * orderBy+limit (TakeOrderedAndProject — per-partition top-K, no
+    * single-partition sort even at 10⁸-term vocabularies); ranks and
+    * prefix sums attach over the bounded K-row result. */
   private val VOCAB_TOP = 32
 
   private def qVocabCoverage(s: SparkSession, d: String): DataFrame = {
@@ -647,14 +648,16 @@ object TextOps extends QueryModule {
     val freq = documents(s, d)
       .select(explode(split(lower(col("text")), " ")).as("term"))
       .groupBy("term").agg(count(lit(1)).as("n"))
-    val order = Window.orderBy(col("n").desc, col("term").asc)
-    val all = Window.partitionBy()
-    freq
-      .withColumn("rank", row_number().over(order).cast("long"))
-      .withColumn("cum_n", sum(col("n")).over(
-        order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("coverage", col("cum_n") / sum(col("n")).over(all))
-      .filter(col("rank") <= VOCAB_TOP)
+    // total corpus tokens as a 1-row broadcast; top-K + rank + prefix
+    // sum via RankOps.topK (TakeOrderedAndProject — no vocabulary-
+    // scale single-partition sort; prefix sums of the first K rows
+    // only ever see the first K rows)
+    val total = freq.agg(sum(col("n")).as("__tot"))
+    graft.operators.RankOps.topK(freq, VOCAB_TOP,
+        Seq(("n", false), ("term", true)),
+        rankName = "rank", runningSums = Seq(("n", "cum_n")))
+      .crossJoin(broadcast(total))
+      .withColumn("coverage", col("cum_n") / col("__tot"))
       .select(col("rank"), col("term"), col("n"), col("cum_n"), col("coverage"))
   }
   private val qVocabCoverageSql =
@@ -830,9 +833,13 @@ object TextOps extends QueryModule {
       .groupBy($"doc_id", $"chunk_start")
       .agg(count(lit(1)).cast("long").as("n_terms"),
         round(sum($"part"), 4).as("score"))
-    scored.withColumn("rnk", row_number().over(Window.orderBy(
-        $"score".desc, $"doc_id".asc, $"chunk_start".asc)).cast("long"))
-      .filter($"rnk" <= CHUNK_K)
+    // global top-K + rank via RankOps.topK: TakeOrderedAndProject
+    // (per-partition top-K, K-row merge — never a single-partition
+    // sort of all scored chunks), rank attached over the bounded
+    // CHUNK_K-row result with no window at all
+    graft.operators.RankOps.topK(scored, CHUNK_K,
+        Seq(("score", false), ("doc_id", true), ("chunk_start", true)),
+        rankName = "rnk")
       .select($"rnk", $"doc_id", $"chunk_start", $"n_terms", $"score")
   }
   /** The chunk-BM25 CTE chain (everything up to the ranked top-K),
@@ -1120,10 +1127,11 @@ object TextOps extends QueryModule {
       .select($"w1", $"w2", $"c_xy",
         expr("round(ln(c_xy) + 2 * ln(n_uni) - ln(n_big) - ln(c_x) - ln(c_y), 4)")
           .as("pmi"))
-    scored
-      .withColumn("rnk", row_number().over(
-        Window.orderBy($"pmi".desc, $"w1".asc, $"w2".asc)).cast("long"))
-      .filter($"rnk" <= PMI_K)
+    // global top-K + rank via RankOps.topK — TakeOrderedAndProject,
+    // no single-partition sort of the scored-bigram relation
+    graft.operators.RankOps.topK(scored, PMI_K,
+        Seq(("pmi", false), ("w1", true), ("w2", true)),
+        rankName = "rnk")
       .select($"rnk", $"w1", $"w2", $"c_xy", $"pmi")
   }
   private val qPmiBigramsSql =
@@ -1171,13 +1179,16 @@ object TextOps extends QueryModule {
     * ~10⁶-term vocabularies), and both engines derive slope/intercept
     * from the same integers with one fixed expression sequence. */
   private def qZipfFit(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import s.implicits._
-    val uc = withTokens(documents(s, d))
-      .select(explode($"tokens").as("w")).filter(length($"w") > 0)
-      .groupBy($"w").agg(count(lit(1)).as("c"))
-      .withColumn("rnk", row_number().over(
-        Window.orderBy($"c".desc, $"w".asc)).cast("long"))
+    // every term needs its global rank, so this is the distributed
+    // exact-rank primitive (bucketed sort — no single-partition window
+    // even at 10⁸-term vocabularies), not a top-K
+    val uc = graft.operators.RankOps.withGlobalOrder(
+      withTokens(documents(s, d))
+        .select(explode($"tokens").as("w")).filter(length($"w") > 0)
+        .groupBy($"w").agg(count(lit(1)).as("c")),
+      $"c", ascending = false, tiebreaks = Seq($"w"),
+      rowNumCol = Some("rnk"))
     val pts = uc.select(
       expr("CAST(round(ln(rnk) * 1000) AS BIGINT)").as("x"),
       expr("CAST(round(ln(c) * 1000) AS BIGINT)").as("y"))

@@ -1,0 +1,206 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed EXACT global-order statistics — tie-aware `rank()`,
+  * `row_number()`, inclusive running sums, and the total row count —
+  * over an arbitrarily large relation with NO single-partition window
+  * anywhere in the plan.
+  *
+  * A plain `Window.orderBy(k)` with no partition key is exact but
+  * funnels the whole relation through ONE task (Spark logs
+  * `WindowExec: No Partition Defined` and moves every row to a single
+  * partition) — the canonical 100 TB scale-killer. This helper keeps
+  * the exact semantics and distributes the sort:
+  *
+  *   1. ''Bucket'': the plan itself estimates balanced range boundaries
+  *      of the leading sort key with one `approx_percentile` aggregate
+  *      branch (column-pruned to the key), broadcast as a single row;
+  *      every row's bucket id is `size(filter(bounds, b -> b < key))` —
+  *      a codegen'd O(#buckets) scalar. Equal keys ALWAYS land in the
+  *      same bucket and bucket ids are monotone in the key, so
+  *      correctness never depends on the estimate's quality — a bad
+  *      estimate only unbalances the buckets (and a constant key
+  *      degenerates to one bucket, exactly like any range scheme).
+  *   2. ''Local pass'': one hash shuffle on the bucket id, then ordinary
+  *      partitioned windows compute the per-bucket rank / row number /
+  *      running sums — each bucket sorts independently in parallel.
+  *   3. ''Offsets'': per-bucket row counts and value totals collapse to
+  *      ONE broadcast row holding a `#buckets`-element struct array —
+  *      a plain aggregate whose map-side partial combine reduces each
+  *      input partition to `#buckets` rows before a tiny shuffle, so
+  *      the relation itself is shuffled exactly once (by step 2). Each
+  *      output row adds the offsets of all earlier buckets with an
+  *      `aggregate(filter(...))` pair over the broadcast array —
+  *      again codegen'd O(#buckets) per row.
+  *
+  * Global rank of a row is then `offset_count + local_rank` (exact:
+  * ties never straddle buckets), the running sum is
+  * `offset_sum + local_running_sum`, and the total count is the array
+  * total — all plain integer arithmetic, bit-identical to the
+  * single-window form (RankOpsSpec proves equivalence property-style).
+  *
+  * Cost model at scale: ONE full shuffle of the relation (same as any
+  * grouped window), two column-pruned side evaluations of the input
+  * (boundary sketch; bucket totals), and O(#buckets) extra work per
+  * row. No collect, no driver-side loop, no partition-less WindowExec
+  * (PlanAuditSpec pins this for every adopted query).
+  *
+  * Callers that request `rowNumCol` or `runningSums` must pass
+  * `tiebreaks` that make the order total, or the result is
+  * tie-order-dependent — same contract as the window form. `rankCol`
+  * (tie-aware) is well-defined without tiebreaks. The leading sort key
+  * must be non-null and castable to double (any numeric / date /
+  * timestamp key qualifies).
+  */
+object RankOps {
+  private val BKT = "__rk_bucket"
+  private val BNDS = "__rk_bounds"
+  private val LRN = "__rk_lrn"
+  private val LRK = "__rk_lrk"
+  private val STATS = "__rk_stats"
+
+  /** `df` plus the requested exact global-order columns; see object doc.
+    *
+    * @param primary     leading sort expression (non-null, numeric-castable)
+    * @param ascending   direction of `primary` in the global order
+    * @param tiebreaks   remaining sort expressions (ascending), making the
+    *                    order total where row-position semantics need it
+    * @param rankCol     name for tie-aware `rank()` over the global order
+    * @param rowNumCol   name for `row_number()` over the global order
+    * @param runningSums (value expression, output name) pairs: inclusive
+    *                    running `sum(value)` in ROWS frame over the order
+    * @param countCol    name for the total row count (constant column)
+    * @param buckets     parallelism of the distributed sort; defaults to
+    *                    `spark.sql.shuffle.partitions`
+    */
+  def withGlobalOrder(
+      df: DataFrame,
+      primary: Column,
+      ascending: Boolean,
+      tiebreaks: Seq[Column] = Nil,
+      rankCol: Option[String] = None,
+      rowNumCol: Option[String] = None,
+      runningSums: Seq[(Column, String)] = Nil,
+      countCol: Option[String] = None,
+      buckets: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val nb =
+      if (buckets > 0) buckets else spark.sessionState.conf.numShufflePartitions
+    val pd = primary.cast("double")
+    // one-row broadcast of estimated bucket boundaries (quality affects
+    // balance only, never the result — see object doc)
+    val probs = (1 until nb).map(i => i.toDouble / nb)
+    val boundsRow = df.agg(coalesce(
+      percentile_approx(pd, typedLit(probs), lit(1000)),
+      typedLit(Seq.empty[Double])).as(BNDS))
+    val bucketOf =
+      if (ascending) size(filter(col(BNDS), b => b < pd))
+      else size(filter(col(BNDS), b => b > pd))
+    val pre = df.crossJoin(broadcast(boundsRow))
+      .withColumn(BKT, bucketOf.cast("int"))
+      .drop(BNDS)
+
+    val primaryOrder = if (ascending) primary.asc else primary.desc
+    val order = primaryOrder +: tiebreaks.map(_.asc)
+    val w = Window.partitionBy(col(BKT)).orderBy(order: _*)
+    // rank() ties on the PRIMARY key only (the window form's semantics
+    // when callers write rank().over(orderBy(key))); tiebreaks serve
+    // row_number / running sums
+    val wRank = Window.partitionBy(col(BKT)).orderBy(primaryOrder)
+    val wRows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    var local = pre.withColumn(LRN, row_number().over(w).cast("long"))
+    rankCol.foreach { _ =>
+      local = local.withColumn(LRK, rank().over(wRank).cast("long"))
+    }
+    runningSums.zipWithIndex.foreach { case ((v, _), i) =>
+      local = local.withColumn(s"__rk_ls_$i",
+        sum(v.cast("long")).over(wRows))
+    }
+
+    // per-bucket counts/totals → ONE broadcast row. A plain aggregate
+    // over the bucketed input: map-side partial combine reduces it to
+    // #buckets rows per input partition before its (tiny) shuffle, so
+    // the relation itself is shuffled only once — by the window.
+    val statAggs: Seq[Column] =
+      count(lit(1)).cast("long").as("cnt") +:
+        runningSums.zipWithIndex.map { case ((v, _), i) =>
+          coalesce(sum(v.cast("long")), lit(0L)).as(s"s_$i")
+        }
+    val statFields: Seq[Column] =
+      col(BKT).as("b") +: col("cnt") +:
+        runningSums.indices.map(i => col(s"s_$i"))
+    val statsRow = pre.groupBy(col(BKT))
+      .agg(statAggs.head, statAggs.tail: _*)
+      .agg(sort_array(collect_list(struct(statFields: _*))).as(STATS))
+
+    def below = filter(col(STATS), x => x("b") < col(BKT))
+    def sumOf(arr: Column, field: String): Column =
+      coalesce(
+        aggregate(arr, lit(0L), (acc, x) => acc + x(field)), lit(0L))
+
+    var out = local.crossJoin(broadcast(statsRow))
+    rankCol.foreach { c =>
+      out = out.withColumn(c, sumOf(below, "cnt") + col(LRK))
+    }
+    rowNumCol.foreach { c =>
+      out = out.withColumn(c, sumOf(below, "cnt") + col(LRN))
+    }
+    runningSums.zipWithIndex.foreach { case ((_, c), i) =>
+      out = out.withColumn(c, sumOf(below, s"s_$i") + col(s"__rk_ls_$i"))
+    }
+    countCol.foreach { c =>
+      out = out.withColumn(c, sumOf(col(STATS), "cnt"))
+    }
+    val temps = Seq(BKT, LRN, LRK, STATS) ++
+      runningSums.indices.map(i => s"__rk_ls_$i")
+    out.drop(temps: _*)
+  }
+
+  /** Exact, ranked global top-`k` with NO window anywhere: the top-K
+    * itself is `orderBy(...).limit(k)` — Catalyst plans
+    * `TakeOrderedAndProject`, a per-partition top-K followed by a
+    * K-row merge, never a single-partition sort of the input — and the
+    * rank (plus optional running sums) attaches by collapsing the
+    * bounded K-row result into ONE `array_sort`ed row and
+    * `posexplode`-ing it back. (A `Window.partitionBy(lit(0))` over
+    * the limited rows would be equivalent, but Catalyst folds the
+    * constant away and leaves a partition-less WindowExec — the exact
+    * plan shape this helper exists to banish.)
+    *
+    * @param keys        (column name, ascending) sort keys; must total-
+    *                    order the rows for a deterministic result
+    * @param rankName    output position column (1-based, long)
+    * @param runningSums (source column, output name): inclusive prefix
+    *                    sum over the sorted top-K — O(k²) on k rows
+    */
+  def topK(
+      df: DataFrame,
+      k: Int,
+      keys: Seq[(String, Boolean)],
+      rankName: String,
+      runningSums: Seq[(String, String)] = Nil): DataFrame = {
+    val order = keys.map { case (c, asc) => if (asc) col(c).asc else col(c).desc }
+    val cols = df.columns.toSeq
+    val cmp = keys.map { case (c, asc) =>
+      val (lt, gt) = if (asc) ("-1", "1") else ("1", "-1")
+      s"WHEN l.$c < r.$c THEN $lt WHEN l.$c > r.$c THEN $gt"
+    }.mkString(" ")
+    val sorted = df.orderBy(order: _*).limit(k)
+      .agg(collect_list(struct(cols.map(col): _*)).as("__tk"))
+      .select(expr(s"array_sort(__tk, (l, r) -> CASE $cmp ELSE 0 END)")
+        .as("__tk"))
+    val exploded = sorted
+      .select(col("__tk"), posexplode(col("__tk")).as(Seq("__pos", "__row")))
+    val base: Seq[Column] =
+      (col("__pos") + 1).cast("long").as(rankName) +:
+        cols.map(c => col(s"__row.$c").as(c))
+    val sums = runningSums.map { case (src, out) =>
+      expr(s"aggregate(slice(__tk, 1, __pos + 1), 0L, (acc, x) -> acc + x.$src)")
+        .as(out)
+    }
+    exploded.select(base ++ sums: _*)
+  }
+}

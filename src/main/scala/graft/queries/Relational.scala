@@ -678,24 +678,22 @@ object Relational extends QueryModule {
     * integer cross-products (`cum·100 ≤ total·80`), so the boundary is
     * engine-exact, never a float share.
     *
-    * The per-part aggregate is the only corpus-scale shuffle; the rank
-    * + running-sum window runs on the |parts| relation (catalog-sized).
-    * For key spaces too large to window in one partition, the cut
-    * VALUES come from the histogram-CDF of per-key revenue (the
-    * q_hist_quantiles convention) and classification becomes a
-    * broadcast-threshold comparison. */
+    * The per-part aggregate is the only corpus-scale shuffle; the
+    * exact global running sum over the |parts| relation comes from
+    * [[graft.operators.RankOps.withGlobalOrder]] — bucketed
+    * distributed sort, so the plan holds even for key spaces far too
+    * large to sort in one partition. */
   private def qAbcAnalysis(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import s.implicits._
     val rev = lineitem(s, d)
       .select($"l_partkey",
         expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
       .groupBy($"l_partkey")
       .agg(sum($"cents").as("rev_cents"))
-    val w = Window.orderBy($"rev_cents".desc, $"l_partkey".asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val total = rev.agg(sum($"rev_cents").as("total_cents"))
-    rev.withColumn("cum_cents", sum($"rev_cents").over(w))
+    graft.operators.RankOps.withGlobalOrder(rev,
+        $"rev_cents", ascending = false, tiebreaks = Seq($"l_partkey"),
+        runningSums = Seq(($"rev_cents", "cum_cents")))
       .crossJoin(broadcast(total))
       .select($"l_partkey", $"rev_cents", $"cum_cents",
         when($"cum_cents" * 100 <= $"total_cents" * 80, "A")

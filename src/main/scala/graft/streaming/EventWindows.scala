@@ -752,16 +752,13 @@ object EventWindows extends QueryModule {
     * team buckets its lifecycle campaigns on.
     *
     * ONE user shuffle builds the per-user features; each score needs
-    * only a 2-row threshold table (a rank-window aggregate over the
-    * |users|-row FEATURE table — events never re-scan), broadcast
-    * back. The rank window is single-partition over |purchasing
-    * users|; for billion-user populations the cut values come from the
-    * histogram-CDF shape instead ([[graft.operators.Sketches]]
-    * q_hist_quantiles — same integer rank rule, mergeable counts).
+    * only a 2-row threshold table, broadcast back. The cut values come
+    * from the exact global index over the |users|-row FEATURE table via
+    * [[graft.operators.RankOps.withGlobalOrder]] — bucketed distributed
+    * sort, no single-partition window even at billion-user populations.
     * Recency measures against the fixed corpus-end anchor (max event
     * time), so the result is reproducible. */
   private def qRfm(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import s.implicits._
     val ev = Tables.events(s, d).select($"user_id", $"event_type",
       unix_micros($"ts").as("t"),
@@ -778,11 +775,9 @@ object EventWindows extends QueryModule {
     // tercile cut VALUES per feature: rank the users once per feature,
     // pick the values at ranks ceil(n/3) and ceil(2n/3)
     def cuts(c: String, asc: Boolean) = {
-      val w = Window.orderBy(if (asc) col(c).asc else col(c).desc,
-        $"user_id".asc)
-      users
-        .withColumn("rn", row_number().over(w))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      graft.operators.RankOps.withGlobalOrder(users,
+          col(c), ascending = asc, tiebreaks = Seq($"user_id"),
+          rowNumCol = Some("rn"), countCol = Some("n"))
         .groupBy()
         .agg(min(when($"rn" === expr("(n + 2) div 3"), col(c))).as(s"${c}_c1"),
           min(when($"rn" === expr("(2 * n + 2) div 3"), col(c))).as(s"${c}_c2"))
@@ -1224,13 +1219,10 @@ object EventWindows extends QueryModule {
     * and — run over tokens-per-source — the corpus-balance check.
     *
     * 100 TB shape: one user-keyed aggregate to |users| feature rows,
-    * then the rank window. The window is single-partition over |users|
-    * here (exact fixture semantics); the billion-user cut is the
-    * histogram-CDF form (see [[graft.operators.Sketches]]
-    * q_hist_quantiles): G from bucket counts with the same ppm
-    * arithmetic. */
+    * then the global index from
+    * [[graft.operators.RankOps.withGlobalOrder]] — bucketed
+    * distributed sort, no single-partition window at any scale. */
   private def qGini(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import s.implicits._
     val ev = Tables.events(s, d)
       .select($"user_id", $"event_type",
@@ -1240,9 +1232,10 @@ object EventWindows extends QueryModule {
           .otherwise(0L)).as("revenue_cents"),
         count(lit(1)).as("n_events"))
     def gini(df: DataFrame, xCol: String, metric: String): DataFrame = {
-      val w = Window.orderBy(col("x").asc, col("user_id").asc)
-      df.select(col("user_id"), col(xCol).as("x"))
-        .withColumn("i", row_number().over(w))
+      graft.operators.RankOps.withGlobalOrder(
+          df.select(col("user_id"), col(xCol).as("x")),
+          col("x"), ascending = true, tiebreaks = Seq(col("user_id")),
+          rowNumCol = Some("i"))
         .groupBy()
         .agg(count(lit(1)).as("n"), sum($"x").as("total"),
           sum(expr("(2 * i - 1) * x")).as("wsum"))

@@ -492,4 +492,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
       s"no corpus-wide join:\n$p")
   }
+
+  test("global-order rows plan NO partition-less window anywhere") {
+    // The r9 scale hazard: a Window with an empty partition spec drags
+    // the whole relation into ONE task. Every row that used to carry
+    // one now goes through RankOps.withGlobalOrder (bucketed
+    // distributed sort) or orderBy+limit (TakeOrderedAndProject), and
+    // this test keeps them that way. Checked on the OPTIMIZED logical
+    // plan so the assertion is AQE-independent and covers subqueries.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val fixed = Seq(
+      "q_score_calibrate", "q_quantile_norm", "q_gini", "q_rfm",
+      "q_abc_analysis", "q_budget_select", "q_chunk_bm25",
+      "q_expand_context", "q_zipf_fit", "q_vocab_coverage",
+      "q_pmi_bigrams", "q_top_terms")
+    for (q <- fixed) {
+      val lp = SparkEntry.queries(q)(spark, sf).queryExecution.optimizedPlan
+      val bad = lp.collectWithSubqueries {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }
+      assert(bad.isEmpty,
+        s"$q plans ${bad.size} partition-less Window node(s):\n$lp")
+    }
+  }
 }

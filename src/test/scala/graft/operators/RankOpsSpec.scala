@@ -1,0 +1,96 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** RankOps.withGlobalOrder must be BIT-IDENTICAL to the single-partition
+  * global window it replaces, on data with heavy ties, negatives, skew,
+  * and more buckets than rows — while planning no partition-less
+  * WindowExec. */
+class RankOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // skewed, tie-heavy: values v = (i*i) % 97 (many collisions), ids unique
+  private lazy val data = (1 to 5000)
+    .map(i => ((i.toLong * i) % 97, i.toLong, (i % 13).toLong - 6))
+    .toDF("v", "id", "x")
+
+  private def naive(asc: Boolean) = {
+    val o = if (asc) $"v".asc else $"v".desc
+    val w = Window.orderBy(o, $"id".asc)
+    data
+      .withColumn("rk", rank().over(Window.orderBy(o)).cast("long"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("cs", sum($"x".cast("long")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy().rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+  }
+
+  private def dist(asc: Boolean, buckets: Int) =
+    RankOps.withGlobalOrder(data, $"v", asc, Seq($"id"),
+      rankCol = Some("rk"), rowNumCol = Some("rn"),
+      runningSums = Seq(($"x", "cs")), countCol = Some("n"),
+      buckets = buckets)
+
+  private def check(asc: Boolean, buckets: Int): Unit = {
+    val cols = Seq("v", "id", "x", "rk", "rn", "cs", "n").map(col)
+    val a = naive(asc).select(cols: _*).orderBy($"rn").collect()
+    val b = dist(asc, buckets).select(cols: _*).orderBy($"rn").collect()
+    assert(a.length == 5000, s"naive row count ${a.length}")
+    assert(b.length == a.length, s"dist row count ${b.length} != ${a.length}")
+    a.toSeq.zip(b.toSeq).zipWithIndex.find { case ((x, y), _) => x != y }
+      .foreach { case ((x, y), i) =>
+        fail(s"asc=$asc buckets=$buckets first divergence at $i: " +
+          s"naive=$x dist=$y")
+      }
+  }
+
+  test("ascending, 8 buckets: rank/row_number/running-sum/count all exact") {
+    check(asc = true, buckets = 8)
+  }
+
+  test("descending, 8 buckets") {
+    check(asc = false, buckets = 8)
+  }
+
+  test("more buckets than distinct values (97 values, 256 buckets)") {
+    check(asc = true, buckets = 256)
+  }
+
+  test("single bucket degenerates gracefully") {
+    check(asc = true, buckets = 1)
+  }
+
+  test("empty input yields empty output with the requested schema") {
+    val out = RankOps.withGlobalOrder(data.filter($"v" < -1), $"v", true,
+      Seq($"id"), rankCol = Some("rk"), rowNumCol = Some("rn"),
+      runningSums = Seq(($"x", "cs")), countCol = Some("n"))
+    assert(out.count() == 0)
+    assert(out.columns.toSeq ==
+      Seq("v", "id", "x", "rk", "rn", "cs", "n"))
+  }
+
+  test("plan has no partition-less WindowExec; side branches stay tiny") {
+    val p = dist(asc = true, buckets = 8)
+      .queryExecution.executedPlan.toString
+    // every Window node must partition on the bucket column
+    val windowLines = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windowLines.nonEmpty)
+    assert(windowLines.forall(_.contains("[__rk_bucket")),
+      s"window must be bucket-partitioned:\n$p")
+    // exactly two bucket-hash exchanges: the window's (the single
+    // relation-scale shuffle) and the stats branch's — the latter above
+    // a map-side partial aggregate, so it moves #buckets rows per input
+    // partition, not the relation
+    val hashEx = p.linesIterator
+      .count(_.contains("Exchange hashpartitioning(__rk_bucket"))
+    assert(hashEx == 2, s"expected 2 bucket exchanges, got $hashEx:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"stats branch must partial-aggregate before its shuffle:\n$p")
+    // bounds and stats reach rows via broadcast, never a sort-merge join
+    assert(!p.contains("SortMergeJoin"), s"no relation-scale join:\n$p")
+  }
+}
