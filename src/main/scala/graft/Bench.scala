@@ -88,7 +88,7 @@ object Bench {
     "q_topk_view", "q_topk_refresh",                        // incremental top-k view
     "q_ann_recall",                                         // index-quality evaluation
     "q_time_weighted_avg", "q_winsorize",                   // TWA / robust clipping
-    "q_quantile_view", "q_sessionize_incr",                 // incremental sketch/session views
+    "q_quantile_view", "q_sessionize_refresh",              // incremental sketch/session views
     "q_funnel_windowed", "q_abtest_metrics",                // deadline funnel / experiment readout
     "q_conversion_lag", "q_seasonal_anomaly",               // lag histogram / weekday baseline
     "q_rfm", "q_cusum_changepoint",                         // RFM segmentation / level-shift monitor
@@ -96,10 +96,10 @@ object Bench {
     "q_gini", "q_active_users",                             // concentration / DAU-WAU series
     "q_item_cooccur", "q_triangle_count",                   // CF co-occurrence / graph triangles
     "q_new_returning", "q_doc_outlier",                     // growth accounting / centroid outliers
-    "q_active_users_incr", "q_event_paths",                 // chained sliding-DISTINCT view / path mining
+    "q_active_users_refresh", "q_event_paths",              // chained sliding-DISTINCT view / path mining
     "q_peak_concurrency",                                   // interval-overlap capacity sweep
     "q_abc_analysis", "q_drawdown",                         // Pareto classes / drawdown series
-    "q_event_paths_incr", "q_ewma_control",                 // maintained path mining / EWMA monitor
+    "q_event_paths_refresh", "q_ewma_control",              // maintained path mining / EWMA monitor
     "q_funnel_by_variant", "q_hour_heatmap",                // experiment funnel / load profile
     "q_feature_matrix",                                     // model-ready feature rows
     "q_source_mix_kl",                                      // training-mix KL audit
@@ -123,8 +123,8 @@ object Bench {
     "q_zipf_fit",                                           // corpus Zipf diagnostic
     "q_len_profile",                                        // per-lang length deciles
     "q_sim_calibration",                                    // estimator calibration
-    "q_mix_kl_incr",                                        // maintained mix monitor
-    "q_completeness_incr",                                  // maintained quality monitor
+    "q_mix_kl_refresh",                                     // maintained mix monitor
+    "q_completeness_refresh",                               // maintained quality monitor
     "q_dataset_card",                                       // release summary row
     "q_quantile_norm",                                      // cross-source normalization
     "q_source_lang_mix",                                    // per-source lang entropy
@@ -135,7 +135,7 @@ object Bench {
     "q_holt_forecast",                                      // trend projection
     "q_release_diff",                                       // O(Δ) release audit
     "q_expand_context",                                     // RAG context windows
-    "q_dataset_card_incr",                                  // maintained release card
+    "q_dataset_card_refresh",                               // maintained release card
     "q_markov_anomaly",                                     // sequence anomaly score
     "q_wow_volume")                                         // WoW growth report
   // q_semantic_dedup stays sf0.1-only: its oracle-replayable form fixes

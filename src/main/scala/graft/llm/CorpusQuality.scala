@@ -901,8 +901,8 @@ object CorpusQuality extends QueryModule {
         col("n_tokens"), expr("n_tokens div n_docs").as("mean_tokens"),
         (col("n_docs") - col("n_unique_texts")).as("n_exact_dups"))
   }
-  private val qDatasetCardIncrSql =
-    """SELECT n_docs, n_sources, n_langs, n_tokens,
+  private def datasetCardSql(where: String) =
+    s"""SELECT n_docs, n_sources, n_langs, n_tokens,
       |  n_tokens // n_docs AS mean_tokens,
       |  n_docs - n_unique_texts AS n_exact_dups
       |FROM (SELECT count(*) AS n_docs,
@@ -910,7 +910,155 @@ object CorpusQuality extends QueryModule {
       |        count(DISTINCT lang) AS n_langs,
       |        CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
       |        count(DISTINCT md5(text)) AS n_unique_texts
-      |      FROM documents WHERE doc_id % 13 <> 4)""".stripMargin
+      |      FROM documents$where)""".stripMargin
+  private val qDatasetCardIncrSql = datasetCardSql(" WHERE doc_id % 13 <> 4")
+
+  // -------------------------------------------- q_dataset_card_refresh
+  /** STEADY-STATE release-card maintenance cost: the fixture builds the
+    * full [[qDatasetCardIncr]] chain (additive card + three
+    * refcount→count distinct chains) over the whole corpus once per
+    * (session, sf dir); each UNTIMED staging appends a doc_id-shifted
+    * copy of the `doc_id % 50 = 0` docs and deletes exactly that batch
+    * (the [[graft.streaming.EventStateViews]] net-zero convention), so
+    * the timed body is one refresh per chain level against real CDF
+    * churn — the dup-text refcount rows surface downstream as
+    * cancelling (−1,+1) pairs — plus the O(1) readout, and the oracle
+    * is the full-corpus declarative card. */
+  private final case class CardFixture(
+      t: graft.table.VersionedTable,
+      views: Seq[(graft.table.AggView, Option[graft.table.AggView])],
+      card: graft.table.AggView, cntSrc: graft.table.AggView,
+      cntLang: graft.table.AggView, cntText: graft.table.AggView,
+      calls: java.util.concurrent.atomic.AtomicLong)
+
+  private val cardCache = scala.collection.concurrent.TrieMap.empty[
+    (SparkSession, String), CardFixture]
+
+  private def cardRows(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(col("doc_id"), lit(0L).as("k"),
+      col("source"), col("lang"), md5(col("text")).as("h"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+
+  private def cardFixture(s: SparkSession, d: String): CardFixture =
+    cardCache.synchronized {
+      cardCache.getOrElseUpdate((s, d), {
+        import graft.table.{AggView, VersionedTable}
+        import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+        val root = graft.Scratch.dir("graft-cardv-steady")
+        val entrySchema = StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("k", LongType),
+          StructField("source", StringType),
+          StructField("lang", StringType),
+          StructField("h", StringType),
+          StructField("n_tokens", LongType)))
+        val t = VersionedTable.create(s, root.resolve("t").toString,
+          entrySchema, Map(VersionedTable.PROP_CDF -> "true"))
+        t.append(cardRows(s, d))
+        val card = AggView.build(t, root.resolve("card").toString,
+          Seq("k"), Seq("tokens" -> "n_tokens"))
+        val refSrc = AggView.build(t, root.resolve("refsrc").toString,
+          Seq("k", "source"), Seq.empty)
+        val cntSrc = AggView.build(refSrc.table, root.resolve("cntsrc").toString,
+          Seq("k"), Seq.empty)
+        val refLang = AggView.build(t, root.resolve("reflang").toString,
+          Seq("k", "lang"), Seq.empty)
+        val cntLang = AggView.build(refLang.table, root.resolve("cntlang").toString,
+          Seq("k"), Seq.empty)
+        val refText = AggView.build(t, root.resolve("reftext").toString,
+          Seq("k", "h"), Seq.empty)
+        val cntText = AggView.build(refText.table, root.resolve("cnttext").toString,
+          Seq("k"), Seq.empty)
+        CardFixture(t,
+          Seq(card -> None, refSrc -> Some(cntSrc), refLang -> Some(cntLang),
+            refText -> Some(cntText)),
+          card, cntSrc, cntLang, cntText,
+          new java.util.concurrent.atomic.AtomicLong)
+      })
+    }
+
+  private def cardPrepare(s: SparkSession, d: String): Unit = {
+    val f = cardFixture(s, d)
+    val n = f.calls.getAndIncrement()
+    f.t.append(cardRows(s, d).filter(col("doc_id") % 50 === 0)
+      .withColumn("doc_id", col("doc_id") + lit((n + 1) * 100000000L)))
+    f.t.deleteWhere(col("doc_id") >= 100000000L)
+  }
+
+  private def qDatasetCardRefresh(s: SparkSession, d: String): DataFrame = {
+    val f = cardFixture(s, d)
+    f.views.foreach { case (ref, cnt) =>
+      ref.refresh(f.t)
+      cnt.foreach(c => c.refresh(ref.table))
+    }
+    val c = f.card.table.snapshot().select(col("k"),
+      col("n_rows").cast("long").as("n_docs"),
+      col("sum_tokens").cast("long").as("n_tokens"))
+    def one(v: graft.table.AggView, name: String) = v.table.snapshot()
+      .select(col("k"), col("n_rows").cast("long").as(name))
+    c.join(one(f.cntSrc, "n_sources"), "k")
+      .join(one(f.cntLang, "n_langs"), "k")
+      .join(one(f.cntText, "n_unique_texts"), "k")
+      .select(col("n_docs"), col("n_sources"), col("n_langs"),
+        col("n_tokens"), expr("n_tokens div n_docs").as("mean_tokens"),
+        (col("n_docs") - col("n_unique_texts")).as("n_exact_dups"))
+  }
+
+  // ------------------------------------------------- q_mix_kl_refresh
+  /** STEADY-STATE mix-monitor cost — net-zero staging over the
+    * [[qMixKlIncr]] per-source AggView: the timed body is ONE O(Δ)
+    * refresh (the staged +/− rows cancel per source) plus the
+    * |sources|-row KL readout; oracle = the batch [[qSourceMixKl]]. */
+  private val mixCache = scala.collection.concurrent.TrieMap.empty[
+    (SparkSession, String),
+    (graft.table.VersionedTable, graft.table.AggView,
+      java.util.concurrent.atomic.AtomicLong)]
+
+  private def mixFixture(s: SparkSession, d: String)
+      : (graft.table.VersionedTable, graft.table.AggView,
+        java.util.concurrent.atomic.AtomicLong) =
+    mixCache.synchronized {
+      mixCache.getOrElseUpdate((s, d), {
+        import graft.table.{AggView, VersionedTable}
+        import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+        val root = graft.Scratch.dir("graft-mixkl-steady")
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("source", StringType)))
+        val t = VersionedTable.create(s, root.resolve("t").toString, schema,
+          Map(VersionedTable.PROP_CDF -> "true"))
+        t.append(documents(s, d).select(col("doc_id"), col("source")))
+        val v = AggView.build(t, root.resolve("v").toString,
+          Seq("source"), Seq.empty)
+        (t, v, new java.util.concurrent.atomic.AtomicLong)
+      })
+    }
+
+  private def mixPrepare(s: SparkSession, d: String): Unit = {
+    val (t, _, calls) = mixFixture(s, d)
+    val n = calls.getAndIncrement()
+    t.append(documents(s, d).select(col("doc_id"), col("source"))
+      .filter(col("doc_id") % 50 === 0)
+      .withColumn("doc_id", col("doc_id") + lit((n + 1) * 100000000L)))
+    t.deleteWhere(col("doc_id") >= 100000000L)
+  }
+
+  private def qMixKlRefresh(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (t, v, _) = mixFixture(s, d)
+    v.refresh(t)
+    val by = v.table.snapshot()
+      .select($"source", $"n_rows".cast("long").as("n_docs"))
+    val tot = by.agg(sum($"n_docs").as("total"), count(lit(1)).as("k"))
+    by.crossJoin(broadcast(tot))
+      .select($"source", $"n_docs",
+        expr("(n_docs * 1000000) div total").as("share_ppm"),
+        expr("1000000 div k").as("target_ppm"))
+      .withColumn("kl_contrib", round(
+        ($"share_ppm" / 1000000.0d) *
+          log(($"share_ppm" / 1000000.0d) / ($"target_ppm" / 1000000.0d)),
+        6))
+  }
 
   // -------------------------------------------------- q_release_diff
   /** RELEASE DIFF — the per-source added/removed/changed/reverted audit
@@ -1123,7 +1271,9 @@ object CorpusQuality extends QueryModule {
     "q_quantile_norm"      -> qQuantileNorm _,
     "q_source_lang_mix"    -> qSourceLangMix _,
     "q_release_diff"       -> qReleaseDiff _,
-    "q_dataset_card_incr"  -> qDatasetCardIncr _)
+    "q_dataset_card_incr"  -> qDatasetCardIncr _,
+    "q_dataset_card_refresh" -> qDatasetCardRefresh _,
+    "q_mix_kl_refresh"     -> qMixKlRefresh _)
 
   override val oracles: Seq[(String, String)] = Seq(
     "q_gopher_quality"     -> qGopherQualitySql,
@@ -1143,5 +1293,12 @@ object CorpusQuality extends QueryModule {
     "q_quantile_norm"      -> qQuantileNormSql,
     "q_source_lang_mix"    -> qSourceLangMixSql,
     "q_release_diff"       -> qReleaseDiffSql,
-    "q_dataset_card_incr"  -> qDatasetCardIncrSql)
+    "q_dataset_card_incr"  -> qDatasetCardIncrSql,
+    // steady-state rows: net-zero staging ⇒ the full-set batch forms
+    "q_dataset_card_refresh" -> datasetCardSql(""),
+    "q_mix_kl_refresh"     -> qSourceMixKlSql)
+
+  override val prepares: Seq[(String, (SparkSession, String) => Unit)] = Seq(
+    "q_dataset_card_refresh" -> (cardPrepare _),
+    "q_mix_kl_refresh"       -> (mixPrepare _))
 }

@@ -696,7 +696,13 @@ object EventStateViews extends QueryModule {
     eWin.deleteWhere(col("event_id") % 17 === 3)
     refDay.refresh(eDay); dau.refresh(refDay.table)
     refWin.refresh(eWin); wau.refresh(refWin.table)
-    // readout off the two O(days) view tables only
+    dauReadout(dau, wau)
+  }
+
+  /** The DAU/WAU/stickiness readout off the two O(days) view tables
+    * only — shared by the lifecycle and steady-state rows. */
+  private def dauReadout(dau: graft.table.AggView,
+      wau: graft.table.AggView): DataFrame = {
     val dauT = dau.table.snapshot()
       .select(col("day"), col("n_rows").cast("long").as("dau"))
     val wauT = wau.table.snapshot()
@@ -713,10 +719,10 @@ object EventStateViews extends QueryModule {
         when(col("wau") > 0, expr("(dau * 1000000) div wau"))
           .otherwise(lit(0L)))
   }
-  private val qActiveUsersIncrSql =
-    """WITH kept AS (
+  private def activeUsersSql(where: String) =
+    s"""WITH kept AS (
       |  SELECT user_id, epoch_us(ts) // 86400000000 AS day
-      |  FROM events WHERE event_id % 17 <> 3),
+      |  FROM events$where),
       |ud AS (SELECT DISTINCT user_id, day FROM kept),
       |a AS (SELECT min(day) AS min_day, max(day) AS max_day FROM ud),
       |spine AS (
@@ -733,6 +739,9 @@ object EventStateViews extends QueryModule {
       |FROM spine s
       |LEFT JOIN dau d ON d.day = s.day
       |LEFT JOIN wau w ON w.day = s.day""".stripMargin
+
+  private val qActiveUsersIncrSql =
+    activeUsersSql(" WHERE event_id % 17 <> 3")
 
   // ---------------------------------------------- q_completeness_incr
   /** The [[EventWindows]] `q_field_completeness` payload-quality
@@ -779,6 +788,12 @@ object EventStateViews extends QueryModule {
     t.deleteWhere(col("event_id") % 17 === 3)
     flags.refresh(t)
     refUsers.refresh(t); users.refresh(refUsers.table)
+    complReadout(flags, users)
+  }
+
+  /** The per-type completeness readout off the two |types|-row view
+    * tables only — shared by the lifecycle and steady-state rows. */
+  private def complReadout(flags: AggView, users: AggView): DataFrame = {
     val f = flags.table.snapshot().select(col("event_type"),
       col("n_rows").cast("long").as("n"),
       coalesce(col("sum_vnull"), lit(0L)).as("n_value_null"),
@@ -793,8 +808,9 @@ object EventStateViews extends QueryModule {
         expr("n_props_k * 1000000L div n").as("props_k_ppm"),
         col("n_users"))
   }
-  private val qCompletenessIncrSql =
-    """WITH kept AS (SELECT * FROM events WHERE event_id % 17 <> 3)
+
+  private def completenessSql(where: String) =
+    s"""WITH kept AS (SELECT * FROM events$where)
       |SELECT event_type, count(*) AS n,
       |  CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
       |    * 1000000 // count(*) AS value_null_ppm,
@@ -804,6 +820,9 @@ object EventStateViews extends QueryModule {
       |    AS BIGINT) * 1000000 // count(*) AS props_k_ppm,
       |  count(DISTINCT user_id) AS n_users
       |FROM kept GROUP BY event_type""".stripMargin
+
+  private val qCompletenessIncrSql =
+    completenessSql(" WHERE event_id % 17 <> 3")
 
   // ---------------------------------------------- q_attribution_incr
   /** Incremental-attribution LIFECYCLE: even events seed the state,
@@ -910,6 +929,220 @@ object EventStateViews extends QueryModule {
 
   private val qAttributionRefreshSql = attrChannelSql("")
 
+  // --------------------------------------- net-zero steady-state staging
+  /** Shared UNTIMED staging for the `_refresh` rows whose derive is NOT
+    * duplicate-invariant (sessions count events; path trigram counts
+    * double under duplication; DAU entries are per-event): each staging
+    * call APPENDS a shifted copy of the toggled users' rows and then
+    * DELETES exactly that batch. The CDF hands the timed refresh real
+    * INSERT and DELETE rows for the ~2 % toggled users — a genuine
+    * changed-key re-derive plus state merge — while the net snapshot is
+    * provably unchanged, so the oracle stays the full-set declarative
+    * form across any number of stagings (the ingest-then-retract shape
+    * of a GDPR erasure landing right behind its subject's data). */
+  private val STAGE_SHIFT = 100000000L
+
+  private def netZeroStage(t: VersionedTable, rows: DataFrame,
+      calls: java.util.concurrent.atomic.AtomicLong): Unit = {
+    val n = calls.getAndIncrement()
+    appendClustered(t, rows.withColumn("event_id",
+      col("event_id") + lit((n + 1) * STAGE_SHIFT)))
+    t.deleteWhere(col("event_id") >= STAGE_SHIFT)
+  }
+
+  // ---------------------------------------------- q_sessionize_refresh
+  /** STEADY-STATE incremental-sessionization cost: the fixture builds
+    * the session view over the full events table once per (session,
+    * sf dir); each untimed staging nets zero (see [[netZeroStage]]),
+    * so the timed body is ONE refresh — CDF scan, per-user session
+    * re-fold for the toggled users, merge — plus the O(state)
+    * readout, and the oracle is the batch gaps-and-islands form. */
+  private val srCache = scala.collection.concurrent.TrieMap.empty[
+    (SparkSession, String),
+    (VersionedTable, SessionView, java.util.concurrent.atomic.AtomicLong)]
+
+  private def srRows(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("t"), col("value"))
+
+  private def srFixture(s: SparkSession, d: String)
+      : (VersionedTable, SessionView, java.util.concurrent.atomic.AtomicLong) =
+    srCache.synchronized {
+      srCache.getOrElseUpdate((s, d), {
+        val root = graft.Scratch.dir("graft-session-steady")
+        val ev = VersionedTable.create(s, root.resolve("ev").toString,
+          sessionEventsSchema, Map(VersionedTable.PROP_CDF -> "true"))
+        appendClustered(ev, srRows(s, d))
+        val v = buildSessions(ev, root.resolve("v").toString)
+        (ev, v, new java.util.concurrent.atomic.AtomicLong)
+      })
+    }
+
+  private def srPrepare(s: SparkSession, d: String): Unit = {
+    val (ev, _, calls) = srFixture(s, d)
+    netZeroStage(ev, srRows(s, d).filter(col("user_id") % 50 === 0), calls)
+  }
+
+  private def qSessionizeRefresh(s: SparkSession, d: String): DataFrame = {
+    val (ev, v, _) = srFixture(s, d)
+    v.refresh(ev)
+    v.sessions()
+  }
+
+  // --------------------------------------------- q_event_paths_refresh
+  /** STEADY-STATE incremental path-mining cost — [[netZeroStage]]
+    * churn over [[PathsView]]: the timed body is the changed-user
+    * trigram re-derive, the no-op state merge, the chained per-path
+    * AggView refresh off the state CDF, and the O(paths) top-K
+    * readout. */
+  private val prCache = scala.collection.concurrent.TrieMap.empty[
+    (SparkSession, String),
+    (VersionedTable, PathsView, java.util.concurrent.atomic.AtomicLong)]
+
+  private def prFixture(s: SparkSession, d: String)
+      : (VersionedTable, PathsView, java.util.concurrent.atomic.AtomicLong) =
+    prCache.synchronized {
+      prCache.getOrElseUpdate((s, d), {
+        val root = graft.Scratch.dir("graft-paths-steady")
+        val ev = VersionedTable.create(s, root.resolve("ev").toString,
+          eventsSchema, Map(VersionedTable.PROP_CDF -> "true"))
+        appendClustered(ev, eventRows(s, d))
+        val v = buildPaths(ev, root.resolve("v").toString)
+        (ev, v, new java.util.concurrent.atomic.AtomicLong)
+      })
+    }
+
+  private def prPrepare(s: SparkSession, d: String): Unit = {
+    val (ev, _, calls) = prFixture(s, d)
+    netZeroStage(ev, eventRows(s, d).filter(col("user_id") % 50 === 0), calls)
+  }
+
+  private def qEventPathsRefresh(s: SparkSession, d: String): DataFrame = {
+    val (ev, v, _) = prFixture(s, d)
+    v.refresh(ev)
+    v.topPaths()
+  }
+
+  // -------------------------------------------- q_active_users_refresh
+  /** STEADY-STATE DAU/WAU maintenance cost — [[netZeroStage]] churn on
+    * BOTH entry tables of the [[qActiveUsersIncr]] chain: the timed
+    * body is one refresh per chain level (refcount off the entries
+    * CDF, count off the refcount view's CDF — the toggled users'
+    * refcount churn surfaces downstream as cancelling (−1,+1) pairs)
+    * plus the O(days) readout. */
+  private final case class DauFixture(
+      eDay: VersionedTable, eWin: VersionedTable,
+      refDay: AggView, refWin: AggView, dau: AggView, wau: AggView,
+      calls: java.util.concurrent.atomic.AtomicLong)
+
+  private val auCache = scala.collection.concurrent.TrieMap.empty[
+    (SparkSession, String), DauFixture]
+
+  private def auRows(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(col("event_id"), col("user_id"),
+      expr("unix_micros(ts) div 86400000000").as("day"))
+
+  private def auWinRows(e: DataFrame): DataFrame = e.select(col("event_id"),
+    col("user_id"), explode(expr("sequence(day, day + 6)")).as("win_day"))
+
+  private def auFixture(s: SparkSession, d: String): DauFixture =
+    auCache.synchronized {
+      auCache.getOrElseUpdate((s, d), {
+        val root = graft.Scratch.dir("graft-dauwau-steady")
+        val eDay = VersionedTable.create(s, root.resolve("eday").toString,
+          dayEntrySchema, Map(VersionedTable.PROP_CDF -> "true"))
+        val eWin = VersionedTable.create(s, root.resolve("ewin").toString,
+          winEntrySchema, Map(VersionedTable.PROP_CDF -> "true"))
+        val all = auRows(s, d)
+        eDay.append(all)
+        eWin.append(auWinRows(all))
+        val refDay = AggView.build(eDay, root.resolve("refday").toString,
+          Seq("user_id", "day"), Seq.empty)
+        val refWin = AggView.build(eWin, root.resolve("refwin").toString,
+          Seq("user_id", "win_day"), Seq.empty)
+        val dau = AggView.build(refDay.table, root.resolve("dau").toString,
+          Seq("day"), Seq.empty)
+        val wau = AggView.build(refWin.table, root.resolve("wau").toString,
+          Seq("win_day"), Seq.empty)
+        DauFixture(eDay, eWin, refDay, refWin, dau, wau,
+          new java.util.concurrent.atomic.AtomicLong)
+      })
+    }
+
+  private def auPrepare(s: SparkSession, d: String): Unit = {
+    val f = auFixture(s, d)
+    val n = f.calls.getAndIncrement()
+    val delta = auRows(s, d).filter(col("user_id") % 50 === 0)
+      .withColumn("event_id", col("event_id") + lit((n + 1) * STAGE_SHIFT))
+    f.eDay.append(delta)
+    f.eWin.append(auWinRows(delta))
+    f.eDay.deleteWhere(col("event_id") >= STAGE_SHIFT)
+    f.eWin.deleteWhere(col("event_id") >= STAGE_SHIFT)
+  }
+
+  private def qActiveUsersRefresh(s: SparkSession, d: String): DataFrame = {
+    val f = auFixture(s, d)
+    f.refDay.refresh(f.eDay); f.dau.refresh(f.refDay.table)
+    f.refWin.refresh(f.eWin); f.wau.refresh(f.refWin.table)
+    dauReadout(f.dau, f.wau)
+  }
+
+  // -------------------------------------------- q_completeness_refresh
+  /** STEADY-STATE payload-quality maintenance cost — [[netZeroStage]]
+    * churn over the [[qCompletenessIncr]] chain (additive flag AggView
+    * + refcount→count distinct-user chain); timed body = one refresh
+    * per level + the |types|-row readout. */
+  private val coCache = scala.collection.concurrent.TrieMap.empty[
+    (SparkSession, String),
+    (VersionedTable, AggView, AggView, AggView,
+      java.util.concurrent.atomic.AtomicLong)]
+
+  private def coRows(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(col("event_id"), col("event_type"),
+      col("user_id"),
+      when(col("value").isNull, 1).otherwise(0).as("is_vnull"),
+      when(col("props").isNull || col("props") === "", 1).otherwise(0)
+        .as("is_pempty"),
+      when(col("props").like("%\"k\":%"), 1).otherwise(0).as("is_pk"))
+
+  private def coFixture(s: SparkSession, d: String)
+      : (VersionedTable, AggView, AggView, AggView,
+        java.util.concurrent.atomic.AtomicLong) =
+    coCache.synchronized {
+      coCache.getOrElseUpdate((s, d), {
+        val root = graft.Scratch.dir("graft-compl-steady")
+        val t = VersionedTable.create(s, root.resolve("t").toString,
+          complEntrySchema, Map(VersionedTable.PROP_CDF -> "true"))
+        t.append(coRows(s, d))
+        val flags = AggView.build(t, root.resolve("flags").toString,
+          Seq("event_type"),
+          Seq("vnull" -> "CAST(is_vnull AS BIGINT)",
+            "pempty" -> "CAST(is_pempty AS BIGINT)",
+            "pk" -> "CAST(is_pk AS BIGINT)"))
+        val refUsers = AggView.build(t, root.resolve("refu").toString,
+          Seq("event_type", "user_id"), Seq.empty)
+        val users = AggView.build(refUsers.table, root.resolve("users").toString,
+          Seq("event_type"), Seq.empty)
+        (t, flags, refUsers, users,
+          new java.util.concurrent.atomic.AtomicLong)
+      })
+    }
+
+  private def coPrepare(s: SparkSession, d: String): Unit = {
+    val (t, _, _, _, calls) = coFixture(s, d)
+    val n = calls.getAndIncrement()
+    t.append(coRows(s, d).filter(col("user_id") % 50 === 0)
+      .withColumn("event_id", col("event_id") + lit((n + 1) * STAGE_SHIFT)))
+    t.deleteWhere(col("event_id") >= STAGE_SHIFT)
+  }
+
+  private def qCompletenessRefresh(s: SparkSession, d: String): DataFrame = {
+    val (t, flags, refUsers, users, _) = coFixture(s, d)
+    flags.refresh(t)
+    refUsers.refresh(t); users.refresh(refUsers.table)
+    complReadout(flags, users)
+  }
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q_sessionize_incr"    -> qSessionizeIncr _,
     "q_funnel_incr"        -> qFunnelIncr _,
@@ -920,7 +1153,11 @@ object EventStateViews extends QueryModule {
     "q_event_paths_incr"   -> qEventPathsIncr _,
     "q_completeness_incr"  -> qCompletenessIncr _,
     "q_attribution_incr"   -> qAttributionIncr _,
-    "q_attribution_refresh" -> qAttributionRefresh _)
+    "q_attribution_refresh" -> qAttributionRefresh _,
+    "q_sessionize_refresh"   -> qSessionizeRefresh _,
+    "q_event_paths_refresh"  -> qEventPathsRefresh _,
+    "q_active_users_refresh" -> qActiveUsersRefresh _,
+    "q_completeness_refresh" -> qCompletenessRefresh _)
 
   override val oracles: Seq[(String, String)] = Seq(
     // the maintained state must equal the from-scratch batch
@@ -934,10 +1171,19 @@ object EventStateViews extends QueryModule {
     "q_event_paths_incr"   -> qEventPathsIncrSql,
     "q_completeness_incr"  -> qCompletenessIncrSql,
     "q_attribution_incr"   -> qAttributionIncrSql,
-    "q_attribution_refresh" -> qAttributionRefreshSql)
+    "q_attribution_refresh" -> qAttributionRefreshSql,
+    // steady-state rows: net-zero staging ⇒ the full-set batch forms
+    "q_sessionize_refresh"   -> EventWindows.qSessionizeSql,
+    "q_event_paths_refresh"  -> EventWindows.qEventPathsSql,
+    "q_active_users_refresh" -> activeUsersSql(""),
+    "q_completeness_refresh" -> completenessSql(""))
 
   override val prepares: Seq[(String, (SparkSession, String) => Unit)] = Seq(
     "q_funnel_refresh"    -> (frPrepare _),
     "q_retention_refresh" -> (rrPrepare _),
-    "q_attribution_refresh" -> (arPrepare _))
+    "q_attribution_refresh" -> (arPrepare _),
+    "q_sessionize_refresh"   -> (srPrepare _),
+    "q_event_paths_refresh"  -> (prPrepare _),
+    "q_active_users_refresh" -> (auPrepare _),
+    "q_completeness_refresh" -> (coPrepare _))
 }

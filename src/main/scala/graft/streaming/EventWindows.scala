@@ -1629,15 +1629,15 @@ object EventWindows extends QueryModule {
 
   /** Ranked top paths from any `(user_id?, path, n_occ, n_users?)`
     * aggregate — shared by the batch query and the maintained view's
-    * readout. */
-  private[streaming] def rankPaths(byPath: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("n_occurrences").desc, col("path").asc)
-    byPath.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= PATH_K)
-      .select(col("rnk").cast("long").as("rnk"), col("path"),
-        col("n_occurrences"), col("n_users"))
-  }
+    * readout. Top-K + rank via [[graft.operators.RankOps.topK]]
+    * (TakeOrderedAndProject — no single-partition sort of the path
+    * relation, no window at all). */
+  private[streaming] def rankPaths(byPath: DataFrame): DataFrame =
+    graft.operators.RankOps.topK(
+        byPath.select(col("path"), col("n_occurrences"), col("n_users")),
+        PATH_K, Seq(("n_occurrences", false), ("path", true)),
+        rankName = "rnk")
+      .select(col("rnk"), col("path"), col("n_occurrences"), col("n_users"))
 
   private def qEventPaths(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -1648,7 +1648,7 @@ object EventWindows extends QueryModule {
       .agg(sum($"n_occ").as("n_occurrences"),
         count(lit(1)).as("n_users")))
   }
-  private val qEventPathsSql =
+  private[streaming] val qEventPathsSql =
     s"""WITH seqs AS (
       |  SELECT user_id,
       |    list(event_type ORDER BY t, event_id) AS seq
