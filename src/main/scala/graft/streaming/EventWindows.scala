@@ -1826,8 +1826,10 @@ object EventWindows extends QueryModule {
     val ui = Tables.events(s, d)
       .filter($"event_type".isin("view", "click", "purchase"))
       .select($"user_id",
-        from_json($"props", lit("k INT")).getField("k").cast("long")
-          .as("item"))
+        // BIGINT so the Spark parse width matches the oracle's direct
+        // json_extract→BIGINT cast — an item id past INT32 must not be
+        // nulled out on one side only (ADVICE r9)
+        from_json($"props", lit("k BIGINT")).getField("k").as("item"))
       .filter($"item".isNotNull)
       .distinct()
     val nu = ui.agg(countDistinct($"user_id").as("n_users"))

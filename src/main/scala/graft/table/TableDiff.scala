@@ -29,7 +29,17 @@ object TableDiff {
     * @param keyCol   the table's logical key column
     * @param groupCol optional column to break the counts out by; its
     *                 value rides the first/last rows (keys that change
-    *                 groups mid-span report under their final group) */
+    *                 groups mid-span report under their final group)
+    *
+    * Classification is by NET CONTENT: a key whose first and last
+    * images hash equal counts as "reverted" even when the span's only
+    * updates were value-identical rewrites (a touched-but-unchanged
+    * row IS an edit later undone as far as the published content is
+    * concerned). The content hash is `md5(to_json(struct(...)))`,
+    * which omits null fields — stable for a fixed schema, but two
+    * rows differing only in which fields are null can collide; keys
+    * carrying nullable payloads should diff on an explicit content
+    * column instead (ADVICE r9). */
   def fromChanges(changes: DataFrame, keyCol: String,
       groupCol: Option[String]): DataFrame = {
     val hashCols = changes.schema.fieldNames.toSeq

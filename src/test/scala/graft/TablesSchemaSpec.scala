@@ -31,6 +31,43 @@ class TablesSchemaSpec extends SparkSpec {
     assert(lo >= 1990 && hi <= 2100, s"events.ts year range [$lo,$hi] implausible — nanos/micros confusion?")
   }
 
+  test("documents loads with the dtypes every text operator folds over") {
+    import org.apache.spark.sql.types._
+    val df = Tables.documents(spark, sf)
+    val want = Seq("doc_id" -> LongType, "text" -> StringType,
+      "lang" -> StringType, "source" -> StringType, "n_chars" -> LongType)
+    for ((c, t) <- want)
+      assert(df.schema(c).dataType == t,
+        s"documents.$c loaded as ${df.schema(c).dataType}, operators assume $t")
+  }
+
+  test("embeddings loads float-array vectors and integer labels") {
+    import org.apache.spark.sql.types._
+    val df = Tables.embeddings(spark, sf)
+    assert(df.schema("vec_id").dataType == LongType,
+      s"embeddings.vec_id loaded as ${df.schema("vec_id").dataType}")
+    assert(df.schema("embedding").dataType == ArrayType(FloatType),
+      s"embeddings.embedding loaded as ${df.schema("embedding").dataType} — " +
+        "cosine/quantization arithmetic assumes array<float>")
+    assert(df.schema("label").dataType == IntegerType,
+      s"embeddings.label loaded as ${df.schema("label").dataType}")
+  }
+
+  test("lineitem loads with the numeric/date dtypes the pricing rows assume") {
+    import org.apache.spark.sql.types._
+    val df = Tables.lineitem(spark, sf)
+    val want = Seq("l_orderkey" -> LongType, "l_partkey" -> LongType,
+      "l_quantity" -> DoubleType, "l_extendedprice" -> DoubleType,
+      "l_discount" -> DoubleType, "l_returnflag" -> StringType,
+      // loads as NTZ today; a driver regeneration to tz-TIMESTAMP (or
+      // DATE) shifts every shipdate filter under a non-UTC session and
+      // must be re-checked against the date arithmetic, not waved past
+      "l_shipdate" -> TimestampNTZType)
+    for ((c, t) <- want)
+      assert(df.schema(c).dataType == t,
+        s"lineitem.$c loaded as ${df.schema(c).dataType}, operators assume $t")
+  }
+
   test("core tables load non-empty with stable key columns") {
     val expect: Seq[(String, String)] = Seq(
       "lineitem"   -> "l_orderkey",
