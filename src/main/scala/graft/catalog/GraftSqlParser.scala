@@ -26,6 +26,7 @@ import graft.table.VersionedTable
   *   DESCRIBE DETAIL <table>
   *   ANALYZE TABLE <table> [FOR COLUMNS (c1, ...)] [EXACT]
   *   DESCRIBE STATS <table>
+  *   DESCRIBE SHAPE <query>      -- compile-only plan-shape audit rows
   *   CREATE MATERIALIZED VIEW <v> KEYED BY <k> AS
   *     SELECT a.*, b.<c>... FROM <a> a LEFT|INNER JOIN <b> b ON a.<fk> = b.<bk>
   *   CREATE MATERIALIZED VIEW <v> AS
@@ -120,6 +121,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       """(?:\s+FOR\s+COLUMNS\s*\(([^)]*)\))?(\s+EXACT)?\s*;?\s*""").r
   private val DescribeStats =
     """(?is)\s*DESCRIBE\s+STATS\s+(\S+?)\s*;?\s*""".r
+  // DESCRIBE SHAPE <query> — compile (never run) the query and report
+  // the plan-shape facts a 100 TB review reads off .explain: scans with
+  // pushdown/pruning, exchange kinds, join strategies, window
+  // partitioning, codegen spans, and named scale risks
+  private val DescribeShape =
+    """(?is)\s*DESCRIBE\s+SHAPE\s+(.+?)\s*;?\s*""".r
   private val DescribeDiff =
     ("""(?is)\s*DESCRIBE\s+DIFF\s+(\S+?)\s+KEY\s+`?(\w+)`?""" +
       """\s+FROM\s+VERSION\s+(\d+)(?:\s+GROUP\s+BY\s+`?(\w+)`?)?\s*;?\s*""").r
@@ -197,6 +204,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty),
         exact != null)
     case DescribeStats(tbl) => DescribeStatsCommand(tbl)
+    case DescribeShape(inner) => DescribeShapeCommand(inner)
     case DescribeDiff(tbl, key, from, grp) =>
       DescribeDiffCommand(tbl, key, from.toLong, Option(grp))
     case Update(tbl, rest) =>
@@ -728,6 +736,132 @@ case class DropIndexCommand(name: String) extends LeafRunnableCommand {
   }
 }
 
+/** `DESCRIBE SHAPE <query>`: the 100 TB plan audit as a first-class SQL
+  * statement. The inner query is COMPILED, never executed; the result is
+  * one row per plan-shape fact a scale review reads off
+  * `.explain("formatted")` by hand —
+  *
+  *   - `scan`: one row per file scan, detail = the pushed filters and
+  *     the pruned read schema (a scan reading all columns for a
+  *     2-column projection shows up here, path-free and diffable);
+  *   - `exchange`: shuffle counts by partitioning kind (hash / range /
+  *     single-partition) — partition counts are excluded so the shape
+  *     is stable across cluster sizes;
+  *   - `broadcast` / `join`: broadcast exchanges and join strategy
+  *     counts (BroadcastHash vs SortMerge vs nested-loop);
+  *   - `aggregate` / `window` / `codegen`: operator counts, with
+  *     windows split into `partitioned` vs `partition-less`;
+  *   - `risk`: the named scale-killers when present — a partition-less
+  *     window (single-task sort of the whole relation) and a cartesian
+  *     product — so `WHERE category = 'risk'` is an empty-result gate a
+  *     pipeline can assert in CI.
+  *
+  * Shape facts are derived from the fully-prepared physical plan with
+  * adaptive re-planning disabled (subqueries included), so the report
+  * is deterministic for a given query + schema and independent of
+  * runtime statistics. */
+case class DescribeShapeCommand(innerSql: String) extends LeafRunnableCommand {
+  import org.apache.spark.sql.types.StringType
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("category", StringType, nullable = false)(),
+    AttributeReference("node", StringType, nullable = false)(),
+    AttributeReference("n", LongType, nullable = false)(),
+    AttributeReference("detail", StringType, nullable = true)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.catalyst.plans.physical.{
+      HashPartitioning, RangePartitioning, SinglePartition}
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan,
+      WholeStageCodegenExec}
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec,
+      ObjectHashAggregateExec, SortAggregateExec}
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec,
+      ShuffleExchangeExec}
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec,
+      BroadcastNestedLoopJoinExec, CartesianProductExec,
+      ShuffledHashJoinExec, SortMergeJoinExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+
+    // the fully-prepared physical plan (exchanges, codegen spans) with
+    // adaptive re-planning OFF, so the report reflects the static plan
+    // and is deterministic for a given query + schema — runtime stats
+    // never enter; the query is compiled, not executed
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prevAqe = spark.conf.get(aqeKey)
+    val plan =
+      try {
+        spark.conf.set(aqeKey, "false")
+        spark.sql(innerSql).queryExecution.executedPlan
+      } finally spark.conf.set(aqeKey, prevAqe)
+    val nodes: Seq[SparkPlan] = plan.collectWithSubqueries { case p => p }
+
+    val scans = nodes.collect { case f: FileSourceScanExec =>
+      val pushed = f.metadata.getOrElse("PushedFilters", "[]")
+      val schema = f.metadata.getOrElse("ReadSchema", "")
+      s"PushedFilters: $pushed, ReadSchema: $schema"
+    }
+    val exchanges = nodes.collect { case e: ShuffleExchangeExec =>
+      e.outputPartitioning match {
+        case _: HashPartitioning  => "hashpartitioning"
+        case _: RangePartitioning => "rangepartitioning"
+        case SinglePartition      => "singlepartition"
+        case p                    => p.getClass.getSimpleName.toLowerCase
+      }
+    }
+    val joins = nodes.collect {
+      case _: BroadcastHashJoinExec       => "BroadcastHashJoin"
+      case _: SortMergeJoinExec           => "SortMergeJoin"
+      case _: ShuffledHashJoinExec        => "ShuffledHashJoin"
+      case _: BroadcastNestedLoopJoinExec => "BroadcastNestedLoopJoin"
+      case _: CartesianProductExec        => "CartesianProduct"
+    }
+    val aggs = nodes.collect {
+      case _: HashAggregateExec       => "HashAggregate"
+      case _: ObjectHashAggregateExec => "ObjectHashAggregate"
+      case _: SortAggregateExec       => "SortAggregate"
+    }
+    val windows = nodes.collect { case w: WindowExec =>
+      if (w.partitionSpec.isEmpty) "partition-less" else "partitioned"
+    }
+    val nCodegen = nodes.count(_.isInstanceOf[WholeStageCodegenExec])
+    val nBroadcast = nodes.count(_.isInstanceOf[BroadcastExchangeExec])
+
+    def counted(cat: String, xs: Seq[String],
+        detail: String => String = _ => null): Seq[Row] =
+      xs.groupBy(identity).toSeq.map { case (k, v) =>
+        Row(cat, k, v.size.toLong, detail(k))
+      }
+
+    val risks =
+      (if (windows.contains("partition-less"))
+        Seq(Row("risk", "partition-less window",
+          windows.count(_ == "partition-less").toLong,
+          "single-task sort of the full relation")) else Nil) ++
+      (if (joins.contains("CartesianProduct"))
+        Seq(Row("risk", "cartesian product",
+          joins.count(_ == "CartesianProduct").toLong,
+          "output grows as |left| x |right|")) else Nil)
+
+    val rows =
+      scans.groupBy(identity).toSeq.map { case (d, v) =>
+        Row("scan", "FileSourceScan", v.size.toLong, d)
+      } ++
+      counted("exchange", exchanges) ++
+      (if (nBroadcast > 0)
+        Seq(Row("broadcast", "BroadcastExchange", nBroadcast.toLong, null))
+      else Nil) ++
+      counted("join", joins) ++
+      counted("aggregate", aggs) ++
+      counted("window", windows) ++
+      (if (nCodegen > 0)
+        Seq(Row("codegen", "WholeStageCodegen", nCodegen.toLong, null))
+      else Nil) ++
+      risks
+    rows.sortBy(r => (r.getString(0), r.getString(1),
+      Option(r.getString(3)).getOrElse("")))
+  }
+}
+
 /** Runs a graft SQL statement without requiring the session to be built
   * with `spark.sql.extensions` (Verify and library callers on a plain
   * session): statements the [[GraftSqlParser]] grammar owns execute
@@ -742,7 +876,8 @@ object GraftSql {
                 _: CreateIndexCommand | _: RefreshIndexCommand |
                 _: ReindexCommand | _: DescribeIndexCommand |
                 _: DropIndexCommand | _: AnalyzeCommand |
-                _: DescribeStatsCommand | _: DescribeDiffCommand) =>
+                _: DescribeStatsCommand | _: DescribeDiffCommand |
+                _: DescribeShapeCommand) =>
         c.asInstanceOf[LeafRunnableCommand].run(spark)
       case _ => spark.sql(sqlText).collect().toSeq
     }

@@ -796,7 +796,36 @@ object Relational extends QueryModule {
       | AND l.event_type = 'error' AND r.event_type = 'click'
       | AND abs(epoch_us(l.ts) - epoch_us(r.ts)) <= $BAND_TOL_US""".stripMargin
 
+  // ------------------------------------------------------ q_plan_shape
+  /** The `DESCRIBE SHAPE` statement over a canonical star-join
+    * aggregate: filtered fact scan (pushed predicate + pruned schema),
+    * broadcast dimension join, two-phase hash aggregate. The oracle is
+    * the EXPECTED shape as literal rows, which makes this a cross-
+    * engine-checked plan-regression tripwire: if pushdown, pruning,
+    * broadcast choice, or the shuffle count ever drifts, the row
+    * hash-fails the round. Shape facts exclude partition counts and
+    * paths, so the result is identical across sf dirs and cluster
+    * sizes ([[graft.catalog.DescribeShapeCommand]]). */
+  private def qPlanShape(s: SparkSession, d: String): DataFrame = {
+    customer(s, d).createOrReplaceTempView("shape_customer")
+    nation(s, d).createOrReplaceTempView("shape_nation")
+    val rows = graft.catalog.GraftSql.execute(s,
+      """DESCRIBE SHAPE
+        |SELECT n.n_name, count(*) AS n_cust
+        |FROM shape_customer c
+        |JOIN shape_nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE c.c_acctbal > 0 GROUP BY n.n_name""".stripMargin)
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("category", StringType, nullable = false),
+      StructField("node", StringType, nullable = false),
+      StructField("n", LongType, nullable = false),
+      StructField("detail", StringType, nullable = true)))
+    s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
+  }
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q_plan_shape"        -> qPlanShape _,
     "q_abc_analysis"      -> qAbcAnalysis _,
     "q1_pricing_summary"  -> q1 _,
     "q2_filter_project"   -> q2 _,
@@ -830,7 +859,29 @@ object Relational extends QueryModule {
     "q_range_frame"       -> qRangeFrame _,
     "q_grouping_sets"     -> qGroupingSets _)
 
+  /** The EXPECTED plan shape as literal rows — the oracle side of the
+    * q_plan_shape regression tripwire (see [[qPlanShape]]): pushdown,
+    * pruning, broadcast choice, shuffle count, codegen spans. */
+  private val qPlanShapeSql =
+    """SELECT * FROM (VALUES
+      |  ('aggregate', 'HashAggregate', CAST(2 AS BIGINT),
+      |   CAST(NULL AS VARCHAR)),
+      |  ('broadcast', 'BroadcastExchange', CAST(1 AS BIGINT),
+      |   CAST(NULL AS VARCHAR)),
+      |  ('codegen', 'WholeStageCodegen', CAST(3 AS BIGINT),
+      |   CAST(NULL AS VARCHAR)),
+      |  ('exchange', 'hashpartitioning', CAST(1 AS BIGINT),
+      |   CAST(NULL AS VARCHAR)),
+      |  ('join', 'BroadcastHashJoin', CAST(1 AS BIGINT),
+      |   CAST(NULL AS VARCHAR)),
+      |  ('scan', 'FileSourceScan', CAST(1 AS BIGINT),
+      |   'PushedFilters: [IsNotNull(c_acctbal), GreaterThan(c_acctbal,0.0), IsNotNull(c_nationkey)], ReadSchema: struct<c_nationkey:int,c_acctbal:double>'),
+      |  ('scan', 'FileSourceScan', CAST(1 AS BIGINT),
+      |   'PushedFilters: [IsNotNull(n_nationkey)], ReadSchema: struct<n_nationkey:int,n_name:string>')
+      |) AS t(category, node, n, detail)""".stripMargin
+
   override val oracles: Seq[(String, String)] = Seq(
+    "q_plan_shape"        -> qPlanShapeSql,
     "q_abc_analysis"      -> qAbcAnalysisSql,
     "q1_pricing_summary"  -> q1Sql,
     "q2_filter_project"   -> q2Sql,

@@ -433,4 +433,47 @@ class GraftSqlParserSpec extends SparkSpec {
       VersionedTable.deleteRecursively(base)
     }
   }
+
+  test("DESCRIBE SHAPE: risk rows name the scale-killers; clean plans have none") {
+    import spark.implicits._
+    (1 to 100).map(i => (i.toLong, i % 7)).toDF("id", "v")
+      .createOrReplaceTempView("shape_t")
+
+    // a partition-less window is flagged
+    val risky = GraftSql.execute(spark,
+      "DESCRIBE SHAPE SELECT id, row_number() OVER (ORDER BY id) AS rn FROM shape_t")
+    assert(risky.exists(r => r.getString(0) == "risk" &&
+      r.getString(1) == "partition-less window"), risky.mkString("\n"))
+    assert(risky.exists(r => r.getString(0) == "window" &&
+      r.getString(1) == "partition-less"))
+
+    // a cartesian product is flagged (broadcast disabled so the tiny
+    // test table doesn't plan the benign BroadcastNestedLoop instead)
+    val bThr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val cart =
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        GraftSql.execute(spark,
+          "DESCRIBE SHAPE SELECT a.id FROM shape_t a CROSS JOIN shape_t b")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bThr)
+    assert(cart.exists(r => r.getString(0) == "risk" &&
+      r.getString(1) == "cartesian product"), cart.mkString("\n"))
+
+    // a partitioned window + aggregate plan carries NO risk rows and
+    // reports its single hash shuffle
+    val clean = GraftSql.execute(spark,
+      """DESCRIBE SHAPE SELECT v, count(*) AS n,
+        |  max(id) AS m FROM shape_t GROUP BY v""".stripMargin)
+    assert(!clean.exists(_.getString(0) == "risk"), clean.mkString("\n"))
+    assert(clean.exists(r => r.getString(0) == "exchange" &&
+      r.getString(1) == "hashpartitioning" && r.getLong(2) == 1L))
+
+    // compile-only: a query over a missing view fails fast with the
+    // analyzer's error, not an execution error
+    intercept[Exception] {
+      GraftSql.execute(spark, "DESCRIBE SHAPE SELECT * FROM no_such_view_xyz")
+    }
+    // AQE setting is restored afterwards
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
+  }
 }

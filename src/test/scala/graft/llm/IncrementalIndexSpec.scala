@@ -274,4 +274,54 @@ class IncrementalIndexSpec extends SparkSpec {
       "REINDEX restores planted-neighbor recall for the shifted family")
     VersionedTable.deleteRecursively(base)
   }
+
+  test("streaming maintenance drives a multi-family index fleet exactly-once") {
+    // the realistic deployment: ONE corpus stream keeps an IVF, a PQ,
+    // and an SQ8 index current together — one checkpointed drain, one
+    // refresh thunk covering all three families (each family's own
+    // txn watermark makes the composite refresh idempotent per index)
+    graft.functions.GraftFunctions.register(spark)
+    val base = Files.createTempDirectory("fleet-index")
+    val src = VersionedTable.create(spark, s"$base/src", srcSchema,
+      Map(VersionedTable.PROP_CDF -> "true"))
+    val corpus = Tables.embeddings(spark, sf).filter($"vec_id" >= 8)
+    src.append(corpus.filter($"vec_id" % 2 === 0))
+    val ivf = VectorIndex.build(src, s"$base/ivf")
+    val pq = PqIndex.build(src, s"$base/pq")
+    val sq8 = Sq8Index.build(src, s"$base/sq8")
+    def refreshAll(): Option[Long] = {
+      val rs = Seq(ivf.refresh(src), pq.refresh(src), sq8.refresh(src))
+      rs.flatten.lastOption
+    }
+
+    src.append(corpus.filter($"vec_id" % 2 === 1))
+    graft.streaming.CdcStreams
+      .startIndexMaintenance(spark, src, () => refreshAll(), s"$base/_cp")
+      .awaitTermination()
+    val n = corpus.count()
+    assert(ivf.table.snapshot().count() === n)
+    assert(pq.table.snapshot().count() === n)
+    assert(sq8.table.snapshot().count() === n)
+
+    // idempotent restart: no new version on ANY family
+    def versions() =
+      Seq(ivf.table.latestVersion, pq.table.latestVersion,
+        sq8.table.latestVersion)
+    val vs = versions()
+    graft.streaming.CdcStreams
+      .startIndexMaintenance(spark, src, () => refreshAll(), s"$base/_cp")
+      .awaitTermination()
+    assert(versions() === vs)
+
+    // a delete drains into all three on the next cycle
+    val victim = corpus.orderBy($"vec_id").limit(1)
+      .select($"vec_id").as[Long].head()
+    src.deleteWhere($"vec_id" === victim)
+    graft.streaming.CdcStreams
+      .startIndexMaintenance(spark, src, () => refreshAll(), s"$base/_cp")
+      .awaitTermination()
+    for (t <- Seq(ivf.table, pq.table, sq8.table))
+      assert(t.snapshot().filter($"vec_id" === victim).count() === 0L)
+    VersionedTable.deleteRecursively(base)
+  }
 }
