@@ -281,13 +281,17 @@ object SelectionOps extends QueryModule {
     * scale. Integer arithmetic end-to-end. */
   private def qBudgetSelect(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val docs = documents(s, d).select($"doc_id",
-      expr("""CAST(size(filter(split(lower(text), ' '),
-           |  t -> length(t) > 0)) AS BIGINT)""".stripMargin).as("n_tok"),
-      expr("""CAST(size(array_distinct(filter(split(lower(text), ' '),
-           |  t -> length(t) > 0))) AS BIGINT)""".stripMargin).as("n_distinct"))
-      .withColumn("density_ppm",
-        expr("n_distinct * 1000000L div greatest(n_tok, 1L)"))
+    // staged once: the ranking passes read the 3-column per-doc stats
+    // from scratch parquet instead of re-running the HOF tokenization
+    val docs = graft.operators.RankOps.staged(
+      documents(s, d).select($"doc_id",
+        expr("""CAST(size(filter(split(lower(text), ' '),
+             |  t -> length(t) > 0)) AS BIGINT)""".stripMargin).as("n_tok"),
+        expr("""CAST(size(array_distinct(filter(split(lower(text), ' '),
+             |  t -> length(t) > 0))) AS BIGINT)""".stripMargin).as("n_distinct"))
+        .withColumn("density_ppm",
+          expr("n_distinct * 1000000L div greatest(n_tok, 1L)")),
+      "budget-docs")
     val budget = docs.agg(expr("sum(n_tok) div 5").as("budget"))
     graft.operators.RankOps.withGlobalOrder(docs,
         $"density_ppm", ascending = false, tiebreaks = Seq($"doc_id"),

@@ -1184,9 +1184,13 @@ object TextOps extends QueryModule {
     // exact-rank primitive (bucketed sort — no single-partition window
     // even at 10⁸-term vocabularies), not a top-K
     val uc = graft.operators.RankOps.withGlobalOrder(
-      withTokens(documents(s, d))
-        .select(explode($"tokens").as("w")).filter(length($"w") > 0)
-        .groupBy($"w").agg(count(lit(1)).as("c")),
+      // staged once: the ranking passes read the |vocab|-row count
+      // table from scratch parquet instead of re-tokenizing the corpus
+      graft.operators.RankOps.staged(
+        withTokens(documents(s, d))
+          .select(explode($"tokens").as("w")).filter(length($"w") > 0)
+          .groupBy($"w").agg(count(lit(1)).as("c")),
+        "zipf-vocab"),
       $"c", ascending = false, tiebreaks = Seq($"w"),
       rowNumCol = Some("rnk"))
     val pts = uc.select(

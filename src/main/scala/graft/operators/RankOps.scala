@@ -159,6 +159,21 @@ object RankOps {
     out.drop(temps: _*)
   }
 
+  /** Stage a (typically pre-aggregated) relation to scratch parquet
+    * once and return a reader over it — the checkpoint-before-
+    * multi-pass move for [[withGlobalOrder]] inputs whose COMPUTATION
+    * is expensive: the primitive's three passes (boundary probe,
+    * bucket stats, main) would otherwise re-run the upstream
+    * aggregation three times. At scale this is exactly how a feature
+    * table feeds a ranking stage — materialized once, scanned
+    * cheaply per pass. Use for computed inputs; inputs that are
+    * already a column projection of a parquet table gain nothing. */
+  def staged(df: DataFrame, label: String): DataFrame = {
+    val dir = graft.Scratch.dir(s"graft-rank-$label").resolve("t").toString
+    df.write.parquet(dir)
+    df.sparkSession.read.parquet(dir)
+  }
+
   /** Exact, ranked global top-`k` with NO window anywhere: the top-K
     * itself is `orderBy(...).limit(k)` — Catalyst plans
     * `TakeOrderedAndProject`, a per-partition top-K followed by a

@@ -685,11 +685,15 @@ object Relational extends QueryModule {
     * large to sort in one partition. */
   private def qAbcAnalysis(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val rev = lineitem(s, d)
-      .select($"l_partkey",
-        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
-      .groupBy($"l_partkey")
-      .agg(sum($"cents").as("rev_cents"))
+    // staged once: ranking passes and the total read the |parts|-row
+    // revenue table from scratch parquet, not the lineitem aggregation
+    val rev = graft.operators.RankOps.staged(
+      lineitem(s, d)
+        .select($"l_partkey",
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+        .groupBy($"l_partkey")
+        .agg(sum($"cents").as("rev_cents")),
+      "abc-rev")
     val total = rev.agg(sum($"rev_cents").as("total_cents"))
     graft.operators.RankOps.withGlobalOrder(rev,
         $"rev_cents", ascending = false, tiebreaks = Seq($"l_partkey"),

@@ -764,14 +764,19 @@ object EventWindows extends QueryModule {
       unix_micros($"ts").as("t"),
       expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
     val anchor = ev.agg(max($"t").as("t_end"))
-    val users = ev.filter($"event_type" === "purchase")
-      .crossJoin(broadcast(anchor))
-      .groupBy($"user_id")
-      .agg(
-        expr(s"CAST((max(t_end) - max(t)) div ${DAY_US}L AS BIGINT)")
-          .as("recency_days"),
-        count(lit(1)).as("frequency"),
-        sum($"cents").as("monetary_cents"))
+    // staged once: the three per-feature ranking passes (and the final
+    // scoring join) read the |users|-row feature table from scratch
+    // parquet instead of re-aggregating the events corpus each time
+    val users = graft.operators.RankOps.staged(
+      ev.filter($"event_type" === "purchase")
+        .crossJoin(broadcast(anchor))
+        .groupBy($"user_id")
+        .agg(
+          expr(s"CAST((max(t_end) - max(t)) div ${DAY_US}L AS BIGINT)")
+            .as("recency_days"),
+          count(lit(1)).as("frequency"),
+          sum($"cents").as("monetary_cents")),
+      "rfm-users")
     // tercile cut VALUES per feature: rank the users once per feature,
     // pick the values at ranks ceil(n/3) and ceil(2n/3)
     def cuts(c: String, asc: Boolean) = {
@@ -1227,10 +1232,15 @@ object EventWindows extends QueryModule {
     val ev = Tables.events(s, d)
       .select($"user_id", $"event_type",
         expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
-    val perUser = ev.groupBy($"user_id")
-      .agg(sum(when($"event_type" === "purchase", $"cents")
-          .otherwise(0L)).as("revenue_cents"),
-        count(lit(1)).as("n_events"))
+    // staged once: three ranking passes per metric read the 2-column
+    // feature table from scratch parquet instead of re-aggregating the
+    // events corpus each time
+    val perUser = graft.operators.RankOps.staged(
+      ev.groupBy($"user_id")
+        .agg(sum(when($"event_type" === "purchase", $"cents")
+            .otherwise(0L)).as("revenue_cents"),
+          count(lit(1)).as("n_events")),
+      "gini-users")
     def gini(df: DataFrame, xCol: String, metric: String): DataFrame = {
       graft.operators.RankOps.withGlobalOrder(
           df.select(col("user_id"), col(xCol).as("x")),
