@@ -414,12 +414,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"no all-pairs:\n$p")
   }
 
-  test("ABC analysis: one corpus aggregate, total broadcast, window on catalog") {
+  test("ABC analysis: ranking reads the staged revenue table, total broadcasts") {
+    // the lineitem aggregation runs ONCE into the staged parquet; the
+    // ranking plan itself scans only the |parts|-row (partkey, revenue)
+    // relation
     val p = plan("q_abc_analysis")
-    assert(p.contains("ReadSchema: struct<l_partkey:bigint,l_extendedprice:double>"),
-      s"scan must prune to partkey+price:\n$p")
+    assert(p.contains("ReadSchema: struct<l_partkey:bigint,rev_cents:bigint>"),
+      s"ranking must scan the staged 2-column revenue table:\n$p")
     assert(p.contains("BroadcastExchange"),
       s"the 1-row total must broadcast:\n$p")
+    assert(!p.contains("l_extendedprice"),
+      s"the corpus aggregation must not re-run inside the ranking plan:\n$p")
   }
 
   test("data split is a shuffle-free pruned scan") {
