@@ -291,7 +291,7 @@ object SelectionOps extends QueryModule {
              |  t -> length(t) > 0))) AS BIGINT)""".stripMargin).as("n_distinct"))
         .withColumn("density_ppm",
           expr("n_distinct * 1000000L div greatest(n_tok, 1L)")),
-      "budget-docs")
+      "budget-docs", d)
     val budget = docs.agg(expr("sum(n_tok) div 5").as("budget"))
     graft.operators.RankOps.withGlobalOrder(docs,
         $"density_ppm", ascending = false, tiebreaks = Seq($"doc_id"),

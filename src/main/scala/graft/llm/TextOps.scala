@@ -1190,7 +1190,7 @@ object TextOps extends QueryModule {
         withTokens(documents(s, d))
           .select(explode($"tokens").as("w")).filter(length($"w") > 0)
           .groupBy($"w").agg(count(lit(1)).as("c")),
-        "zipf-vocab"),
+        "zipf-vocab", d),
       $"c", ascending = false, tiebreaks = Seq($"w"),
       rowNumCol = Some("rnk"))
     val pts = uc.select(

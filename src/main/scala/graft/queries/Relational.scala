@@ -693,7 +693,7 @@ object Relational extends QueryModule {
           expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
         .groupBy($"l_partkey")
         .agg(sum($"cents").as("rev_cents")),
-      "abc-rev")
+      "abc-rev", d)
     val total = rev.agg(sum($"rev_cents").as("total_cents"))
     graft.operators.RankOps.withGlobalOrder(rev,
         $"rev_cents", ascending = false, tiebreaks = Seq($"l_partkey"),
@@ -813,12 +813,29 @@ object Relational extends QueryModule {
   private def qPlanShape(s: SparkSession, d: String): DataFrame = {
     customer(s, d).createOrReplaceTempView("shape_customer")
     nation(s, d).createOrReplaceTempView("shape_nation")
-    val rows = graft.catalog.GraftSql.execute(s,
-      """DESCRIBE SHAPE
-        |SELECT n.n_name, count(*) AS n_cust
-        |FROM shape_customer c
-        |JOIN shape_nation n ON c.c_nationkey = n.n_nationkey
-        |WHERE c.c_acctbal > 0 GROUP BY n.n_name""".stripMargin)
+    // pin the session confs the EXPECTED literal shape assumes (the
+    // broadcast-size threshold behind the BroadcastHashJoin row and
+    // whole-stage codegen behind the span count) around the compile,
+    // the way DescribeShapeCommand itself pins AQE off — so only real
+    // plan regressions trip the oracle, never a legitimate session
+    // conf difference
+    val pins = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "10485760",
+      "spark.sql.codegen.wholeStage" -> "true")
+    val prev = pins.map { case (k, _) => k -> s.conf.getOption(k) }
+    val rows =
+      try {
+        pins.foreach { case (k, v) => s.conf.set(k, v) }
+        graft.catalog.GraftSql.execute(s,
+          """DESCRIBE SHAPE
+            |SELECT n.n_name, count(*) AS n_cust
+            |FROM shape_customer c
+            |JOIN shape_nation n ON c.c_nationkey = n.n_nationkey
+            |WHERE c.c_acctbal > 0 GROUP BY n.n_name""".stripMargin)
+      } finally prev.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None)    => s.conf.unset(k)
+      }
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     val schema = StructType(Seq(
       StructField("category", StringType, nullable = false),
@@ -828,8 +845,46 @@ object Relational extends QueryModule {
     s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
   }
 
+  // ------------------------------------------------------ q_global_rank
+  /** The `GLOBAL RANK` SQL statement ([[graft.catalog
+    * .GlobalRankStatement]]) end-to-end: customers ranked by exact
+    * account-balance cents, with tie-aware rank, total-ordered row
+    * number, inclusive running sum, and corpus count — all four output
+    * families in one statement. The plan is RankOps' bucketed
+    * distributed sort (a parser spec pins zero partition-less Window
+    * nodes); the oracle states the equivalent DuckDB window forms, so
+    * the SQL front-end, the distributed primitive, and a real window
+    * engine must agree bit-for-bit. Balances are compared in integer
+    * cents (exact on both engines). */
+  private def qGlobalRankSql(s: SparkSession, d: String): DataFrame = {
+    customer(s, d).createOrReplaceTempView("grank_customer")
+    val plan = new graft.catalog.GraftSqlParser(s.sessionState.sqlParser)
+      .parsePlan(
+        """GLOBAL RANK bal_rank ROW_NUMBER rn
+          |  RUNNING SUM(cents) AS cum_cents COUNT n_cust
+          |FROM (SELECT c_custkey,
+          |        CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+          |      FROM grank_customer)
+          |ORDER BY cents DESC TIEBREAK c_custkey""".stripMargin)
+    org.apache.spark.sql.graftshim.SparkInternals.ofRows(s, plan)
+  }
+  private val qGlobalRankSqlOracle =
+    """WITH c AS (SELECT c_custkey,
+      |             CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+      |           FROM customer)
+      |SELECT c_custkey, cents,
+      |  CAST(rank() OVER (ORDER BY cents DESC) AS BIGINT) AS bal_rank,
+      |  CAST(row_number() OVER (ORDER BY cents DESC, c_custkey)
+      |    AS BIGINT) AS rn,
+      |  CAST(sum(cents) OVER (ORDER BY cents DESC, c_custkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS BIGINT) AS cum_cents,
+      |  CAST(count(*) OVER () AS BIGINT) AS n_cust
+      |FROM c""".stripMargin
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q_plan_shape"        -> qPlanShape _,
+    "q_global_rank"       -> qGlobalRankSql _,
     "q_abc_analysis"      -> qAbcAnalysis _,
     "q1_pricing_summary"  -> q1 _,
     "q2_filter_project"   -> q2 _,
@@ -886,6 +941,7 @@ object Relational extends QueryModule {
 
   override val oracles: Seq[(String, String)] = Seq(
     "q_plan_shape"        -> qPlanShapeSql,
+    "q_global_rank"       -> qGlobalRankSqlOracle,
     "q_abc_analysis"      -> qAbcAnalysisSql,
     "q1_pricing_summary"  -> q1Sql,
     "q2_filter_project"   -> q2Sql,

@@ -776,7 +776,7 @@ object EventWindows extends QueryModule {
             .as("recency_days"),
           count(lit(1)).as("frequency"),
           sum($"cents").as("monetary_cents")),
-      "rfm-users")
+      "rfm-users", d)
     // tercile cut VALUES per feature: rank the users once per feature,
     // pick the values at ranks ceil(n/3) and ceil(2n/3)
     def cuts(c: String, asc: Boolean) = {
@@ -1240,7 +1240,7 @@ object EventWindows extends QueryModule {
         .agg(sum(when($"event_type" === "purchase", $"cents")
             .otherwise(0L)).as("revenue_cents"),
           count(lit(1)).as("n_events")),
-      "gini-users")
+      "gini-users", d)
     def gini(df: DataFrame, xCol: String, metric: String): DataFrame = {
       graft.operators.RankOps.withGlobalOrder(
           df.select(col("user_id"), col(xCol).as("x")),
