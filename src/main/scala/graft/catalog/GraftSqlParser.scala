@@ -27,6 +27,11 @@ import graft.table.VersionedTable
   *   ANALYZE TABLE <table> [FOR COLUMNS (c1, ...)] [EXACT]
   *   DESCRIBE STATS <table>
   *   DESCRIBE SHAPE <query>      -- compile-only plan-shape audit rows
+  *   GLOBAL RANK <col> ... FROM <t> ORDER BY <k>  -- distributed exact
+  *                      -- global rank/row_number/running sums
+  *                      -- ([[GlobalRankStatement]]) — the SQL fix for
+  *                      -- the partition-less-window risk DESCRIBE
+  *                      -- SHAPE reports
   *   CREATE MATERIALIZED VIEW <v> KEYED BY <k> AS
   *     SELECT a.*, b.<c>... FROM <a> a LEFT|INNER JOIN <b> b ON a.<fk> = b.<bk>
   *   CREATE MATERIALIZED VIEW <v> AS
@@ -127,6 +132,17 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   // partitioning, codegen spans, and named scale risks
   private val DescribeShape =
     """(?is)\s*DESCRIBE\s+SHAPE\s+(.+?)\s*;?\s*""".r
+  // GLOBAL RANK <col> [ROW_NUMBER <col>] [RUNNING SUM(<e>) AS <col>]…
+  //   [COUNT <col>] FROM <table|(query)> ORDER BY <key> [ASC|DESC]
+  //   [TIEBREAK <c1>, …]
+  // — exact corpus-scale rank/row_number/running sums with NO
+  // partition-less window in the plan ([[GlobalRankStatement]]): the
+  // SQL route into graft.operators.RankOps.withGlobalOrder. A plain
+  // `rank() OVER (ORDER BY …)` funnels the relation through one task
+  // (DESCRIBE SHAPE names it as a `risk` row); this statement is the
+  // fix the audit points at.
+  private val GlobalRank =
+    """(?is)\s*GLOBAL\s+RANK\s+(.+?)\s*;?\s*""".r
   private val DescribeDiff =
     ("""(?is)\s*DESCRIBE\s+DIFF\s+(\S+?)\s+KEY\s+`?(\w+)`?""" +
       """\s+FROM\s+VERSION\s+(\d+)(?:\s+GROUP\s+BY\s+`?(\w+)`?)?\s*;?\s*""").r
@@ -205,6 +221,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         exact != null)
     case DescribeStats(tbl) => DescribeStatsCommand(tbl)
     case DescribeShape(inner) => DescribeShapeCommand(inner)
+    case GlobalRank(spec) => GlobalRankStatement.plan(spec)
     case DescribeDiff(tbl, key, from, grp) =>
       DescribeDiffCommand(tbl, key, from.toLong, Option(grp))
     case Update(tbl, rest) =>
@@ -768,7 +785,22 @@ case class DescribeShapeCommand(innerSql: String) extends LeafRunnableCommand {
     AttributeReference("n", LongType, nullable = false)(),
     AttributeReference("detail", StringType, nullable = true)())
 
-  override def run(spark: SparkSession): Seq[Row] = {
+  override def run(spark: SparkSession): Seq[Row] =
+    PlanShape.ofDf(spark, spark.sql(innerSql))
+}
+
+/** The plan-shape audit core behind [[DescribeShapeCommand]], exposed
+  * as a library call so CI can run the SAME audit over DataFrames the
+  * query API built (the surface-wide risk gate — VERDICT r10 #2 —
+  * iterates every `SparkEntry.queries` entry through [[ofDf]] and
+  * asserts zero `risk` rows). */
+object PlanShape {
+  /** Audit `df`'s fully-prepared physical plan. `df` is BY-NAME and
+    * constructed under adaptive-re-planning-off so the cached
+    * queryExecution reflects the static plan — deterministic for a
+    * given query + schema; the query is compiled, never executed. */
+  def ofDf(spark: SparkSession,
+      df: => org.apache.spark.sql.DataFrame): Seq[Row] = {
     import org.apache.spark.sql.catalyst.plans.physical.{
       HashPartitioning, RangePartitioning, SinglePartition}
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan,
@@ -791,7 +823,7 @@ case class DescribeShapeCommand(innerSql: String) extends LeafRunnableCommand {
     val plan =
       try {
         spark.conf.set(aqeKey, "false")
-        spark.sql(innerSql).queryExecution.executedPlan
+        df.queryExecution.executedPlan
       } finally spark.conf.set(aqeKey, prevAqe)
     val nodes: Seq[SparkPlan] = plan.collectWithSubqueries { case p => p }
 
@@ -859,6 +891,123 @@ case class DescribeShapeCommand(innerSql: String) extends LeafRunnableCommand {
       risks
     rows.sortBy(r => (r.getString(0), r.getString(1),
       Option(r.getString(3)).getOrElse("")))
+  }
+}
+
+/** `GLOBAL RANK` — the SQL surface of
+  * [[graft.operators.RankOps.withGlobalOrder]] (VERDICT r10 #7): exact
+  * tie-aware rank, row_number, inclusive running sums, and total count
+  * over the global order of an arbitrarily large relation, planned as
+  * a bucketed DISTRIBUTED sort — never the single-partition WindowExec
+  * a plain `rank() OVER (ORDER BY …)` compiles to.
+  *
+  * {{{
+  *   GLOBAL RANK <rankCol>
+  *     [ROW_NUMBER <col>]
+  *     [RUNNING SUM(<expr>) AS <col>]...
+  *     [COUNT <col>]
+  *   FROM <table-or-view | (subquery)>
+  *   ORDER BY <keyExpr> [ASC|DESC]
+  *   [TIEBREAK <c1>[, <c2>...]]
+  * }}}
+  *
+  * Semantics match the window forms exactly: `<rankCol>` is
+  * `rank() OVER (ORDER BY key)` (ties on the primary key only);
+  * `ROW_NUMBER` / `RUNNING SUM` follow `ORDER BY key, tiebreaks` and
+  * need TIEBREAK columns that make the order total to be
+  * deterministic; `COUNT` is `count(*) OVER ()`. The leading key must
+  * be non-null and numeric-castable (RankOps contract).
+  *
+  * Parsing is EAGER in one respect: building the plan runs the
+  * primitive's one boundary-sketch job at parse time (the RankOps
+  * eager-bounds contract — both downstream passes must provably share
+  * one literal set of range boundaries). */
+object GlobalRankStatement {
+  import org.apache.spark.sql.functions.expr
+  import GraftSqlParser.{topLevelIndexOfWord, topLevelSplit}
+
+  private val RowNumR = """(?is)^ROW_NUMBER\s+`?(\w+)`?\s*(.*)$""".r
+  private val CntR = """(?is)^COUNT\s+`?(\w+)`?\s*(.*)$""".r
+  private val SumStartR = """(?is)^RUNNING\s+SUM\s*\(.*""".r
+  private val AsR = """(?is)^\s*AS\s+`?(\w+)`?\s*(.*)$""".r
+  private val AscDescR = """(?is)^(.+?)\s+(ASC|DESC)\s*$""".r
+
+  /** Output-column clauses after the rank column: ROW_NUMBER /
+    * RUNNING SUM (repeatable, parens balanced by scan) / COUNT. */
+  private def parseClauses(
+      rest0: String): (Option[String], Seq[(String, String)], Option[String]) = {
+    var rest = rest0.trim
+    var rn: Option[String] = None
+    var cnt: Option[String] = None
+    val sums = Seq.newBuilder[(String, String)]
+    while (rest.nonEmpty) rest match {
+      case RowNumR(c, r) => rn = Some(c); rest = r
+      case CntR(c, r) => cnt = Some(c); rest = r
+      case _ if SumStartR.matches(rest) =>
+        val open = rest.indexOf('(')
+        var depth = 0; var i = open; var close = -1
+        while (i < rest.length && close < 0) {
+          rest.charAt(i) match {
+            case '(' => depth += 1
+            case ')' => depth -= 1; if (depth == 0) close = i
+            case _ =>
+          }
+          i += 1
+        }
+        require(close > open, s"unbalanced parens in RUNNING SUM: $rest")
+        val e = rest.substring(open + 1, close)
+        rest.substring(close + 1) match {
+          case AsR(name, r) => sums += ((e, name)); rest = r
+          case other => throw new IllegalArgumentException(
+            s"expected AS <name> after RUNNING SUM(...), got: '$other'")
+        }
+      case other => throw new IllegalArgumentException(
+        s"unrecognized GLOBAL RANK clause: '$other'")
+    }
+    (rn, sums.result(), cnt)
+  }
+
+  /** Parses the statement body (everything after `GLOBAL RANK`) and
+    * returns the logical plan of the RankOps-built DataFrame. */
+  def plan(spec: String): LogicalPlan = {
+    val spark = SparkSession.active
+    val iFrom = topLevelIndexOfWord(spec, "FROM")
+    require(iFrom > 0, "GLOBAL RANK requires a FROM clause")
+    val head = spec.substring(0, iFrom).trim
+    val afterFrom = spec.substring(iFrom + "FROM".length).trim
+    val iOrder = topLevelIndexOfWord(afterFrom, "ORDER")
+    require(iOrder > 0, "GLOBAL RANK requires an ORDER BY clause")
+    val src = afterFrom.substring(0, iOrder).trim
+    val tail = afterFrom.substring(iOrder)
+      .replaceFirst("(?is)^ORDER\\s+BY\\s+", "")
+    val iTie = topLevelIndexOfWord(tail, "TIEBREAK")
+    val (orderPart, tiePart) =
+      if (iTie >= 0)
+        (tail.substring(0, iTie).trim,
+          tail.substring(iTie + "TIEBREAK".length).trim)
+      else (tail.trim, "")
+    val (keyExpr, asc) = orderPart match {
+      case AscDescR(e, dir) => (e.trim, dir.equalsIgnoreCase("ASC"))
+      case e => (e.trim, true)
+    }
+    val tiebreaks = if (tiePart.isEmpty) Nil
+      else topLevelSplit(tiePart, ',').map(_.trim).filter(_.nonEmpty)
+    val headParts = head.split("\\s+", 2)
+    val rankCol = headParts.head.stripPrefix("`").stripSuffix("`")
+    val (rnCol, sums, cntCol) =
+      parseClauses(if (headParts.length > 1) headParts(1) else "")
+    val df =
+      if (src.startsWith("(")) {
+        require(src.endsWith(")"),
+          s"GLOBAL RANK subquery must be fully parenthesized: $src")
+        spark.sql(src.substring(1, src.length - 1))
+      } else spark.table(GraftSqlParser.cleanName(src))
+    graft.operators.RankOps.withGlobalOrder(df,
+        expr(keyExpr), ascending = asc, tiebreaks = tiebreaks.map(expr),
+        rankCol = Some(rankCol), rowNumCol = rnCol,
+        runningSums = sums.map { case (e, n) => (expr(e), n) },
+        countCol = cntCol)
+      .queryExecution.logical
   }
 }
 
