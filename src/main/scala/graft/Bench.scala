@@ -143,6 +143,18 @@ object Bench {
   // path is the adaptive-cell VectorIndex (cells ~ √N), already timed
   // via q_ivf_index.
 
+  /** Lifecycle rows (VERDICT r10 #4): every `_incr` row times a whole
+    * create + churn + refresh + converge-check CYCLE — table-layer
+    * commit throughput, not query latency — and costs ~90 s of each
+    * sf0.1 timed pass while its `_refresh` sibling already carries the
+    * steady-state signal. These rows are timed ONCE per section (a
+    * dedicated warm, quiesced single pass after the median passes) and
+    * excluded from the per-pass medians; they stay on the correctness
+    * surface unchanged. Membership is by suffix so a future lifecycle
+    * row inherits the protocol automatically. */
+  def lifecycleOnce(names: Seq[String]): Set[String] =
+    names.filter(_.endsWith("_incr")).toSet
+
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     val n = s.length
@@ -180,9 +192,14 @@ object Bench {
   private def measure(
       spark: SparkSession,
       sfDir: String,
-      names: Seq[String],
+      allNames: Seq[String],
       maxPasses: Int,
       budgetS: Double): (Seq[(String, Double)], String, Seq[Double], String, Int, Double) = {
+    // lifecycle rows run in the warmups (their fixtures must build) and
+    // get ONE dedicated timed run after the median passes — see
+    // [[lifecycleOnce]]
+    val once = lifecycleOnce(allNames)
+    val names = allNames.filterNot(once)
     def force(name: String): Option[String] =
       try {
         SparkEntry.queries(name)(spark, sfDir)
@@ -199,9 +216,10 @@ object Bench {
       catch { case _: Throwable => () /* the timed run reports it */ }
 
     // First untimed warmup pass — pays fixture builds, parquet footers,
-    // codegen — and doubles as the cost probe for the budget fit.
+    // codegen — and doubles as the cost probe for the budget fit. Runs
+    // the WHOLE surface, lifecycle rows included.
     val w0 = System.nanoTime()
-    names.foreach { n => prepare(n); force(n) }
+    allNames.foreach { n => prepare(n); force(n) }
     val warm1 = (System.nanoTime() - w0) / 1e9
     val remaining = budgetS - warm1
     val fullFits = budgetS <= 0 || warm1 * (1 + maxPasses) <= remaining
@@ -210,6 +228,8 @@ object Bench {
         // Second untimed warmup: lets C2 compilation finish so timed
         // pass 1 isn't systematically slower than pass 3 (r7 observed
         // ~10% pass-total drift from JIT warm-in with a single warmup).
+        // Lifecycle rows skip it — their one timed run below is a full
+        // cold cycle by construction, so extra warm-in buys nothing.
         names.foreach { n => prepare(n); force(n) }
         maxPasses
       } else {
@@ -245,12 +265,26 @@ object Bench {
         name -> (System.nanoTime() - t0) / 1e9
       }
     }
+    // Lifecycle rows: ONE dedicated warm, quiesced timed run each
+    // (full cycle per invocation — the median protocol would just
+    // re-pay ~90s of commit churn per pass; see [[lifecycleOnce]]).
+    val oncePass: Seq[(String, Double)] =
+      allNames.filter(once).map { name =>
+        prepare(name)
+        quiesce()
+        val t0 = System.nanoTime()
+        force(name).foreach(errors(name) = _)
+        name -> (System.nanoTime() - t0) / 1e9
+      }
     // An errored query's fail-fast ~0.1s "timings" must not leak into
     // queries/total — they read as impossibly-fast rows and corrupt
     // cross-round totals (ADVICE r8). Errored names live ONLY in
     // "errors"; the medians/passes sections carry clean queries.
-    val byQuery = names.filterNot(errors.contains)
-      .map(n => n -> perPass.map(_.toMap.apply(n)))
+    val byQuery: Seq[(String, Seq[Double])] =
+      allNames.filterNot(errors.contains).map { n =>
+        if (once(n)) n -> oncePass.collect { case (`n`, t) => t }
+        else n -> perPass.map(_.toMap.apply(n))
+      }
     val medians = byQuery.map { case (n, xs) => n -> median(xs) }
     val passJson = byQuery.map { case (k, xs) =>
       "\"" + k + "\":" + xs.map(fmt).mkString("[", ",", "]")
@@ -329,7 +363,11 @@ object Bench {
           e1 != "{}")
       }
 
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"passes":$passJson,"pass_totals":${passTotals.map(fmt).mkString("[", ",", "]")},"spread_pct":${fmt(spreadPct)},"n_passes":$passes,"budget_s":${fmt(budgetS)},"warmup_s":${fmt(warm1)},"errors":$errJson,"sf":"$sfDir"$sf1Json}"""
+    // named in the artifact so a reader knows which rows are single
+    // timed full-cycle runs rather than 3-pass medians
+    val onceJson = lifecycleOnce(names).toSeq.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"passes":$passJson,"pass_totals":${passTotals.map(fmt).mkString("[", ",", "]")},"spread_pct":${fmt(spreadPct)},"n_passes":$passes,"lifecycle_once":$onceJson,"budget_s":${fmt(budgetS)},"warmup_s":${fmt(warm1)},"errors":$errJson,"sf":"$sfDir"$sf1Json}"""
     println(json)
     // Also persist to a file: the driver scrapes the sbt log tail, which
     // truncates — every BENCH_r*.json landed with "parsed": null
