@@ -42,12 +42,20 @@ object Sketches extends QueryModule {
 
   /** Per-returnflag HLL sketches + estimates, with the grand total
     * unioned FROM the group sketches (no second scan). The production
-    * shape: one pass, mergeable partials, ALL row from sketch union. */
+    * shape: one pass, mergeable partials, ALL row from sketch union.
+    *
+    * lgConfigK is sized FOR the 2% accuracy gate the driver hashes:
+    * k = 2^16 registers gives RSE ≈ 1.04/√k ≈ 0.41%, so the ±2% gate
+    * sits at ~5σ — it holds at ANY cardinality, not just the sf the
+    * gate was tuned at (Spark's lgK=12 default is 1.6% RSE; its union
+    * estimate drifted past 2% at sf0.1's 147k distincts). 64 KiB per
+    * group is still metadata-scale at 100 TB. */
+  private val HLL_LGK = 16
   def hllEstimates(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val sketches = lineitem(s, d)
       .groupBy($"l_returnflag")
-      .agg(hll_sketch_agg($"l_orderkey").as("sk"))
+      .agg(hll_sketch_agg($"l_orderkey", HLL_LGK).as("sk"))
     val perGroup = sketches.select($"l_returnflag",
       hll_sketch_estimate($"sk").as("approx_distinct"))
     val total = sketches.agg(

@@ -6,7 +6,12 @@ the parquet test tables of a scale-factor dir, and compares with the
 Spark result parquet written by ``graft.Verify``. Compare semantics match
 the driver: sort columns by name, sort rows, hash values.
 
-Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [jsonOut]
+
+With a third argument, also writes per-query records in the driver's
+CORRECTNESS_r{N}.json format ({name: {rows_match, schema_match,
+hash_match, spark_rows, oracle_rows, err}}) — used to commit oracle
+evidence at a second scale factor (e.g. CORRECTNESS_sf01.json).
 
 This script is NOT part of the shipped library (the builder environment
 allows python/duckdb driver-side only); it exists so oracle mismatches
@@ -33,6 +38,12 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    json_out = sys.argv[3] if len(sys.argv) > 3 else None
+    records = {}
+    def rec(name, rows_match, schema_match, hash_match, sr, orr, err=None):
+        records[name] = {"rows_match": rows_match, "schema_match": schema_match,
+                         "hash_match": hash_match, "spark_rows": sr,
+                         "oracle_rows": orr, "err": err}
     con = duckdb.connect()
     for t in ("region nation customer supplier part orders lineitem "
               "events documents embeddings").split():
@@ -54,15 +65,18 @@ def main():
             exp = con.sql(oracles[name]).df()
         except Exception as e:
             print(f"✗ {name}: oracle SQL failed: {e}")
+            rec(name, False, False, False, len(got), 0, f"oracle SQL failed: {e}"[:200])
             n_fail += 1
             continue
         g, e = canon(got), canon(exp)
         if list(g.columns) != list(e.columns):
             print(f"✗ {name}: columns differ spark={list(g.columns)} duck={list(e.columns)}")
+            rec(name, len(g) == len(e), False, False, len(g), len(e))
             n_fail += 1
             continue
         if len(g) != len(e):
             print(f"✗ {name}: row counts differ spark={len(g)} duck={len(e)}")
+            rec(name, False, True, False, len(g), len(e))
             n_fail += 1
             continue
         # Driver hashes value REPRESENTATIONS, so int64 60 vs float64 60.0
@@ -74,11 +88,14 @@ def main():
         if drift:
             print(f"✗ {name}: dtype drift (driver hash would differ): "
                   + ", ".join(f"{c} spark={g[c].dtype} duck={e[c].dtype}" for c in drift))
+            rec(name, True, True, False, len(g), len(e),
+                "dtype drift: " + ",".join(drift))
             n_fail += 1
             continue
         try:
             pd.testing.assert_frame_equal(g, e, check_dtype=False, check_exact=True)
             print(f"✓ {name}: {len(g)} rows")
+            rec(name, True, True, True, len(g), len(e))
             n_pass += 1
         except AssertionError as ex:
             print(f"✗ {name}: value mismatch:\n{str(ex)[:600]}")
@@ -89,7 +106,11 @@ def main():
                 i = bad.idxmax()
                 print("  spark:", g.loc[i].to_dict())
                 print("  duck :", e.loc[i].to_dict())
+            rec(name, True, True, False, len(g), len(e), "value mismatch")
             n_fail += 1
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(records, f, indent=1, sort_keys=True)
     print(f"\n{n_pass} pass, {n_fail} fail, {n_noracle} rows-only")
     sys.exit(1 if n_fail else 0)
 
