@@ -68,6 +68,7 @@ object Bench {
     "q_funnel_refresh", "q_retention_refresh",              // steady-state event-view refresh
     "q_corpus_shuffle",                                     // deterministic shuffle-shard
     "q_hybrid_rrf",                                         // RRF hybrid retrieval
+    "q_rerank",                                             // shortlist rerank ladder
     "q_segment_dedup",                                      // sub-document dedup rewrite
     "q_quality_classifier",                                 // distributed-GD quality filter
     "q_temperature_sample", "q_weighted_sample",            // mix-construction samplers

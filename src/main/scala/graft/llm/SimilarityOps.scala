@@ -1055,7 +1055,17 @@ object SimilarityOps extends QueryModule {
     * ppjoin prefix filtering) at the same fuse skeleton. */
   private val RRF_C = 60
 
-  private def qHybridRrf(s: SparkSession, d: String): DataFrame = {
+  private def qHybridRrf(s: SparkSession, d: String): DataFrame =
+    rrfFused(s, d)
+      .filter(col("rnk") <= K)
+      .select(col("q_id"), col("doc_id"), col("rnk").cast("long").as("rnk"),
+        col("r_vec").cast("long").as("r_vec"),
+        col("r_lex").cast("long").as("r_lex"))
+
+  /** The fused-RRF ranking shared by [[qHybridRrf]] (top-K readout)
+    * and [[qRerank]] (shortlist for the expensive second stage):
+    * per-query vector rank × lexical rank → `rrf` → per-query `rnk`. */
+  private def rrfFused(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val emb = embeddings(s, d)
     val q = emb.filter(col("vec_id") < QUERY_MAX_ID)
@@ -1087,13 +1097,11 @@ object SimilarityOps extends QueryModule {
         lit(1.0) / (lit(RRF_C) + col("r_lex")))
       .withColumn("rnk", row_number().over(Window.partitionBy(col("q_id"))
         .orderBy(col("rrf").desc, col("doc_id").asc_nulls_last)))
-      .filter(col("rnk") <= K)
-      .select(col("q_id"), col("doc_id"), col("rnk").cast("long").as("rnk"),
-        col("r_vec").cast("long").as("r_vec"),
-        col("r_lex").cast("long").as("r_lex"))
   }
-  private val qHybridRrfSql =
-    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+  /** The RRF CTE chain (through the fused `f` relation) shared by the
+    * hybrid-retrieval oracle and the rerank oracle. */
+  private val rrfCtesSql =
+    s"""q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
       |           WHERE vec_id < $QUERY_MAX_ID),
       |c AS (SELECT vec_id AS doc_id, embedding AS ce FROM embeddings
       |      WHERE vec_id >= $QUERY_MAX_ID),
@@ -1128,12 +1136,96 @@ object SimilarityOps extends QueryModule {
       |f AS (SELECT v.q_id, v.doc_id, v.r_vec, l.r_lex,
       |        1.0::DOUBLE / ($RRF_C + v.r_vec) +
       |        1.0::DOUBLE / ($RRF_C + l.r_lex) AS rrf
-      |      FROM vr v JOIN lr l ON v.q_id = l.q_id AND v.doc_id = l.doc_id)
+      |      FROM vr v JOIN lr l ON v.q_id = l.q_id AND v.doc_id = l.doc_id)"""
+      .stripMargin
+
+  private val qHybridRrfSql =
+    s"""WITH $rrfCtesSql
       |SELECT q_id, doc_id,
       |       row_number() OVER (PARTITION BY q_id
       |         ORDER BY rrf DESC, doc_id ASC) AS rnk,
       |       r_vec, r_lex
       |FROM f QUALIFY rnk <= $K""".stripMargin
+
+  // ----------------------------------------------------------- q_rerank
+  /** The full retrieval LADDER as one composition — the
+    * recall-then-precision staging every production RAG/search stack
+    * runs (VERDICT r10 #8): a cheap corpus-scale first stage (the
+    * [[rrfFused]] hybrid ranking) keeps a per-query SHORTLIST, and an
+    * EXPENSIVE cross-encoder-style pair scorer runs on the shortlist
+    * ONLY — here a late-interaction stand-in that consumes both
+    * representations of the (query, candidate) PAIR jointly:
+    * `rerank = cosine(qe, ce) × (1 + jaccard(q_shingles, c_shingles))`
+    * (a real deployment swaps in a model; the staging, economics, and
+    * plan shape are identical). Final per-query top-K by the rerank
+    * score, with the stage-1 rank kept for rank-shift analysis.
+    *
+    * == 100 TB design ==
+    * Stage 1 is the already-audited corpus-scale path (broadcast query
+    * side, per-query ranking windows). The |Q|·SHORTLIST-row shortlist
+    * then BROADCASTS against the corpus to fetch candidate payloads —
+    * the expensive scorer touches |Q|·SHORTLIST rows, never |Q|·N.
+    * That inversion (cost per pair ↑, pairs ↓ by N/SHORTLIST) is the
+    * entire point of rerank staging and survives any corpus size.
+    *
+    * == Cross-engine determinism ==
+    * Both factors are the proven-exact folds (cosine; integer-exact
+    * Jaccard division); the product is one IEEE multiply; ties break
+    * on doc_id; the score is rounded at 6dp only for display. */
+  private val RERANK_SHORTLIST = 16
+
+  private def qRerank(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val shortlist = rrfFused(s, d)
+      .filter(col("rnk") <= RERANK_SHORTLIST)
+      .select(col("q_id"), col("doc_id"), col("rnk").as("rrf_rnk"))
+    val emb = embeddings(s, d)
+    val sh = DedupOps.withShingles(documents(s, d))
+      .select(col("doc_id"), col("shingles"))
+    val qe = emb.filter(col("vec_id") < QUERY_MAX_ID)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val qs = sh.filter(col("doc_id") < QUERY_MAX_ID)
+      .select(col("doc_id").as("q_id"), col("shingles").as("qs"))
+    val cand = emb.select(col("vec_id").as("doc_id"), col("embedding").as("ce"))
+      .join(sh.select(col("doc_id"), col("shingles").as("cs")), "doc_id")
+    val pairs = cand.join(broadcast(shortlist), "doc_id")
+      .join(broadcast(qe), "q_id")
+      .join(broadcast(qs), "q_id")
+      .withColumn("cos", expr("cosine_sim(qe, ce)"))
+      .withColumn("inter",
+        size(array_intersect(col("qs"), col("cs"))).cast("double"))
+      .withColumn("jac",
+        col("inter") / (size(col("qs")) + size(col("cs")) - col("inter")))
+      .withColumn("rerank", col("cos") * (lit(1.0) + col("jac")))
+    pairs
+      .withColumn("rnk", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("rerank").desc, col("doc_id").asc_nulls_last)))
+      .filter(col("rnk") <= K)
+      .select(col("q_id"), col("doc_id"), col("rnk").cast("long").as("rnk"),
+        col("rrf_rnk").cast("long").as("rrf_rnk"),
+        round(col("rerank"), 6).as("rerank"))
+  }
+
+  private val qRerankSql =
+    s"""WITH $rrfCtesSql,
+      |fr AS (SELECT q_id, doc_id,
+      |         row_number() OVER (PARTITION BY q_id
+      |           ORDER BY rrf DESC, doc_id ASC) AS rrf_rnk
+      |       FROM f),
+      |sl AS (SELECT q_id, doc_id, rrf_rnk FROM fr
+      |       WHERE rrf_rnk <= $RERANK_SHORTLIST),
+      |rr AS (SELECT sl.q_id, sl.doc_id, sl.rrf_rnk,
+      |         (p.dot / (sqrt(p.qq) * sqrt(p.cc))) *
+      |         (1.0::DOUBLE + j.inter / (j.na + j.nb - j.inter)) AS rerank
+      |       FROM sl
+      |       JOIN p ON p.q_id = sl.q_id AND p.doc_id = sl.doc_id
+      |       JOIN j ON j.q_id = sl.q_id AND j.doc_id = sl.doc_id)
+      |SELECT q_id, doc_id,
+      |       CAST(row_number() OVER (PARTITION BY q_id
+      |         ORDER BY rerank DESC, doc_id ASC) AS BIGINT) AS rnk,
+      |       CAST(rrf_rnk AS BIGINT) AS rrf_rnk,
+      |       round(rerank, 6) AS rerank
+      |FROM rr QUALIFY rnk <= $K""".stripMargin
 
   // ------------------------------------------------------ q_triplet_mine
   /** Hard-triplet mining for contrastive/metric training data (the
@@ -1473,6 +1565,7 @@ object SimilarityOps extends QueryModule {
     "q_pq_index"    -> qPqIndex _,
     "q_sq8_index"   -> qSq8Index _,
     "q_hybrid_rrf"  -> qHybridRrf _,
+    "q_rerank"      -> qRerank _,
     "q_doc_outlier" -> qDocOutlier _,
     "q_embed_dim_stats" -> qEmbedDimStats _,
     "q_embed_norms" -> qEmbedNorms _,
@@ -1489,6 +1582,7 @@ object SimilarityOps extends QueryModule {
     "q_pq_index"    -> qPqIndexSql,
     "q_sq8_index"   -> qSq8IndexSql,
     "q_hybrid_rrf"  -> qHybridRrfSql,
+    "q_rerank"      -> qRerankSql,
     "q_doc_outlier" -> qDocOutlierSql,
     "q_embed_dim_stats" -> qEmbedDimStatsSql,
     "q_embed_norms" -> qEmbedNormsSql,
