@@ -109,6 +109,24 @@ class GlobalRankSqlSpec extends SparkSpec {
     }
   }
 
+  test("PHYSICAL shape audit of a GLOBAL RANK statement reports zero risks") {
+    withExtendedSession { s =>
+      fixture(s)
+      // the same audit DESCRIBE SHAPE / ShapeGateSpec run, over the
+      // fully-prepared PHYSICAL plan (WindowExec level, not just the
+      // logical nodes the subquery test pins): the statement must
+      // never cost a single-task sort even after optimization
+      val rows = PlanShape.ofDf(s, s.sql(
+        """GLOBAL RANK r ROW_NUMBER rn RUNNING SUM(v) AS cum
+          |FROM grank_t ORDER BY v DESC TIEBREAK id""".stripMargin))
+      val risks = rows.filter(_.getString(0) == "risk")
+      assert(risks.isEmpty, s"GLOBAL RANK plan has risks: $risks")
+      val winds = rows.filter(r =>
+        r.getString(0) == "window" && r.getString(1) == "partition-less")
+      assert(winds.isEmpty)
+    }
+  }
+
   test("boundary errors name the missing clause") {
     withExtendedSession { s =>
       fixture(s)
