@@ -64,6 +64,31 @@ class RankOpsSpec extends SparkSpec {
     check(asc = true, buckets = 1)
   }
 
+  test("constant key: every row ties at rank 1, order falls to tiebreaks") {
+    val const = data.withColumn("v", lit(7L))
+    val out = RankOps.withGlobalOrder(const, $"v", ascending = true,
+      Seq($"id"), rankCol = Some("rk"), rowNumCol = Some("rn"),
+      countCol = Some("n"), buckets = 8)
+    val rows = out.select($"id", $"rk", $"rn", $"n").orderBy($"rn").collect()
+    assert(rows.length == 5000)
+    assert(rows.forall(r => r.getLong(1) == 1L && r.getLong(3) == 5000L))
+    // row_number follows the id tiebreak exactly
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 5000L))
+    assert(rows.map(_.getLong(2)).toSeq == (1L to 5000L))
+  }
+
+  test("staged() cache keys on (label, sfDir): different dirs never collide") {
+    val a = Seq((1L, "a")).toDF("k", "tag")
+    val b = Seq((2L, "b"), (3L, "b")).toDF("k", "tag")
+    val ra = RankOps.staged(a, "spec-cache", "dirA")
+    val rb = RankOps.staged(b, "spec-cache", "dirB")
+    assert(ra.count() == 1 && rb.count() == 2)
+    // repeat call with the same key reuses the materialization (same
+    // content, no re-write of a fresh scratch dir)
+    val ra2 = RankOps.staged(a, "spec-cache", "dirA")
+    assert(ra2.inputFiles.toSeq == ra.inputFiles.toSeq)
+  }
+
   test("empty input yields empty output with the requested schema") {
     val out = RankOps.withGlobalOrder(data.filter($"v" < -1), $"v", true,
       Seq($"id"), rankCol = Some("rk"), rowNumCol = Some("rn"),
