@@ -1014,8 +1014,15 @@ object GlobalRankStatement {
 /** Runs a graft SQL statement without requiring the session to be built
   * with `spark.sql.extensions` (Verify and library callers on a plain
   * session): statements the [[GraftSqlParser]] grammar owns execute
-  * directly; everything else goes through `spark.sql`. */
+  * directly; everything else goes through `spark.sql`. `GLOBAL RANK`
+  * is grammar-owned but query-shaped (it parses to a plan, not a
+  * command), so it executes from the parsed plan — falling through to
+  * `spark.sql` would re-parse with a parser that may not own the
+  * statement. Note execute() COLLECTS: use the extensions parser (or
+  * [[GlobalRankStatement.plan]] + `SparkInternals.ofRows`) when the
+  * result is relation-scale. */
 object GraftSql {
+  private val GlobalRankText = """(?is)\s*GLOBAL\s+RANK\s+.*""".r
   def execute(spark: SparkSession, sqlText: String): Seq[Row] =
     new GraftSqlParser(spark.sessionState.sqlParser).parsePlan(sqlText) match {
       case c @ (_: VacuumCommand | _: OptimizeCommand |
@@ -1028,6 +1035,9 @@ object GraftSql {
                 _: DescribeStatsCommand | _: DescribeDiffCommand |
                 _: DescribeShapeCommand) =>
         c.asInstanceOf[LeafRunnableCommand].run(spark)
+      case p if GlobalRankText.matches(sqlText) =>
+        org.apache.spark.sql.graftshim.SparkInternals
+          .ofRows(spark, p).collect().toSeq
       case _ => spark.sql(sqlText).collect().toSeq
     }
 }

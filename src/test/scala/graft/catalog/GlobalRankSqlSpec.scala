@@ -127,6 +127,21 @@ class GlobalRankSqlSpec extends SparkSpec {
     }
   }
 
+  test("GraftSql.execute routes GLOBAL RANK on a PLAIN session (no extensions)") {
+    // the Verify/library path: no extensions parser on the session, so
+    // execute() must run the grammar-owned plan instead of handing the
+    // statement text back to Spark's parser
+    import spark.implicits._
+    (1L to 20L).map(i => (i, i % 3)).toDF("id", "v")
+      .createOrReplaceTempView("grank_plain")
+    val rows = GraftSql.execute(spark,
+      "GLOBAL RANK r FROM grank_plain ORDER BY v DESC TIEBREAK id")
+    assert(rows.length == 20)
+    val byId = rows.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // v=2 ids (2,5,...): rank 1; v=1: rank 8; v=0: rank 15 (ties share)
+    assert(byId(2L) == 1L && byId(1L) == 8L && byId(3L) == 15L)
+  }
+
   test("boundary errors name the missing clause") {
     withExtendedSession { s =>
       fixture(s)
