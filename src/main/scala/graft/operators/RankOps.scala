@@ -256,7 +256,8 @@ object RankOps {
       (col("__pos") + 1).cast("long").as(rankName) +:
         cols.map(c => col(s"__row.$c").as(c))
     val sums = runningSums.map { case (src, out) =>
-      expr(s"aggregate(slice(__tk, 1, __pos + 1), 0L, (acc, x) -> acc + x.$src)")
+      val q = s"`${src.replace("`", "``")}`"
+      expr(s"aggregate(slice(__tk, 1, __pos + 1), 0L, (acc, x) -> acc + x.$q)")
         .as(out)
     }
     exploded.select(base ++ sums: _*)

@@ -98,6 +98,43 @@ class RankOpsSpec extends SparkSpec {
       Seq("v", "id", "x", "rk", "rn", "cs", "n"))
   }
 
+  test("topK matches orderBy+limit exactly, including NULL keys both directions") {
+    // null score rows: asc = nulls FIRST, desc = nulls LAST — the
+    // comparator must mirror the orderBy that selected the K rows
+    // (ADVICE r10: explicit IS NULL arms), or the selected set and its
+    // attached ranks disagree
+    val rows = (1 to 200).map { i =>
+      (if (i % 7 == 0) None else Some((i * 31 % 23).toLong), i.toLong, i % 5L)
+    }.toDF("score", "id", "w")
+    for (asc <- Seq(true, false)) {
+      val order =
+        if (asc) Seq($"score".asc, $"id".asc) else Seq($"score".desc, $"id".asc)
+      val want = rows.orderBy(order: _*).limit(25)
+        .collect().map(r => (r.get(0), r.getLong(1))).toSeq
+      val got = RankOps.topK(rows, 25,
+          Seq(("score", asc), ("id", true)), rankName = "rnk",
+          runningSums = Seq(("w", "cum_w")))
+        .orderBy($"rnk")
+        .collect().map(r => (r.get(r.fieldIndex("score")),
+          r.getLong(r.fieldIndex("id")))).toSeq
+      assert(got == want, s"asc=$asc: topK order diverges from orderBy+limit")
+    }
+    // running sum over the sorted top-K is the inclusive prefix sum
+    val out = RankOps.topK(rows, 10, Seq(("id", true)), "rnk",
+      runningSums = Seq(("w", "cum_w")))
+      .orderBy($"rnk").select($"w", $"cum_w").collect()
+    val prefix = out.map(_.getLong(0)).scanLeft(0L)(_ + _).tail
+    assert(out.map(_.getLong(1)).toSeq == prefix.toSeq)
+  }
+
+  test("topK backtick-quotes non-identifier column names in its comparator") {
+    val df = Seq((3L, 1L), (1L, 2L), (2L, 3L)).toDF("score col", "id")
+    val out = RankOps.topK(df, 2, Seq(("score col", false), ("id", true)), "rnk")
+      .orderBy($"rnk").select(col("`score col`"), $"id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((3L, 1L), (2L, 3L)))
+  }
+
   test("plan has no partition-less WindowExec; side branches stay tiny") {
     val p = dist(asc = true, buckets = 8)
       .queryExecution.executedPlan.toString
