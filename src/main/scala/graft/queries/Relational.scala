@@ -858,15 +858,21 @@ object Relational extends QueryModule {
     * cents (exact on both engines). */
   private def qGlobalRankSql(s: SparkSession, d: String): DataFrame = {
     customer(s, d).createOrReplaceTempView("grank_customer")
-    val plan = new graft.catalog.GraftSqlParser(s.sessionState.sqlParser)
-      .parsePlan(
+    val plan = new graft.catalog.GraftSqlParser(s.sessionState.sqlParser,
+      Some(s)).parsePlan(
         """GLOBAL RANK bal_rank ROW_NUMBER rn
           |  RUNNING SUM(cents) AS cum_cents COUNT n_cust
           |FROM (SELECT c_custkey,
           |        CAST(round(c_acctbal * 100) AS BIGINT) AS cents
           |      FROM grank_customer)
           |ORDER BY cents DESC TIEBREAK c_custkey""".stripMargin)
-    org.apache.spark.sql.graftshim.SparkInternals.ofRows(s, plan)
+    // plain session: expand the deferred node directly (the extensions
+    // path expands it via the injected GlobalRankResolution rule)
+    val expanded = plan match {
+      case g: graft.catalog.GlobalRankNode => g.built
+      case p => p
+    }
+    org.apache.spark.sql.graftshim.SparkInternals.ofRows(s, expanded)
   }
   private val qGlobalRankSqlOracle =
     """WITH c AS (SELECT c_custkey,

@@ -46,10 +46,16 @@ final class TopKView private[table] (
     val state: VersionedTable,   // (grp, id, ord) candidate buffers
     val meta: VersionedTable,    // (grp, valid_n)
     grpCol: String, idCol: String, ordCol: String,
-    val k: Int, slack: Int) {
+    val k: Int, slack: Int,
+    keyPruneMax: Int = JoinView.KEY_PRUNE_MAX) {
   import TopKViewOps.{APP, mergeClauses}
   private val K = k
   private val CAND = k + slack
+
+  /** Which path the last [[refresh]] took — spec observability for the
+    * key-prune cap (true = the touched-group set exceeded
+    * `keyPruneMax` and the refresh fell back to a full re-derive). */
+  @volatile private[table] var lastRefreshFull: Boolean = false
 
   private def spark: SparkSession = state.spark
 
@@ -60,10 +66,30 @@ final class TopKView private[table] (
       state.snapshotWhere(col(grpCol).isin(grps: _*))
     else state.snapshotForKeys(grpCol, grps)
 
+  private def metaFor(grps: Seq[Any]): DataFrame =
+    if (grps.length <= JoinView.IN_LIST_MAX)
+      meta.snapshotWhere(col(grpCol).isin(grps: _*))
+    else meta.snapshotForKeys(grpCol, grps)
+
   private def sourceFor(src: VersionedTable, grps: Seq[Any]): DataFrame =
     if (grps.length <= JoinView.IN_LIST_MAX)
       src.snapshotWhere(col(grpCol).isin(grps: _*))
     else src.snapshotForKeys(grpCol, grps)
+
+  /** Filters an in-memory frame to rows whose `grpCol` ∈ `vals`: a
+    * literal IN up to [[JoinView.IN_LIST_MAX]] values (codegen'd,
+    * O(k) expression tree), a broadcast semi-join past it — the
+    * expression tree must not grow with the touched-group count. */
+  private def filterGrps(df: DataFrame, vals: Seq[Any]): DataFrame =
+    if (vals.length <= JoinView.IN_LIST_MAX) df.filter(col(grpCol).isin(vals: _*))
+    else {
+      val keys = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          vals.map(org.apache.spark.sql.Row(_)), 1),
+        StructType(Seq(state.schema(grpCol))))
+      df.join(org.apache.spark.sql.functions.broadcast(keys),
+        Seq(grpCol), "left_semi")
+    }
 
   /** Refreshes from the source recorded at build time (the SQL
     * `REFRESH MATERIALIZED VIEW` path — the view is self-describing). */
@@ -85,16 +111,27 @@ final class TopKView private[table] (
         .isin("insert", "update_postimage")).drop("_change_type")
       val deletes = ch.filter(col("_change_type")
         .isin("delete", "update_preimage")).drop("_change_type")
-      // touched groups: bounded by the delta (one distinct collect of
-      // the GROUPING key — dashboard-cardinality, not row-cardinality)
-      val grps = ch.select(col(grpCol)).distinct().collect().map(_.get(0)).toSeq
+      // touched groups: bounded by the delta AND capped at
+      // `keyPruneMax` (VERDICT r11 #2 — the JoinView/AggView
+      // limit+fallback pattern). Past the cap the driver never holds
+      // the key set: a delta touching >10k groups is a near-rebuild,
+      // where one full re-derive from the source beats 10k-literal
+      // plans anyway.
+      val grpRows = ch.select(col(grpCol)).distinct()
+        .limit(keyPruneMax + 1).collect()
+      if (grpRows.length > keyPruneMax) {
+        lastRefreshFull = true
+        return Some(fullRederive(src, wm))
+      }
+      lastRefreshFull = false
+      val grps = grpRows.map(_.get(0)).toSeq
       if (grps.isEmpty) {
         state.commitFiles(Seq.empty, Seq.empty, None, "refresh-noop",
           extraTxn = wm)
         return Some(state.latestVersion)
       }
       val oldCand = stateFor(grps)
-      val oldMeta = meta.snapshot().filter(col(grpCol).isin(grps: _*))
+      val oldMeta = metaFor(grps)
       // validity after deletes: valid_n - (candidate rows deleted);
       // groups with no meta row are NEW and must derive
       val lost = oldCand.join(deletes, Seq(grpCol, idCol), "left_semi")
@@ -115,10 +152,9 @@ final class TopKView private[table] (
       val foldCand =
         if (foldGrps.isEmpty) None
         else {
-          val surv = oldCand.filter(col(grpCol).isin(foldGrps: _*))
+          val surv = filterGrps(oldCand, foldGrps)
             .join(deletes, Seq(grpCol, idCol), "left_anti")
-          Some(surv.unionByName(
-            inserts.filter(col(grpCol).isin(foldGrps: _*))))
+          Some(surv.unionByName(filterGrps(inserts, foldGrps)))
         }
       // DERIVE path: exact top-(K+SLACK) from a per-group source read
       val deriveCand =
@@ -156,6 +192,42 @@ final class TopKView private[table] (
         Some(state.latestVersion)
       } finally fresh.unpersist()
     } finally ch.unpersist()
+  }
+
+  /** Fallback past the key-prune cap: one exact re-derive of EVERY
+    * group's top-(K+SLACK) buffer from the current source snapshot —
+    * a single window pass (shuffle on `grpCol`, nothing driver-side),
+    * merged against the state so unchanged buffer rows rewrite only
+    * their files, with vanished groups deleted and every validity
+    * reset to CAND. Same cost shape as [[TopKViewOps.build]], which
+    * is the point: a >keyPruneMax-group delta IS a rebuild. */
+  private def fullRederive(src: VersionedTable, wm: Map[String, Long]): Long = {
+    val w = Window.partitionBy(col(grpCol))
+      .orderBy(col(ordCol).desc, col(idCol).asc)
+    val fresh = src.snapshot()
+      .select(col(grpCol), col(idCol), col(ordCol))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= CAND).drop("__rn")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dels = state.snapshot().select(col(grpCol), col(idCol))
+        .join(fresh, Seq(grpCol, idCol), "left_anti")
+        .withColumn("__op", lit("DELETE"))
+      Merge.run(state,
+        fresh.withColumn("__op", lit("UPSERT"))
+          .unionByName(dels, allowMissingColumns = true),
+        Seq(grpCol, idCol), mergeClauses, extraTxn = wm)
+      val grpsNow = fresh.select(col(grpCol)).distinct()
+      val metaDels = meta.snapshot().select(col(grpCol))
+        .join(grpsNow, Seq(grpCol), "left_anti")
+        .withColumn("__op", lit("DELETE"))
+      Merge.run(meta,
+        grpsNow.withColumn("valid_n", lit(CAND.toLong))
+          .withColumn("__op", lit("UPSERT"))
+          .unionByName(metaDels, allowMissingColumns = true),
+        Seq(grpCol), mergeClauses)
+      state.latestVersion
+    } finally fresh.unpersist()
   }
 
   /** The maintained top-k readout `(grp, id, ord, rnk)` — a window

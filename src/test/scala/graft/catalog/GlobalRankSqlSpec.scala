@@ -142,6 +142,46 @@ class GlobalRankSqlSpec extends SparkSpec {
     assert(byId(2L) == 1L && byId(1L) == 8L && byId(3L) == 15L)
   }
 
+  test("parse is deferred: no resolution (and no job) until first analysis") {
+    // ADVICE r11: parse-only paths (EXPLAIN middleware, validation,
+    // retries that re-parse) must not run the boundary-sketch job.
+    // Observable proof: parsing over a table that DOES NOT EXIST
+    // succeeds — nothing was resolved — and only expanding the node
+    // fails.
+    val plan = new GraftSqlParser(spark.sessionState.sqlParser, Some(spark))
+      .parsePlan("GLOBAL RANK r FROM no_such_table_xyz ORDER BY v")
+    val node = plan match {
+      case g: GlobalRankNode => g
+      case other => fail(s"expected GlobalRankNode, got ${other.getClass}")
+    }
+    assert(!node.resolved)
+    intercept[Exception](node.built)
+    // and the memoized expansion is shared: two executions of ONE
+    // parsed statement build the plan once (lazy val identity)
+    import spark.implicits._
+    (1L to 10L).map(i => (i, i % 2)).toDF("id", "v")
+      .createOrReplaceTempView("grank_defer")
+    val p2 = new GraftSqlParser(spark.sessionState.sqlParser, Some(spark))
+      .parsePlan("GLOBAL RANK r FROM grank_defer ORDER BY v TIEBREAK id")
+      .asInstanceOf[GlobalRankNode]
+    assert(p2.built eq p2.built)
+  }
+
+  test("source resolves against the OWNING session, not SparkSession.active") {
+    // ADVICE r11: GraftSql.execute(ownerSession, ...) with a DIFFERENT
+    // active session must still see the owner's temp views
+    import spark.implicits._
+    (1L to 5L).map(i => (i, i)).toDF("id", "v")
+      .createOrReplaceTempView("grank_owner_only")
+    val other = spark.newSession() // no temp views
+    SparkSession.setActiveSession(other)
+    try {
+      val rows = GraftSql.execute(spark,
+        "GLOBAL RANK r FROM grank_owner_only ORDER BY v TIEBREAK id")
+      assert(rows.length == 5)
+    } finally SparkSession.setActiveSession(spark)
+  }
+
   test("boundary errors name the missing clause") {
     withExtendedSession { s =>
       fixture(s)

@@ -104,6 +104,43 @@ class TopKViewSpec extends SparkSpec {
     }
   }
 
+  test("key-prune cap: a delta touching >keyPruneMax groups falls back to full re-derive") {
+    val src = mkSource("topk-cap")
+    val langs = (0 until 30).map(i => f"g$i%02d")
+    src.append(rows(langs.zipWithIndex.flatMap { case (l, i) =>
+      docs(12, l, i * 1000L) }: _*))
+    val built = TopKViewOps.build(src, graft.Scratch.dir("topk-cap-v").toString,
+      "lang", "doc_id", "ord")
+    // same state/meta, tiny cap: the spec drives the fallback without a
+    // 10k-group fixture (the production default is JoinView.KEY_PRUNE_MAX)
+    val v = new TopKView(built.state, built.meta, "lang", "doc_id", "ord",
+      TopKViewOps.K, TopKViewOps.SLACK, keyPruneMax = 8)
+    // churn EVERY group (30 > 8): inserts AND deletes in one delta
+    src.append(rows(langs.zipWithIndex.flatMap { case (l, i) =>
+      docs(4, l, 100000L + i * 1000L) }: _*))
+    src.deleteWhere(col("doc_id") % 5 === 0)
+    v.refresh(src)
+    assert(v.lastRefreshFull, "expected the full re-derive fallback")
+    assert(got(v) === expected(src))
+    // validity reset to CAND for every surviving group
+    v.meta.snapshot().collect().foreach(r =>
+      assert(r.getLong(1) === TopKViewOps.CAND.toLong))
+    // a bounded delta takes the incremental path again and stays exact
+    src.append(rows(docs(3, "g01", 900000L) ++ docs(3, "g02", 910000L): _*))
+    v.refresh(src)
+    assert(!v.lastRefreshFull, "expected the key-pruned incremental path")
+    assert(got(v) === expected(src))
+    // whole-group removal through the fallback deletes its meta row too
+    src.deleteWhere(col("lang") === "g03")
+    src.append(rows(langs.filterNot(_ == "g03").zipWithIndex.flatMap {
+      case (l, i) => docs(1, l, 500000L + i * 100L) }: _*))
+    v.refresh(src)
+    assert(v.lastRefreshFull)
+    assert(got(v) === expected(src))
+    assert(!v.meta.snapshot().select("lang").collect().map(_.getString(0))
+      .contains("g03"))
+  }
+
   test("fixture-scale: view over the documents table matches declarative ranks") {
     val src = mkSource("topk-docs")
     src.append(Tables.documents(spark, sf).select(col("lang"), col("doc_id"),
