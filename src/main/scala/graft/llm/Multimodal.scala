@@ -1,77 +1,147 @@
 package graft.llm
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{QueryModule, Tables}
 
-/** One resized payload produced by the (stubbed) codec. */
+/** One resized media record: REAL nearest-neighbor downsample through
+  * the codec (decode → raster sample → re-encode → re-decode). */
 final case class ResizedMedia(
     doc_id: Long,
-    n_bytes: Int,
-    resized_md5: String,
-    width: Int,
-    height: Int)
+    n_bytes: Long,       // re-encoded PNG byte length (codec-dependent)
+    resized_md5: String, // md5 of the re-encoded PNG bytes
+    width: Long,         // decoded-back dimensions of the resized image
+    height: Long,
+    pixel_sum: Long)     // decoded-back gray-pixel sum
 
-/** Decoded-media features produced by the (stubbed) codec. */
+/** Decoded-media features from the REAL codec. */
 final case class MediaFeature(
     doc_id: Long,
-    n_bytes: Int,
-    checksum: String,
-    width: Int,
-    height: Int,
-    mean_byte: Double)
+    src_bytes: Long,     // source content length (pre-encode)
+    src_md5: String,     // source content checksum (pre-encode)
+    media_bytes: Long,   // encoded PNG byte length (codec-dependent)
+    width: Long,         // ImageIO-decoded dimensions
+    height: Long,
+    pixel_sum: Long)     // ImageIO-decoded gray-pixel sum
 
-/** STUB CODEC — deliberately fake, clearly marked (driver brief: the
-  * container ships no image/audio libraries, so the decode step is a
-  * deterministic stand-in while the Spark-side plumbing — schema,
-  * batching, partitioning — is real and tested).
+/** REAL image codec on `javax.imageio` (JDK-builtin — no external
+  * jars): 8-bit grayscale PNG encode/decode, exact and lossless, so
+  * every decoded value is replayable by the DuckDB oracle from the
+  * source content alone.
   *
-  * A real deployment replaces `decode` with an actual media library
-  * bound behind the same batch interface (in PySpark that is
-  * `mapInPandas`/`mapInArrow`; in Scala, this `mapPartitions` + batch
-  * shape is the equivalent: columnar batches in, columnar batches out,
-  * one codec instance per partition, no per-row JNI crossings).
+  * The test corpus has no real media, so media is SYNTHESIZED as real
+  * PNGs from `documents.text`: dimensions come from the content-length
+  * formula below and pixels are the content bytes tiled row-major
+  * (pixel p = byte[p mod n]). The synthesis IS the encode op of the
+  * codec surface; decode/resize then run against genuine PNG bytes
+  * they did not produce. (Replaced the deliberate StubCodec of earlier
+  * rounds — VERDICT r11 #2: the "container ships no image libraries"
+  * rationale was stale, ImageIO ships in every JDK.)
   */
-object StubCodec {
-  final case class Decoded(width: Int, height: Int, meanByte: Double)
+object ImageCodec {
+  // ImageIO defaults to a DISK-backed stream cache per encode/decode;
+  // these images are a few KB, so the temp-file round-trip would
+  // dominate the codec cost on every executor thread
+  ImageIO.setUseCache(false)
 
-  /** Fake "decode": derives stable dimensions and a pixel statistic
-    * from the payload bytes. Deterministic by construction. */
-  def decode(payload: Array[Byte]): Decoded = {
-    val n = payload.length
-    val mean = if (n == 0) 0.0
-      else payload.iterator.map(b => (b & 0xff).toDouble).sum / n
-    Decoded(16 + n % 240, 16 + (n * 7) % 240, mean)
+  /** Synthesized dimensions from the content length: bounded ≤ 63×63
+    * so the oracle's tiled-pixel replay stays a few-thousand-term sum
+    * per row. */
+  def dims(n: Int): (Int, Int) = (16 + n % 48, 16 + (n * 7) % 48)
+
+  /** Deterministic grayscale PNG: `dims(payload.length)` pixels, the
+    * payload bytes tiled row-major. Lossless 8-bit gray — decode
+    * returns exactly these samples. */
+  def encodePng(payload: Array[Byte]): Array[Byte] = {
+    val bytes = if (payload.isEmpty) Array[Byte](0) else payload
+    val (w, h) = dims(payload.length)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var p = 0
+    val m = w * h
+    while (p < m) {
+      raster.setSample(p % w, p / w, 0, bytes(p % bytes.length) & 0xff)
+      p += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
-  /** Fake "resize": nearest-neighbor downsample along the byte stream —
-    * keep every `factor`-th byte (a real codec resamples pixels; the
-    * byte-stride stand-in keeps the op deterministic and
-    * oracle-replayable). */
-  def resize(payload: Array[Byte], factor: Int): Array[Byte] = {
+  final case class Decoded(width: Int, height: Int, pixelSum: Long)
+
+  /** Real decode: dimensions and gray-pixel sum straight off the
+    * ImageIO raster. */
+  def decode(png: Array[Byte]): Decoded = {
+    val img = ImageIO.read(new ByteArrayInputStream(png))
+    require(img != null, "payload is not a decodable image")
+    val w = img.getWidth
+    val h = img.getHeight
+    val raster = img.getRaster
+    var s = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { s += raster.getSample(x, y, 0); x += 1 }
+      y += 1
+    }
+    Decoded(w, h, s)
+  }
+
+  /** Real nearest-neighbor downsample: decoded pixel (x, y) of the
+    * result is source pixel (factor·x, factor·y); the result is
+    * re-encoded as PNG (the decode → transform → encode ladder every
+    * media pipeline runs). Output dims are ceil(w/factor) ×
+    * ceil(h/factor). */
+  def resizeNearest(png: Array[Byte], factor: Int): Array[Byte] = {
     require(factor >= 1)
-    Array.tabulate((payload.length + factor - 1) / factor)(i => payload(i * factor))
+    val img = ImageIO.read(new ByteArrayInputStream(png))
+    require(img != null, "payload is not a decodable image")
+    val w2 = (img.getWidth + factor - 1) / factor
+    val h2 = (img.getHeight + factor - 1) / factor
+    val out = new BufferedImage(w2, h2, BufferedImage.TYPE_BYTE_GRAY)
+    val src = img.getRaster
+    val dst = out.getRaster
+    var y = 0
+    while (y < h2) {
+      var x = 0
+      while (x < w2) {
+        dst.setSample(x, y, 0, src.getSample(x * factor, y * factor, 0))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(out, "png", bos)
+    bos.toByteArray
   }
 }
 
 /** Multimodal-column operators (SURVEY §2.9 / driver brief): media
-  * payloads as opaque `binary` columns + typed metadata, with
-  * decode/feature-extraction run batch-at-a-time per partition.
-  *
-  * The test corpus has no real media, so payloads are synthesized
-  * deterministically from `documents.text` (UTF-8 bytes — ASCII here,
-  * making byte offsets equal char offsets, which is what lets the
-  * DuckDB oracle verify the byte-level plumbing end-to-end: lengths,
-  * checksums, derived dimensions, frame sampling).
+  * payloads as opaque `binary` columns, with encode / decode /
+  * feature-extraction / resize run batch-at-a-time per partition
+  * through the REAL [[ImageCodec]].
   *
   * == 100 TB design ==
   * Binary columns ride parquet as-is (no row-group bloat beyond size);
-  * metadata lives beside the payload so pruning-friendly scans can
-  * filter on `media_meta.*` without touching bytes; the decode stage is
-  * `mapPartitions` over batches — linear, shuffle-free, codec state
-  * amortized per partition; frame sampling is a per-row array
-  * expression.
+  * every codec stage is `mapPartitions` over row batches — linear,
+  * shuffle-free, codec state amortized per partition, no per-row JNI
+  * crossings (the Scala equivalent of `mapInPandas`/`mapInArrow`
+  * batch shape); frame sampling is a per-row array expression.
+  *
+  * == Oracle strategy ==
+  * The synthesized PNGs are lossless gray with pixels = content bytes
+  * tiled row-major, so every DECODED value (dimensions, pixel sums,
+  * means) is computable by DuckDB from `documents.text` alone — the
+  * oracle rows verify the real decode end-to-end. Encoded byte lengths
+  * and checksums are codec-dependent (PNG filter/deflate choices), so
+  * they are pinned by ScalaTest invariants instead (LlmOpsSpec: PNG
+  * magic, determinism, round-trip dims).
   */
 object Multimodal extends QueryModule {
   import Tables._
@@ -79,116 +149,155 @@ object Multimodal extends QueryModule {
   private val FRAME_BYTES = 16
   private val FRAME_STRIDE = 32
 
-  /** Attaches the synthesized binary payload + typed metadata struct. */
+  /** Transport-stream payload for FRAME sampling: the raw content
+    * bytes as an opaque binary column (frame windows are byte-offset
+    * operations on the stream, upstream of any codec). ASCII text
+    * makes byte offsets equal char offsets, which is what lets the
+    * DuckDB oracle verify the windowing end-to-end. */
   def withPayload(docs: DataFrame): DataFrame = docs
     .withColumn("payload", col("text").cast("binary"))
-    .withColumn("media_meta", struct(
-      (lit(16) + pmod(length(col("payload")), lit(240))).as("width"),
-      (lit(16) + pmod(length(col("payload")) * 7, lit(240))).as("height"),
-      element_at(typedLit(Seq("png", "jpeg", "webp")),
-        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("format")))
 
-  /** Batch-shaped decode: partitions stream through the stub codec in
-    * groups of `batchSize` rows (the mapInPandas/mapInArrow shape —
-    * batching is what a real codec binding needs to amortize setup). */
+  /** Synthesizes the real PNG media column — the codec's ENCODE stage,
+    * batch-shaped like every other stage. */
+  def withMedia(docs: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap(_.map { case (id, payload) =>
+          (id, payload, ImageCodec.encodePng(payload))
+        })
+      }
+      .toDF("doc_id", "payload", "media")
+  }
+
+  /** Batch-shaped REAL decode over the binary media column: ImageIO
+    * dimensions + pixel statistics, plus source-content invariants the
+    * oracle can also derive. */
   def decodeFeatures(docs: DataFrame, batchSize: Int = 64): Dataset[MediaFeature] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    withPayload(docs)
-      .select(col("doc_id"), col("payload"))
-      .as[(Long, Array[Byte])]
+    withMedia(docs, batchSize)
+      .select(col("doc_id"), col("payload"), col("media"))
+      .as[(Long, Array[Byte], Array[Byte])]
       .mapPartitions { rows =>
-        rows.grouped(batchSize).flatMap { batch =>
-          batch.map { case (id, payload) =>
-            val dec = StubCodec.decode(payload)
-            MediaFeature(id, payload.length,
-              java.security.MessageDigest.getInstance("MD5")
-                .digest(payload).map("%02x".format(_)).mkString,
-              dec.width, dec.height, dec.meanByte)
-          }
-        }
+        rows.grouped(batchSize).flatMap(_.map { case (id, payload, media) =>
+          val dec = ImageCodec.decode(media)
+          MediaFeature(id, payload.length.toLong,
+            java.security.MessageDigest.getInstance("MD5")
+              .digest(payload).map("%02x".format(_)).mkString,
+            media.length.toLong,
+            dec.width.toLong, dec.height.toLong, dec.pixelSum)
+        })
       }
   }
 
-  /** Batch-shaped RESIZE through the stub codec (the remaining codec op
-    * of the driver brief: decode / feature-extract / RESIZE /
-    * frame-sample): every `factor`-th byte survives, dimensions are
-    * re-derived from the resized payload — same `mapPartitions` batch
-    * interface as [[decodeFeatures]]. */
+  /** Batch-shaped REAL resize: decode → nearest-neighbor raster sample
+    * → re-encode → re-decode (the emitted dims/sum come from the
+    * re-decoded image, proving the full round trip). */
   def resizeMedia(
       docs: DataFrame, factor: Int, batchSize: Int = 64): Dataset[ResizedMedia] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    withPayload(docs)
-      .select(col("doc_id"), col("payload"))
+    withMedia(docs, batchSize)
+      .select(col("doc_id"), col("media"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
-        rows.grouped(batchSize).flatMap { batch =>
-          batch.map { case (id, payload) =>
-            val rp = StubCodec.resize(payload, factor)
-            val dec = StubCodec.decode(rp)
-            ResizedMedia(id, rp.length,
-              java.security.MessageDigest.getInstance("MD5")
-                .digest(rp).map("%02x".format(_)).mkString,
-              dec.width, dec.height)
-          }
-        }
+        rows.grouped(batchSize).flatMap(_.map { case (id, media) =>
+          val rp = ImageCodec.resizeNearest(media, factor)
+          val dec = ImageCodec.decode(rp)
+          ResizedMedia(id, rp.length.toLong,
+            java.security.MessageDigest.getInstance("MD5")
+              .digest(rp).map("%02x".format(_)).mkString,
+            dec.width.toLong, dec.height.toLong, dec.pixelSum)
+        })
       }
   }
 
+  /** The shared oracle prelude: per-doc content length, synthesized
+    * dims, total byte sum, and the partial-tile prefix sum — all the
+    * tiled-pixel replay needs. 8192 comfortably exceeds every corpus
+    * text; DuckDB's generate_series cannot be lateral over a column,
+    * so the static bound + length filter idiom is used throughout. */
+  private val oracleBaseSql =
+    """b AS (
+      |  SELECT doc_id, text,
+      |    octet_length(encode(text)) AS n,
+      |    16 + octet_length(encode(text)) % 48 AS w,
+      |    16 + (octet_length(encode(text)) * 7) % 48 AS h
+      |  FROM documents WHERE octet_length(encode(text)) >= 1),
+      |s AS (
+      |  SELECT b.doc_id,
+      |    sum(ord(substr(b.text, t.i, 1))) AS sall,
+      |    coalesce(sum(CASE WHEN t.i <= (b.w * b.h) % b.n
+      |      THEN ord(substr(b.text, t.i, 1)) END), 0) AS pr
+      |  FROM b, generate_series(1, 8192) AS t(i)
+      |  WHERE t.i <= b.n
+      |  GROUP BY b.doc_id)""".stripMargin
+
+  // --------------------------------------------------- q_multimodal_meta
+  /** REAL decode under the oracle gate: ImageIO dimensions and pixel
+    * sum of the synthesized PNG vs DuckDB's tiled replay (full tiles ×
+    * total byte sum + partial-tile prefix). `mean_pixel` is one IEEE
+    * division of exact integers — bit-identical cross-engine. */
+  private def qMultimodalMeta(s: SparkSession, d: String): DataFrame =
+    decodeFeatures(documents(s, d).filter(length(col("text")) >= 1))
+      .toDF()
+      .select(col("doc_id"), col("src_bytes"), col("src_md5"),
+        col("width"), col("height"), col("pixel_sum"),
+        (col("pixel_sum") / (col("width") * col("height")))
+          .as("mean_pixel"),
+        lit("png").as("format"))
+  private val qMultimodalMetaSql =
+    s"""WITH $oracleBaseSql
+      |SELECT b.doc_id,
+      |  CAST(b.n AS BIGINT) AS src_bytes,
+      |  md5(b.text) AS src_md5,
+      |  CAST(b.w AS BIGINT) AS width,
+      |  CAST(b.h AS BIGINT) AS height,
+      |  CAST((b.w * b.h) // b.n * s.sall + s.pr AS BIGINT) AS pixel_sum,
+      |  ((b.w * b.h) // b.n * s.sall + s.pr) / CAST(b.w * b.h AS DOUBLE)
+      |    AS mean_pixel,
+      |  'png' AS format
+      |FROM b JOIN s USING (doc_id)""".stripMargin
+
   // ------------------------------------------------- q_multimodal_resize
-  /** The codec-shaped resize under the oracle gate: factor-2 byte
-    * downsample, re-derived dimensions, checksum of the resized bytes.
-    * ASCII payloads let the oracle rebuild the resized payload as the
-    * odd-position characters. */
+  /** The REAL resize ladder under the oracle gate: factor-2
+    * nearest-neighbor downsample, with the emitted dims/pixel-sum read
+    * back from the RE-ENCODED image. The oracle replays the sampled
+    * raster positions (2y·w + 2x, tiled modulo the content length). */
   private def qMultimodalResize(s: SparkSession, d: String): DataFrame =
     resizeMedia(documents(s, d).filter(length(col("text")) >= 1), factor = 2)
       .toDF()
-      .select(col("doc_id"), col("n_bytes").cast("long").as("n_bytes"),
-        col("resized_md5"), col("width").cast("long").as("width"),
-        col("height").cast("long").as("height"))
+      .select(col("doc_id"), col("width"), col("height"), col("pixel_sum"),
+        (col("pixel_sum") / (col("width") * col("height")))
+          .as("mean_pixel"))
   private val qMultimodalResizeSql =
-    // the series bound is static (DuckDB's generate_series cannot be
-    // lateral over a column): 8192 comfortably exceeds every corpus
-    // text (max ~600 chars); positions beyond the text are filtered
-    """WITH r AS (
-      |  SELECT doc_id, string_agg(substr(text, i, 1), '' ORDER BY i) AS rp
-      |  FROM documents, generate_series(1, 8192, 2) AS t(i)
-      |  WHERE i <= length(text)
-      |  GROUP BY doc_id)
-      |SELECT doc_id,
-      |  octet_length(encode(rp)) AS n_bytes,
-      |  md5(rp) AS resized_md5,
-      |  16 + octet_length(encode(rp)) % 240 AS width,
-      |  16 + (octet_length(encode(rp)) * 7) % 240 AS height
-      |FROM r""".stripMargin
-
-  // --------------------------------------------------- q_multimodal_meta
-  /** Typed-metadata extraction from the binary column — flat projection
-    * so the DuckDB oracle can verify byte lengths, checksums and the
-    * derived dimensions. */
-  private def qMultimodalMeta(s: SparkSession, d: String): DataFrame =
-    withPayload(documents(s, d)).select(
-      col("doc_id"),
-      length(col("payload")).cast("long").as("n_bytes"),
-      md5(col("payload")).as("payload_md5"),
-      col("media_meta.width").cast("long").as("width"),
-      col("media_meta.height").cast("long").as("height"),
-      col("media_meta.format").as("format"))
-  private val qMultimodalMetaSql =
-    """SELECT doc_id,
-      |  octet_length(encode(text)) AS n_bytes,
-      |  md5(text) AS payload_md5,
-      |  16 + octet_length(encode(text)) % 240 AS width,
-      |  16 + (octet_length(encode(text)) * 7) % 240 AS height,
-      |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format
-      |FROM documents""".stripMargin
+    s"""WITH $oracleBaseSql,
+      |r AS (
+      |  SELECT b.doc_id,
+      |    sum(ord(substr(b.text,
+      |      ((2 * ty.y) * b.w + 2 * tx.x) % b.n + 1, 1))) AS psum
+      |  FROM b,
+      |    generate_series(0, 31) AS ty(y),
+      |    generate_series(0, 31) AS tx(x)
+      |  WHERE ty.y < (b.h + 1) // 2 AND tx.x < (b.w + 1) // 2
+      |  GROUP BY b.doc_id)
+      |SELECT b.doc_id,
+      |  CAST((b.w + 1) // 2 AS BIGINT) AS width,
+      |  CAST((b.h + 1) // 2 AS BIGINT) AS height,
+      |  CAST(r.psum AS BIGINT) AS pixel_sum,
+      |  r.psum / CAST(((b.w + 1) // 2) * ((b.h + 1) // 2) AS DOUBLE)
+      |    AS mean_pixel
+      |FROM b JOIN r USING (doc_id)""".stripMargin
 
   // ----------------------------------------------------- q_frame_sample
-  /** Frame sampling over a "video" payload: every FRAME_STRIDE bytes,
-    * checksum a FRAME_BYTES window — per-row array expression, the
-    * plumbing shape of keyframe extraction. ASCII payloads make byte
-    * windows equal char windows, so the oracle uses substr on text. */
+  /** Frame sampling over a "video" transport payload: every
+    * FRAME_STRIDE bytes, checksum a FRAME_BYTES window — per-row array
+    * expression, the plumbing shape of keyframe extraction (byte-offset
+    * work on the stream, upstream of any codec). ASCII payloads make
+    * byte windows equal char windows, so the oracle uses substr. */
   private def qFrameSample(s: SparkSession, d: String): DataFrame =
     withPayload(documents(s, d))
       .filter(length(col("payload")) >= FRAME_BYTES)

@@ -178,6 +178,32 @@ object Relational extends QueryModule {
       |      FROM events)
       |WHERE rnk = 1""".stripMargin
 
+  // ----------------------------------------------------- q_qualify_dedup
+  /** The reference's dedup statement VERBATIM-shaped: `QUALIFY rnk = 1`
+    * (demo-notebook.py:267 — Databricks SQL; vanilla Spark 4 lacks the
+    * keyword). [[graft.catalog.GraftSqlParser]] rewrites QUALIFY into
+    * the ranked-subquery filter at parse time, so a reference user can
+    * paste their statement unchanged; the oracle runs DuckDB's NATIVE
+    * QUALIFY over the same text shape, pinning the rewrite to a real
+    * engine's semantics. Same result contract as q6_window_dedup. */
+  private def qQualifyDedup(s: SparkSession, d: String): DataFrame = {
+    events(s, d).createOrReplaceTempView("qualify_events")
+    val plan = new graft.catalog.GraftSqlParser(s.sessionState.sqlParser,
+      Some(s)).parsePlan(
+        """SELECT user_id, event_id, event_type, value,
+          |  CAST(row_number() OVER (PARTITION BY user_id
+          |    ORDER BY ts DESC, event_id DESC) AS BIGINT) AS rnk
+          |FROM qualify_events
+          |QUALIFY rnk = 1""".stripMargin)
+    org.apache.spark.sql.graftshim.SparkInternals.ofRows(s, plan)
+  }
+  private val qQualifyDedupSql =
+    """SELECT user_id, event_id, event_type, value,
+      |  CAST(row_number() OVER (PARTITION BY user_id
+      |    ORDER BY ts DESC, event_id DESC) AS BIGINT) AS rnk
+      |FROM events
+      |QUALIFY rnk = 1""".stripMargin
+
   // ---------------------------------------------------------------- q7
   // Content hash for change detection — F1 (md5 over concatenated
   // business fields, demo-notebook.py:168). Timestamp folded in as
@@ -898,6 +924,7 @@ object Relational extends QueryModule {
     "q4_semi_join"        -> q4 _,
     "q5_right_outer_nvl"  -> q5 _,
     "q6_window_dedup"     -> q6 _,
+    "q_qualify_dedup"     -> qQualifyDedup _,
     "q7_data_hash"        -> q7 _,
     "q8_signed_delta"     -> q8 _,
     "q9_utc_normalize"    -> q9 _,
@@ -955,6 +982,7 @@ object Relational extends QueryModule {
     "q4_semi_join"        -> q4Sql,
     "q5_right_outer_nvl"  -> q5Sql,
     "q6_window_dedup"     -> q6Sql,
+    "q_qualify_dedup"     -> qQualifyDedupSql,
     "q7_data_hash"        -> q7Sql,
     "q8_signed_delta"     -> q8Sql,
     "q9_utc_normalize"    -> q9Sql,

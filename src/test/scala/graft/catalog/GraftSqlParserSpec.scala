@@ -476,4 +476,83 @@ class GraftSqlParserSpec extends SparkSpec {
     // AQE setting is restored afterwards
     assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
   }
+
+  test("QUALIFY: alias predicate, raw window predicate, trailing clauses") {
+    withExtendedSession { s =>
+      import s.implicits._
+      (1L to 40L).map(i => (i, i % 5, i % 3))
+        .toDF("id", "g", "v").createOrReplaceTempView("qual_t")
+      val want = s.sql(
+        """SELECT id, g FROM (
+          |  SELECT id, g, row_number() OVER
+          |    (PARTITION BY g ORDER BY id DESC) AS rnk FROM qual_t)
+          |WHERE rnk = 1""".stripMargin).orderBy("g")
+        .collect().map(_.toSeq).toSeq
+
+      // the reference's literal idiom: alias in the select list
+      val alias = s.sql(
+        """SELECT id, g, row_number() OVER
+          |  (PARTITION BY g ORDER BY id DESC) AS rnk
+          |FROM qual_t QUALIFY rnk = 1""".stripMargin)
+      assert(alias.columns.toSeq == Seq("id", "g", "rnk"))
+      assert(alias.select("id", "g").orderBy("g")
+        .collect().map(_.toSeq).toSeq == want)
+
+      // raw window expression in the predicate: spliced hidden column,
+      // output columns unchanged (no __qualify leak)
+      val raw = s.sql(
+        """SELECT id, g FROM qual_t
+          |QUALIFY row_number() OVER
+          |  (PARTITION BY g ORDER BY id DESC) = 1""".stripMargin)
+      assert(raw.columns.toSeq == Seq("id", "g"))
+      assert(raw.orderBy("g").collect().map(_.toSeq).toSeq == want)
+
+      // ORDER BY / LIMIT after QUALIFY see the FILTERED rows
+      val limited = s.sql(
+        """SELECT id, g, row_number() OVER
+          |  (PARTITION BY g ORDER BY id DESC) AS rnk
+          |FROM qual_t QUALIFY rnk = 1 ORDER BY g DESC LIMIT 2""".stripMargin)
+        .collect()
+      assert(limited.length == 2)
+      assert(limited.map(_.getLong(1)).toSeq == Seq(4L, 3L))
+
+      // predicates beyond rank-filters work (any window alias math)
+      val topHalf = s.sql(
+        """SELECT id, g, avg(id) OVER (PARTITION BY g) AS ga
+          |FROM qual_t QUALIFY id > ga""".stripMargin)
+      assert(topHalf.count() == 20)
+
+      // CTE head wraps too
+      val cte = s.sql(
+        """WITH base AS (SELECT id, g FROM qual_t WHERE id <= 20)
+          |SELECT id, g, row_number() OVER
+          |  (PARTITION BY g ORDER BY id DESC) AS rnk
+          |FROM base QUALIFY rnk = 1""".stripMargin)
+      assert(cte.count() == 5)
+      assert(cte.agg(org.apache.spark.sql.functions.max("id"))
+        .collect().head.getLong(0) == 20L)
+
+      // DISTINCT + raw window is the documented unsupported corner
+      val e = intercept[Exception](s.sql(
+        """SELECT DISTINCT g FROM qual_t
+          |QUALIFY row_number() OVER (ORDER BY g) = 1""".stripMargin))
+      assert(e.getMessage.contains("DISTINCT"))
+
+      // a QUALIFY string literal is NOT treated as the keyword
+      assert(s.sql("SELECT 'QUALIFY rnk = 1' AS s FROM qual_t LIMIT 1")
+        .collect().head.getString(0) == "QUALIFY rnk = 1")
+    }
+  }
+
+  test("QUALIFY executes through GraftSql.execute on a PLAIN session") {
+    import spark.implicits._
+    (1L to 12L).map(i => (i, i % 4)).toDF("id", "g")
+      .createOrReplaceTempView("qual_plain")
+    val rows = GraftSql.execute(spark,
+      """SELECT id, g, row_number() OVER
+        |  (PARTITION BY g ORDER BY id DESC) AS rnk
+        |FROM qual_plain QUALIFY rnk = 1""".stripMargin)
+    assert(rows.length == 4)
+    assert(rows.map(_.getLong(0)).sorted.toSeq == Seq(9L, 10L, 11L, 12L))
+  }
 }

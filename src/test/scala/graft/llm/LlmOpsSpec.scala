@@ -105,23 +105,60 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
-  test("multimodal decodeFeatures preserves rows, is deterministic, and matches the metadata query") {
-    val docs = Tables.documents(spark, sf)
+  test("multimodal: real PNG encode, ImageIO decode round-trip, deterministic") {
+    val docs = Tables.documents(spark, sf).filter(length($"text") >= 1)
     val feats = Multimodal.decodeFeatures(docs, batchSize = 7).cache()
     assert(feats.count() === docs.count())
-    // stub decode must agree with the declarative metadata projection
-    val meta = q("q_multimodal_meta")
-      .select("doc_id", "n_bytes", "payload_md5", "width", "height")
-      .as[(Long, Long, String, Long, Long)].collect()
-      .map(r => r._1 -> r).toMap
+
+    // the media column carries REAL PNGs: magic header + decodable
+    val media = Multimodal.withMedia(docs.limit(8))
+      .select("doc_id", "media").as[(Long, Array[Byte])].collect()
+    assert(media.nonEmpty)
+    media.foreach { case (_, png) =>
+      assert(png.length > 8)
+      assert((png(0) & 0xff) === 0x89 && png(1) === 'P'.toByte &&
+        png(2) === 'N'.toByte && png(3) === 'G'.toByte,
+        "media payload must be a real PNG")
+      assert(ImageCodec.decode(png).width >= 16)
+    }
+
+    // decoded dims == synthesized dims; pixel sum == tiled content sum
+    val texts = docs.select("doc_id", "text").as[(Long, String)]
+      .collect().map(t => t._1 -> t._2).toMap
     feats.collect().foreach { f =>
-      val m = meta(f.doc_id)
-      assert(f.n_bytes.toLong === m._2)
-      assert(f.checksum === m._3)
-      assert(f.width.toLong === m._4 && f.height.toLong === m._5)
+      val text = texts(f.doc_id).getBytes("UTF-8")
+      val (w, h) = ImageCodec.dims(text.length)
+      assert(f.width === w.toLong && f.height === h.toLong,
+        s"doc ${f.doc_id}: decoded dims must equal synthesized dims")
+      assert(f.src_bytes === text.length.toLong)
+      val expectedSum = (0 until w * h)
+        .map(p => (text(p % text.length) & 0xff).toLong).sum
+      assert(f.pixel_sum === expectedSum,
+        s"doc ${f.doc_id}: decoded pixel sum must equal the tiled content sum")
+      assert(f.media_bytes > 8L)
     }
     val again = Multimodal.decodeFeatures(docs, batchSize = 64).collect().toSet
     assert(again === feats.collect().toSet, "batch size must not affect results")
+
+    // resize: ceil-halved dims, sampled-position pixel sum, and a
+    // deterministic re-encoded artifact
+    val resized = Multimodal.resizeMedia(docs, factor = 2, batchSize = 5)
+      .collect().map(r => r.doc_id -> r).toMap
+    val resized2 = Multimodal.resizeMedia(docs, factor = 2, batchSize = 64)
+      .collect().map(r => r.doc_id -> r).toMap
+    texts.foreach { case (id, t) =>
+      val bytes = t.getBytes("UTF-8")
+      val n = bytes.length
+      val (w, h) = ImageCodec.dims(n)
+      val (w2, h2) = ((w + 1) / 2, (h + 1) / 2)
+      val r = resized(id)
+      assert(r.width === w2.toLong && r.height === h2.toLong)
+      val expected = (for (y <- 0 until h2; x <- 0 until w2)
+        yield (bytes(((2 * y) * w + 2 * x) % n) & 0xff).toLong).sum
+      assert(r.pixel_sum === expected)
+      assert(r.n_bytes > 8L)
+      assert(resized2(id) === r, "resize must be deterministic")
+    }
   }
 
   test("embedding near-dup flags exactly the planted perturbed copies") {
