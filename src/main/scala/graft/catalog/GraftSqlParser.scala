@@ -962,7 +962,7 @@ object PlanShape {
   * {{{
   *   GLOBAL RANK <rankCol>
   *     [ROW_NUMBER <col>]
-  *     [RUNNING SUM(<expr>) AS <col>]...
+  *     [RUNNING SUM|MIN|MAX|AVG(<expr>) AS <col>]...
   *     [COUNT <col>]
   *   FROM <table-or-view | (subquery)>
   *   ORDER BY <keyExpr> [ASC|DESC]
@@ -971,9 +971,12 @@ object PlanShape {
   *
   * Semantics match the window forms exactly: `<rankCol>` is
   * `rank() OVER (ORDER BY key)` (ties on the primary key only);
-  * `ROW_NUMBER` / `RUNNING SUM` follow `ORDER BY key, tiebreaks` and
+  * `ROW_NUMBER` / the `RUNNING` aggregates follow `ORDER BY key,
+  * tiebreaks` in an UNBOUNDED PRECEDING..CURRENT ROW rows frame and
   * need TIEBREAK columns that make the order total to be
-  * deterministic; `COUNT` is `count(*) OVER ()`. The leading key must
+  * deterministic (RUNNING values use the integer contract — cast to
+  * long — with AVG emitted as running-sum / row-number in IEEE
+  * doubles); `COUNT` is `count(*) OVER ()`. The leading key must
   * be non-null and numeric-castable (RankOps contract).
   *
   * Grammar errors surface at PARSE time (the clause scan is pure
@@ -996,22 +999,32 @@ object GlobalRankStatement {
 
   private val RowNumR = """(?is)^ROW_NUMBER\s+`?(\w+)`?\s*(.*)$""".r
   private val CntR = """(?is)^COUNT\s+`?(\w+)`?\s*(.*)$""".r
-  private val SumStartR = """(?is)^RUNNING\s+SUM\s*\(.*""".r
+  private val RunStartR = """(?is)^RUNNING\s+(SUM|MIN|MAX|AVG)\s*\(.*""".r
   private val AsR = """(?is)^\s*AS\s+`?(\w+)`?\s*(.*)$""".r
   private val AscDescR = """(?is)^(.+?)\s+(ASC|DESC)\s*$""".r
 
+  /** Parsed RUNNING items by aggregate kind. */
+  final case class Running(
+      sums: Seq[(String, String)], mins: Seq[(String, String)],
+      maxs: Seq[(String, String)], avgs: Seq[(String, String)])
+
   /** Output-column clauses after the rank column: ROW_NUMBER /
-    * RUNNING SUM (repeatable, parens balanced by scan) / COUNT. */
+    * RUNNING SUM|MIN|MAX|AVG (repeatable, parens balanced by scan) /
+    * COUNT. */
   private def parseClauses(
-      rest0: String): (Option[String], Seq[(String, String)], Option[String]) = {
+      rest0: String): (Option[String], Running, Option[String]) = {
     var rest = rest0.trim
     var rn: Option[String] = None
     var cnt: Option[String] = None
-    val sums = Seq.newBuilder[(String, String)]
+    val runs = Map(
+      "SUM" -> Seq.newBuilder[(String, String)],
+      "MIN" -> Seq.newBuilder[(String, String)],
+      "MAX" -> Seq.newBuilder[(String, String)],
+      "AVG" -> Seq.newBuilder[(String, String)])
     while (rest.nonEmpty) rest match {
       case RowNumR(c, r) => rn = Some(c); rest = r
       case CntR(c, r) => cnt = Some(c); rest = r
-      case _ if SumStartR.matches(rest) =>
+      case RunStartR(kind) =>
         val open = rest.indexOf('(')
         var depth = 0; var i = open; var close = -1
         while (i < rest.length && close < 0) {
@@ -1022,23 +1035,26 @@ object GlobalRankStatement {
           }
           i += 1
         }
-        require(close > open, s"unbalanced parens in RUNNING SUM: $rest")
+        require(close > open, s"unbalanced parens in RUNNING $kind: $rest")
         val e = rest.substring(open + 1, close)
         rest.substring(close + 1) match {
-          case AsR(name, r) => sums += ((e, name)); rest = r
+          case AsR(name, r) => runs(kind.toUpperCase) += ((e, name)); rest = r
           case other => throw new IllegalArgumentException(
-            s"expected AS <name> after RUNNING SUM(...), got: '$other'")
+            s"expected AS <name> after RUNNING $kind(...), got: '$other'")
         }
       case other => throw new IllegalArgumentException(
         s"unrecognized GLOBAL RANK clause: '$other'")
     }
-    (rn, sums.result(), cnt)
+    (rn,
+      Running(runs("SUM").result(), runs("MIN").result(),
+        runs("MAX").result(), runs("AVG").result()),
+      cnt)
   }
 
   /** One fully-parsed statement: every grammar decision is made (and
     * every grammar error thrown) before this exists. */
   final case class Parsed(
-      rankCol: String, rnCol: Option[String], sums: Seq[(String, String)],
+      rankCol: String, rnCol: Option[String], runs: Running,
       cntCol: Option[String], src: String, keyExpr: String, asc: Boolean,
       tiebreaks: Seq[String])
 
@@ -1073,12 +1089,12 @@ object GlobalRankStatement {
       else topLevelSplit(tiePart, ',').map(_.trim).filter(_.nonEmpty)
     val headParts = head.split("\\s+", 2)
     val rankCol = headParts.head.stripPrefix("`").stripSuffix("`")
-    val (rnCol, sums, cntCol) =
+    val (rnCol, runs, cntCol) =
       parseClauses(if (headParts.length > 1) headParts(1) else "")
     if (src.startsWith("("))
       require(src.endsWith(")"),
         s"GLOBAL RANK subquery must be fully parenthesized: $src")
-    Parsed(rankCol, rnCol, sums, cntCol, src, keyExpr, asc, tiebreaks)
+    Parsed(rankCol, rnCol, runs, cntCol, src, keyExpr, asc, tiebreaks)
   }
 
   /** Resolves the source relation and builds the RankOps plan — runs
@@ -1089,12 +1105,17 @@ object GlobalRankStatement {
       if (p.src.startsWith("("))
         spark.sql(p.src.substring(1, p.src.length - 1))
       else spark.table(GraftSqlParser.cleanName(p.src))
+    def cols(xs: Seq[(String, String)]) =
+      xs.map { case (e, n) => (expr(e), n) }
     graft.operators.RankOps.withGlobalOrder(df,
         expr(p.keyExpr), ascending = p.asc,
         tiebreaks = p.tiebreaks.map(expr),
         rankCol = Some(p.rankCol), rowNumCol = p.rnCol,
-        runningSums = p.sums.map { case (e, n) => (expr(e), n) },
-        countCol = p.cntCol)
+        runningSums = cols(p.runs.sums),
+        countCol = p.cntCol,
+        runningMins = cols(p.runs.mins),
+        runningMaxs = cols(p.runs.maxs),
+        runningAvgs = cols(p.runs.avgs))
       .queryExecution.logical
   }
 }

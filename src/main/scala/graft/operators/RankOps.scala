@@ -89,6 +89,14 @@ object RankOps {
     * @param runningSums (value expression, output name) pairs: inclusive
     *                    running `sum(value)` in ROWS frame over the order
     * @param countCol    name for the total row count (constant column)
+    * @param runningMins (value expression, output name) pairs: inclusive
+    *                    running `min(value)` in ROWS frame (integer
+    *                    contract, like runningSums: values cast to long)
+    * @param runningMaxs same, running `max(value)`
+    * @param runningAvgs same, running `avg(value)` — emitted as the
+    *                    IEEE division of the exact running long sum by
+    *                    the global row number, so it is bit-replayable
+    *                    by any engine that states it the same way
     * @param buckets     parallelism of the distributed sort; defaults to
     *                    `spark.sql.shuffle.partitions`
     */
@@ -101,6 +109,9 @@ object RankOps {
       rowNumCol: Option[String] = None,
       runningSums: Seq[(Column, String)] = Nil,
       countCol: Option[String] = None,
+      runningMins: Seq[(Column, String)] = Nil,
+      runningMaxs: Seq[(Column, String)] = Nil,
+      runningAvgs: Seq[(Column, String)] = Nil,
       buckets: Int = 0): DataFrame = {
     val spark = df.sparkSession
     val nb =
@@ -137,19 +148,43 @@ object RankOps {
       local = local.withColumn(s"__rk_ls_$i",
         sum(v.cast("long")).over(wRows))
     }
+    runningMins.zipWithIndex.foreach { case ((v, _), i) =>
+      local = local.withColumn(s"__rk_lmn_$i",
+        min(v.cast("long")).over(wRows))
+    }
+    runningMaxs.zipWithIndex.foreach { case ((v, _), i) =>
+      local = local.withColumn(s"__rk_lmx_$i",
+        max(v.cast("long")).over(wRows))
+    }
+    runningAvgs.zipWithIndex.foreach { case ((v, _), i) =>
+      local = local.withColumn(s"__rk_las_$i",
+        sum(v.cast("long")).over(wRows))
+    }
 
     // per-bucket counts/totals → ONE broadcast row. A plain aggregate
     // over the bucketed input: map-side partial combine reduces it to
     // #buckets rows per input partition before its (tiny) shuffle, so
     // the relation itself is shuffled only once — by the window.
     val statAggs: Seq[Column] =
-      count(lit(1)).cast("long").as("cnt") +:
+      (count(lit(1)).cast("long").as("cnt") +:
         runningSums.zipWithIndex.map { case ((v, _), i) =>
           coalesce(sum(v.cast("long")), lit(0L)).as(s"s_$i")
+        }) ++
+        runningMins.zipWithIndex.map { case ((v, _), i) =>
+          min(v.cast("long")).as(s"mn_$i")
+        } ++
+        runningMaxs.zipWithIndex.map { case ((v, _), i) =>
+          max(v.cast("long")).as(s"mx_$i")
+        } ++
+        runningAvgs.zipWithIndex.map { case ((v, _), i) =>
+          coalesce(sum(v.cast("long")), lit(0L)).as(s"as_$i")
         }
     val statFields: Seq[Column] =
-      col(BKT).as("b") +: col("cnt") +:
-        runningSums.indices.map(i => col(s"s_$i"))
+      (col(BKT).as("b") +: col("cnt") +:
+        runningSums.indices.map(i => col(s"s_$i"))) ++
+        runningMins.indices.map(i => col(s"mn_$i")) ++
+        runningMaxs.indices.map(i => col(s"mx_$i")) ++
+        runningAvgs.indices.map(i => col(s"as_$i"))
     val statsRow = pre.groupBy(col(BKT))
       .agg(statAggs.head, statAggs.tail: _*)
       .agg(sort_array(collect_list(struct(statFields: _*))).as(STATS))
@@ -169,11 +204,32 @@ object RankOps {
     runningSums.zipWithIndex.foreach { case ((_, c), i) =>
       out = out.withColumn(c, sumOf(below, s"s_$i") + col(s"__rk_ls_$i"))
     }
+    // earlier-bucket extremum: array_min/max over the broadcast prefix
+    // (NULL when this is the first non-empty bucket); least/greatest
+    // skip NULLs, so the local running extremum carries through
+    runningMins.zipWithIndex.foreach { case ((_, c), i) =>
+      out = out.withColumn(c,
+        least(array_min(transform(below, x => x(s"mn_$i"))),
+          col(s"__rk_lmn_$i")))
+    }
+    runningMaxs.zipWithIndex.foreach { case ((_, c), i) =>
+      out = out.withColumn(c,
+        greatest(array_max(transform(below, x => x(s"mx_$i"))),
+          col(s"__rk_lmx_$i")))
+    }
+    runningAvgs.zipWithIndex.foreach { case ((_, c), i) =>
+      out = out.withColumn(c,
+        (sumOf(below, s"as_$i") + col(s"__rk_las_$i")) /
+          (sumOf(below, "cnt") + col(LRN)))
+    }
     countCol.foreach { c =>
       out = out.withColumn(c, sumOf(col(STATS), "cnt"))
     }
     val temps = Seq(BKT, LRN, LRK, STATS) ++
-      runningSums.indices.map(i => s"__rk_ls_$i")
+      runningSums.indices.map(i => s"__rk_ls_$i") ++
+      runningMins.indices.map(i => s"__rk_lmn_$i") ++
+      runningMaxs.indices.map(i => s"__rk_lmx_$i") ++
+      runningAvgs.indices.map(i => s"__rk_las_$i")
     out.drop(temps: _*)
   }
 

@@ -914,9 +914,52 @@ object Relational extends QueryModule {
       |  CAST(count(*) OVER () AS BIGINT) AS n_cust
       |FROM c""".stripMargin
 
+  // ---------------------------------------------- q_global_rank_running
+  /** GLOBAL RANK's full RUNNING-aggregate family (SUM / MIN / MAX /
+    * AVG) in one statement — prefix extrema and mean over the exact
+    * distributed global order. MIN/MAX run over a column that is NOT
+    * the sort key (prefix extrema of the key itself are trivial), AVG
+    * is stated as running-sum / row-number in BOTH engines so the IEEE
+    * division matches bit-for-bit. */
+  private def qGlobalRankRunning(s: SparkSession, d: String): DataFrame = {
+    customer(s, d).createOrReplaceTempView("grank_customer")
+    val plan = new graft.catalog.GraftSqlParser(s.sessionState.sqlParser,
+      Some(s)).parsePlan(
+        """GLOBAL RANK bal_rank
+          |  RUNNING SUM(cents) AS cum_cents
+          |  RUNNING MIN(c_custkey) AS min_key
+          |  RUNNING MAX(c_custkey) AS max_key
+          |  RUNNING AVG(cents) AS avg_cents
+          |FROM (SELECT c_custkey, c_nationkey,
+          |        CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+          |      FROM grank_customer)
+          |ORDER BY cents DESC TIEBREAK c_custkey""".stripMargin)
+    val expanded = plan match {
+      case g: graft.catalog.GlobalRankNode => g.built
+      case p => p
+    }
+    org.apache.spark.sql.graftshim.SparkInternals.ofRows(s, expanded)
+  }
+  private val qGlobalRankRunningOracle =
+    """WITH c AS (SELECT c_custkey, c_nationkey,
+      |             CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+      |           FROM customer)
+      |SELECT c_custkey, c_nationkey, cents,
+      |  CAST(rank() OVER (ORDER BY cents DESC) AS BIGINT) AS bal_rank,
+      |  CAST(sum(cents) OVER w AS BIGINT) AS cum_cents,
+      |  CAST(min(c_custkey) OVER w AS BIGINT) AS min_key,
+      |  CAST(max(c_custkey) OVER w AS BIGINT) AS max_key,
+      |  CAST(sum(cents) OVER w AS BIGINT) /
+      |    CAST(row_number() OVER (ORDER BY cents DESC, c_custkey)
+      |      AS DOUBLE) AS avg_cents
+      |FROM c
+      |WINDOW w AS (ORDER BY cents DESC, c_custkey
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q_plan_shape"        -> qPlanShape _,
     "q_global_rank"       -> qGlobalRankSql _,
+    "q_global_rank_running" -> qGlobalRankRunning _,
     "q_abc_analysis"      -> qAbcAnalysis _,
     "q1_pricing_summary"  -> q1 _,
     "q2_filter_project"   -> q2 _,
@@ -975,6 +1018,7 @@ object Relational extends QueryModule {
   override val oracles: Seq[(String, String)] = Seq(
     "q_plan_shape"        -> qPlanShapeSql,
     "q_global_rank"       -> qGlobalRankSqlOracle,
+    "q_global_rank_running" -> qGlobalRankRunningOracle,
     "q_abc_analysis"      -> qAbcAnalysisSql,
     "q1_pricing_summary"  -> q1Sql,
     "q2_filter_project"   -> q2Sql,

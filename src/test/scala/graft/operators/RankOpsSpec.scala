@@ -52,6 +52,38 @@ class RankOpsSpec extends SparkSpec {
     check(asc = true, buckets = 8)
   }
 
+  test("running MIN/MAX/AVG are bit-identical to the window forms") {
+    for (asc <- Seq(true, false); buckets <- Seq(1, 8, 256)) {
+      val o = if (asc) $"v".asc else $"v".desc
+      val rows = Window.orderBy(o, $"id".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val want = data
+        .withColumn("rn", row_number()
+          .over(Window.orderBy(o, $"id".asc)).cast("long"))
+        .withColumn("mn", min($"x".cast("long")).over(rows))
+        .withColumn("mx", max($"x".cast("long")).over(rows))
+        .withColumn("av", sum($"x".cast("long")).over(rows) /
+          row_number().over(Window.orderBy(o, $"id".asc)).cast("double"))
+        .select($"id", $"rn", $"mn", $"mx", $"av")
+        .orderBy($"rn").collect()
+      val got = RankOps.withGlobalOrder(data, $"v", asc, Seq($"id"),
+          rowNumCol = Some("rn"),
+          runningMins = Seq(($"x", "mn")),
+          runningMaxs = Seq(($"x", "mx")),
+          runningAvgs = Seq(($"x", "av")),
+          buckets = buckets)
+        .select($"id", $"rn", $"mn", $"mx", $"av")
+        .orderBy($"rn").collect()
+      assert(got.length == want.length)
+      want.toSeq.zip(got.toSeq).zipWithIndex
+        .find { case ((x, y), _) => x != y }
+        .foreach { case ((x, y), i) =>
+          fail(s"asc=$asc buckets=$buckets divergence at $i: " +
+            s"window=$x dist=$y")
+        }
+    }
+  }
+
   test("descending, 8 buckets") {
     check(asc = false, buckets = 8)
   }
