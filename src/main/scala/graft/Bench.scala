@@ -138,7 +138,11 @@ object Bench {
     "q_expand_context",                                     // RAG context windows
     "q_dataset_card_refresh",                               // maintained release card
     "q_markov_anomaly",                                     // sequence anomaly score
-    "q_wow_volume")                                         // WoW growth report
+    "q_wow_volume",                                         // WoW growth report
+    "q_global_rank", "q_global_rank_running",               // distributed exact rank SQL
+    "q_global_percentile",                                  // exact percentile/decile placement
+    "q_qualify_dedup",                                      // QUALIFY rewrite dedup
+    "q_multimodal_meta", "q_multimodal_resize")             // real-codec decode/resize
   // q_semantic_dedup stays sf0.1-only: its oracle-replayable form fixes
   // CENTROIDS=16, so per-cell pair cost grows ~(N/16)² — the sf1 scale
   // path is the adaptive-cell VectorIndex (cells ~ √N), already timed

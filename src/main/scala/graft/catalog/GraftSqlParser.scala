@@ -964,6 +964,8 @@ object PlanShape {
   *     [ROW_NUMBER <col>]
   *     [RUNNING SUM|MIN|MAX|AVG(<expr>) AS <col>]...
   *     [COUNT <col>]
+  *     [PERCENT_RANK <col>]
+  *     [NTILE(<k>) <col>]
   *   FROM <table-or-view | (subquery)>
   *   ORDER BY <keyExpr> [ASC|DESC]
   *   [TIEBREAK <c1>[, <c2>...]]
@@ -999,6 +1001,8 @@ object GlobalRankStatement {
 
   private val RowNumR = """(?is)^ROW_NUMBER\s+`?(\w+)`?\s*(.*)$""".r
   private val CntR = """(?is)^COUNT\s+`?(\w+)`?\s*(.*)$""".r
+  private val PctR = """(?is)^PERCENT_RANK\s+`?(\w+)`?\s*(.*)$""".r
+  private val NtileR = """(?is)^NTILE\s*\(\s*(\d+)\s*\)\s+`?(\w+)`?\s*(.*)$""".r
   private val RunStartR = """(?is)^RUNNING\s+(SUM|MIN|MAX|AVG)\s*\(.*""".r
   private val AsR = """(?is)^\s*AS\s+`?(\w+)`?\s*(.*)$""".r
   private val AscDescR = """(?is)^(.+?)\s+(ASC|DESC)\s*$""".r
@@ -1010,12 +1014,14 @@ object GlobalRankStatement {
 
   /** Output-column clauses after the rank column: ROW_NUMBER /
     * RUNNING SUM|MIN|MAX|AVG (repeatable, parens balanced by scan) /
-    * COUNT. */
-  private def parseClauses(
-      rest0: String): (Option[String], Running, Option[String]) = {
+    * COUNT / PERCENT_RANK / NTILE(k). */
+  private def parseClauses(rest0: String): (Option[String], Running,
+      Option[String], Option[String], Option[(Int, String)]) = {
     var rest = rest0.trim
     var rn: Option[String] = None
     var cnt: Option[String] = None
+    var pct: Option[String] = None
+    var ntl: Option[(Int, String)] = None
     val runs = Map(
       "SUM" -> Seq.newBuilder[(String, String)],
       "MIN" -> Seq.newBuilder[(String, String)],
@@ -1024,6 +1030,8 @@ object GlobalRankStatement {
     while (rest.nonEmpty) rest match {
       case RowNumR(c, r) => rn = Some(c); rest = r
       case CntR(c, r) => cnt = Some(c); rest = r
+      case PctR(c, r) => pct = Some(c); rest = r
+      case NtileR(k, c, r) => ntl = Some((k.toInt, c)); rest = r
       case RunStartR(kind) =>
         val open = rest.indexOf('(')
         var depth = 0; var i = open; var close = -1
@@ -1048,15 +1056,16 @@ object GlobalRankStatement {
     (rn,
       Running(runs("SUM").result(), runs("MIN").result(),
         runs("MAX").result(), runs("AVG").result()),
-      cnt)
+      cnt, pct, ntl)
   }
 
   /** One fully-parsed statement: every grammar decision is made (and
     * every grammar error thrown) before this exists. */
   final case class Parsed(
       rankCol: String, rnCol: Option[String], runs: Running,
-      cntCol: Option[String], src: String, keyExpr: String, asc: Boolean,
-      tiebreaks: Seq[String])
+      cntCol: Option[String], pctCol: Option[String],
+      ntile: Option[(Int, String)], src: String, keyExpr: String,
+      asc: Boolean, tiebreaks: Seq[String])
 
   /** Parses the statement body (everything after `GLOBAL RANK`) into a
     * deferred [[GlobalRankNode]]; `session` is the owner of the parser
@@ -1089,12 +1098,13 @@ object GlobalRankStatement {
       else topLevelSplit(tiePart, ',').map(_.trim).filter(_.nonEmpty)
     val headParts = head.split("\\s+", 2)
     val rankCol = headParts.head.stripPrefix("`").stripSuffix("`")
-    val (rnCol, runs, cntCol) =
+    val (rnCol, runs, cntCol, pctCol, ntl) =
       parseClauses(if (headParts.length > 1) headParts(1) else "")
     if (src.startsWith("("))
       require(src.endsWith(")"),
         s"GLOBAL RANK subquery must be fully parenthesized: $src")
-    Parsed(rankCol, rnCol, runs, cntCol, src, keyExpr, asc, tiebreaks)
+    Parsed(rankCol, rnCol, runs, cntCol, pctCol, ntl, src, keyExpr,
+      asc, tiebreaks)
   }
 
   /** Resolves the source relation and builds the RankOps plan — runs
@@ -1115,7 +1125,9 @@ object GlobalRankStatement {
         countCol = p.cntCol,
         runningMins = cols(p.runs.mins),
         runningMaxs = cols(p.runs.maxs),
-        runningAvgs = cols(p.runs.avgs))
+        runningAvgs = cols(p.runs.avgs),
+        percentRankCol = p.pctCol,
+        ntile = p.ntile)
       .queryExecution.logical
   }
 }

@@ -97,6 +97,15 @@ object RankOps {
     *                    IEEE division of the exact running long sum by
     *                    the global row number, so it is bit-replayable
     *                    by any engine that states it the same way
+    * @param percentRankCol name for exact `percent_rank()` over the
+    *                    global order: (rank − 1) / (n − 1) as an IEEE
+    *                    double of exact integers (0.0 when n == 1) —
+    *                    the SQL definition, ties share
+    * @param ntile       (k, output name): exact `ntile(k)` over the
+    *                    global order — first n mod k buckets hold
+    *                    ceil(n/k) rows, the SQL definition, derived
+    *                    from the exact global row number by integer
+    *                    arithmetic
     * @param buckets     parallelism of the distributed sort; defaults to
     *                    `spark.sql.shuffle.partitions`
     */
@@ -112,6 +121,8 @@ object RankOps {
       runningMins: Seq[(Column, String)] = Nil,
       runningMaxs: Seq[(Column, String)] = Nil,
       runningAvgs: Seq[(Column, String)] = Nil,
+      percentRankCol: Option[String] = None,
+      ntile: Option[(Int, String)] = None,
       buckets: Int = 0): DataFrame = {
     val spark = df.sparkSession
     val nb =
@@ -141,9 +152,8 @@ object RankOps {
     val wRank = Window.partitionBy(col(BKT)).orderBy(primaryOrder)
     val wRows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     var local = pre.withColumn(LRN, row_number().over(w).cast("long"))
-    rankCol.foreach { _ =>
+    if (rankCol.isDefined || percentRankCol.isDefined)
       local = local.withColumn(LRK, rank().over(wRank).cast("long"))
-    }
     runningSums.zipWithIndex.foreach { case ((v, _), i) =>
       local = local.withColumn(s"__rk_ls_$i",
         sum(v.cast("long")).over(wRows))
@@ -224,6 +234,28 @@ object RankOps {
     }
     countCol.foreach { c =>
       out = out.withColumn(c, sumOf(col(STATS), "cnt"))
+    }
+    percentRankCol.foreach { c =>
+      val n = sumOf(col(STATS), "cnt")
+      val grk = sumOf(below, "cnt") + col(LRK)
+      out = out.withColumn(c,
+        when(n <= 1L, lit(0.0))
+          .otherwise((grk - lit(1L)).cast("double") / (n - lit(1L))))
+    }
+    ntile.foreach { case (k, c) =>
+      require(k >= 1, s"NTILE bucket count must be >= 1, got $k")
+      val n = sumOf(col(STATS), "cnt")
+      val rn = sumOf(below, "cnt") + col(LRN)
+      val kL = lit(k.toLong)
+      // Column `/` is IEEE double division; floor() recovers the
+      // integer quotient (exact for counts < 2^53)
+      val q = floor(n / kL)   // base bucket size
+      val r = n % kL          // first r buckets hold q + 1 rows
+      out = out.withColumn(c,
+        when(rn <= r * (q + lit(1L)),
+          floor((rn - lit(1L)) / (q + lit(1L))))
+          .otherwise(r + floor((rn - lit(1L) - r * (q + lit(1L))) / q))
+          + lit(1L))
     }
     val temps = Seq(BKT, LRN, LRK, STATS) ++
       runningSums.indices.map(i => s"__rk_ls_$i") ++

@@ -956,10 +956,43 @@ object Relational extends QueryModule {
       |WINDOW w AS (ORDER BY cents DESC, c_custkey
       |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
 
+  // ------------------------------------------------- q_global_percentile
+  /** Exact corpus-scale PERCENTILE placement — the curation primitive
+    * behind "keep the top decile by quality / length": percent_rank
+    * ((rank−1)/(n−1), ties share) and ntile(10) deciles over the exact
+    * distributed global order, no partition-less window anywhere. Both
+    * derive from the primitive's exact rank / row number / count by
+    * integer arithmetic, so DuckDB's native window forms must agree
+    * bit-for-bit. */
+  private def qGlobalPercentile(s: SparkSession, d: String): DataFrame = {
+    documents(s, d).createOrReplaceTempView("grank_docs")
+    val plan = new graft.catalog.GraftSqlParser(s.sessionState.sqlParser,
+      Some(s)).parsePlan(
+        """GLOBAL RANK len_rank PERCENT_RANK pr NTILE(10) decile
+          |FROM (SELECT doc_id, CAST(n_chars AS BIGINT) AS len
+          |      FROM grank_docs)
+          |ORDER BY len DESC TIEBREAK doc_id""".stripMargin)
+    val expanded = plan match {
+      case g: graft.catalog.GlobalRankNode => g.built
+      case p => p
+    }
+    org.apache.spark.sql.graftshim.SparkInternals.ofRows(s, expanded)
+  }
+  private val qGlobalPercentileOracle =
+    """WITH c AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS len
+      |           FROM documents)
+      |SELECT doc_id, len,
+      |  CAST(rank() OVER (ORDER BY len DESC) AS BIGINT) AS len_rank,
+      |  percent_rank() OVER (ORDER BY len DESC) AS pr,
+      |  CAST(ntile(10) OVER (ORDER BY len DESC, doc_id) AS BIGINT)
+      |    AS decile
+      |FROM c""".stripMargin
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q_plan_shape"        -> qPlanShape _,
     "q_global_rank"       -> qGlobalRankSql _,
     "q_global_rank_running" -> qGlobalRankRunning _,
+    "q_global_percentile" -> qGlobalPercentile _,
     "q_abc_analysis"      -> qAbcAnalysis _,
     "q1_pricing_summary"  -> q1 _,
     "q2_filter_project"   -> q2 _,
@@ -1019,6 +1052,7 @@ object Relational extends QueryModule {
     "q_plan_shape"        -> qPlanShapeSql,
     "q_global_rank"       -> qGlobalRankSqlOracle,
     "q_global_rank_running" -> qGlobalRankRunningOracle,
+    "q_global_percentile" -> qGlobalPercentileOracle,
     "q_abc_analysis"      -> qAbcAnalysisSql,
     "q1_pricing_summary"  -> q1Sql,
     "q2_filter_project"   -> q2Sql,

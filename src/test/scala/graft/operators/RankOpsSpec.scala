@@ -88,6 +88,37 @@ class RankOpsSpec extends SparkSpec {
     check(asc = false, buckets = 8)
   }
 
+  test("percent_rank and ntile are bit-identical to the window forms") {
+    for (asc <- Seq(true, false); k <- Seq(1, 7, 10, 6000)) {
+      val o = if (asc) $"v".asc else $"v".desc
+      val want = data
+        .withColumn("rn", row_number()
+          .over(Window.orderBy(o, $"id".asc)).cast("long"))
+        .withColumn("pr", percent_rank().over(Window.orderBy(o)))
+        .withColumn("nt", ntile(k)
+          .over(Window.orderBy(o, $"id".asc)).cast("long"))
+        .select($"id", $"rn", $"pr", $"nt")
+        .orderBy($"rn").collect()
+      val got = RankOps.withGlobalOrder(data, $"v", asc, Seq($"id"),
+          rowNumCol = Some("rn"),
+          percentRankCol = Some("pr"), ntile = Some((k, "nt")),
+          buckets = 8)
+        .select($"id", $"rn", $"pr", $"nt")
+        .orderBy($"rn").collect()
+      assert(got.length == want.length)
+      want.toSeq.zip(got.toSeq).zipWithIndex
+        .find { case ((x, y), _) => x != y }
+        .foreach { case ((x, y), i) =>
+          fail(s"asc=$asc k=$k divergence at $i: window=$x dist=$y")
+        }
+    }
+    // single-row relation: percent_rank is 0.0 by definition
+    val one = RankOps.withGlobalOrder(data.limit(1), $"v", ascending = true,
+      Seq($"id"), percentRankCol = Some("pr"), buckets = 4)
+      .select($"pr").collect()
+    assert(one.length == 1 && one.head.getDouble(0) == 0.0)
+  }
+
   test("more buckets than distinct values (97 values, 256 buckets)") {
     check(asc = true, buckets = 256)
   }
