@@ -142,6 +142,7 @@ object Bench {
     "q_global_rank", "q_global_rank_running",               // distributed exact rank SQL
     "q_global_percentile",                                  // exact percentile/decile placement
     "q_qualify_dedup",                                      // QUALIFY rewrite dedup
+    "q_rerank_refresh",                                     // maintained-retrieval steady state
     "q_multimodal_meta", "q_multimodal_resize")             // real-codec decode/resize
   // q_semantic_dedup stays sf0.1-only: its oracle-replayable form fixes
   // CENTROIDS=16, so per-cell pair cost grows ~(N/16)² — the sf1 scale

@@ -23,6 +23,7 @@ object SparkEntry {
     graft.llm.CorpusQuality,
     graft.llm.DedupOps,
     graft.llm.SimilarityOps,
+    graft.llm.RerankViewOps,
     graft.llm.SelectionOps,
     graft.llm.Multimodal)
 

@@ -1,0 +1,403 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{QueryModule, Tables}
+import graft.table._
+
+/** Incrementally-maintained STANDING-QUERY retrieval view — the
+  * materialized-view family's retrieval member (VERDICT r11 next #8):
+  * [[graft.table.TopKView]] maintains "top-k rows per group by a stored
+  * column"; this view maintains "top-k corpus documents per standing
+  * query by the rerank PAIR score" — the continuous-retrieval /
+  * alerting primitive (saved searches, monitored RAG contexts,
+  * recommendation shelves) that batch q_rerank recomputes from scratch.
+  *
+  * The scorer is the precision stage of the oracle-gated retrieval
+  * ladder (`q_rerank`, [[SimilarityOps]]): `rerank = cosine(qe, ce) ×
+  * (1 + shingle-Jaccard(qs, cs))`, a pure per-(query, doc) function —
+  * which is exactly what makes it incrementally maintainable where the
+  * ladder's stage-1 RRF ranks (global per-query positions) are not:
+  * a document's score never depends on any other document.
+  *
+  * State per standing query is a candidate buffer of the top
+  * `K + SLACK` docs plus a validity counter — the [[TopKView]]
+  * buffer-with-slack contract, specialised to a DERIVED ordering
+  * column:
+  *
+  *   - corpus INSERTS fold at O(Δ·|Q|): the change batch is scored
+  *     against the broadcast standing-query set and trimmed into the
+  *     buffers — the source snapshot is never read;
+  *   - corpus DELETES spend slack: only buffered hits decrement
+  *     validity, and only a query whose validity would drop under K
+  *     RE-SCORES the corpus — for THAT query alone (the others keep
+  *     folding). SLACK buffered deletions per query amortise between
+  *     re-scores.
+  *
+  * == 100 TB design ==
+  * The maintained state is O(|Q|·(K+SLACK)) rows — kilobytes per
+  * standing query, independent of corpus size. A steady-state refresh
+  * scores Δ×|Q| pairs (broadcast query side, no corpus shuffle); the
+  * worst case re-scores the corpus once per slack-exhausted query, the
+  * same single pass the batch query pays EVERY run. The standing set
+  * is bounded by its broadcast contract ([[RerankViewOps.MAX_STANDING]]
+  * guards the per-refresh |Q|-row validity collect — the KEY_PRUNE_MAX
+  * lesson, enforced rather than assumed).
+  *
+  * == Correctness invariant (oracle + spec) ==
+  * After any refresh, [[topk]] equals the declarative per-query rerank
+  * top-K over the full source snapshot — DuckDB replays the score from
+  * the same proven-exact folds (cosine; integer-denominator Jaccard
+  * with the both-empty guard), ties break on doc_id, so the maintained
+  * buffer is hash-comparable cross-engine.
+  *
+  * Reference behavioral anchor: the reference's Gold layer maintains
+  * query-shaped aggregates incrementally off the Silver CDF
+  * (notebooks/demo-notebook.py:506-538); this view applies the same
+  * maintain-don't-recompute contract to retrieval results.
+  */
+final class RerankView private[llm] (
+    val state: VersionedTable,   // (q_id, doc_id, rerank) candidate buffers
+    val meta: VersionedTable,    // (q_id, valid_n)
+    val k: Int, slack: Int) {
+  import RerankViewOps.{APP, mergeClauses, scorePairs, MAX_STANDING}
+  private val K = k
+  private val CAND = k + slack
+
+  /** How many standing queries the last [[refresh]] re-scored against
+    * the full corpus (0 = pure fold) — spec observability. */
+  @volatile private[llm] var lastDerived: Int = 0
+
+  private def spark: SparkSession = state.spark
+
+  /** Applies all corpus changes the view has not seen. `queries` is the
+    * standing set fixed at [[RerankViewOps.build]] time: (q_id, qe, qs). */
+  def refresh(src: VersionedTable, queries: DataFrame): Option[Long] = {
+    val latest = src.latestVersion
+    val since = state.lastTxn(APP).getOrElse(0L) + 1
+    if (latest < since) return None
+    val wm = Map(APP -> latest)
+    // NET the batch per key first ([[IncrementalIndex.netChanges]]): a
+    // doc inserted AND deleted between two refreshes must not re-enter
+    // through the insert leg, and an UPDATED doc's stale buffered score
+    // must purge before its re-scored row folds back in.
+    val ch = IncrementalIndex.netChanges(
+        src.changes(since).select(col("doc_id"), col("ce"), col("cs"),
+          col("_change_type"), col("_commit_version")), "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val insertDocs = ch.filter(col("__op") === "UPSERT").drop("__op")
+      // EVERY net-changed key purges its (possibly stale) buffer rows;
+      // upserts then fold their fresh score back through the trim
+      val changedIds = ch.select(col("doc_id"))
+      val oldCand = state.snapshot()
+      // validity: only BUFFERED hits spend slack — a changed doc below
+      // every buffer cannot move any top-k (an update is conservatively
+      // a delete here; its re-entry is not provable without a re-score)
+      val lost = oldCand.join(changedIds, Seq("doc_id"), "left_semi")
+        .groupBy(col("q_id")).agg(count(lit(1)).as("lost"))
+      val validity = meta.snapshot()
+        .join(lost, Seq("q_id"), "left")
+        .select(col("q_id"),
+          (col("valid_n") - coalesce(col("lost"), lit(0L))).as("v"))
+      // one row per STANDING query — bounded by the same contract that
+      // lets the query set broadcast, and enforced, not assumed
+      val vRows = validity.limit(MAX_STANDING + 1).collect()
+      require(vRows.length <= MAX_STANDING,
+        s"standing-query set exceeds MAX_STANDING=$MAX_STANDING — " +
+          "a set this large no longer broadcasts; shard the view")
+      val deriveQs = vRows.filter(_.getLong(1) < K).map(_.get(0)).toSeq
+      val foldQs = vRows.filter(_.getLong(1) >= K).map(_.get(0)).toSeq
+      lastDerived = deriveQs.length
+
+      // FOLD: (buffer survivors ∪ scored inserts) trimmed per query
+      val foldCand =
+        if (foldQs.isEmpty) None
+        else {
+          val surv = oldCand.filter(col("q_id").isin(foldQs: _*))
+            .join(changedIds, Seq("doc_id"), "left_anti")
+          Some(surv.unionByName(
+            scorePairs(insertDocs, queries.filter(col("q_id").isin(foldQs: _*)))))
+        }
+      // DERIVE: full corpus re-scored for the slack-exhausted queries ONLY
+      val deriveCand =
+        if (deriveQs.isEmpty) None
+        else Some(scorePairs(src.snapshot(),
+          queries.filter(col("q_id").isin(deriveQs: _*))))
+      val unioned = (foldCand, deriveCand) match {
+        case (Some(a), Some(b)) => a.unionByName(b)
+        case (Some(a), None)    => a
+        case (None, Some(b))    => b
+        case _ =>
+          state.commitFiles(Seq.empty, Seq.empty, None, "refresh-noop",
+            extraTxn = wm)
+          return Some(state.latestVersion)
+      }
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("rerank").desc, col("doc_id").asc)
+      val fresh = unioned
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= CAND).drop("__rn")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val dels = oldCand.select(col("q_id"), col("doc_id"))
+          .join(fresh, Seq("q_id", "doc_id"), "left_anti")
+          .withColumn("__op", lit("DELETE"))
+        Merge.run(state,
+          fresh.withColumn("__op", lit("UPSERT"))
+            .unionByName(dels, allowMissingColumns = true),
+          Seq("q_id", "doc_id"), mergeClauses, extraTxn = wm)
+        // folds keep validity (inserts cannot certify positions past the
+        // old v — an unseen source row may sit between v and CAND);
+        // derives reset it to CAND
+        val newMeta = validity
+          .withColumn("valid_n",
+            when(col("v") < K, lit(CAND.toLong))
+              .otherwise(least(col("v"), lit(CAND.toLong))))
+          .select(col("q_id"), col("valid_n"))
+          .withColumn("__op", lit("UPSERT"))
+        Merge.run(meta, newMeta, Seq("q_id"), mergeClauses)
+        Some(state.latestVersion)
+      } finally fresh.unpersist()
+    } finally ch.unpersist()
+  }
+
+  /** The maintained readout `(q_id, doc_id, rnk, rerank)` — a window
+    * over the compact buffer state, never the corpus. The score is
+    * rounded to 6dp for display only; ranking uses the full double. */
+  def topk(): DataFrame = {
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("rerank").desc, col("doc_id").asc)
+    state.snapshot()
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= K)
+      .select(col("q_id"), col("doc_id"), col("rnk"),
+        round(col("rerank"), 6).as("rerank"))
+  }
+}
+
+object RerankViewOps extends QueryModule {
+  import Tables._
+
+  val APP = "rerank-view"
+  val K = 5
+  val SLACK = 3
+  val CAND: Int = K + SLACK
+  /** Standing sets past this no longer broadcast sanely — the refresh's
+    * |Q|-row validity collect is capped here (never corpus-bounded). */
+  val MAX_STANDING = 4096
+  private val QUERY_MAX_ID = 8 // vec_id < 8 are the query vectors
+
+  private[llm] val mergeClauses = Seq(
+    WhenMatchedDelete(Some(col("source.__op") === "DELETE")),
+    WhenMatchedUpdate(Some(col("source.__op") === "UPSERT")),
+    WhenNotMatchedInsert(Some(col("source.__op") =!= "DELETE")))
+
+  /** The retrieval ladder's precision-stage pair scorer over
+    * (doc_id, ce, cs) × broadcast (q_id, qe, qs) — the same expression
+    * tree as `q_rerank`'s stage 2 ([[SimilarityOps]]), including the
+    * both-empty-shingle 0/0 guard (ADVICE r11), so fold-path and
+    * derive-path scores are bit-identical and DuckDB replays them. */
+  private[llm] def scorePairs(docs: DataFrame, queries: DataFrame): DataFrame =
+    docs.crossJoin(broadcast(queries))
+      .withColumn("cos", expr("cosine_sim(qe, ce)"))
+      .withColumn("inter",
+        size(array_intersect(col("qs"), col("cs"))).cast("double"))
+      .withColumn("jac",
+        col("inter") / greatest(
+          size(col("qs")) + size(col("cs")) - col("inter"), lit(1.0)))
+      .select(col("q_id"), col("doc_id"),
+        (col("cos") * (lit(1.0) + col("jac"))).as("rerank"))
+
+  /** Builds the view: one full corpus scoring pass, buffers trimmed to
+    * K+SLACK per standing query, validity seeded to CAND. */
+  def build(src: VersionedTable, root: String, queries: DataFrame,
+      k: Int = K, slack: Int = SLACK): RerankView = {
+    val spark = src.spark
+    val cand0 = k + slack
+    val state = VersionedTable.create(spark, s"$root/state",
+      StructType(Seq(
+        StructField("q_id", LongType),
+        StructField("doc_id", LongType),
+        StructField("rerank", DoubleType))))
+    val meta = VersionedTable.create(spark, s"$root/meta",
+      StructType(Seq(
+        StructField("q_id", LongType),
+        StructField("valid_n", LongType))))
+    val latest = src.latestVersion
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("rerank").desc, col("doc_id").asc)
+    val cand = scorePairs(src.snapshot(), queries)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= cand0).drop("__rn")
+    Merge.run(state, cand.withColumn("__op", lit("UPSERT")),
+      Seq("q_id", "doc_id"), mergeClauses, extraTxn = Map(APP -> latest))
+    Merge.run(meta,
+      queries.select(col("q_id"))
+        .withColumn("valid_n", lit(cand0.toLong))
+        .withColumn("__op", lit("UPSERT")),
+      Seq("q_id"), mergeClauses)
+    new RerankView(state, meta, k, slack)
+  }
+
+  // ------------------------------------------------------ query fixtures
+
+  /** Corpus rows (doc_id, ce, cs): embeddings ⋈ word-3-gram shingles,
+    * the same candidate universe as batch `q_rerank` (docs without ≥3
+    * tokens have no shingle representation and are not candidates). */
+  private[llm] val srcSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("ce", ArrayType(FloatType)),
+    StructField("cs", ArrayType(StringType))))
+
+  private def corpusRows(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d).filter(col("vec_id") >= QUERY_MAX_ID)
+      .select(col("vec_id").as("doc_id"), col("embedding").as("ce"))
+      .join(DedupOps.withShingles(documents(s, d))
+        .filter(col("doc_id") >= QUERY_MAX_ID)
+        .select(col("doc_id"), col("shingles").as("cs")), "doc_id")
+
+  /** The standing query set (q_id, qe, qs) — the q_rerank seed queries. */
+  private def standing(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d).filter(col("vec_id") < QUERY_MAX_ID)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+      .join(DedupOps.withShingles(documents(s, d))
+        .filter(col("doc_id") < QUERY_MAX_ID)
+        .select(col("doc_id").as("q_id"), col("shingles").as("qs")), "q_id")
+
+  /** The shared pair-score + per-query rank SQL the two oracles read
+    * from — the q_rerank oracle's proven-exact folds, scored over a
+    * corpus slice (`filt(idCol)` pre-filters the corpus side on both
+    * the vector and shingle legs, each under its own id column name;
+    * queries are never in the corpus table). */
+  private def rerankSql(filt: String => String): String =
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+      |           WHERE vec_id < $QUERY_MAX_ID),
+      |c AS (SELECT vec_id AS doc_id, embedding AS ce FROM embeddings
+      |      WHERE vec_id >= $QUERY_MAX_ID${filt("vec_id")}),
+      |p AS (SELECT q_id, doc_id,
+      |  list_sum(list_transform(generate_series(1, 64),
+      |    i -> qe[i]::DOUBLE * ce[i]::DOUBLE)) AS dot,
+      |  list_sum(list_transform(generate_series(1, 64),
+      |    i -> qe[i]::DOUBLE * qe[i]::DOUBLE)) AS qq,
+      |  list_sum(list_transform(generate_series(1, 64),
+      |    i -> ce[i]::DOUBLE * ce[i]::DOUBLE)) AS cc
+      |  FROM q, c),
+      |toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+      |         WHERE len(string_split(lower(text), ' ')) >= 3),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(
+      |         generate_series(1, len(t)-2),
+      |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      |       FROM toks),
+      |qs2 AS (SELECT doc_id AS q_id, s AS qs FROM sh
+      |        WHERE doc_id < $QUERY_MAX_ID),
+      |cs2 AS (SELECT doc_id, s AS cs FROM sh
+      |        WHERE doc_id >= $QUERY_MAX_ID${filt("doc_id")}),
+      |j AS (SELECT q_id, doc_id,
+      |        len(list_intersect(qs, cs))::DOUBLE AS inter,
+      |        len(qs) AS na, len(cs) AS nb
+      |      FROM qs2, cs2),
+      |rr AS (SELECT p.q_id, p.doc_id,
+      |         (p.dot / (sqrt(p.qq) * sqrt(p.cc))) *
+      |         (1.0::DOUBLE + j.inter / greatest(j.na + j.nb - j.inter, 1)) AS rerank
+      |       FROM p JOIN j ON j.q_id = p.q_id AND j.doc_id = p.doc_id)
+      |SELECT q_id, doc_id,
+      |       CAST(row_number() OVER (PARTITION BY q_id
+      |         ORDER BY rerank DESC, doc_id ASC) AS BIGINT) AS rnk,
+      |       round(rerank, 6) AS rerank
+      |FROM rr QUALIFY rnk <= $K""".stripMargin
+
+  // ----------------------------------------------------- q_rerank_incr
+  /** Maintained-retrieval LIFECYCLE: build over half the corpus, append
+    * the rest (pure O(Δ·|Q|) insert fold — no corpus read), then delete
+    * a 1/3 doc_id slice (buffered hits spend slack; queries pushed
+    * under K re-score the corpus for themselves alone) and refresh
+    * again. The oracle ranks the final corpus state declaratively — the
+    * maintained buffers must agree exactly. */
+  private def qRerankIncr(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val root = graft.Scratch.dir("graft-rerank-view")
+    val src = VersionedTable.create(s, root.resolve("src").toString,
+      srcSchema, Map(VersionedTable.PROP_CDF -> "true"))
+    val all = corpusRows(s, d)
+    val q = standing(s, d)
+    src.append(all.filter(col("doc_id") % 2 === 0)): Unit
+    val v = build(src, root.resolve("v").toString, q)
+    src.append(all.filter(col("doc_id") % 2 === 1)): Unit
+    v.refresh(src, q)
+    src.deleteWhere(col("doc_id") % 3 === 0)
+    v.refresh(src, q)
+    v.topk()
+  }
+  private val qRerankIncrSql = rerankSql(id => s" AND $id % 3 <> 0")
+
+  // -------------------------------------------------- q_rerank_refresh
+  /** STEADY-STATE refresh cost: the fixture builds the view over the
+    * full corpus once per (session, sf dir); each untimed staging call
+    * appends a block of CLONES of a provably-sub-buffer document (its
+    * rank exceeds K+SLACK for EVERY standing query, and a clone ties
+    * its original on score so the doc_id tiebreak ranks it strictly
+    * after — it can never enter any buffer), so the timed body is ONE
+    * O(Δ·|Q|) fold refresh plus the O(state) readout, and the result is
+    * invariant across stagings, sharing the declarative oracle. */
+  private val cache = scala.collection.concurrent.TrieMap.empty[
+    (SparkSession, String),
+    (VersionedTable, RerankView, DataFrame, Long,
+      java.util.concurrent.atomic.AtomicLong)]
+
+  private def fixture(s: SparkSession, d: String)
+      : (VersionedTable, RerankView, DataFrame, Long,
+         java.util.concurrent.atomic.AtomicLong) =
+    cache.synchronized {
+      cache.getOrElseUpdate((s, d), {
+        graft.functions.GraftFunctions.register(s)
+        val root = graft.Scratch.dir("graft-rerank-steady")
+        val src = VersionedTable.create(s, root.resolve("src").toString,
+          srcSchema, Map(VersionedTable.PROP_CDF -> "true"))
+        src.append(corpusRows(s, d)): Unit
+        val q = standing(s, d)
+        val v = build(src, root.resolve("v").toString, q)
+        // the clone template: the largest doc_id ranked past CAND for
+        // every query — computed once, against the build-time corpus
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("rerank").desc, col("doc_id").asc)
+        val fillerId = scorePairs(src.snapshot(), q)
+          .withColumn("rnk", row_number().over(w))
+          .groupBy(col("doc_id")).agg(min(col("rnk")).as("mn"))
+          .filter(col("mn") > CAND)
+          .agg(max(col("doc_id"))).collect()(0).getLong(0)
+        (src, v, q, fillerId, new java.util.concurrent.atomic.AtomicLong)
+      })
+    }
+
+  private def prepare(s: SparkSession, d: String): Unit = {
+    val (src, _, _, fillerId, calls) = fixture(s, d)
+    val n = calls.getAndIncrement()
+    val clones = src.snapshot().filter(col("doc_id") === fillerId)
+      .crossJoin(s.range(64).select(
+        (col("id") + lit((n + 1) * 100000000L)).as("new_id")))
+      .select(col("new_id").as("doc_id"), col("ce"), col("cs"))
+    src.append(clones): Unit
+  }
+
+  private def qRerankRefresh(s: SparkSession, d: String): DataFrame = {
+    val (src, v, q, _, _) = fixture(s, d)
+    v.refresh(src, q)
+    v.topk()
+  }
+  private val qRerankRefreshSql = rerankSql(_ => "")
+
+  override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q_rerank_incr"    -> (qRerankIncr _),
+    "q_rerank_refresh" -> (qRerankRefresh _))
+
+  override val oracles: Seq[(String, String)] = Seq(
+    "q_rerank_incr"    -> qRerankIncrSql,
+    "q_rerank_refresh" -> qRerankRefreshSql)
+
+  override val prepares: Seq[(String, (SparkSession, String) => Unit)] = Seq(
+    "q_rerank_refresh" -> (prepare _))
+}

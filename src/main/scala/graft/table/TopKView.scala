@@ -103,14 +103,35 @@ final class TopKView private[table] (
     val since = state.lastTxn(APP).getOrElse(0L) + 1
     if (latest < since) return None
     val wm = Map(APP -> latest)
+    // NET the batch per (grp, id) key FIRST: a row inserted AND deleted
+    // between two refreshes must not re-enter through the insert leg,
+    // and an in-window ord update must fold its latest image exactly
+    // once. Latest commit wins; within one commit an update's postimage
+    // outranks its preimage. Preimages are KEPT as net keys (unlike the
+    // single-key [[graft.llm.IncrementalIndex.netChanges]]) because a
+    // group-moving update's old (grp, id) has ONLY a preimage — that is
+    // what purges the old group's buffer row.
+    val netW = Window.partitionBy(col(grpCol), col(idCol))
+      .orderBy(col("_commit_version").desc,
+        when(col("_change_type").isin("insert", "update_postimage"), 1)
+          .otherwise(0).desc)
     val ch = src.changes(since)
-      .select(col(grpCol), col(idCol), col(ordCol), col("_change_type"))
+      .select(col(grpCol), col(idCol), col(ordCol),
+        col("_change_type"), col("_commit_version"))
+      .withColumn("__rnk", row_number().over(netW))
+      .filter(col("__rnk") === 1)
+      .withColumn("__op",
+        when(col("_change_type").isin("delete", "update_preimage"), "DELETE")
+          .otherwise("UPSERT"))
+      .drop("__rnk", "_change_type", "_commit_version")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val inserts = ch.filter(col("_change_type")
-        .isin("insert", "update_postimage")).drop("_change_type")
-      val deletes = ch.filter(col("_change_type")
-        .isin("delete", "update_preimage")).drop("_change_type")
+      val inserts = ch.filter(col("__op") === "UPSERT").drop("__op")
+      // EVERY net-changed key purges its buffer row and (when buffered)
+      // spends a validity position — conservatively including upserts
+      // of buffered rows, whose re-entry rank is not provable without a
+      // re-derive; the fold then re-admits the fresh image via the trim
+      val changed = ch.select(col(grpCol), col(idCol))
       // touched groups: bounded by the delta AND capped at
       // `keyPruneMax` (VERDICT r11 #2 — the JoinView/AggView
       // limit+fallback pattern). Past the cap the driver never holds
@@ -134,7 +155,7 @@ final class TopKView private[table] (
       val oldMeta = metaFor(grps)
       // validity after deletes: valid_n - (candidate rows deleted);
       // groups with no meta row are NEW and must derive
-      val lost = oldCand.join(deletes, Seq(grpCol, idCol), "left_semi")
+      val lost = oldCand.join(changed, Seq(grpCol, idCol), "left_semi")
         .groupBy(col(grpCol)).agg(count(lit(1)).as("lost"))
       val validity = spark.createDataFrame(
           spark.sparkContext.parallelize(grps.map(org.apache.spark.sql.Row(_)), 1),
@@ -153,7 +174,7 @@ final class TopKView private[table] (
         if (foldGrps.isEmpty) None
         else {
           val surv = filterGrps(oldCand, foldGrps)
-            .join(deletes, Seq(grpCol, idCol), "left_anti")
+            .join(changed, Seq(grpCol, idCol), "left_anti")
           Some(surv.unionByName(filterGrps(inserts, foldGrps)))
         }
       // DERIVE path: exact top-(K+SLACK) from a per-group source read

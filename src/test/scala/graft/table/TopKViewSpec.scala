@@ -141,6 +141,28 @@ class TopKViewSpec extends SparkSpec {
       .contains("g03"))
   }
 
+  test("same-window insert+delete must not resurrect through the insert leg") {
+    val src = mkSource("topk-net")
+    src.append(rows(docs(20, "en"): _*))
+    val v = TopKViewOps.build(src, graft.Scratch.dir("topk-net-v").toString,
+      "lang", "doc_id", "ord")
+    // a would-be LEADER born and killed between two refreshes: the CDF
+    // batch carries both its insert and its delete; folding the raw
+    // insert leg would re-enter it at rank 1
+    src.append(rows(("en", 9999L, 99999L)))
+    src.deleteWhere(col("doc_id") === 9999L)
+    v.refresh(src)
+    assert(!got(v).exists(_._2 == 9999L), "deleted-in-window doc resurrected")
+    assert(got(v) === expected(src))
+    // and an ord UPDATE in-window folds its LATEST image exactly once:
+    // leader demoted below the fold, stale buffered score purged
+    val leader = got(v).head._2
+    src.deleteWhere(col("doc_id") === leader)
+    src.append(rows(("en", leader, 1L)))
+    v.refresh(src)
+    assert(got(v) === expected(src))
+  }
+
   test("fixture-scale: view over the documents table matches declarative ranks") {
     val src = mkSource("topk-docs")
     src.append(Tables.documents(spark, sf).select(col("lang"), col("doc_id"),
