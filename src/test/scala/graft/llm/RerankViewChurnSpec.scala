@@ -1,0 +1,106 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.table.VersionedTable
+
+/** Randomized churn model test for [[RerankView]] (the MergeModelSpec
+  * idiom): a seeded random stream of corpus operations — append
+  * batches, delete slices, same-window append+delete combinations —
+  * with a refresh after every step, asserting after EACH refresh that
+  * the maintained readout equals the declarative per-query rerank
+  * top-K over the live corpus snapshot, the buffers stay bounded at
+  * K+SLACK, and persisted validity never sits below K. Three seeds ×
+  * eight steps each; the op mix is deliberately delete-heavy so slack
+  * exhaustion and per-query re-scores happen on every run. */
+class RerankViewChurnSpec extends SparkSpec {
+  import RerankViewOps.{build, srcSchema, CAND, K}
+
+  graft.functions.GraftFunctions.register(spark)
+
+  private def vec(seed: Long): Seq[Float] = {
+    val a = (seed % 23).toDouble / 23.0 * math.Pi
+    Seq(math.cos(a).toFloat, math.sin(a).toFloat,
+      ((seed % 11) + 1).toFloat / 11f, 1f)
+  }
+
+  private def shingleText(seed: Long): Seq[String] =
+    Seq(s"t${seed % 9} t${(seed + 1) % 9} t${(seed + 2) % 9}",
+      s"t${(seed + 2) % 9} t${(seed + 3) % 9} t${(seed + 4) % 9}")
+
+  private def docRows(ids: Seq[Long]): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        ids.map(i => org.apache.spark.sql.Row(i, vec(i), shingleText(i))), 2),
+      srcSchema)
+
+  private def expected(src: VersionedTable, q: DataFrame)
+      : Seq[(Long, Long, Long, Double)] = {
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("rerank").desc, col("doc_id").asc)
+    RerankViewOps.scorePairs(src.snapshot(), q)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= K)
+      .select(col("q_id"), col("doc_id"), col("rnk"),
+        round(col("rerank"), 6).as("rerank"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._3))
+  }
+
+  private def got(v: RerankView): Seq[(Long, Long, Long, Double)] =
+    v.topk().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._3))
+
+  for (seed <- Seq(7L, 41L, 1013L))
+    test(s"random churn stream stays exact (seed $seed)") {
+      val rnd = new scala.util.Random(seed)
+      val src = VersionedTable.create(spark,
+        graft.Scratch.dir(s"rrv-churn-$seed").resolve("t").toString,
+        srcSchema, Map(VersionedTable.PROP_CDF -> "true"))
+      val q = docRows(Seq(5000L, 5001L, 5002L)).select(
+        col("doc_id").as("q_id"), col("ce").as("qe"), col("cs").as("qs"))
+      var nextId = 100L
+      def freshIds(n: Int): Seq[Long] = {
+        val ids = nextId until (nextId + n); nextId += n; ids
+      }
+      src.append(docRows(freshIds(30)))
+      val v = build(src,
+        graft.Scratch.dir(s"rrv-churn-$seed-v").toString, q)
+      assert(got(v) === expected(src, q))
+
+      for (step <- 1 to 8) {
+        rnd.nextInt(3) match {
+          case 0 => // append a batch
+            src.append(docRows(freshIds(4 + rnd.nextInt(8))))
+          case 1 => // delete a random live slice (often hits leaders)
+            val m = 2 + rnd.nextInt(4)
+            val r = rnd.nextInt(m)
+            src.deleteWhere(col("doc_id") % m === r.toLong)
+          case 2 => // same-window birth-and-death + an unrelated delete
+            val ids = freshIds(3)
+            src.append(docRows(ids))
+            src.deleteWhere(col("doc_id").isin(ids.take(2): _*))
+        }
+        v.refresh(src, q)
+        assert(got(v) === expected(src, q), s"seed $seed step $step")
+        val sizes = v.state.snapshot().groupBy("q_id").count().collect()
+        sizes.foreach(r => assert(r.getLong(1) <= CAND, s"seed $seed step $step"))
+        v.meta.snapshot().collect().foreach(r =>
+          assert(r.getLong(1) >= K, s"seed $seed step $step validity"))
+      }
+      // deterministic finale: wipe one query's whole buffer so the
+      // derive path runs under whatever state the random walk left
+      val buffered = v.state.snapshot().filter(col("q_id") === 5000L)
+        .select("doc_id").collect().map(_.getLong(0))
+      src.deleteWhere(col("doc_id").isin(buffered.toIndexedSeq: _*))
+      src.append(docRows(freshIds(5)))
+      v.refresh(src, q)
+      assert(v.lastDerived >= 1, s"seed $seed: buffer wipe must re-score")
+      assert(got(v) === expected(src, q), s"seed $seed finale")
+    }
+}
