@@ -73,6 +73,21 @@ final class RerankView private[llm] (
 
   private def spark: SparkSession = state.spark
 
+  /** Filters a frame to rows whose `q_id` ∈ `vals`: a literal IN up to
+    * [[graft.table.JoinView.IN_LIST_MAX]] values (codegen'd, O(k)
+    * expression tree), a broadcast semi-join past it — the plan must
+    * not grow O(|standing set|) (the [[graft.table.TopKView]] rule). */
+  private def filterQs(df: DataFrame, vals: Seq[Any]): DataFrame =
+    if (vals.length <= graft.table.JoinView.IN_LIST_MAX)
+      df.filter(col("q_id").isin(vals: _*))
+    else {
+      val keys = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          vals.map(org.apache.spark.sql.Row(_)), 1),
+        StructType(Seq(state.schema("q_id"))))
+      df.join(broadcast(keys), Seq("q_id"), "left_semi")
+    }
+
   /** Applies all corpus changes the view has not seen. `queries` is the
     * standing set fixed at [[RerankViewOps.build]] time: (q_id, qe, qs). */
   def refresh(src: VersionedTable, queries: DataFrame): Option[Long] = {
@@ -117,16 +132,15 @@ final class RerankView private[llm] (
       val foldCand =
         if (foldQs.isEmpty) None
         else {
-          val surv = oldCand.filter(col("q_id").isin(foldQs: _*))
+          val surv = filterQs(oldCand, foldQs)
             .join(changedIds, Seq("doc_id"), "left_anti")
           Some(surv.unionByName(
-            scorePairs(insertDocs, queries.filter(col("q_id").isin(foldQs: _*)))))
+            scorePairs(insertDocs, filterQs(queries, foldQs))))
         }
       // DERIVE: full corpus re-scored for the slack-exhausted queries ONLY
       val deriveCand =
         if (deriveQs.isEmpty) None
-        else Some(scorePairs(src.snapshot(),
-          queries.filter(col("q_id").isin(deriveQs: _*))))
+        else Some(scorePairs(src.snapshot(), filterQs(queries, deriveQs)))
       val unioned = (foldCand, deriveCand) match {
         case (Some(a), Some(b)) => a.unionByName(b)
         case (Some(a), None)    => a
