@@ -28,126 +28,34 @@ import org.apache.spark.sql.SparkSession
   *     (BENCH_r09 was rc=124 under the fixed protocol at 209 rows);
   *   - when `SPARK_GRAFT_SF1_DIR` is EXPLICITLY set (dataset built once
   *     via `runMain graft.MakeSf1` — 10× sf0.1, see [[MakeSf1]]), a
-  *     second `"sf1"` section times the most expensive queries at 10×
-  *     local scale: the first direct evidence the plans hold as data
-  *     grows (VERDICT r3 next #8). Opt-in only, so the driver's
-  *     budgeted run never pays it.
+  *     second `"sf1"` section times the surface at 10× local scale:
+  *     the first direct evidence the plans hold as data grows (VERDICT
+  *     r3 next #8). Opt-in only, so the driver's budgeted run never
+  *     pays it. The COMMITTED-artifact sf1 protocol is pass-isolated
+  *     (VERDICT r12 #3): `SPARK_GRAFT_SF1_SOLO` runs one timed pass in
+  *     a fresh JVM and `tools/bench_sf1.sh` + `tools/merge_sf1.py`
+  *     fold N such records into the "sf1" section — the legacy in-JVM
+  *     3-pass path remains for ad-hoc runs but its later passes carry
+  *     accumulated JVM/fixture state.
   */
 object Bench {
 
-  /** The sf1 subset: the most expensive sf0.1 queries plus the headline
-    * scan — every table they read is produced by [[MakeSf1]]. */
-  val Sf1Queries: Seq[String] = Seq(
-    "q1_pricing_summary",                                   // lineitem scan/agg
-    "q17_skew_aqe", "q18_skew_salted",                      // skewed joins
-    "q_merge_additive", "q_insert_append", "q_delete_update", // engine writes
-    "q_minhash_lsh", "q_ngram_jaccard", "q_doc_fingerprint",  // dedup/text
-    "q_cosine_lsh", "q_ivf_cosine",                         // ANN
-    "q_embed_neardup",                                      // embedding dedup
-    "q_asof_join", "q_sessionize",                          // temporal ops
-    "q_optimize", "q_zorder",                               // table rewrites
-    "q_corpus_prep",                                        // text pipeline
-    "q_delete_update_mor",                                  // MoR deletes
-    "q_join_view",                                          // join IVM lifecycle
-    "q_join_view_refresh",                                  // steady-state IVM refresh
-    "q_agg_view_minmax",                                    // MIN/MAX view maintenance
-    "q_dup_clusters",                                       // CC clustering
-    "q_boilerplate_ngrams",                                 // corpus n-grams
-    "q_sq8_cosine", "q_pq_cosine",                          // quantized ANN
-    "q_pq_index", "q_sq8_index",                            // persisted quantized indexes
-    "q_minhash_index",                                      // persisted signature index
-    "q_ivf_index",                                          // adaptive-cell IVF index
-    "q_agg_view",                                           // agg IVM lifecycle
-    "q_seq_pack",                                           // sequence packing
-    "q_bpe_train", "q_bpe_encode",                          // BPE tokenizer
-    "q_cms_counts", "q_lm_perplexity",                      // corpus-scale sketch/LM scoring
-    "q_containment",                                        // asymmetric prefix join
-    "q_dsir_weights", "q_bm25",                             // corpus model fit / lexical IR
-    "q_funnel", "q_retention",                              // event analytics
-    "q_funnel_incr", "q_retention_incr",                    // incremental event views
-    "q_funnel_refresh", "q_retention_refresh",              // steady-state event-view refresh
-    "q_corpus_shuffle",                                     // deterministic shuffle-shard
-    "q_hybrid_rrf",                                         // RRF hybrid retrieval
-    "q_rerank",                                             // shortlist rerank ladder
-    "q_segment_dedup",                                      // sub-document dedup rewrite
-    "q_quality_classifier",                                 // distributed-GD quality filter
-    "q_temperature_sample", "q_weighted_sample",            // mix-construction samplers
-    "q_graph_rank", "q_drift_psi",                          // graph centrality / drift monitor
-    "q_drift_incr", "q_triplet_mine",                       // incremental monitor / triplet mining
-    "q_bm25_index", "q_bm25_refresh",                       // persisted lexical index + maintenance
-    "q_attribution", "q_decontaminate_bloom",               // attribution / bloom-join decontamination
-    "q_substr_dup",                                         // ExactSubstr duplicated-span coverage
-    "q_mmr_select", "q_cluster_sample",                     // diverse / cluster-balanced selection
-    "q_k_anonymize",                                        // k-anonymity release ladder
-    "q_join_estimate", "q_join_estimate_incr",              // AMS join estimate + incremental grid
-    "q_key_overlap", "q_anomaly_windows",                   // KMV overlap / volume monitor
-    "q_shard_manifest", "q_gap_fill",                       // export manifest / spine fill
-    "q_markov_transitions", "q_ohlc_bars",                  // behavior matrix / OHLC bars
-    "q_drift_ks",                                           // exact KS drift statistic
-    "q_bigram_lm", "q_ngram_diversity",                     // bigram LM / corpus diversity
-    "q_pareto_select", "q_curriculum_order",                // skyline / curriculum order
-    "q_topk_view", "q_topk_refresh",                        // incremental top-k view
-    "q_ann_recall",                                         // index-quality evaluation
-    "q_time_weighted_avg", "q_winsorize",                   // TWA / robust clipping
-    "q_quantile_view", "q_sessionize_refresh",              // incremental sketch/session views
-    "q_funnel_windowed", "q_abtest_metrics",                // deadline funnel / experiment readout
-    "q_conversion_lag", "q_seasonal_anomaly",               // lag histogram / weekday baseline
-    "q_rfm", "q_cusum_changepoint",                         // RFM segmentation / level-shift monitor
-    "q_survival_hazard", "q_cohort_ltv",                    // churn survival / LTV triangle
-    "q_gini", "q_active_users",                             // concentration / DAU-WAU series
-    "q_item_cooccur", "q_triangle_count",                   // CF co-occurrence / graph triangles
-    "q_new_returning", "q_doc_outlier",                     // growth accounting / centroid outliers
-    "q_active_users_refresh", "q_event_paths",              // chained sliding-DISTINCT view / path mining
-    "q_peak_concurrency",                                   // interval-overlap capacity sweep
-    "q_abc_analysis", "q_drawdown",                         // Pareto classes / drawdown series
-    "q_event_paths_refresh", "q_ewma_control",              // maintained path mining / EWMA monitor
-    "q_funnel_by_variant", "q_hour_heatmap",                // experiment funnel / load profile
-    "q_feature_matrix",                                     // model-ready feature rows
-    "q_source_mix_kl",                                      // training-mix KL audit
-    "q_word_entropy",                                       // per-doc entropy filter
-    "q_source_overlap",                                     // cross-source dup matrix
-    "q_embed_dim_stats",                                    // embedding health audit
-    "q_lang_confusion",                                     // lang-ID confusion matrix
-    "q_user_lifecycle",                                     // weekly lifecycle states
-    "q_score_calibrate",                                    // per-source calibration
-    "q_cluster_weights",                                    // dup-aware train weights
-    "q_data_split",                                         // deterministic splits
-    "q_repetition_stats",                                   // n-gram repetition gate
-    "q_survivor_stats",                                     // dedup cost accounting
-    "q_budget_select",                                      // token-budget knapsack
-    "q_lsh_eval",                                           // detector P/R eval
-    "q_eval_leakage",                                       // split-leakage audit
-    "q_source_cap",                                         // domain cap rule
-    "q_embed_norms",                                        // row-level vector health
-    "q_pmi_bigrams",                                        // PMI collocations
-    "q_field_completeness",                                 // payload-quality monitor
-    "q_zipf_fit",                                           // corpus Zipf diagnostic
-    "q_len_profile",                                        // per-lang length deciles
-    "q_sim_calibration",                                    // estimator calibration
-    "q_mix_kl_refresh",                                     // maintained mix monitor
-    "q_completeness_refresh",                               // maintained quality monitor
-    "q_dataset_card",                                       // release summary row
-    "q_quantile_norm",                                      // cross-source normalization
-    "q_source_lang_mix",                                    // per-source lang entropy
-    "q_chunk_bm25",                                         // RAG chunk retrieval
-    "q_tokenizer_fertility",                                // per-lang BPE fertility
-    "q_attribution_incr",                                   // maintained attribution
-    "q_attribution_refresh",                                // steady-state attr cost
-    "q_holt_forecast",                                      // trend projection
-    "q_release_diff",                                       // O(Δ) release audit
-    "q_expand_context",                                     // RAG context windows
-    "q_dataset_card_refresh",                               // maintained release card
-    "q_markov_anomaly",                                     // sequence anomaly score
-    "q_wow_volume",                                         // WoW growth report
-    "q_global_rank", "q_global_rank_running",               // distributed exact rank SQL
-    "q_global_percentile",                                  // exact percentile/decile placement
-    "q_qualify_dedup",                                      // QUALIFY rewrite dedup
-    "q_rerank_refresh",                                     // maintained-retrieval steady state
-    "q_multimodal_meta", "q_multimodal_resize")             // real-codec decode/resize
-  // q_semantic_dedup stays sf0.1-only: its oracle-replayable form fixes
-  // CENTROIDS=16, so per-cell pair cost grows ~(N/16)² — the sf1 scale
-  // path is the adaptive-cell VectorIndex (cells ~ √N), already timed
-  // via q_ivf_index.
+  /** The sf1 section rows: the WHOLE declared surface minus the
+    * documented exclusions below — the 10x scale audit must cover what
+    * the sf0.1 oracle covers (VERDICT r12 missing #3; this replaced a
+    * 150-row curated subset in r13). Every table every query reads is
+    * produced by [[MakeSf1]]. */
+  def Sf1Queries: Seq[String] =
+    SparkEntry.queries.keys.toSeq.sorted.filterNot(Sf1Exclude.contains)
+
+  /** Per-row sf1 exclusions, each with the reason it cannot or should
+    * not run at 10x — printed nowhere but kept next to the list so the
+    * artifact's coverage is auditable. */
+  val Sf1Exclude: Map[String, String] = Map(
+    "q_semantic_dedup" -> ("its oracle-replayable form fixes " +
+      "CENTROIDS=16, so per-cell pair cost grows ~(N/16)^2 with corpus " +
+      "size - the sf1 scale path is the adaptive-cell VectorIndex " +
+      "(cells ~ sqrt N), already timed via q_ivf_index"))
 
   /** Lifecycle rows (VERDICT r10 #4): every `_incr` row times a whole
     * create + churn + refresh + converge-check CYCLE — table-layer
@@ -157,9 +65,11 @@ object Bench {
     * dedicated warm, quiesced single pass after the median passes) and
     * excluded from the per-pass medians; they stay on the correctness
     * surface unchanged. Membership is by suffix so a future lifecycle
-    * row inherits the protocol automatically. */
+    * row inherits the protocol automatically (`_churn` rows are the
+    * same whole-cycle shape: build + standing-set add/drop + corpus
+    * churn + refresh per invocation). */
   def lifecycleOnce(names: Seq[String]): Set[String] =
-    names.filter(_.endsWith("_incr")).toSet
+    names.filter(n => n.endsWith("_incr") || n.endsWith("_churn")).toSet
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
@@ -334,6 +244,42 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // sf1 PASS-ISOLATED mode (VERDICT r12 #3: in-JVM sf1 pass totals
+    // climbed monotonically — 458.7 → 496.9 → 571.8 s — from
+    // accumulated JVM/fixture state, inflating committed medians
+    // 1.3–4× for memory-heavy rows). With SPARK_GRAFT_SF1_SOLO=<label>
+    // this invocation runs ONLY the sf1 section, ONE timed pass, in
+    // THIS (fresh) JVM, and writes a standalone single-pass record;
+    // `tools/bench_sf1.sh` launches one JVM per pass and
+    // `tools/merge_sf1.py` folds the records into bench_out.json's
+    // "sf1" section with per-row medians — every pass starts from the
+    // same cold state, so cross-round sf1 diffs are like-for-like.
+    sys.env.get("SPARK_GRAFT_SF1_SOLO").foreach { label =>
+      val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR",
+        sys.error("SPARK_GRAFT_SF1_SOLO requires SPARK_GRAFT_SF1_DIR"))
+      require(java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(sf1Dir)), s"not a directory: $sf1Dir")
+      val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      val names = Sf1Queries.filter(n => only.forall(_.contains(n)))
+      val (m1, _, t1, e1, _, warm1, _, raw1) =
+        measure(spark, sf1Dir, names, 1, 0.0)
+      val q1 = raw1.map { case (k, xs) =>
+        "\"" + k + "\":" + fmt(xs.head) }.mkString("{", ",", "}")
+      val json = s"""{"metric":"sf1_solo","pass":"${esc(label)}","value":${fmt(m1.map(_._2).sum)},"unit":"sec","queries":$q1,"pass_total":${fmt(t1.head)},"warmup_s":${fmt(warm1)},"errors":$e1,"dir":"${esc(sf1Dir)}","lifecycle_once":${lifecycleOnce(names).toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
+      println(json)
+      val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+        s"/tmp/bench_sf1_pass$label.json")
+      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      spark.stop()
+      if (e1 != "{}") {
+        System.err.println(s"bench: sf1 solo errors present: $e1")
+        sys.exit(1)
+      }
+      sys.exit(0)
+    }
 
     val maxPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     // Wall-clock budget for the sf0.1 section, seconds. The default

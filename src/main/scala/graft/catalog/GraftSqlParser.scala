@@ -242,7 +242,20 @@ class GraftSqlParser(
       UpdateCommand(tbl, assignments, wherePart)
     case _ if topLevelIndexOfWord(sqlText, "QUALIFY") > 0 &&
         """(?is)^\s*(SELECT|WITH)\b.*""".r.matches(sqlText) =>
-      parsePlan(rewriteQualify(sqlText))
+      // rewriteQualify's own requires (DISTINCT, set-op) propagate —
+      // they are intentional diagnostics for real QUALIFY users. A
+      // PARSE failure of the REWRITTEN text, though, means the scan
+      // misread the statement (e.g. `qualify` used as a plain
+      // identifier — it is not reserved in vanilla Spark), so the
+      // original text gets one chance with the delegate before the
+      // rewrite's error surfaces (ADVICE r12).
+      val rewritten = rewriteQualify(sqlText)
+      try parsePlan(rewritten)
+      catch {
+        case e: org.apache.spark.sql.catalyst.parser.ParseException =>
+          try delegate.parsePlan(sqlText)
+          catch { case _: Throwable => throw e }
+      }
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -277,6 +290,21 @@ class GraftSqlParser(
     val pred = tail0.substring(0, cut).trim
     val suffix = tail0.substring(cut).trim
     require(pred.nonEmpty, "QUALIFY requires a predicate")
+    // Top-level set operations are rejected with a clear message
+    // (ADVICE r12): engines owning QUALIFY bind it to the LAST query
+    // block, but the alias rewrite here would filter the whole union
+    // and the raw-window rewrite would splice a hidden column into
+    // only the first SELECT, breaking union arity. `EXCEPT(` (Spark's
+    // star-except projection) is not a set operation and stays legal.
+    for (op <- Seq("UNION", "INTERSECT", "EXCEPT")) {
+      val iOp = topLevelIndexOfWord(head, op)
+      val isStarExcept = op == "EXCEPT" && iOp >= 0 &&
+        head.drop(iOp + op.length).dropWhile(_.isWhitespace).startsWith("(")
+      require(iOp < 0 || isStarExcept,
+        s"QUALIFY cannot be rewritten over a top-level $op — wrap the " +
+          "final query block in a subquery and QUALIFY inside it (the " +
+          "engines that own QUALIFY bind it to the last query block)")
+    }
     if (topLevelIndexOfWord(pred, "OVER") < 0)
       // alias-referencing predicate: plain wrap-and-filter
       s"SELECT * FROM ($head) __qualify_src WHERE ($pred) $suffix"
@@ -319,26 +347,49 @@ class GraftSqlParser(
 
 object GraftSqlParser {
 
-  /** Mask of positions OUTSIDE quoted strings (`'`, `"`, `` ` ``) and
-    * parentheses — the only places SQL keywords/separators are
-    * structural. `''`-doubled quotes toggle twice, which lands on the
-    * same answer. */
+  /** Mask of positions OUTSIDE quoted strings (`'`, `"`, `` ` ``),
+    * parentheses, and SQL comments (`--` to end of line, `/* */`) —
+    * the only places SQL keywords/separators are structural.
+    * `''`-doubled quotes toggle twice, which lands on the same answer;
+    * backslash-escaped quotes inside `'`/`"` strings (Spark's default
+    * string-literal escaping) are skipped so `'it\'s'` does not end
+    * the literal early (ADVICE r12: a QUALIFY in a trailing `--`
+    * comment used to match the top-level keyword scan and wreck a
+    * valid statement). */
   private def topLevelMask(s: String): Array[Boolean] = {
     val m = new Array[Boolean](s.length)
     var depth = 0
     var quote: Char = 0
+    var lineComment = false
+    var blockComment = false
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (quote != 0) { if (c == quote) quote = 0 }
-      else c match {
-        case '\'' | '"' | '`' => quote = c
-        case '(' => depth += 1
-        case ')' => depth -= 1
-        case _ =>
+      if (lineComment) {
+        if (c == '\n') { lineComment = false; m(i) = depth == 0 }
+        i += 1
+      } else if (blockComment) {
+        if (c == '*' && i + 1 < s.length && s.charAt(i + 1) == '/') {
+          blockComment = false
+          i += 2 // both '*' and '/' stay comment, not structural
+        } else i += 1
+      } else if (quote != 0) {
+        if (c == '\\' && quote != '`' && i + 1 < s.length) i += 2
+        else { if (c == quote) quote = 0; i += 1 }
+      } else {
+        c match {
+          case '\'' | '"' | '`' => quote = c
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case '-' if i + 1 < s.length && s.charAt(i + 1) == '-' =>
+            lineComment = true
+          case '/' if i + 1 < s.length && s.charAt(i + 1) == '*' =>
+            blockComment = true
+          case _ =>
+        }
+        m(i) = quote == 0 && depth == 0 && !lineComment && !blockComment
+        i += 1
       }
-      m(i) = quote == 0 && depth == 0
-      i += 1
     }
     m
   }
@@ -827,9 +878,12 @@ case class DropIndexCommand(name: String) extends LeafRunnableCommand {
   *   - `aggregate` / `window` / `codegen`: operator counts, with
   *     windows split into `partitioned` vs `partition-less`;
   *   - `risk`: the named scale-killers when present — a partition-less
-  *     window (single-task sort of the whole relation) and a cartesian
-  *     product — so `WHERE category = 'risk'` is an empty-result gate a
-  *     pipeline can assert in CI.
+  *     window (single-task sort of the whole relation), a cartesian
+  *     product, and an un-trimmed window partitioned on a
+  *     broadcast-origin (bounded-low-cardinality) key over a
+  *     scan-rooted relation (the whole corpus sorted into a handful of
+  *     groups) — so `WHERE category = 'risk'` is an empty-result gate
+  *     a pipeline can assert in CI.
   *
   * Shape facts are derived from the fully-prepared physical plan with
   * adaptive re-planning disabled (subqueries included), so the report
@@ -870,7 +924,8 @@ object PlanShape {
     import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec,
       BroadcastNestedLoopJoinExec, CartesianProductExec,
       ShuffledHashJoinExec, SortMergeJoinExec}
-    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.window.{WindowExec,
+      WindowGroupLimitExec}
 
     // the fully-prepared physical plan (exchanges, codegen spans) with
     // adaptive re-planning OFF, so the report reflects the static plan
@@ -913,6 +968,50 @@ object PlanShape {
     val windows = nodes.collect { case w: WindowExec =>
       if (w.partitionSpec.isEmpty) "partition-less" else "partitioned"
     }
+    // The partition-less check's blind spot (VERDICT r12 #2): a window
+    // that IS partitioned — but on a key whose values come from the
+    // BROADCAST side of a join (broadcast ⇒ bounded-small by
+    // definition, e.g. a query/seed set) AND are REPLICATED to
+    // scan-scale by that join, sorting a scan-rooted (unbounded,
+    // corpus-scale) relation into those few groups with NO
+    // WindowGroupLimit trim anywhere below. At 100× that is the whole
+    // corpus fully sorted onto |broadcast-keys| tasks. Replication
+    // happens two ways: a broadcast NESTED-LOOP join fans every
+    // broadcast row across the whole stream side, and a broadcast HASH
+    // join replicates its EQUI-KEY once per stream match — so the
+    // flagged key set is (BNLJ broadcast outputs) ∪ (BHJ build-side
+    // equi-keys). A broadcast-side PAYLOAD column carried through a
+    // hash join on a distinct stream key (e.g. a cluster label joined
+    // 1:1 on doc_id) stays bounded by the broadcast relation and is
+    // NOT flagged. The fix at a flagged site is a literal rank-limit
+    // filter (≤ Spark's windowGroupLimitThreshold) right above the
+    // window, which plans the map-side Partial WindowGroupLimit
+    // pre-trim.
+    val unboundedBcastWindows = nodes.count {
+      case w: WindowExec if w.partitionSpec.nonEmpty =>
+        val subtree = w.collect { case p => p }
+        val hasLimit = subtree.exists(_.isInstanceOf[WindowGroupLimitExec])
+        val hasScan = subtree.exists(_.isInstanceOf[FileSourceScanExec])
+        val replicatedIds = subtree.flatMap {
+          case b: BroadcastNestedLoopJoinExec =>
+            (b.buildSide match {
+              case org.apache.spark.sql.catalyst.optimizer.BuildLeft =>
+                b.left.output
+              case _ => b.right.output
+            }).map(_.exprId)
+          case b: BroadcastHashJoinExec =>
+            (b.buildSide match {
+              case org.apache.spark.sql.catalyst.optimizer.BuildLeft =>
+                b.leftKeys
+              case _ => b.rightKeys
+            }).flatMap(_.references.toSeq.map(_.exprId))
+          case _ => Nil
+        }.toSet
+        val keyIds = w.partitionSpec.flatMap(_.references.toSeq.map(_.exprId))
+        !hasLimit && hasScan && keyIds.nonEmpty &&
+          keyIds.forall(replicatedIds.contains)
+      case _ => false
+    }
     val nCodegen = nodes.count(_.isInstanceOf[WholeStageCodegenExec])
     val nBroadcast = nodes.count(_.isInstanceOf[BroadcastExchangeExec])
 
@@ -930,7 +1029,13 @@ object PlanShape {
       (if (joins.contains("CartesianProduct"))
         Seq(Row("risk", "cartesian product",
           joins.count(_ == "CartesianProduct").toLong,
-          "output grows as |left| x |right|")) else Nil)
+          "output grows as |left| x |right|")) else Nil) ++
+      (if (unboundedBcastWindows > 0)
+        Seq(Row("risk", "unbounded window on broadcast-origin key",
+          unboundedBcastWindows.toLong,
+          "full sort of a scan-scale relation into few groups; add a " +
+            "rank-limit filter so the map-side WindowGroupLimit trim " +
+            "fires")) else Nil)
 
     val rows =
       scans.groupBy(identity).toSeq.map { case (d, v) =>
@@ -1167,6 +1272,18 @@ final case class GlobalRankResolution(spark: SparkSession)
   * statement. Note execute() COLLECTS: use the extensions parser (or
   * [[GlobalRankStatement.plan]] + `SparkInternals.ofRows`) when the
   * result is relation-scale. */
+/** One-call convenience executor for the engine-SQL surface.
+  *
+  * == Collect contract (read this before calling at relation scale) ==
+  * `execute` COLLECTS the full result to the driver — it exists for
+  * DDL/DML commands and small readouts (DESCRIBE …, OPTIMIZE, MERGE,
+  * GLOBAL RANK summaries), where the result is a handful of rows by
+  * construction. For SELECT-shaped statements over relation-scale data
+  * do NOT call this: register the extensions parser
+  * (`SparkSessionExtensions` via [[graft.functions.GraftExtensions]])
+  * and use
+  * `spark.sql(...)`, which returns a lazy DataFrame and keeps the
+  * result distributed. */
 object GraftSql {
   def execute(spark: SparkSession, sqlText: String): Seq[Row] =
     new GraftSqlParser(spark.sessionState.sqlParser, Some(spark))

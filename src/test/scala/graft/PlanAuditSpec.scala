@@ -520,4 +520,24 @@ class PlanAuditSpec extends SparkSpec {
         s"$q plans ${bad.size} partition-less Window node(s):\n$lp")
     }
   }
+
+  test("RRF legs and every rerank window plan a map-side group-limit trim") {
+    // VERDICT r12 #1: the unfiltered RRF legs were the one remaining
+    // corpus-scale full sort on a |Q|-cardinality key. With the
+    // per-leg top-C cap (RRF over per-system top-C lists), EVERY
+    // ranking window in both plans must carry Spark's two-phase
+    // WindowGroupLimit — Partial below the exchange (map-side per-group
+    // top-k pre-trim) and Final above — so reducer input is bounded at
+    // partitions×C per query instead of the whole corpus.
+    for (q <- Seq("q_hybrid_rrf", "q_rerank")) {
+      val p = plan(q)
+      val windows = "\\bWindow \\[".r.findAllIn(p).size
+      val partial = "WindowGroupLimit.*Partial".r.findAllIn(p).size
+      val fin = "WindowGroupLimit.*Final".r.findAllIn(p).size
+      assert(windows > 0, s"$q plans no Window at all?\n$p")
+      assert(partial == windows && fin == windows,
+        s"$q: $windows windows but $partial Partial / $fin Final " +
+          s"WindowGroupLimit trims — an unbounded per-group sort is back:\n$p")
+    }
+  }
 }

@@ -69,4 +69,65 @@ class ShapeGateSpec extends SparkSpec {
     assert(failures.result().isEmpty,
       "surface risk gate:\n  " + failures.result().mkString("\n  "))
   }
+
+  // --- the broadcast-keyed-window risk row (VERDICT r12 #2) ---------
+  // The partition-less check's blind spot: a window partitioned on a
+  // bounded-low-cardinality (broadcast-origin) key over an unbounded
+  // scan-fed relation is exactly as bad — the whole corpus fully
+  // sorted into a handful of groups. These fixtures pin the detector
+  // on the three shapes that matter: the deliberately-unfiltered
+  // per-query ranking (the r12 RRF-leg bug shape) must flag; the same
+  // ranking with a literal rank cap (WindowGroupLimit fires) must
+  // pass; and a broadcast-side PAYLOAD column equi-joined through a
+  // distinct stream key (the q_dedup_keep_best shape — bounded by the
+  // broadcast relation) must NOT flag.
+
+  import org.apache.spark.sql.functions._
+  import org.apache.spark.sql.expressions.Window
+
+  private def bcastRiskRows(df: => org.apache.spark.sql.DataFrame) =
+    PlanShape.ofDf(spark, df).filter(r => r.getString(0) == "risk" &&
+      r.getString(1) == "unbounded window on broadcast-origin key")
+
+  test("unfiltered ranking on a broadcast-origin key FLAGS") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val seeds = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"))
+    val ranked = emb.select(col("vec_id").as("doc_id"))
+      .crossJoin(broadcast(seeds))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("doc_id"))))
+    assert(bcastRiskRows(ranked).nonEmpty,
+      "the unfiltered per-query ranking (the r12 RRF-leg shape) " +
+        "must produce the risk row")
+  }
+
+  test("the same ranking with a rank-limit cap passes") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val seeds = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"))
+    val capped = emb.select(col("vec_id").as("doc_id"))
+      .crossJoin(broadcast(seeds))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("doc_id"))))
+      .filter(col("rn") <= 100)
+    assert(bcastRiskRows(capped).isEmpty,
+      "a rank-capped ranking plans WindowGroupLimit and must pass")
+  }
+
+  test("broadcast payload key through a distinct equi-join does not flag") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    // tiny label table: broadcast side, window key is its PAYLOAD
+    // column, joined 1:1 on the stream side's distinct vec_id — the
+    // window input is bounded by the broadcast relation, not the scan
+    val labels = emb.filter(col("vec_id") < 32)
+      .select(col("vec_id"), (col("vec_id") % 4).as("cluster_id"))
+    val joined = emb.select(col("vec_id"), col("label"))
+      .join(broadcast(labels.select(col("vec_id"), col("cluster_id"))),
+        "vec_id")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("cluster_id")).orderBy(col("vec_id"))))
+    assert(bcastRiskRows(joined).isEmpty,
+      "the q_dedup_keep_best shape is bounded and must not flag")
+  }
 }

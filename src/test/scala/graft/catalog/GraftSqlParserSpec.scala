@@ -544,6 +544,55 @@ class GraftSqlParserSpec extends SparkSpec {
     }
   }
 
+  test("QUALIFY scan masks comments, set ops reject, identifiers fall back") {
+    withExtendedSession { s =>
+      import s.implicits._
+      (1L to 12L).map(i => (i, i % 4)).toDF("id", "g")
+        .createOrReplaceTempView("qual_c")
+
+      // ADVICE r12: the word QUALIFY inside `--` and `/* */` comments
+      // must NOT trigger the rewrite — these are valid statements and
+      // used to become parse errors when the wrap landed in a comment
+      assert(s.sql(
+        """SELECT id, g FROM qual_c -- no QUALIFY here, just a comment
+          |WHERE id <= 6""".stripMargin).count() == 6)
+      assert(s.sql(
+        """SELECT id, g /* QUALIFY rnk = 1 (commented out) */
+          |FROM qual_c WHERE id <= 4""".stripMargin).count() == 4)
+      // a comment BEFORE a real QUALIFY does not break the rewrite
+      assert(s.sql(
+        """SELECT id, g, row_number() OVER
+          |  (PARTITION BY g ORDER BY id DESC) AS rnk -- keep leaders
+          |FROM qual_c QUALIFY rnk = 1""".stripMargin).count() == 4)
+
+      // ADVICE r12: a top-level set operation cannot host QUALIFY —
+      // clear diagnostic instead of a wrong filter / broken arity
+      for (op <- Seq("UNION", "UNION ALL", "INTERSECT", "EXCEPT")) {
+        val e = intercept[Exception](s.sql(
+          s"""SELECT id, g FROM qual_c $op
+            |SELECT id, g, row_number() OVER (ORDER BY id) AS rnk
+            |FROM qual_c QUALIFY rnk = 1""".stripMargin))
+        assert(e.getMessage.contains("query block"),
+          s"$op must reject with the last-query-block message: " +
+            e.getMessage)
+      }
+      // …but a set op INSIDE a subquery is fine (parens mask it)
+      assert(s.sql(
+        """SELECT id, g, row_number() OVER
+          |  (PARTITION BY g ORDER BY id DESC) AS rnk
+          |FROM (SELECT id, g FROM qual_c WHERE id <= 4
+          |      UNION ALL SELECT id, g FROM qual_c WHERE id > 8)
+          |QUALIFY rnk = 1""".stripMargin).count() == 4)
+
+      // `qualify` used as a plain identifier (not reserved in vanilla
+      // Spark): the rewrite output fails to parse, so the original
+      // statement gets the delegate — it must still work
+      (1L to 3L).map(i => (i, i * 10)).toDF("id", "qualify")
+        .createOrReplaceTempView("qual_ident")
+      assert(s.sql("SELECT id, qualify FROM qual_ident").count() == 3)
+    }
+  }
+
   test("QUALIFY executes through GraftSql.execute on a PLAIN session") {
     import spark.implicits._
     (1L to 12L).map(i => (i, i % 4)).toDF("id", "g")

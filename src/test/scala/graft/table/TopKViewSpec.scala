@@ -59,6 +59,27 @@ class TopKViewSpec extends SparkSpec {
     sizes.foreach(r => assert(r.getLong(1) <= TopKViewOps.CAND))
   }
 
+  test("the refresh watermark rides the META commit (crash atomicity)") {
+    // ADVICE r12 (shared with RerankView): with the watermark on the
+    // state commit, a crash between the state and meta merges advanced
+    // it with valid_n still inflated — the next refresh no-op'd and a
+    // required re-derive could be skipped. The watermark now commits
+    // LAST, with meta, so a torn refresh replays idempotently.
+    val src = mkSource("topk-wm")
+    src.append(rows(docs(20, "en"): _*))
+    val v = TopKViewOps.build(src, graft.Scratch.dir("topk-wm-v").toString,
+      "lang", "doc_id", "ord")
+    assert(v.meta.lastTxn(TopKViewOps.APP) === Some(src.latestVersion),
+      "build must record the watermark on meta")
+    assert(v.state.lastTxn(TopKViewOps.APP) === None,
+      "the state commit must NOT carry the watermark")
+    src.append(rows(docs(5, "en", 500): _*))
+    v.refresh(src)
+    assert(v.meta.lastTxn(TopKViewOps.APP) === Some(src.latestVersion))
+    assert(v.state.lastTxn(TopKViewOps.APP) === None)
+    assert(got(v) === expected(src))
+  }
+
   test("deletes: slack absorbs small ones, storms force exact re-derive") {
     val src = mkSource("topk-del")
     src.append(rows(docs(40, "en") ++ docs(40, "fr", 1000): _*))
