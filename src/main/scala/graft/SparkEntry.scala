@@ -20,6 +20,7 @@ object SparkEntry {
     graft.table.TopKViewOps,
     graft.llm.TextOps,
     graft.llm.Bm25Ops,
+    graft.llm.ChunkBm25Ops,
     graft.llm.CorpusQuality,
     graft.llm.DedupOps,
     graft.llm.SimilarityOps,

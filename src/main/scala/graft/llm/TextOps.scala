@@ -258,8 +258,8 @@ object TextOps extends QueryModule {
     * (sequence → posexplode → slice), shuffle-free and codegen-riding;
     * a 100 TB corpus chunks at scan speed with output partitioning
     * inherited from the input. */
-  private val CHUNK = 30
-  private val STRIDE = 20
+  private[llm] val CHUNK = 30
+  private[llm] val STRIDE = 20
 
   private def qDocChunks(s: SparkSession, d: String): DataFrame =
     documents(s, d)
@@ -806,7 +806,7 @@ object TextOps extends QueryModule {
     * runs over the scored-chunk table, already reduced to documents
     * containing query terms; ties in the 4dp score break on
     * (doc_id, chunk_start). */
-  private val CHUNK_K = 10
+  private[llm] val CHUNK_K = 10
   private def qChunkBm25(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import s.implicits._
@@ -888,7 +888,7 @@ object TextOps extends QueryModule {
       |  WHERE rnk <= $CHUNK_K)""".stripMargin
   }
 
-  private val qChunkBm25Sql =
+  private[llm] val qChunkBm25Sql =
     s"""WITH $chunkBm25Ctes
       |SELECT rnk, doc_id, chunk_start, n_terms, score FROM hits""".stripMargin
 
@@ -922,7 +922,7 @@ object TextOps extends QueryModule {
         concat_ws(" ", slice($"toks", ($"ctx_start" + 1).cast("int"),
           $"n_ctx_tokens".cast("int"))).as("ctx_text"))
   }
-  private val qExpandContextSql =
+  private[llm] val qExpandContextSql =
     s"""WITH $chunkBm25Ctes,
       |dd AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
       |SELECT h.rnk, h.doc_id, h.chunk_start, h.score,
