@@ -476,6 +476,25 @@ class PlanAuditSpec extends SparkSpec {
       s"the only nested-loop is the broadcast 1-row stats join:\n$p")
   }
 
+  test("maintained chunk retrieval: term filter reaches the postings scan") {
+    // the index's whole point: steady-state retrieval touches the |Q|
+    // query terms' postings, never the corpus — the tok IN (...)
+    // filter must push into the postings parquet scan, the df slice
+    // and 1-row stats must broadcast, and the global top-K must plan
+    // TakeOrderedAndProject (per-partition K-row merge), never a
+    // single-partition sort of all scored chunks
+    SparkEntry.prepares.get("q_chunk_refresh").foreach(_(spark, sf))
+    val p = plan("q_chunk_index")
+    assert("PushedFilters:.*In\\(tok".r.findFirstIn(p).isDefined,
+      s"tok IN (...) must push into the postings scan:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"df slice and corpus stats must broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"global top-K must be TakeOrderedAndProject:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"only the broadcast 1-row stats nested loop is allowed:\n$p")
+  }
+
   test("tokenizer fertility folds beside the scan; only the lang aggregate shuffles") {
     val p = plan("q_tokenizer_fertility")
     // one hash-aggregate exchange on lang, nothing else
