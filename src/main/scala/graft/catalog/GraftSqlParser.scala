@@ -109,7 +109,7 @@ class GraftSqlParser(
   // recorded properties, like the materialized views
   private val CreateIndex =
     ("""(?is)\s*CREATE\s+(VECTOR|SIGNATURE|TEXT)\s+INDEX\s+(\S+?)\s+ON\s+(\S+?)""" +
-      """\s*\(\s*`?(\w+)`?\s*\)\s+USING\s+(IVF|PQ|SQ8|MINHASH|BM25)\s*;?\s*""").r
+      """\s*\(\s*`?(\w+)`?\s*\)\s+USING\s+(IVFPQ|IVF|PQ|SQ8|MINHASH|BM25)\s*;?\s*""").r
   private val RefreshIndex =
     """(?is)\s*REFRESH\s+INDEX\s+(\S+?)\s*;?\s*""".r
   private val DescribeIndex =
@@ -296,11 +296,15 @@ class GraftSqlParser(
     // and the raw-window rewrite would splice a hidden column into
     // only the first SELECT, breaking union arity. `EXCEPT(` (Spark's
     // star-except projection) is not a set operation and stays legal.
-    for (op <- Seq("UNION", "INTERSECT", "EXCEPT")) {
-      val iOp = topLevelIndexOfWord(head, op)
-      val isStarExcept = op == "EXCEPT" && iOp >= 0 &&
+    // ALL top-level occurrences are scanned, not just the first
+    // (ADVICE r13): `SELECT * EXCEPT(a) FROM t EXCEPT SELECT ...`
+    // has a star-except FIRST and a genuine set-op SECOND, and the
+    // rewrite would silently filter the whole union.
+    for (op <- Seq("UNION", "INTERSECT", "EXCEPT");
+         iOp <- GraftSqlParser.topLevelIndicesOfWord(head, op)) {
+      val isStarExcept = op == "EXCEPT" &&
         head.drop(iOp + op.length).dropWhile(_.isWhitespace).startsWith("(")
-      require(iOp < 0 || isStarExcept,
+      require(isStarExcept,
         s"QUALIFY cannot be rewritten over a top-level $op — wrap the " +
           "final query block in a subquery and QUALIFY inside it (the " +
           "engines that own QUALIFY bind it to the last query block)")
@@ -408,11 +412,15 @@ object GraftSqlParser {
 
   /** Index of the first top-level, word-boundary, case-insensitive
     * occurrence of `word`; -1 if none. */
-  private[catalog] def topLevelIndexOfWord(s: String, word: String): Int = {
+  private[catalog] def topLevelIndexOfWord(s: String, word: String): Int =
+    topLevelIndicesOfWord(s, word).headOption.getOrElse(-1)
+
+  /** ALL top-level, word-boundary, case-insensitive occurrences of
+    * `word`, in order (empty if none). */
+  private[catalog] def topLevelIndicesOfWord(s: String, word: String): Seq[Int] = {
     val m = topLevelMask(s)
     ("(?i)\\b" + word + "\\b").r.findAllMatchIn(s)
-      .collectFirst { case mm if m(mm.start) => mm.start }
-      .getOrElse(-1)
+      .collect { case mm if m(mm.start) => mm.start }.toSeq
   }
 
   /** Strips quote/backtick wrapping from a table/path token. */
@@ -757,6 +765,7 @@ case class CreateIndexCommand(
     val path = GraftSqlParser.cleanName(name)
     val t = method match {
       case "ivf" => graft.llm.VectorIndex.build(source, path).table
+      case "ivfpq" => graft.llm.IvfPqIndex.build(source, path).table
       case "pq" => graft.llm.PqIndex.build(source, path).table
       case "sq8" => graft.llm.Sq8Index.build(source, path).table
       case "minhash" => graft.llm.SignatureIndex.build(source, path).table
@@ -779,6 +788,7 @@ case class RefreshIndexCommand(name: String) extends LeafRunnableCommand {
     val source = IndexDdl.sourceOf(spark, t)
     val v = IndexDdl.methodOf(t) match {
       case "ivf" => graft.llm.VectorIndex.load(spark, path).refresh(source)
+      case "ivfpq" => graft.llm.IvfPqIndex.load(spark, path).refresh(source)
       case "pq" => graft.llm.PqIndex.load(spark, path).refresh(source)
       case "sq8" => graft.llm.Sq8Index.load(spark, path).refresh(source)
       case "minhash" =>
@@ -801,6 +811,7 @@ case class ReindexCommand(name: String) extends LeafRunnableCommand {
     val source = IndexDdl.sourceOf(spark, t)
     val v = IndexDdl.methodOf(t) match {
       case "ivf" => graft.llm.VectorIndex.load(spark, path).reindex(source)
+      case "ivfpq" => graft.llm.IvfPqIndex.load(spark, path).reindex(source)
       case "pq" => graft.llm.PqIndex.load(spark, path).reindex(source)
       case "sq8" => graft.llm.Sq8Index.load(spark, path).reindex(source)
       case "minhash" =>
@@ -1000,11 +1011,32 @@ object PlanShape {
               case _ => b.right.output
             }).map(_.exprId)
           case b: BroadcastHashJoinExec =>
-            (b.buildSide match {
+            // Build-side equi-keys are bounded by the broadcast
+            // relation. After an INNER (or LEFT SEMI) join the
+            // STREAM-side key is value-equal to the build key, and a
+            // USING-join keeps only the stream-side attribute — so
+            // its exprId must be flagged too, else the common
+            // stream.join(broadcast(q), Seq("key")) shape never
+            // trips the gate (ADVICE r13). Outer joins keep
+            // stream-scale key values on unmatched rows, so their
+            // stream keys stay unflagged.
+            val buildKeys = b.buildSide match {
               case org.apache.spark.sql.catalyst.optimizer.BuildLeft =>
                 b.leftKeys
               case _ => b.rightKeys
-            }).flatMap(_.references.toSeq.map(_.exprId))
+            }
+            val streamKeys = b.joinType match {
+              case org.apache.spark.sql.catalyst.plans.Inner |
+                   org.apache.spark.sql.catalyst.plans.LeftSemi =>
+                b.buildSide match {
+                  case org.apache.spark.sql.catalyst.optimizer.BuildLeft =>
+                    b.rightKeys
+                  case _ => b.leftKeys
+                }
+              case _ => Nil
+            }
+            (buildKeys ++ streamKeys)
+              .flatMap(_.references.toSeq.map(_.exprId))
           case _ => Nil
         }.toSet
         val keyIds = w.partitionSpec.flatMap(_.references.toSeq.map(_.exprId))

@@ -110,7 +110,15 @@ final class RerankView private[llm] (
     * re-derive. */
   def refresh(src: VersionedTable, queries: DataFrame): Option[Long] = {
     val latest = src.latestVersion
-    val since = meta.lastTxn(APP).getOrElse(0L) + 1
+    // Watermark = max over BOTH tables (ADVICE r13): views persisted
+    // before the watermark moved to the meta commit carry it only on
+    // state — without the fallback their first refresh would replay
+    // the source's ENTIRE CDF history (or fail outright if early
+    // versions were vacuumed). max() is safe: meta commits last, so
+    // meta ≤ state always, and equal once a post-migration refresh
+    // lands.
+    val since = math.max(meta.lastTxn(APP).getOrElse(0L),
+      state.lastTxn(APP).getOrElse(0L)) + 1
     if (latest < since) return None
     val wm = Map(APP -> latest)
     // NET the batch per key first ([[IncrementalIndex.netChanges]]): a
@@ -231,6 +239,13 @@ final class RerankView private[llm] (
   def addQueries(src: VersionedTable, newQueries: DataFrame): Unit = {
     val newRows = newQueries.select(col("q_id"))
       .limit(MAX_STANDING + 1).collect()
+    // Duplicates WITHIN the new set are as fatal as collisions with
+    // the standing set (ADVICE r13): a doubled q_id would score twice,
+    // feed duplicate (q_id, doc_id) rows into Merge.run, and inflate
+    // the MAX_STANDING count.
+    require(newRows.map(_.get(0)).distinct.length == newRows.length,
+      "addQueries: duplicate q_id within the new query set — dedupe " +
+        "it first (each standing query must be added exactly once)")
     val existing = meta.snapshot().select(col("q_id"))
       .limit(MAX_STANDING + 1).collect().map(_.get(0)).toSet
     require(newRows.forall(r => !existing.contains(r.get(0))),

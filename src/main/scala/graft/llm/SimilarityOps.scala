@@ -799,6 +799,75 @@ object SimilarityOps extends QueryModule {
         round(col("cos"), 6).as("cos"))
   }
 
+  /** The composed IVF→PQ search ([[IvfPqIndex]], VERDICT r13 missing
+    * #3): probe `nprobe` nearest IVF cells per query, ADC-score ONLY
+    * the probed cells' PQ codes, exact-rerank the shortlist. Differs
+    * from [[pqSearch]] in that candidacy is PAIR-level — a vector is a
+    * candidate only for queries that probed its cell — so the
+    * (q_id, vec_id) pair set forms FIRST (cells ⋈ broadcast probes,
+    * each pair arises exactly once: a vector lives in one cell) and
+    * the ADC join scores only those pairs.
+    *
+    * `cells`: (vec_id, c_id) persisted cell column; `codes`:
+    * (vec_id, m, c_id) persisted PQ codes; `vecs`: (vec_id, ce) raw
+    * vectors (rerank reads shortlist members only); `queries`:
+    * (q_id, qe); `ivfCent`: (c_id, cent); `pqCent`: (m, c_id, cent,
+    * cc). Needs `cosine_sim` registered.
+    *
+    * 100 TB shape: probes and the ADC LUT broadcast (|Q|·nprobe and
+    * |Q|·M·PQ_K rows); the relation-scale joins are equi-joins on
+    * vec_id; both ranking windows carry literal caps so the map-side
+    * WindowGroupLimit pre-trim fires. */
+  private[llm] def ivfpqSearch(
+      cells: DataFrame, codes: DataFrame, vecs: DataFrame,
+      queries: DataFrame, ivfCent: DataFrame, pqCent: DataFrame,
+      k: Int, nprobe: Int): DataFrame = {
+    val probes = nearest(
+        queries.select(col("q_id").as("__vid"), col("qe")),
+        ivfCent, "qe", nprobe, "__prnk")
+      .select(col("__vid").as("q_id"), col("c_id"))
+    val cand = cells.join(broadcast(probes), "c_id")
+      .select(col("q_id"), col("vec_id"))
+    // ---- ADC over candidate pairs only (the pqSearch folds verbatim)
+    val qSub = subvecs(queries, "q_id", "qe")
+    val lut = qSub.join(broadcast(pqCent), "m")
+      .withColumn("pd", expr(subDot("sv", "cent")))
+      .select(col("q_id"), col("m"), col("c_id"), col("pd"), col("cc"))
+    val qq = queries
+      .select(col("q_id"),
+        expr(s"aggregate(transform(sequence(1, $DIMS), " +
+          "i -> CAST(element_at(qe, i) AS DOUBLE) * " +
+          "CAST(element_at(qe, i) AS DOUBLE)), " +
+          "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)").as("qq"))
+    val adc = cand.join(codes, "vec_id")
+      .join(broadcast(lut), Seq("q_id", "m", "c_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sort_array(collect_list(struct(col("m"), col("pd"), col("cc"))))
+        .as("ps"))
+      .withColumn("dot", expr(
+        "aggregate(ps, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.pd)"))
+      .withColumn("ccs", expr(
+        "aggregate(ps, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.cc)"))
+      .join(broadcast(qq), "q_id")
+      .withColumn("adc_cos", col("dot") / (sqrt(col("qq")) * sqrt(col("ccs"))))
+    val wAdc = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc_cos").desc, col("vec_id").asc_nulls_last)
+    val shortlist = adc.withColumn("__srnk", row_number().over(wAdc))
+      .filter(col("__srnk") <= PQ_SHORTLIST)
+      .select(col("q_id"), col("vec_id"))
+    // ---- exact rerank: raw vectors read for shortlist members only
+    val scored = shortlist
+      .join(vecs, "vec_id")
+      .join(broadcast(queries), "q_id")
+      .withColumn("cos", expr("cosine_sim(qe, ce)"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc_nulls_last)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("vec_id"), col("rnk").cast("long").as("rnk"),
+        round(col("cos"), 6).as("cos"))
+  }
+
   private def qPqCosine(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val emb = embeddings(s, d)
@@ -952,6 +1021,207 @@ object SimilarityOps extends QueryModule {
     * ALL vectors encode with the final frozen codebooks — exactly the
     * build-then-refresh protocol. */
   private val qPqIndexSql = pqOracleSql("WHERE vec_id % 2 = 0")
+
+  // ---------------------------------------------------- q_ivfpq_cosine
+  /** The COMPOSED IVF→PQ index path ([[IvfPqIndex]], VERDICT r13
+    * missing #3) through the SQL DDL surface: the even corpus half
+    * lands in a CDF source, `CREATE VECTOR INDEX ... USING IVFPQ`
+    * trains + freezes BOTH codebooks and encodes the snapshot, the odd
+    * half lands and `REFRESH INDEX` encodes only it (frozen
+    * codebooks); search probes nprobe cells, ADC-scores only those
+    * cells' persisted codes, exact-reranks the shortlist
+    * ([[ivfpqSearch]]). Cached per (session, sfDir) like the other
+    * index fixtures — the bench times SEARCH.
+    *
+    * The oracle replays both trainings on the even half (the build
+    * snapshot), assigns/encodes ALL vectors with the final frozen
+    * codebooks — exactly what build-then-refresh produces — then
+    * mirrors probe → pair-level candidacy → ADC → rerank. */
+  private val ivfpqIndexCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), IvfPqIndex]
+
+  private def builtIvfPqIndex(s: SparkSession, d: String): IvfPqIndex =
+    ivfpqIndexCache.synchronized {
+      ivfpqIndexCache.getOrElseUpdate((s, d), {
+        import org.apache.spark.sql.types._
+        val dir = graft.Scratch.dir("graft-ivfpq-index")
+        val srcSchema = StructType(Seq(
+          StructField("vec_id", LongType),
+          StructField("embedding", ArrayType(FloatType))))
+        val src = graft.table.VersionedTable.create(s,
+          dir.resolve("src").toString,
+          srcSchema, Map(graft.table.VersionedTable.PROP_CDF -> "true"))
+        val corpus = embeddings(s, d).filter(col("vec_id") >= QUERY_MAX_ID)
+        src.append(corpus.filter(col("vec_id") % 2 === 0))
+        val idxPath = dir.resolve("idx").toString
+        graft.catalog.GraftSql.execute(s,
+          s"CREATE VECTOR INDEX '$idxPath' ON '${src.root}' (embedding) " +
+            "USING IVFPQ")
+        src.append(corpus.filter(col("vec_id") % 2 === 1))
+        graft.catalog.GraftSql.execute(s, s"REFRESH INDEX '$idxPath'")
+        IvfPqIndex.load(s, idxPath)
+      })
+    }
+
+  private def qIvfPqCosine(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    builtIvfPqIndex(s, d).search(
+      embeddings(s, d).filter(col("vec_id") < QUERY_MAX_ID)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe")),
+      K)
+  }
+
+  private val qIvfPqCosineSql = {
+    def dot(a: String, b: String) =
+      s"""list_sum(list_transform(generate_series(1, $DIMS),
+         |    i -> $a[i]::DOUBLE * $b[i]::DOUBLE))""".stripMargin
+    def cos(a: String, b: String) =
+      s"(${dot(a, b)}) / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+    def dDot(a: String, b: String) =
+      s"""list_sum(list_transform(generate_series(1, $PQ_SUBDIM),
+         |      i -> $a[i]::DOUBLE * $b[i]::DOUBLE))""".stripMargin
+    def dL2(a: String, b: String) =
+      s"""list_sum(list_transform(generate_series(1, $PQ_SUBDIM),
+         |      i -> ($a[i]::DOUBLE - $b[i]::DOUBLE)
+         |           * ($a[i]::DOUBLE - $b[i]::DOUBLE)))""".stripMargin
+    // IVF codebook Lloyd over the even half, adaptive k (the
+    // qIvfIndexSql replay, CTEs v-prefixed)
+    val vLloyd = (1 to LLOYD_ITERS).map { i =>
+      s"""va$i AS (SELECT vec_id, ce, c_id FROM (
+         |  SELECT vec_id, ce, c_id,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY ${cos("ce", "cent")} DESC, c_id ASC) AS arnk
+         |  FROM vtrain, vit${i - 1}) WHERE arnk = 1),
+         |vg$i AS (SELECT c_id, list(ce ORDER BY vec_id) AS vs, count(*) AS n
+         |        FROM va$i GROUP BY c_id),
+         |vn$i AS (SELECT c_id, list_transform(generate_series(1, $DIMS), d ->
+         |          (list_reduce(list_transform(vs, v -> v[d]::DOUBLE),
+         |                       (acc, x) -> acc + x)
+         |           / n::DOUBLE)::FLOAT) AS newcent
+         |        FROM vg$i),
+         |vit$i AS (SELECT p.c_id, coalesce(n.newcent, p.cent) AS cent
+         |         FROM vit${i - 1} p LEFT JOIN vn$i n USING (c_id))""".stripMargin
+    }.mkString(",\n")
+    // PQ codebooks Lloyd over the even half (the pqOracleSql replay,
+    // CTEs p-prefixed)
+    val pLloyd = (1 to PQ_ITERS).map { i =>
+      s"""pa$i AS (SELECT vec_id, m, sv, c_id FROM (
+         |  SELECT s.vec_id, s.m, s.sv, c.c_id,
+         |    row_number() OVER (PARTITION BY s.vec_id, s.m
+         |      ORDER BY ${dL2("s.sv", "c.cent")} ASC, c.c_id ASC) AS arnk
+         |  FROM ptrain_sub s JOIN pit${i - 1} c ON c.m = s.m) WHERE arnk = 1),
+         |pg$i AS (SELECT m, c_id, list(sv ORDER BY vec_id) AS vs, count(*) AS n
+         |        FROM pa$i GROUP BY m, c_id),
+         |pn$i AS (SELECT m, c_id, list_transform(generate_series(1, $PQ_SUBDIM),
+         |          d -> (list_reduce(list_transform(vs, v -> v[d]::DOUBLE),
+         |                            (acc, x) -> acc + x)
+         |                / n::DOUBLE)::FLOAT) AS newcent
+         |        FROM pg$i),
+         |pit$i AS (SELECT p.m, p.c_id, coalesce(n.newcent, p.cent) AS cent
+         |         FROM pit${i - 1} p LEFT JOIN pn$i n USING (m, c_id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH corpus0 AS (SELECT vec_id, embedding AS ce FROM embeddings
+      |           WHERE vec_id >= $QUERY_MAX_ID AND vec_id % 2 = 0),
+      |corpus AS (SELECT vec_id, embedding AS ce FROM embeddings
+      |           WHERE vec_id >= $QUERY_MAX_ID),
+      |kv AS (SELECT least(greatest(CAST(ceil(sqrt(count(*))) AS BIGINT),
+      |                             $CENTROIDS), 4096) AS k
+      |       FROM corpus0),
+      |vtrainr AS (SELECT vec_id, ce, row_number() OVER (
+      |             ORDER BY md5('t|' || vec_id::VARCHAR), vec_id) AS trn
+      |           FROM corpus0),
+      |vtrain AS (SELECT vec_id, ce FROM vtrainr, kv
+      |          WHERE trn <= greatest($TRAIN_MAX, 128 * k)),
+      |vit0 AS (SELECT vec_id AS c_id, ce AS cent FROM (
+      |          SELECT vec_id, ce, row_number() OVER (ORDER BY vec_id) AS rn
+      |          FROM vtrain), kv
+      |        WHERE rn <= k),
+      |$vLloyd,
+      |vcent AS (SELECT c_id, cent FROM vit$LLOYD_ITERS),
+      |acell AS (SELECT vec_id, c_id,
+      |            row_number() OVER (PARTITION BY vec_id
+      |              ORDER BY ${cos("ce", "cent")} DESC, c_id ASC) AS arnk
+      |          FROM corpus, vcent),
+      |cells AS (SELECT vec_id, c_id FROM acell WHERE arnk = 1),
+      |corpus_sub AS (
+      |  SELECT vec_id, s.m,
+      |         list_slice(embedding, s.m * $PQ_SUBDIM + 1,
+      |                    s.m * $PQ_SUBDIM + $PQ_SUBDIM) AS sv
+      |  FROM embeddings, unnest(generate_series(0, ${PQ_M - 1})) AS s(m)
+      |  WHERE vec_id >= $QUERY_MAX_ID),
+      |ptrain_ids AS (${trainSql(
+             "(SELECT DISTINCT vec_id FROM corpus_sub WHERE vec_id % 2 = 0)",
+             "vec_id", "vec_id")}),
+      |ptrain_sub AS (SELECT s.* FROM corpus_sub s
+      |               JOIN ptrain_ids USING (vec_id)),
+      |pit0 AS (SELECT m, vec_id AS c_id, sv AS cent FROM (
+      |  SELECT m, vec_id, sv,
+      |    row_number() OVER (PARTITION BY m ORDER BY vec_id ASC) AS rn
+      |  FROM ptrain_sub) WHERE rn <= $PQ_K),
+      |$pLloyd,
+      |pcent AS (SELECT m, c_id, cent, ${dDot("cent", "cent")} AS cc
+      |         FROM pit$PQ_ITERS),
+      |codes AS (SELECT vec_id, m, c_id FROM (
+      |  SELECT s.vec_id, s.m, c.c_id,
+      |    row_number() OVER (PARTITION BY s.vec_id, s.m
+      |      ORDER BY ${dL2("s.sv", "c.cent")} ASC, c.c_id ASC) AS arnk
+      |  FROM corpus_sub s JOIN pcent c ON c.m = s.m) WHERE arnk = 1),
+      |q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+      |      WHERE vec_id < $QUERY_MAX_ID),
+      |pr AS (SELECT q_id, c_id,
+      |         row_number() OVER (PARTITION BY q_id
+      |           ORDER BY ${cos("qe", "cent")} DESC, c_id ASC) AS prnk
+      |       FROM q, vcent),
+      |probes AS (SELECT q_id, c_id FROM pr, kv
+      |           WHERE prnk <= greatest($NPROBE,
+      |                                  CAST(ceil(k / 4.0) AS BIGINT))),
+      |cand AS (SELECT p.q_id, c.vec_id
+      |         FROM cells c JOIN probes p USING (c_id)),
+      |q_sub AS (
+      |  SELECT vec_id AS q_id, s.m,
+      |         list_slice(embedding, s.m * $PQ_SUBDIM + 1,
+      |                    s.m * $PQ_SUBDIM + $PQ_SUBDIM) AS sv
+      |  FROM embeddings, unnest(generate_series(0, ${PQ_M - 1})) AS s(m)
+      |  WHERE vec_id < $QUERY_MAX_ID),
+      |lut AS (SELECT q.q_id, q.m, c.c_id, ${dDot("q.sv", "c.cent")} AS pd, c.cc
+      |        FROM q_sub q JOIN pcent c ON c.m = q.m),
+      |qq AS (SELECT vec_id AS q_id,
+      |         list_sum(list_transform(generate_series(1, $DIMS),
+      |           i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)) AS qq
+      |       FROM embeddings WHERE vec_id < $QUERY_MAX_ID),
+      |adc AS (
+      |  SELECT l.q_id, k.vec_id,
+      |    list_reduce(list(l.pd ORDER BY l.m), (acc, x) -> acc + x) AS dot,
+      |    list_reduce(list(l.cc ORDER BY l.m), (acc, x) -> acc + x) AS ccs
+      |  FROM cand cd
+      |  JOIN codes k ON k.vec_id = cd.vec_id
+      |  JOIN lut l ON l.q_id = cd.q_id AND l.m = k.m AND l.c_id = k.c_id
+      |  GROUP BY l.q_id, k.vec_id),
+      |shortlist AS (SELECT q_id, vec_id FROM (
+      |  SELECT a.q_id, a.vec_id,
+      |    row_number() OVER (PARTITION BY a.q_id
+      |      ORDER BY a.dot / (sqrt(q.qq) * sqrt(a.ccs)) DESC,
+      |               a.vec_id ASC) AS srnk
+      |  FROM adc a JOIN qq q USING (q_id)) WHERE srnk <= $PQ_SHORTLIST),
+      |rerank AS (
+      |  SELECT s.q_id, s.vec_id,
+      |    (list_sum(list_transform(generate_series(1, $DIMS),
+      |       i -> qv.embedding[i]::DOUBLE * cv.embedding[i]::DOUBLE)))
+      |    / (sqrt(list_sum(list_transform(generate_series(1, $DIMS),
+      |         i -> qv.embedding[i]::DOUBLE * qv.embedding[i]::DOUBLE)))
+      |       * sqrt(list_sum(list_transform(generate_series(1, $DIMS),
+      |           i -> cv.embedding[i]::DOUBLE * cv.embedding[i]::DOUBLE))))
+      |      AS cos
+      |  FROM shortlist s
+      |  JOIN embeddings cv ON cv.vec_id = s.vec_id
+      |  JOIN embeddings qv ON qv.vec_id = s.q_id),
+      |rk AS (SELECT q_id, vec_id, cos,
+      |         row_number() OVER (PARTITION BY q_id
+      |                            ORDER BY cos DESC, vec_id ASC) AS rnk
+      |       FROM rerank)
+      |SELECT q_id, vec_id, rnk, round(cos, 6) AS cos
+      |FROM rk WHERE rnk <= $K""".stripMargin
+  }
 
   // ------------------------------------------------------ q_sq8_index
   private val sq8IndexCache = scala.collection.concurrent.TrieMap
@@ -1406,10 +1676,19 @@ object SimilarityOps extends QueryModule {
     * 100 TB shape: one label-keyed aggregate builds |labels|·dims
     * integer cells (partial-agg friendly — the quantized sums combine
     * map-side); the |labels|-row centroid table broadcasts back onto a
-    * shuffle-free scoring scan. The per-label bottom-p rank window is
-    * exact here; at billion-row labels the cut value comes from the
-    * histogram-CDF of scores (q_hist_quantiles convention), keeping
-    * the flag a broadcast-threshold comparison. */
+    * shuffle-free scoring scan. The per-label bottom-p rank is
+    * computed by the [[graft.operators.RankOps]] range-bucket idiom,
+    * generalized per label (round 14 — the widened ShapeGate BHJ
+    * stream-key detector flagged the old single-window form, which
+    * sorted the whole corpus into \|labels\| tasks): rows
+    * range-bucket on `cos` globally, each label spreads across ALL
+    * buckets, local `row_number` runs per (bucket, label), and a
+    * broadcast \|buckets\|·\|labels\| offset array restores the exact
+    * per-label rank — ONE relation shuffle, parallelism
+    * buckets×labels. Equal scores land in the same bucket (bucket =
+    * #bounds strictly below), so the vec_id tiebreak never splits
+    * across buckets and the composed rank is bit-identical to the
+    * single-window `row_number`. */
   private val OUTLIER_Q = 1048576L // 2^20 quantization grid
   private val OUTLIER_PCT = 20L // bottom 1/20 = 5% flagged
 
@@ -1443,9 +1722,36 @@ object SimilarityOps extends QueryModule {
            |    * (CAST(c AS DOUBLE) / CAST(n AS DOUBLE) / $OUTLIER_Q.0D)),
            |  0D, (acc, v) -> acc + v)""".stripMargin))
       .withColumn("cos", col("dot") / (sqrt(col("vv")) * sqrt(col("cc"))))
-    val w = Window.partitionBy(col("label"))
+    // exact per-label rank WITHOUT a per-label window (see scaladoc):
+    // range-bucket on cos, rank locally per (bucket, label), add the
+    // broadcast below-bucket offsets back. Bounds are computed ONCE
+    // eagerly and embedded as a literal (the RankOps idiom) — quality
+    // affects balance only, never the result.
+    val sc = scored.select(col("vec_id"), col("label"), col("n"), col("cos"))
+    val nb = s.sessionState.conf.numShufflePartitions
+    val probs = (1 until nb).map(i => i.toDouble / nb)
+    val bounds: Seq[Double] = sc.agg(coalesce(
+        percentile_approx(col("cos"), typedLit(probs), lit(1000)),
+        typedLit(Seq.empty[Double])).as("__b"))
+      .head().getSeq[Double](0)
+    val lb = typedLit(bounds)
+    val pre = sc.withColumn("__bkt",
+      size(filter(lb, b => b < col("cos"))).cast("int"))
+    // |buckets|·|labels| count cells → ONE broadcast row (map-side
+    // partial combine keeps the stats shuffle tiny)
+    val statsRow = pre.groupBy(col("label").as("__l"), col("__bkt"))
+      .agg(count(lit(1)).as("__c"))
+      .agg(sort_array(collect_list(struct(col("__l"), col("__bkt").as("__b"),
+        col("__c")))).as("__st"))
+    val wl = Window.partitionBy(col("__bkt"), col("label"))
       .orderBy(col("cos").asc, col("vec_id").asc)
-    scored.withColumn("rn", row_number().over(w))
+    pre.withColumn("__lrn", row_number().over(wl).cast("long"))
+      .crossJoin(broadcast(statsRow))
+      .withColumn("__off", coalesce(aggregate(
+        filter(col("__st"),
+          x => x("__l") === col("label") && x("__b") < col("__bkt")),
+        lit(0L), (acc, x) => acc + x("__c")), lit(0L)))
+      .withColumn("rn", col("__off") + col("__lrn"))
       .select(col("vec_id"), col("label").cast("long").as("label"),
         round(col("cos"), 6).as("cos_centroid"),
         (col("rn") <= expr(s"(n + ${OUTLIER_PCT - 1}) div $OUTLIER_PCT"))
@@ -1611,6 +1917,7 @@ object SimilarityOps extends QueryModule {
     "q_sq8_cosine"  -> qSq8Cosine _,
     "q_pq_cosine"   -> qPqCosine _,
     "q_pq_index"    -> qPqIndex _,
+    "q_ivfpq_cosine" -> qIvfPqCosine _,
     "q_sq8_index"   -> qSq8Index _,
     "q_hybrid_rrf"  -> qHybridRrf _,
     "q_rerank"      -> qRerank _,
@@ -1628,6 +1935,7 @@ object SimilarityOps extends QueryModule {
     "q_sq8_cosine"  -> qSq8CosineSql,
     "q_pq_cosine"   -> qPqCosineSql,
     "q_pq_index"    -> qPqIndexSql,
+    "q_ivfpq_cosine" -> qIvfPqCosineSql,
     "q_sq8_index"   -> qSq8IndexSql,
     "q_hybrid_rrf"  -> qHybridRrfSql,
     "q_rerank"      -> qRerankSql,

@@ -747,22 +747,40 @@ object MergeOps extends QueryModule {
     * orderkey range — the layout where min/max stats prune NOTHING and
     * only the bloom can cut the scan. The point read goes through the
     * bloom-pruned [[VersionedTable.snapshotWhere]]; BloomSkippingSpec
-    * pins the file-count reduction, this row pins content fidelity. */
+    * pins the file-count reduction, this row pins content fidelity.
+    *
+    * The sidecar table builds ONCE per (session, sf dir) — the
+    * [[graft.llm.ChunkBm25Ops]] fixture pattern (VERDICT r13 #2): the
+    * operator this row grades is the bloom-pruned READ; rebuilding the
+    * full-lineitem table per timed invocation made the row ~all write
+    * cost (21.5 s at sf1 for a sub-second read). */
+  private val bloomCache = scala.collection.concurrent.TrieMap.empty[
+    (SparkSession, String), VersionedTable]
+
+  private def bloomFixture(s: SparkSession, d: String): VersionedTable =
+    bloomCache.synchronized {
+      bloomCache.getOrElseUpdate((s, d), {
+        import s.implicits._
+        val schema = StructType(Seq(
+          StructField("l_orderkey", LongType),
+          StructField("l_partkey", LongType),
+          StructField("l_quantity", DoubleType),
+          StructField("l_extendedprice", DoubleType)))
+        val dir = graft.Scratch.dir("graft-bloomq").resolve("t").toString
+        val t = VersionedTable.create(s, dir, schema, properties = Map(
+          VersionedTable.PROP_BLOOM_COLS -> "l_orderkey",
+          VersionedTable.PROP_MAX_RECORDS -> "8000"))
+        t.append(lineitem(s, d)
+          .select($"l_orderkey", $"l_partkey", $"l_quantity",
+            $"l_extendedprice")
+          .repartition(8, $"l_partkey"))
+        t
+      })
+    }
+
   private def qBloomPrune(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val schema = StructType(Seq(
-      StructField("l_orderkey", LongType),
-      StructField("l_partkey", LongType),
-      StructField("l_quantity", DoubleType),
-      StructField("l_extendedprice", DoubleType)))
-    val dir = graft.Scratch.dir("graft-bloomq").resolve("t").toString
-    val t = VersionedTable.create(s, dir, schema, properties = Map(
-      VersionedTable.PROP_BLOOM_COLS -> "l_orderkey",
-      VersionedTable.PROP_MAX_RECORDS -> "8000"))
-    t.append(lineitem(s, d)
-      .select($"l_orderkey", $"l_partkey", $"l_quantity", $"l_extendedprice")
-      .repartition(8, $"l_partkey"))
-    t.snapshotWhere($"l_orderkey" === 1L)
+    bloomFixture(s, d).snapshotWhere($"l_orderkey" === 1L)
   }
   private val qBloomPruneSql =
     """SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice

@@ -110,7 +110,13 @@ final class TopKView private[table] (
     * inflated and a required re-derive could be skipped). */
   def refresh(src: VersionedTable): Option[Long] = {
     val latest = src.latestVersion
-    val since = meta.lastTxn(APP).getOrElse(0L) + 1
+    // max over BOTH tables (ADVICE r13): pre-migration views carry the
+    // watermark on the state commit only — without the fallback their
+    // first refresh replays the entire CDF history (or fails if early
+    // versions were vacuumed). meta commits last, so meta ≤ state
+    // always; current-code commits put the txn on meta alone.
+    val since = math.max(meta.lastTxn(APP).getOrElse(0L),
+      state.lastTxn(APP).getOrElse(0L)) + 1
     if (latest < since) return None
     val wm = Map(APP -> latest)
     // NET the batch per (grp, id) key FIRST: a row inserted AND deleted

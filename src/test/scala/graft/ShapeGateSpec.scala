@@ -31,10 +31,6 @@ class ShapeGateSpec extends SparkSpec {
     "q_curriculum_order" -> ("offset table over (stage, shard) groups — " +
       "bounded by the fixed shard count, rows stream via partitioned " +
       "windows"),
-    "q_join_estimate" -> ("median of the AMS sketch's JE_D estimator " +
-      "rows — bounded by sketch depth"),
-    "q_join_estimate_incr" -> ("same AMS median readout over the " +
-      "maintained sketch grid"),
     "q_bpe_pairs" -> ("rank over the 2-character-pair keyspace — " +
       "bounded by alphabet^2, not corpus size"),
     "q_pareto_select" -> ("suffix max over the fixed-width bucket " +
@@ -113,6 +109,43 @@ class ShapeGateSpec extends SparkSpec {
       .filter(col("rn") <= 100)
     assert(bcastRiskRows(capped).isEmpty,
       "a rank-capped ranking plans WindowGroupLimit and must pass")
+  }
+
+  test("unfiltered ranking on the STREAM-side key of an inner " +
+      "broadcast hash join FLAGS") {
+    // ADVICE r13: stream.join(broadcast(q), Seq(key)) — a USING-join
+    // keeps the STREAM-side key attribute, whose exprId differs from
+    // the build side's, but after an inner join its post-join
+    // cardinality is bounded by the broadcast relation all the same.
+    // This is the common retrieval shape (corpus keyed into a small
+    // standing-query set); the detector must flag it via the
+    // stream-side equi-key, not just the BNLJ/build-side paths.
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val seeds = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"))
+    val ranked = emb
+      .select((col("vec_id") % 8).as("q_id"), col("vec_id").as("doc_id"))
+      .join(broadcast(seeds), Seq("q_id"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("doc_id"))))
+    assert(bcastRiskRows(ranked).nonEmpty,
+      "the unbounded window on the stream-side equi-key of an inner " +
+        "broadcast hash join must produce the risk row")
+  }
+
+  test("the same BHJ-keyed ranking with a rank-limit cap passes") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val seeds = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"))
+    val capped = emb
+      .select((col("vec_id") % 8).as("q_id"), col("vec_id").as("doc_id"))
+      .join(broadcast(seeds), Seq("q_id"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("doc_id"))))
+      .filter(col("rn") <= 100)
+    assert(bcastRiskRows(capped).isEmpty,
+      "a rank-capped BHJ-keyed ranking plans WindowGroupLimit and " +
+        "must pass")
   }
 
   test("broadcast payload key through a distinct equi-join does not flag") {

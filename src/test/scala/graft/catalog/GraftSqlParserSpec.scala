@@ -576,6 +576,21 @@ class GraftSqlParserSpec extends SparkSpec {
           s"$op must reject with the last-query-block message: " +
             e.getMessage)
       }
+      // ADVICE r13: the guard scans ALL top-level occurrences — a
+      // star-except projection FOLLOWED by a genuine set-op EXCEPT
+      // must still reject (the first occurrence being star-except
+      // used to mask the second from the guard)
+      val eMixed = intercept[Exception](s.sql(
+        """SELECT * EXCEPT(g) FROM qual_c EXCEPT
+          |SELECT id FROM qual_c WHERE id > 6
+          |QUALIFY row_number() OVER (ORDER BY id) <= 3""".stripMargin))
+      assert(eMixed.getMessage.contains("query block"),
+        "star-except THEN set-op EXCEPT must reject: " + eMixed.getMessage)
+      // …while a star-except ALONE stays legal with QUALIFY
+      assert(s.sql(
+        """SELECT * EXCEPT(g), row_number() OVER (ORDER BY id) AS rnk
+          |FROM qual_c QUALIFY rnk <= 3""".stripMargin).count() == 3)
+
       // …but a set op INSIDE a subquery is fine (parens mask it)
       assert(s.sql(
         """SELECT id, g, row_number() OVER

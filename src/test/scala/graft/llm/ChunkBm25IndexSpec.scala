@@ -156,4 +156,51 @@ class ChunkBm25IndexSpec extends SparkSpec {
     assert(m.addedFiles.size <= ChunkBm25Index.BUCKETS,
       s"one-doc refresh must stay bucket-bounded, rewrote ${m.addedFiles.size}")
   }
+
+  test("chunk index rides the continuous-maintenance stream exactly-once") {
+    // VERDICT r13 #6: the doc-level Bm25Index and the event/state
+    // views ride the generic startIndexMaintenance drain; the chunk
+    // index's composite refresh (postings → chunklens → stats views)
+    // must slot into the same wake-up contract — the stream signals,
+    // the per-table txn watermarks make the composite idempotent.
+    val base = Files.createTempDirectory("chunk-stream")
+    val src = VersionedTable.create(spark, s"$base/src", srcSchema,
+      Map(VersionedTable.PROP_CDF -> "true"))
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+    val terms = TextOps.BM25_TERMS
+    src.append(docs.filter($"doc_id" % 2 === 0))
+    val idx = ChunkBm25Index.build(src, s"$base/idx")
+
+    src.append(docs.filter($"doc_id" % 2 === 1))
+    graft.streaming.CdcStreams
+      .startIndexMaintenance(spark, src, () => idx.refresh(src), s"$base/_cp")
+      .awaitTermination()
+    assertSameRows(idx.score(terms),
+      batchChunkBm25(src.snapshot(), terms), "post-drain retrieval")
+
+    // restart with nothing new: checkpoint + watermarks → no commits
+    val vs = (idx.postings.latestVersion, idx.chunklens.latestVersion,
+      idx.termStats.table.latestVersion, idx.corpusStats.table.latestVersion)
+    graft.streaming.CdcStreams
+      .startIndexMaintenance(spark, src, () => idx.refresh(src), s"$base/_cp")
+      .awaitTermination()
+    assert((idx.postings.latestVersion, idx.chunklens.latestVersion,
+      idx.termStats.table.latestVersion,
+      idx.corpusStats.table.latestVersion) === vs,
+      "an empty drain must commit nothing anywhere in the chain")
+
+    // a further churn batch (delete + shrunken re-add — the
+    // chunk-count-shrink hazard) is picked up by the next drain
+    val victim = docs.orderBy($"doc_id").limit(1)
+      .select($"doc_id").as[Long].head()
+    src.deleteWhere($"doc_id" === victim)
+    src.append(docs.filter($"doc_id" === victim)
+      .withColumn("text", concat_ws(" ", slice(split($"text", " "), 1, 5))))
+    graft.streaming.CdcStreams
+      .startIndexMaintenance(spark, src, () => idx.refresh(src), s"$base/_cp")
+      .awaitTermination()
+    assertSameRows(idx.score(terms),
+      batchChunkBm25(src.snapshot(), terms), "post-churn retrieval")
+    VersionedTable.deleteRecursively(base)
+  }
 }

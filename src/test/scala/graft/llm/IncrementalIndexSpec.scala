@@ -105,6 +105,85 @@ class IncrementalIndexSpec extends SparkSpec {
     VersionedTable.deleteRecursively(base)
   }
 
+  test("IVFPQ index: refresh derives cell + codes with both codebooks frozen; " +
+      "search equals exact-within-probed-cells at sub-shortlist scale") {
+    graft.functions.GraftFunctions.register(spark)
+    val base = Files.createTempDirectory("ivfpq-index")
+    val src = VersionedTable.create(spark, s"$base/src", srcSchema,
+      Map(VersionedTable.PROP_CDF -> "true"))
+    val corpus = Tables.embeddings(spark, sf).filter($"vec_id" >= 8)
+    src.append(corpus.filter($"vec_id" % 2 === 0))
+    val idx = IvfPqIndex.build(src, s"$base/idx")
+    def ivfFrozen() = idx.ivfCodebook.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSet
+    def pqFrozen() = idx.pqCodebook.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Float](2))).toSet
+    val (vf, pf) = (ivfFrozen(), pqFrozen())
+
+    src.append(corpus.filter($"vec_id" % 2 === 1))
+    assert(idx.refresh(src).isDefined)
+    assert(idx.table.latestManifest.addedFiles.size <= IvfPqIndex.BUCKETS,
+      "refresh must be a bucket-scoped CoW merge")
+    // NEITHER codebook retrained on refresh
+    assert(ivfFrozen() === vf && pqFrozen() === pf)
+
+    // refresh ≡ rebuild: the maintained cell column matches assigning
+    // the FULL corpus under the frozen IVF codebook, and every row
+    // carries PQ_M codes drawn from the PQ codebook's cells
+    val expectedCells = SimilarityOps.nearest(
+        src.snapshot().select($"vec_id".as("__vid"), $"embedding".as("ce")),
+        idx.ivfCodebook, "ce", 1, "__r")
+      .select($"__vid".as("vec_id"), $"c_id".as("cell"))
+    val actualCells = idx.table.snapshot().select($"vec_id", $"cell")
+    assert(actualCells.exceptAll(expectedCells).isEmpty &&
+      expectedCells.exceptAll(actualCells).isEmpty)
+    val pqCells = idx.pqCodebook.select($"c_id").distinct()
+      .as[Long].collect().toSet
+    assert(idx.table.snapshot().select($"codes").as[Seq[Long]].collect()
+      .forall(cs => cs.length === SimilarityOps.PQ_M &&
+        cs.forall(pqCells.contains)))
+
+    // idempotence
+    val v = idx.table.latestVersion
+    assert(idx.refresh(src).isEmpty)
+    assert(idx.table.latestVersion === v)
+
+    // At this corpus scale every query's probed-cell candidate set is
+    // smaller than PQ_SHORTLIST, so the ADC stage passes ALL candidates
+    // to the exact rerank and IVFPQ search must EQUAL exact cosine
+    // within the probed cells — the composition's correctness anchor
+    // (the ADC stage only ever drops candidates, and here it can't).
+    val queries = Tables.embeddings(spark, sf).filter($"vec_id" < 8)
+      .select($"vec_id".as("q_id"), $"embedding".as("qe"))
+    val np = SimilarityOps.adaptiveNprobe(idx.ivfCodebook.count())
+    val probes = SimilarityOps.nearest(
+        queries.select($"q_id".as("__vid"), $"qe"),
+        idx.ivfCodebook, "qe", np, "__p")
+      .select($"__vid".as("q_id"), $"qe", $"c_id".as("cell"))
+    val exact = idx.table.snapshot()
+      .join(broadcast(probes), "cell")
+      .withColumn("cos", expr("cosine_sim(qe, embedding)"))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"q_id")
+          .orderBy($"cos".desc, $"vec_id".asc_nulls_last)))
+      .filter($"rnk" <= 5)
+      .select($"q_id", $"vec_id", $"rnk".cast("long"), round($"cos", 6))
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val got = idx.search(queries, 5)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got === exact,
+      "IVFPQ search must equal exact-within-probed-cells when the " +
+        "candidate sets fit inside PQ_SHORTLIST")
+
+    // delete propagation
+    val victim = corpus.orderBy($"vec_id").limit(1)
+      .select($"vec_id").as[Long].head()
+    src.deleteWhere($"vec_id" === victim)
+    assert(idx.refresh(src).isDefined)
+    assert(idx.search(queries, 5).filter($"vec_id" === victim).count() === 0L)
+    VersionedTable.deleteRecursively(base)
+  }
+
   test("SQ8 index: frozen stats survive refresh; out-of-range values clamp to edge buckets") {
     val base = Files.createTempDirectory("sq8-index")
     val src = VersionedTable.create(spark, s"$base/src", srcSchema,
@@ -272,6 +351,44 @@ class IncrementalIndexSpec extends SparkSpec {
     val top = idx.search(q, 1).collect()
     assert(top.length === 1 && top.head.getLong(1) === 1100L,
       "REINDEX restores planted-neighbor recall for the shifted family")
+    VersionedTable.deleteRecursively(base)
+  }
+
+  test("IVFPQ drift: shifted batch raises mean_assign_dist; REINDEX retrains " +
+      "BOTH codebooks and restores recall") {
+    graft.functions.GraftFunctions.register(spark)
+    val base = Files.createTempDirectory("ivfpq-drift")
+    val src = VersionedTable.create(spark, s"$base/src", srcSchema,
+      Map(VersionedTable.PROP_CDF -> "true"))
+    src.append(clustered(1, 301))
+    val idx = IvfPqIndex.build(src, s"$base/idx")
+    val (m0, b0, l0) = IndexDrift.summary(idx.table).get
+    assert(m0 === "mean_assign_dist")
+    assert(l0 === b0)
+    val pqBefore = idx.pqCodebook.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Float](2))).toSet
+
+    src.append(clustered(1001, 1301, centerBase = 11))
+    assert(idx.refresh(src).isDefined)
+    val (_, b1, l1) = IndexDrift.summary(idx.table).get
+    assert(b1 === b0 && l1 > b1 * 1.5 && l1 > b1 + 0.05,
+      s"shifted batch must raise drift: baseline $b1, latest $l1")
+
+    idx.reindex(src)
+    val (_, b2, l2) = IndexDrift.summary(idx.table).get
+    assert(l2 === b2, "REINDEX starts a fresh baseline epoch")
+    assert(l2 < l1, s"retrained codebooks must fit better: $l2 vs $l1")
+    // REINDEX retrains the PQ side too, not just the cell quantizer
+    val pqAfter = idx.pqCodebook.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Float](2))).toSet
+    assert(pqAfter !== pqBefore,
+      "REINDEX must retrain the PQ codebooks on the shifted corpus")
+    // planted neighbor from the shifted family: exact self-match (the
+    // rerank stage reads raw vectors, so a probed self-match is exact)
+    val q = src.snapshot().filter($"vec_id" === 1100)
+      .select($"vec_id".as("q_id"), $"embedding".as("qe"))
+    val top = idx.search(q, 1).collect()
+    assert(top.length === 1 && top.head.getLong(1) === 1100L)
     VersionedTable.deleteRecursively(base)
   }
 

@@ -101,6 +101,46 @@ class LlmRecallSpec extends SparkSpec {
     assert(recall >= 0.9, s"LSH recall $recall < 0.9 — banding insufficient")
   }
 
+  test("IVFPQ index recall >= 0.85 on planted cos-0.8 neighbors with the " +
+      "ADC stage genuinely filtering") {
+    // At this geometry (2100-vector corpus, ~46 adaptive cells, ~12
+    // probes) each query's probed-cell candidate set is ~550 rows —
+    // WELL past PQ_SHORTLIST=150 — so the 4-byte ADC stage must rank
+    // the planted neighbor into the shortlist for the exact rerank to
+    // recover it. This is the composition's quality gate: IVF recall
+    // alone measures cell coverage, PQ recall alone measures ADC
+    // fidelity at full candidacy; this measures both stages chained.
+    graft.functions.GraftFunctions.register(spark)
+    val base = java.nio.file.Files.createTempDirectory("ivfpq-recall")
+    val srcSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))))
+    val src = graft.table.VersionedTable.create(spark,
+      s"$base/src", srcSchema,
+      Map(graft.table.VersionedTable.PROP_CDF -> "true"))
+    val nQ = 100
+    src.append(planted.filter(col("vec_id") >= nQ))
+    val idx = IvfPqIndex.build(src, s"$base/idx")
+    // sanity: the ADC stage actually filters at this geometry
+    val cells = idx.ivfCodebook.count()
+    val np = SimilarityOps.adaptiveNprobe(cells)
+    val perCell = (2100.0 / cells) * np
+    assert(perCell > SimilarityOps.PQ_SHORTLIST,
+      f"geometry must exceed the shortlist to exercise ADC ($perCell%.0f)")
+    val res = idx.search(
+        planted.filter(col("vec_id") < nQ)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qe")), 5)
+      .select("q_id", "vec_id").as[(Long, Long)].collect()
+    val recall = recallOf(res, nQ)
+    info(f"IVFPQ recall@5 on planted cos-0.8 neighbors: $recall%.2f")
+    assert(recall >= 0.85,
+      s"IVFPQ recall $recall < 0.85 — ADC shortlist or probing regressed")
+    graft.table.VersionedTable.deleteRecursively(base)
+  }
+
   test("codebook training reads a bounded, deterministic sample") {
     val corpus = planted.filter(col("vec_id") >= 100)
       .select(col("vec_id").as("__vid"), col("embedding").as("ce"))

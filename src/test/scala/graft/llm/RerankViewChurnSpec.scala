@@ -153,6 +153,34 @@ class RerankViewChurnSpec extends SparkSpec {
       v.addQueries(src, qFrame(Seq(5003L)))
     }
     assert(dup.getMessage.contains("already standing"))
+    // ADVICE r13: duplicates WITHIN one addQueries call are as fatal —
+    // a doubled q_id would score twice and feed duplicate
+    // (q_id, doc_id) rows into the merge
+    val dupIn = intercept[IllegalArgumentException] {
+      v.addQueries(src, qFrame(Seq(5005L, 5005L)))
+    }
+    assert(dupIn.getMessage.contains("duplicate q_id"))
+    assert(v.meta.snapshot().count() === 4, "rejected adds leave state untouched")
+  }
+
+  test("refresh falls back to a state-side watermark (pre-r13 migration)") {
+    // ADVICE r13: views persisted BEFORE the watermark moved to the
+    // meta commit carry it on state only — the refresh must take
+    // max(meta, state) so such a view neither replays the source's
+    // whole CDF history nor fails on vacuumed early versions.
+    val src = VersionedTable.create(spark,
+      graft.Scratch.dir("rrv-mig").resolve("t").toString,
+      srcSchema, Map(VersionedTable.PROP_CDF -> "true"))
+    src.append(docRows(400L to 420L))
+    val q = qFrame(Seq(5000L))
+    val v = build(src, graft.Scratch.dir("rrv-mig-v").toString, q)
+    src.append(docRows(430L to 434L))
+    // simulate the pre-migration layout: stamp the watermark on a
+    // STATE commit (meta's still trails at the build version)
+    v.state.append(v.state.snapshot().limit(0),
+      txn = Some(RerankViewOps.APP -> src.latestVersion))
+    assert(v.refresh(src, q) === None,
+      "a state-side watermark at latest must be honored — no replay")
   }
 
   test("the refresh watermark rides the META commit (crash atomicity)") {

@@ -13,6 +13,25 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 SF1_DIR="${1:-${SPARK_GRAFT_SF1_DIR:-/root/repo/benchdata/sf1}}"
 N="${2:-3}"
+# Fail fast on missing preconditions (ADVICE r13) — merge_sf1.py runs
+# LAST, so a missing bench_out.json used to surface only after all N
+# expensive fresh-JVM passes had already burned their wall-clock.
+[[ -f bench_out.json ]] || {
+  echo "[bench-sf1] ERROR: bench_out.json missing — run the sf0.1" \
+    "committed-artifact bench first (it writes the file merge_sf1.py" \
+    "folds the sf1 section into)" >&2
+  exit 1
+}
+[[ -d target/scala-2.13/classes ]] || {
+  echo "[bench-sf1] ERROR: target/scala-2.13/classes missing — run" \
+    "'sbt compile' first" >&2
+  exit 1
+}
+[[ -d "$SF1_DIR" ]] || {
+  echo "[bench-sf1] ERROR: sf1 data dir '$SF1_DIR' missing — run" \
+    "graft.MakeSf1 first" >&2
+  exit 1
+}
 outs=()
 for i in $(seq 1 "$N"); do
   echo "[bench-sf1] pass $i/$N (fresh JVM)" >&2
