@@ -16,8 +16,14 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 SF_DIR="${1:-${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}}"
 N="${2:-3}"
-LOAD_MAX="${LOAD_MAX:-4.0}"
+LOAD_MAX="${LOAD_MAX:-1.5}"
 LOAD_WAIT_S="${LOAD_WAIT_S:-600}"
+# Fixed settle between passes: the prior JVM's exit leaves decaying
+# 1-min loadavg and async page-cache writeback that the load guard
+# alone under-detects (the r14 record's pass 2 started at loadavg 2.9
+# and ran 30% hot; pass 1 from a cold-quiet machine matched the r12
+# total within 3.5%).
+SETTLE_S="${SETTLE_S:-120}"
 [[ -d target/scala-2.13/classes ]] || {
   echo "[bench-sf01] ERROR: target/scala-2.13/classes missing — run" \
     "'sbt compile' first" >&2
@@ -50,6 +56,7 @@ wait_for_quiet() {
 
 outs=()
 for i in $(seq 1 "$N"); do
+  if (( i > 1 )); then sleep "$SETTLE_S"; fi
   wait_for_quiet
   echo "[bench-sf01] pass $i/$N (fresh JVM)" >&2
   out="/tmp/bench_sf01_pass$i.json"
