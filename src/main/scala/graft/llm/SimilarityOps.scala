@@ -1726,8 +1726,15 @@ object SimilarityOps extends QueryModule {
     // range-bucket on cos, rank locally per (bucket, label), add the
     // broadcast below-bucket offsets back. Bounds are computed ONCE
     // eagerly and embedded as a literal (the RankOps idiom) — quality
-    // affects balance only, never the result.
-    val sc = scored.select(col("vec_id"), col("label"), col("n"), col("cos"))
+    // affects balance only, never the result. The scored relation is
+    // MATERIALIZED to scratch first (the dedup-signature idiom): the
+    // ranking machinery reads it three times (bounds, stats, window),
+    // and without the materialization each read would recompute the
+    // centroid join + cosine fold — measured 3× the row's wall time.
+    val scDir = graft.Scratch.dir("graft-outlier").resolve("sc").toString
+    scored.select(col("vec_id"), col("label"), col("n"), col("cos"))
+      .write.mode("overwrite").parquet(scDir)
+    val sc = s.read.parquet(scDir)
     val nb = s.sessionState.conf.numShufflePartitions
     val probs = (1 until nb).map(i => i.toDouble / nb)
     val bounds: Seq[Double] = sc.agg(coalesce(
