@@ -32,8 +32,34 @@ N="${2:-3}"
     "graft.MakeSf1 first" >&2
   exit 1
 }
+# Same inter-pass hygiene as bench_sf01.sh (the r14 sf0.1 record's
+# lesson): refuse to start a pass on residual load, settle between
+# passes so the prior JVM's decaying loadavg/writeback drains.
+LOAD_MAX="${LOAD_MAX:-1.5}"
+LOAD_WAIT_S="${LOAD_WAIT_S:-600}"
+SETTLE_S="${SETTLE_S:-120}"
+wait_for_quiet() {
+  local waited=0
+  while :; do
+    local load
+    load="$(cut -d' ' -f1 /proc/loadavg)"
+    if awk -v l="$load" -v m="$LOAD_MAX" 'BEGIN{exit !(l<=m)}'; then
+      return 0
+    fi
+    if (( waited >= LOAD_WAIT_S )); then
+      echo "[bench-sf1] WARNING: loadavg $load still > $LOAD_MAX after" \
+        "${LOAD_WAIT_S}s — pass proceeds" >&2
+      return 0
+    fi
+    echo "[bench-sf1] loadavg $load > $LOAD_MAX — waiting 30s" >&2
+    sleep 30
+    waited=$((waited + 30))
+  done
+}
 outs=()
 for i in $(seq 1 "$N"); do
+  if (( i > 1 )); then sleep "$SETTLE_S"; fi
+  wait_for_quiet
   echo "[bench-sf1] pass $i/$N (fresh JVM)" >&2
   out="/tmp/bench_sf1_pass$i.json"
   SPARK_GRAFT_SF1_SOLO="$i" SPARK_GRAFT_SF1_DIR="$SF1_DIR" \
