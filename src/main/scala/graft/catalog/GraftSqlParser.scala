@@ -102,14 +102,14 @@ class GraftSqlParser(
       """`?(\w+)`?\s+ORDER\s+BY\s+`?(\w+)`?\s+DESC\s+KEY\s+`?(\w+)`?\s+""" +
       """LIMIT\s+(\d+)\s*;?\s*""").r
   // CREATE VECTOR INDEX <i> ON <t> (embedding) USING IVF|PQ|SQ8
-  // CREATE SIGNATURE INDEX <i> ON <t> (text) USING MINHASH
+  // CREATE SIGNATURE INDEX <i> ON <t> (text) USING MINHASH|PHASH
   // CREATE TEXT INDEX <i> ON <t> (text) USING BM25
   // — persisted incremental indexes (graft.llm.IncrementalIndex);
   // REFRESH/DESCRIBE/REINDEX resolve everything from the index's own
   // recorded properties, like the materialized views
   private val CreateIndex =
     ("""(?is)\s*CREATE\s+(VECTOR|SIGNATURE|TEXT)\s+INDEX\s+(\S+?)\s+ON\s+(\S+?)""" +
-      """\s*\(\s*`?(\w+)`?\s*\)\s+USING\s+(IVFPQ|IVF|PQ|SQ8|MINHASH|BM25)\s*;?\s*""").r
+      """\s*\(\s*`?(\w+)`?\s*\)\s+USING\s+(IVFPQ|IVF|PQ|SQ8|MINHASH|PHASH|BM25)\s*;?\s*""").r
   private val RefreshIndex =
     """(?is)\s*REFRESH\s+INDEX\s+(\S+?)\s*;?\s*""".r
   private val DescribeIndex =
@@ -302,8 +302,24 @@ class GraftSqlParser(
     // rewrite would silently filter the whole union.
     for (op <- Seq("UNION", "INTERSECT", "EXCEPT");
          iOp <- GraftSqlParser.topLevelIndicesOfWord(head, op)) {
-      val isStarExcept = op == "EXCEPT" &&
-        head.drop(iOp + op.length).dropWhile(_.isWhitespace).startsWith("(")
+      // `EXCEPT (` alone does not prove a star-except projection:
+      // a set operation with a parenthesized right operand —
+      // `... EXCEPT (SELECT ...)` / `EXCEPT ALL (WITH ...)` — also
+      // puts '(' right after the keyword (ADVICE r14). Star-except
+      // parens hold an identifier list, never a query, so peek past
+      // the '(' (and an optional ALL/DISTINCT modifier before it)
+      // for a SELECT/WITH/parenthesized-query start.
+      val afterOp = head.drop(iOp + op.length).dropWhile(_.isWhitespace)
+      val afterMod = {
+        val u = afterOp.toUpperCase
+        if (u.startsWith("ALL") || u.startsWith("DISTINCT"))
+          afterOp.dropWhile(!_.isWhitespace).dropWhile(_.isWhitespace)
+        else afterOp
+      }
+      val inParens = afterMod.drop(1).dropWhile(c =>
+        c.isWhitespace || c == '(').toUpperCase
+      val isStarExcept = op == "EXCEPT" && afterMod.startsWith("(") &&
+        !inParens.startsWith("SELECT") && !inParens.startsWith("WITH")
       require(isStarExcept,
         s"QUALIFY cannot be rewritten over a top-level $op — wrap the " +
           "final query block in a subquery and QUALIFY inside it (the " +
@@ -748,7 +764,7 @@ case class CreateIndexCommand(
     Seq(AttributeReference("version", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val expectKind = method match {
-      case "minhash" => "SIGNATURE"
+      case "minhash" | "phash" => "SIGNATURE"
       case "bm25" => "TEXT"
       case _ => "VECTOR"
     }
@@ -757,7 +773,7 @@ case class CreateIndexCommand(
     // derivations are fixed-schema in this engine revision: vector
     // methods index (vec_id, embedding), text methods (doc_id, text)
     val expectCol =
-      if (method == "minhash" || method == "bm25") "text" else "embedding"
+      if (Set("minhash", "phash", "bm25")(method)) "text" else "embedding"
     require(colName == expectCol,
       s"USING ${method.toUpperCase} indexes the '$expectCol' column; " +
         s"got '$colName'")
@@ -769,6 +785,7 @@ case class CreateIndexCommand(
       case "pq" => graft.llm.PqIndex.build(source, path).table
       case "sq8" => graft.llm.Sq8Index.build(source, path).table
       case "minhash" => graft.llm.SignatureIndex.build(source, path).table
+      case "phash" => graft.llm.ImageHashIndex.build(source, path).table
       case "bm25" => graft.llm.Bm25Index.build(source, path).postings
     }
     Seq(Row(t.latestVersion))
@@ -793,6 +810,8 @@ case class RefreshIndexCommand(name: String) extends LeafRunnableCommand {
       case "sq8" => graft.llm.Sq8Index.load(spark, path).refresh(source)
       case "minhash" =>
         graft.llm.SignatureIndex.load(spark, path).refresh(source)
+      case "phash" =>
+        graft.llm.ImageHashIndex.load(spark, path).refresh(source)
       case "bm25" => graft.llm.Bm25Index.load(spark, path).refresh(source)
     }
     Seq(Row(v.getOrElse(t.latestVersion)))
@@ -816,6 +835,8 @@ case class ReindexCommand(name: String) extends LeafRunnableCommand {
       case "sq8" => graft.llm.Sq8Index.load(spark, path).reindex(source)
       case "minhash" =>
         graft.llm.SignatureIndex.load(spark, path).reindex(source)
+      case "phash" =>
+        graft.llm.ImageHashIndex.load(spark, path).reindex(source)
       case "bm25" => graft.llm.Bm25Index.load(spark, path).reindex(source)
     }
     Seq(Row(v))

@@ -452,19 +452,17 @@ object Multimodal extends QueryModule {
           concat(lit("z"), expr("substring(text, 2)")).as("text")))
   }
 
-  private def qImageDedup(s: SparkSession, d: String): DataFrame = {
-    val dir = graft.Scratch.dir("graft-imgdedup").resolve("ph").toString
-    perceptualHashes(plantedDocs(s, d))
-      .write.mode("overwrite").parquet(dir)
-    val ph = s.read.parquet(dir)
-    val banded = ph.select(col("doc_id"),
+  /** (doc_id, band_idx, band_val) rows of a signature table — NULL
+    * signatures (un-renderable docs) explode to no rows and so never
+    * band-match, the [[SignatureIndex]] total-derivation contract. */
+  private def phashBandRows(ph: DataFrame): DataFrame =
+    ph.select(col("doc_id"),
       posexplode(col("bands")).as(Seq("band_idx", "band_val")))
-    val cand = banded.alias("a").join(banded.alias("b"),
-        col("a.band_idx") === col("b.band_idx") &&
-        col("a.band_val") === col("b.band_val") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+
+  /** Two-stage verification of candidate pairs against a signature
+    * table: exact Hamming over the 128 dHash bits, then raster SAD
+    * over the 136-sample grid — candidate-only work, never all-pairs. */
+  private def phashVerify(ph: DataFrame, cand: DataFrame): DataFrame =
     cand
       .join(ph.select(col("doc_id").as("doc_a"), col("bands").as("ba"),
         col("grid").as("ga")), "doc_a")
@@ -478,6 +476,118 @@ object Multimodal extends QueryModule {
           "CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
       .filter(col("hamming") <= HAM_MAX && col("grid_sad") <= SAD_MAX)
       .select(col("doc_a"), col("doc_b"), col("hamming"), col("grid_sad"))
+
+  /** Near-dup image pairs from a signature table `ph` (doc_id, bands,
+    * grid): multi-index band self-join (complete at Hamming ≤
+    * [[HAM_MAX]] by pigeonhole), dedup candidates, two-stage verify.
+    * Shared by the query path ([[qImageDedup]], which materializes
+    * signatures to scratch) and the persisted [[ImageHashIndex]]
+    * (which maintains them incrementally) — the
+    * [[DedupOps.lshPairsFromSignatures]] split, image-side. */
+  private[llm] def phashPairsFromSignatures(ph: DataFrame): DataFrame = {
+    val banded = phashBandRows(ph)
+    val cand = banded.alias("a").join(banded.alias("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_val") === col("b.band_val") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    phashVerify(ph, cand)
+  }
+
+  /** Near-dup image pairs INVOLVING `deltaKeys` (one `doc_id` column)
+    * only — the steady-state query after an index refresh: the delta's
+    * band rows join the WHOLE signature table, O(Δ × band bucket)
+    * instead of a corpus-wide pair pass ([[DedupOps.lshPairsFor]]). */
+  private[llm] def phashPairsFor(
+      ph: DataFrame, deltaKeys: DataFrame): DataFrame = {
+    val all = phashBandRows(ph)
+    val dlt = phashBandRows(ph.join(deltaKeys, "doc_id"))
+    val cand = dlt.alias("a").join(all.alias("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_val") === col("b.band_val") &&
+        col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .distinct()
+    phashVerify(ph, cand)
+  }
+
+  private def qImageDedup(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.Scratch.dir("graft-imgdedup").resolve("ph").toString
+    perceptualHashes(plantedDocs(s, d))
+      .write.mode("overwrite").parquet(dir)
+    phashPairsFromSignatures(s.read.parquet(dir))
+  }
+
+  // ------------------------------------------------------ q_image_index
+  /** The PERSISTED image-signature path ([[ImageHashIndex]], VERDICT
+    * r14 next #3): half the planted corpus lands in a CDF source, the
+    * index builds (codec pass + banding), the other half lands and an
+    * incremental refresh hashes ONLY the new documents; `pairs` then
+    * band-joins the persisted signatures. Signatures are pure per-row
+    * derivations, so the result is EXACTLY the query-path operator's —
+    * the oracle is `qImageDedupSql` verbatim. Cached per (session,
+    * sfDir): the bench's warmup pays the build once and the timed
+    * passes measure the PAIRS query over persisted signatures (the
+    * builtSigIndex fixture rule). */
+  private val imgIndexCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (graft.table.VersionedTable, ImageHashIndex)]
+
+  private def builtImageIndex(s: SparkSession, d: String)
+      : (graft.table.VersionedTable, ImageHashIndex) =
+    imgIndexCache.synchronized {
+      imgIndexCache.getOrElseUpdate((s, d), {
+        import org.apache.spark.sql.types._
+        val dir = graft.Scratch.dir("graft-img-index")
+        val srcSchema = StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("text", StringType)))
+        val src = graft.table.VersionedTable.create(s,
+          dir.resolve("src").toString, srcSchema,
+          Map(graft.table.VersionedTable.PROP_CDF -> "true"))
+        val docs = plantedDocs(s, d)
+        src.append(docs.filter(col("doc_id") % 2 === 0))
+        // build through the SQL DDL surface (the builtIvfPqIndex
+        // precedent) so CREATE/REFRESH INDEX ... USING PHASH are
+        // oracle-gated too
+        val idxPath = dir.resolve("idx").toString
+        graft.catalog.GraftSql.execute(s,
+          s"CREATE SIGNATURE INDEX '$idxPath' ON '${src.root}' (text) " +
+            "USING PHASH")
+        src.append(docs.filter(col("doc_id") % 2 === 1))
+        graft.catalog.GraftSql.execute(s, s"REFRESH INDEX '$idxPath'")
+        (src, ImageHashIndex.load(s, idxPath))
+      })
+    }
+
+  private def qImageIndex(s: SparkSession, d: String): DataFrame =
+    builtImageIndex(s, d)._2.pairs
+
+  // ---------------------------------------------------- q_image_refresh
+  /** STEADY-STATE image-index maintenance + per-batch dedup — the query
+    * a multimodal pipeline runs after each ingest batch: each untimed
+    * staging deletes and re-appends a small doc slice (real CDF rows,
+    * real codec re-hashing, real bucket rewrites, netting to a
+    * content-identical UPSERT), so the timed body is ONE
+    * [[ImageHashIndex.refresh]] plus [[ImageHashIndex.pairsFor]] over
+    * the churned keys — O(Δ × band bucket), never a corpus re-hash.
+    * End state stays the full planted corpus, so the oracle is the
+    * batch replay filtered to pairs TOUCHING the churned slice. */
+  private val IMG_CHURN_MOD = 37
+
+  private def imageRefreshPrepare(s: SparkSession, d: String): Unit = {
+    val (src, _) = builtImageIndex(s, d)
+    val churned = col("doc_id") % IMG_CHURN_MOD === 0
+    src.deleteWhere(churned)
+    src.append(plantedDocs(s, d).filter(churned)): Unit
+  }
+
+  private def qImageRefresh(s: SparkSession, d: String): DataFrame = {
+    val (src, idx) = builtImageIndex(s, d)
+    idx.refresh(src)
+    idx.pairsFor(plantedDocs(s, d)
+      .filter(col("doc_id") % IMG_CHURN_MOD === 0).select(col("doc_id")))
   }
 
   private val qImageDedupSql = {
@@ -535,15 +645,95 @@ object Multimodal extends QueryModule {
       |FROM ver WHERE hamming <= $HAM_MAX AND grid_sad <= $SAD_MAX""".stripMargin
   }
 
+  /** The batch replay, kept to pairs touching the churned slice — the
+    * exact output of [[ImageHashIndex.pairsFor]] over churned keys
+    * (candidate generation and verification are side-symmetric). */
+  private val qImageRefreshSql = qImageDedupSql +
+    s"\n  AND (doc_a % $IMG_CHURN_MOD = 0 OR doc_b % $IMG_CHURN_MOD = 0)"
+
+  // -------------------------------------------------- q_crossmodal_dedup
+  /** CROSS-MODAL near-dup join (VERDICT r14 next #7): full-outer-join
+    * the TEXT near-dup pairs (MinHash-LSH, word-3-gram Jaccard ≥ 0.5)
+    * with the IMAGE near-dup pairs (banded 128-bit dHash, Hamming ≤
+    * [[HAM_MAX]] + raster-SAD verify) over the planted corpus, and
+    * label each pair by which modality matched:
+    *
+    *   - `text_only` — caption-swap / image-replacement suspects: the
+    *     words survive but the rendered content doesn't (here: the
+    *     natural corpus's planted text near-dups, whose different
+    *     lengths give genuinely different images);
+    *   - `image_only` — image-reuse under a rewritten caption;
+    *   - `both` — ordinary near-dups (the 1-char image planting also
+    *     preserves nearly all shingles).
+    *
+    * Both axes are the EXISTING banded candidate generators — never
+    * all-pairs on either side; the final join is pair-keyed over two
+    * already-verified (tiny) pair sets. */
+  private def qCrossmodalDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = plantedDocs(s, d)
+    val scratch = graft.Scratch.dir("graft-crossmodal")
+    val phDir = scratch.resolve("ph").toString
+    perceptualHashes(docs).write.mode("overwrite").parquet(phDir)
+    val img = phashPairsFromSignatures(s.read.parquet(phDir))
+    val mhDir = scratch.resolve("mh").toString
+    DedupOps.withMinhashes(DedupOps.spread(docs))
+      .select(col("doc_id"), col("mhs"))
+      .write.mode("overwrite").parquet(mhDir)
+    val txt = DedupOps.lshPairsFromSignatures(s.read.parquet(mhDir))
+    txt.alias("t").join(img.alias("i"),
+        col("t.doc_a") === col("i.doc_a") && col("t.doc_b") === col("i.doc_b"),
+        "full_outer")
+      .select(
+        coalesce(col("t.doc_a"), col("i.doc_a")).as("doc_a"),
+        coalesce(col("t.doc_b"), col("i.doc_b")).as("doc_b"),
+        col("t.est_sim").as("est_sim"),
+        col("i.hamming").as("hamming"),
+        when(col("t.doc_a").isNotNull && col("i.doc_a").isNotNull, "both")
+          .when(col("t.doc_a").isNotNull, "text_only")
+          .otherwise("image_only").as("match_kind"))
+  }
+
+  private val qCrossmodalDedupSql =
+    s"""WITH img AS (
+      |$qImageDedupSql),
+      |txt AS (
+      |WITH alldocs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + $IMG_DUP_OFFSET, 'z' || substr(text, 2)
+      |  FROM documents
+      |  WHERE doc_id % $IMG_DUP_EVERY = 0
+      |    AND octet_length(encode(text)) >= 1),
+      |${DedupOps.minhashLshSqlOn("alldocs").stripPrefix("WITH ")})
+      |SELECT
+      |  coalesce(t.doc_a, i.doc_a) AS doc_a,
+      |  coalesce(t.doc_b, i.doc_b) AS doc_b,
+      |  t.est_sim AS est_sim,
+      |  i.hamming AS hamming,
+      |  CASE WHEN t.doc_a IS NOT NULL AND i.doc_a IS NOT NULL THEN 'both'
+      |       WHEN t.doc_a IS NOT NULL THEN 'text_only'
+      |       ELSE 'image_only' END AS match_kind
+      |FROM txt t FULL JOIN img i
+      |  ON i.doc_a = t.doc_a AND i.doc_b = t.doc_b""".stripMargin
+
   override val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "q_multimodal_meta"   -> qMultimodalMeta _,
     "q_multimodal_resize" -> qMultimodalResize _,
     "q_frame_sample"      -> qFrameSample _,
-    "q_image_dedup"       -> qImageDedup _)
+    "q_image_dedup"       -> qImageDedup _,
+    "q_image_index"       -> qImageIndex _,
+    "q_image_refresh"     -> qImageRefresh _,
+    "q_crossmodal_dedup"  -> qCrossmodalDedup _)
 
   override val oracles: Seq[(String, String)] = Seq(
     "q_multimodal_meta"   -> qMultimodalMetaSql,
     "q_multimodal_resize" -> qMultimodalResizeSql,
     "q_frame_sample"      -> qFrameSampleSql,
-    "q_image_dedup"       -> qImageDedupSql)
+    "q_image_dedup"       -> qImageDedupSql,
+    "q_image_index"       -> qImageDedupSql,
+    "q_image_refresh"     -> qImageRefreshSql,
+    "q_crossmodal_dedup"  -> qCrossmodalDedupSql)
+
+  override val prepares: Seq[(String, (SparkSession, String) => Unit)] = Seq(
+    "q_image_refresh" -> (imageRefreshPrepare _))
 }

@@ -333,18 +333,24 @@ object TextOps extends QueryModule {
   private val BPE_TOP = 50
 
   private def qBpePairs(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val pairs = documents(s, d)
       .select(explode(split(lower(col("text")), " ")).as("w"))
       .filter(length(col("w")) >= 2)
       .select(explode(expr(
         "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
         .as("pair"))
-    val w = Window.orderBy(col("n").desc, col("pair").asc)
+    // total (count DESC, pair ASC) rank over the ≤ |alphabet|²-row
+    // frequency table via ONE aggregate (`sort_array(collect_list)` +
+    // `slice` + `posexplode` — bounded by the pair keyspace, never
+    // corpus size), not a partition-less ranking window: the plan
+    // clears the ShapeGate without an exemption (VERDICT r14 next #5,
+    // the q_join_estimate idiom).
     pairs.groupBy("pair").agg(count(lit(1)).as("n"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= BPE_TOP)
-      .select(col("rank"), col("pair"), col("n"))
+      .agg(sort_array(collect_list(
+        struct((-col("n")).as("neg_n"), col("pair"), col("n")))).as("xs"))
+      .select(posexplode(slice(col("xs"), 1, BPE_TOP)).as(Seq("p", "e")))
+      .select((col("p") + 1).cast("long").as("rank"),
+        col("e.pair").as("pair"), col("e.n").as("n"))
   }
   private val qBpePairsSql =
     s"""WITH pairs AS (

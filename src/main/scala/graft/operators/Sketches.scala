@@ -462,6 +462,10 @@ object Sketches extends QueryModule {
     a.join(b.withColumnRenamed("v", "w"), Seq("i", "b"))
       .groupBy(col("i")).agg(sum(col("v") * col("w")).as("est"))
       .agg(sort_array(collect_list(struct(col("est"), col("i")))).as("xs"))
+      // degenerate grids (empty relation → < median-rank rows) keep
+      // the old rank-filter contract: ZERO output rows, not a null-est
+      // row (which would also throw under spark.sql.ansi.enabled)
+      .where(size(col("xs")) >= (JE_D + 1) / 2)
       .select(element_at(col("xs"), (JE_D + 1) / 2).getField("est").as("est"))
 
   private def qJoinEstimate(s: SparkSession, d: String): DataFrame = {

@@ -30,11 +30,7 @@ class ShapeGateSpec extends SparkSpec {
       "table — bounded by the day span"),
     "q_curriculum_order" -> ("offset table over (stage, shard) groups — " +
       "bounded by the fixed shard count, rows stream via partitioned " +
-      "windows"),
-    "q_bpe_pairs" -> ("rank over the 2-character-pair keyspace — " +
-      "bounded by alphabet^2, not corpus size"),
-    "q_pareto_select" -> ("suffix max over the fixed-width bucket " +
-      "table — bounded by the bucket grid"))
+      "windows"))
 
   test("every batch query plans ZERO unexempted risk rows") {
     val failures = Seq.newBuilder[String]

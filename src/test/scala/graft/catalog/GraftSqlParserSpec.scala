@@ -253,6 +253,23 @@ class GraftSqlParserSpec extends SparkSpec {
       assert(graft.llm.SignatureIndex.load(s, idxPath)
         .table.snapshot().count() === 21L)
 
+      // the image-signature method rides the same SIGNATURE DDL verb
+      val phPath = base.resolve("phidx").toString
+      s.sql(s"CREATE SIGNATURE INDEX '$phPath' " +
+        s"ON '${src.root}' (text) USING PHASH").collect()
+      assert(graft.llm.ImageHashIndex.load(s, phPath)
+        .table.snapshot().count() === 21L)
+      src.append(Seq((22L, "alpha beta gamma delta more end"))
+        .toDF("doc_id", "text"))
+      s.sql(s"REFRESH INDEX '$phPath'").collect()
+      val ph = graft.llm.ImageHashIndex.load(s, phPath)
+      assert(ph.table.snapshot().count() === 22L)
+      val dp = s.sql(s"DESCRIBE INDEX '$phPath'").collect()
+        .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+      assert(dp("method") === Some("phash"))
+      s.sql(s"REINDEX INDEX '$phPath'").collect()
+      assert(graft.llm.ImageHashIndex.load(s, phPath)
+        .table.snapshot().count() === 22L)
       // boundary errors: kind/method and column mismatches refuse
       val e1 = intercept[Exception] {
         s.sql(s"CREATE VECTOR INDEX '${base.resolve("x1")}' " +
@@ -273,7 +290,7 @@ class GraftSqlParserSpec extends SparkSpec {
         s.sql(s"DROP INDEX '${src.root}'").collect()
       }
       assert(e3.getMessage.contains("not an index"), e3.getMessage)
-      assert(src.snapshot().count() === 21L, "the refused drop must not touch data")
+      assert(src.snapshot().count() === 22L, "the refused drop must not touch data")
       VersionedTable.deleteRecursively(base)
     }
   }
@@ -590,6 +607,18 @@ class GraftSqlParserSpec extends SparkSpec {
       assert(s.sql(
         """SELECT * EXCEPT(g), row_number() OVER (ORDER BY id) AS rnk
           |FROM qual_c QUALIFY rnk <= 3""".stripMargin).count() == 3)
+      // ADVICE r14: a genuine set op with a PARENTHESIZED right
+      // operand — `EXCEPT (SELECT …)` — is not a star-except
+      // projection and must reject too (the '(' used to misclassify
+      // it and bypass the guard)
+      for (rhs <- Seq("(SELECT id, g FROM qual_c WHERE id > 6)",
+                      "ALL (SELECT id, g FROM qual_c WHERE id > 6)")) {
+        val eParen = intercept[Exception](s.sql(
+          s"""SELECT id, g FROM qual_c EXCEPT $rhs
+            |QUALIFY row_number() OVER (ORDER BY id) <= 3""".stripMargin))
+        assert(eParen.getMessage.contains("query block"),
+          s"EXCEPT $rhs must reject: " + eParen.getMessage)
+      }
 
       // …but a set op INSIDE a subquery is fine (parens mask it)
       assert(s.sql(

@@ -2,6 +2,7 @@ package graft.llm
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -286,6 +287,55 @@ class IncrementalIndexSpec extends SparkSpec {
     VersionedTable.deleteRecursively(base)
   }
 
+  test("image-hash index: update re-hashes a document; empty docs index " +
+      "a null signature; delta pairs come from pairsFor") {
+    val base = Files.createTempDirectory("img-index")
+    val srcSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val src = VersionedTable.create(spark, s"$base/src", srcSchema,
+      Map(VersionedTable.PROP_CDF -> "true"))
+    // same length → same image dims; a 1-byte edit perturbs ≤ 2 dHash
+    // bits (far inside the Hamming gate), the q_image_dedup planting
+    val t = (0 until 300).map(i => ('a' + (i * 7) % 26).toChar).mkString
+    src.append(Seq(
+      (1L, t),
+      (2L, "z" + t.substring(1)),
+      (3L, "")).toDF("doc_id", "text"))
+    val idx = ImageHashIndex.build(src, s"$base/idx")
+
+    assert(idx.table.snapshot().count() === 3L)
+    assert(idx.table.snapshot().filter($"doc_id" === 3 && $"bands".isNull)
+      .count() === 1L, "un-renderable doc must index a NULL signature")
+    assert(idx.pairs.select($"doc_a", $"doc_b").as[(Long, Long)].collect()
+      .toSet === Set((1L, 2L)))
+    // the steady-state delta query returns the same pair for either side
+    assert(idx.pairsFor(Seq(2L).toDF("doc_id"))
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect()
+      .toSet === Set((1L, 2L)))
+
+    // an UPDATE re-renders + re-hashes: make doc 2 a different image
+    // (different length → different dims → unrelated raster)
+    src.updateWhere($"doc_id" === 2,
+      Map("text" -> lit("entirely different content, other length")))
+    assert(idx.refresh(src).isDefined)
+    assert(idx.table.latestManifest.addedFiles.size <= ImageHashIndex.BUCKETS,
+      "one-doc refresh must stay bucket-bounded")
+    assert(idx.pairs.isEmpty)
+
+    // shrinking a doc to empty clears its signature (total derivation)
+    src.updateWhere($"doc_id" === 1, Map("text" -> lit("")))
+    idx.refresh(src)
+    assert(idx.table.snapshot().filter($"doc_id" === 1 && $"bands".isNull)
+      .count() === 1L)
+
+    // idempotence: nothing new → no commit
+    val v = idx.table.latestVersion
+    assert(idx.refresh(src).isEmpty)
+    assert(idx.table.latestVersion === v)
+    VersionedTable.deleteRecursively(base)
+  }
+
   /** Deterministic synthetic vectors with 10 planted clusters: the
     * `id % 10` frequency dominates, per-id noise stays small. Offset
     * `centerBase` plants a DIFFERENT cluster family (distribution
@@ -389,6 +439,94 @@ class IncrementalIndexSpec extends SparkSpec {
       .select($"vec_id".as("q_id"), $"embedding".as("qe"))
     val top = idx.search(q, 1).collect()
     assert(top.length === 1 && top.head.getLong(1) === 1100L)
+    VersionedTable.deleteRecursively(base)
+  }
+
+  test("vector-index fleet drain parity: post-drain search equals a " +
+      "synchronous batch refresh on every family; empty drain commits nothing") {
+    // VERDICT r14 next #4 — the ChunkBm25IndexSpec drain-parity
+    // contract for the quantized families (IVF / PQ / SQ8 / IVFPQ):
+    // index training is deterministic on the build snapshot
+    // (md5-ordered sample, deterministic Lloyd), so a TWIN fleet built
+    // from the same even-half source carries identical frozen
+    // codebooks; the twin refreshes synchronously while the subject
+    // rides the startIndexMaintenance stream — post-drain search must
+    // be bit-identical per family, and a second drain with nothing new
+    // must commit no version anywhere.
+    graft.functions.GraftFunctions.register(spark)
+    val base = Files.createTempDirectory("fleet-drain-parity")
+    def mkSrc(name: String): VersionedTable = VersionedTable.create(
+      spark, s"$base/$name", srcSchema,
+      Map(VersionedTable.PROP_CDF -> "true"))
+    val corpus = Tables.embeddings(spark, sf).filter($"vec_id" >= 8)
+    val (srcA, srcB) = (mkSrc("srcA"), mkSrc("srcB"))
+    val even = corpus.filter($"vec_id" % 2 === 0)
+    srcA.append(even); srcB.append(even)
+    val subj: Seq[(String, VersionedTable => Option[Long],
+        (DataFrame, Int) => DataFrame, () => Seq[Long])] = {
+      val ivf = VectorIndex.build(srcA, s"$base/a-ivf")
+      val pq = PqIndex.build(srcA, s"$base/a-pq")
+      val sq8 = Sq8Index.build(srcA, s"$base/a-sq8")
+      val ivfpq = IvfPqIndex.build(srcA, s"$base/a-ivfpq")
+      Seq(
+        ("ivf", (s: VersionedTable) => ivf.refresh(s),
+          (q: DataFrame, k: Int) => ivf.search(q, k),
+          () => Seq(ivf.table.latestVersion)),
+        ("pq", (s: VersionedTable) => pq.refresh(s),
+          (q: DataFrame, k: Int) => pq.search(q, k),
+          () => Seq(pq.table.latestVersion)),
+        ("sq8", (s: VersionedTable) => sq8.refresh(s),
+          (q: DataFrame, k: Int) => sq8.search(q, k),
+          () => Seq(sq8.table.latestVersion)),
+        ("ivfpq", (s: VersionedTable) => ivfpq.refresh(s),
+          (q: DataFrame, k: Int) => ivfpq.search(q, k),
+          () => Seq(ivfpq.table.latestVersion)))
+    }
+    val twin: Seq[(String, VersionedTable => Option[Long],
+        (DataFrame, Int) => DataFrame)] = {
+      val ivf = VectorIndex.build(srcB, s"$base/b-ivf")
+      val pq = PqIndex.build(srcB, s"$base/b-pq")
+      val sq8 = Sq8Index.build(srcB, s"$base/b-sq8")
+      val ivfpq = IvfPqIndex.build(srcB, s"$base/b-ivfpq")
+      Seq(
+        ("ivf", (s: VersionedTable) => ivf.refresh(s),
+          (q: DataFrame, k: Int) => ivf.search(q, k)),
+        ("pq", (s: VersionedTable) => pq.refresh(s),
+          (q: DataFrame, k: Int) => pq.search(q, k)),
+        ("sq8", (s: VersionedTable) => sq8.refresh(s),
+          (q: DataFrame, k: Int) => sq8.search(q, k)),
+        ("ivfpq", (s: VersionedTable) => ivfpq.refresh(s),
+          (q: DataFrame, k: Int) => ivfpq.search(q, k)))
+    }
+
+    val odd = corpus.filter($"vec_id" % 2 === 1)
+    srcA.append(odd); srcB.append(odd)
+    // twin: synchronous refresh; subject: the checkpointed stream drain
+    twin.foreach { case (_, refresh, _) => refresh(srcB) }
+    graft.streaming.CdcStreams
+      .startIndexMaintenance(spark, srcA,
+        () => subj.map(_._2(srcA)).flatten.lastOption, s"$base/_cp")
+      .awaitTermination()
+
+    val queries = Tables.embeddings(spark, sf).filter($"vec_id" < 8)
+      .select($"vec_id".as("q_id"), $"embedding".as("qe"))
+    for (((name, _, search, _), (_, _, twinSearch)) <- subj.zip(twin)) {
+      val got = search(queries, 5)
+        .as[(Long, Long, Long, Double)].collect().toSet
+      val want = twinSearch(queries, 5)
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(got === want,
+        s"$name: post-drain search must equal the synchronous batch refresh")
+    }
+
+    // empty drain: checkpoint + per-index txn watermarks → no commits
+    val vs = subj.map(_._4())
+    graft.streaming.CdcStreams
+      .startIndexMaintenance(spark, srcA,
+        () => subj.map(_._2(srcA)).flatten.lastOption, s"$base/_cp")
+      .awaitTermination()
+    assert(subj.map(_._4()) === vs,
+      "an empty drain must commit nothing in any family")
     VersionedTable.deleteRecursively(base)
   }
 

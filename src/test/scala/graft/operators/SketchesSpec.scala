@@ -133,6 +133,18 @@ class SketchesSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     }
   }
 
+  test("AMS join estimate of a degenerate (empty-relation) sketch is empty") {
+    // ADVICE r14: the window-free median pick must preserve the old
+    // rank-filter contract — an empty relation's sketch has no grid
+    // rows, so the estimate yields ZERO rows, not a null-est row
+    import org.apache.spark.sql.functions.lit
+    val empty = graft.Tables.orders(spark, sf).filter(lit(false))
+    val est = Sketches.amsJoinEstimate(
+      Sketches.amsSketch(empty, "o_orderkey"),
+      Sketches.amsSketch(graft.Tables.lineitem(spark, sf), "l_orderkey"))
+    assert(est.isEmpty, "degenerate sketch join must produce no estimate row")
+  }
+
   test("AMS sketches merge by addition (per-shard grids sum to the global grid)") {
     val oa = graft.Tables.orders(spark, sf)
     val lo = oa.filter($"o_orderkey" % 2 === 0)

@@ -5,13 +5,18 @@
 # regressions). Each solo invocation pays its own (untimed) warmups and
 # times exactly one pass from identical cold state, recording
 # /proc/loadavg at pass start/end; a pass REFUSES to start while the
-# 1-minute load average exceeds LOAD_MAX (default 4.0), waiting up to
+# 1-minute load average exceeds LOAD_MAX (default 1.5), waiting up to
 # LOAD_WAIT_S (default 600 s) for the machine to quiet down first.
 # merge_sf01.py folds the single-pass records into bench_out.json's
 # top-level section with per-row medians.
 #
 # Usage: tools/bench_sf01.sh [sf_dir] [n_passes]
 # Requires: target/scala-2.13/classes compiled.
+#
+# KEEP_SF1=1 preserves an existing bench_out.json "sf1" section across
+# the re-record (merge_sf01.py drops it by default, because the normal
+# workflow re-records sf1 right after sf0.1). Set it for an
+# sf0.1-ONLY re-record so the committed sf1 medians survive.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 SF_DIR="${1:-${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}}"
