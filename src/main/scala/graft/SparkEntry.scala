@@ -26,7 +26,8 @@ object SparkEntry {
     graft.llm.SimilarityOps,
     graft.llm.RerankViewOps,
     graft.llm.SelectionOps,
-    graft.llm.Multimodal)
+    graft.llm.Multimodal,
+    graft.llm.AudioOps)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

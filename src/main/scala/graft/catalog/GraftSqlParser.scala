@@ -102,14 +102,14 @@ class GraftSqlParser(
       """`?(\w+)`?\s+ORDER\s+BY\s+`?(\w+)`?\s+DESC\s+KEY\s+`?(\w+)`?\s+""" +
       """LIMIT\s+(\d+)\s*;?\s*""").r
   // CREATE VECTOR INDEX <i> ON <t> (embedding) USING IVF|PQ|SQ8
-  // CREATE SIGNATURE INDEX <i> ON <t> (text) USING MINHASH|PHASH
+  // CREATE SIGNATURE INDEX <i> ON <t> (text) USING MINHASH|PHASH|AFP
   // CREATE TEXT INDEX <i> ON <t> (text) USING BM25
   // — persisted incremental indexes (graft.llm.IncrementalIndex);
   // REFRESH/DESCRIBE/REINDEX resolve everything from the index's own
   // recorded properties, like the materialized views
   private val CreateIndex =
     ("""(?is)\s*CREATE\s+(VECTOR|SIGNATURE|TEXT)\s+INDEX\s+(\S+?)\s+ON\s+(\S+?)""" +
-      """\s*\(\s*`?(\w+)`?\s*\)\s+USING\s+(IVFPQ|IVF|PQ|SQ8|MINHASH|PHASH|BM25)\s*;?\s*""").r
+      """\s*\(\s*`?(\w+)`?\s*\)\s+USING\s+(IVFPQ|IVF|PQ|SQ8|MINHASH|PHASH|AFP|BM25)\s*;?\s*""").r
   private val RefreshIndex =
     """(?is)\s*REFRESH\s+INDEX\s+(\S+?)\s*;?\s*""".r
   private val DescribeIndex =
@@ -764,7 +764,7 @@ case class CreateIndexCommand(
     Seq(AttributeReference("version", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val expectKind = method match {
-      case "minhash" | "phash" => "SIGNATURE"
+      case "minhash" | "phash" | "afp" => "SIGNATURE"
       case "bm25" => "TEXT"
       case _ => "VECTOR"
     }
@@ -773,7 +773,7 @@ case class CreateIndexCommand(
     // derivations are fixed-schema in this engine revision: vector
     // methods index (vec_id, embedding), text methods (doc_id, text)
     val expectCol =
-      if (Set("minhash", "phash", "bm25")(method)) "text" else "embedding"
+      if (Set("minhash", "phash", "afp", "bm25")(method)) "text" else "embedding"
     require(colName == expectCol,
       s"USING ${method.toUpperCase} indexes the '$expectCol' column; " +
         s"got '$colName'")
@@ -786,6 +786,7 @@ case class CreateIndexCommand(
       case "sq8" => graft.llm.Sq8Index.build(source, path).table
       case "minhash" => graft.llm.SignatureIndex.build(source, path).table
       case "phash" => graft.llm.ImageHashIndex.build(source, path).table
+      case "afp" => graft.llm.AudioHashIndex.build(source, path).table
       case "bm25" => graft.llm.Bm25Index.build(source, path).postings
     }
     Seq(Row(t.latestVersion))
@@ -812,6 +813,8 @@ case class RefreshIndexCommand(name: String) extends LeafRunnableCommand {
         graft.llm.SignatureIndex.load(spark, path).refresh(source)
       case "phash" =>
         graft.llm.ImageHashIndex.load(spark, path).refresh(source)
+      case "afp" =>
+        graft.llm.AudioHashIndex.load(spark, path).refresh(source)
       case "bm25" => graft.llm.Bm25Index.load(spark, path).refresh(source)
     }
     Seq(Row(v.getOrElse(t.latestVersion)))
@@ -837,6 +840,8 @@ case class ReindexCommand(name: String) extends LeafRunnableCommand {
         graft.llm.SignatureIndex.load(spark, path).reindex(source)
       case "phash" =>
         graft.llm.ImageHashIndex.load(spark, path).reindex(source)
+      case "afp" =>
+        graft.llm.AudioHashIndex.load(spark, path).reindex(source)
       case "bm25" => graft.llm.Bm25Index.load(spark, path).reindex(source)
     }
     Seq(Row(v))

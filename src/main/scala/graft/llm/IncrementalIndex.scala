@@ -426,6 +426,100 @@ object ImageHashIndex {
     new ImageHashIndex(VersionedTable.load(spark, path))
 }
 
+/** A persisted energy-fingerprint AUDIO-dedup index over a source
+  * table with (`doc_id: long`, `text: string`) synthesized through the
+  * real codec ([[AudioCodec.fingerprint]] — 128-bit energy-difference
+  * fingerprint off the parsed WAV PCM, 8×16-bit multi-index bands, the
+  * 136-window energy-profile verify grid): [[ImageHashIndex]]'s
+  * contract applied to the audio modality, so both sensory modalities
+  * carry the same persisted/incremental dedup form.
+  *
+  *   - '''refresh''' re-synthesizes + re-fingerprints only CDF-changed
+  *     documents (deletes propagate) — signatures are pure per-row
+  *     derivations, so incremental state always equals a full
+  *     re-derivation;
+  *   - '''pairs''' / '''pairsFor''' run the banded candidate join +
+  *     two-stage (Hamming, energy-SAD) verify over the PERSISTED
+  *     signatures — steady-state per-batch dedup costs O(Δ × band
+  *     bucket), never an all-pairs or a corpus re-fingerprint.
+  *
+  * == 100 TB design ==
+  * The codec pass (synthesis + container round trip + windowed
+  * energies) is the dominant cost of audio dedup at scale and runs
+  * exactly once per changed document; index rows are ~1 KB standing in
+  * for arbitrarily large audio payloads. Candidates stay complete at
+  * Hamming ≤ 7 by the pigeonhole band split, and the index table is
+  * doc_id-bucketed so refresh merges rewrite only touched buckets. */
+final class AudioHashIndex private (val table: VersionedTable) {
+  import AudioHashIndex._
+
+  /** Total derivation: documents with no synthesizable payload (empty
+    * text) index a NULL signature — they can never band-match, and an
+    * update shrinking a document to empty still overwrites its stale
+    * signature. */
+  private def derive(rows: DataFrame): DataFrame = {
+    val renderable = coalesce(length(col("text")), lit(0)) >= 1
+    AudioOps.audioFingerprints(rows.filter(renderable))
+      .withColumn("__op", lit("UPSERT"))
+      .unionByName(rows.filter(!renderable)
+        .select(col("doc_id"),
+          lit(null).cast("array<bigint>").as("bands"),
+          lit(null).cast("array<bigint>").as("grid"),
+          lit("UPSERT").as("__op")))
+  }
+
+  def refresh(source: VersionedTable): Option[Long] =
+    IncrementalIndex.refresh(table, source, "doc_id", derive, APP_ID)
+
+  /** Full re-derivation of the current snapshot — `REINDEX INDEX`
+    * uniformity (no quantizer to drift). */
+  def reindex(source: VersionedTable): Long = {
+    val latest = source.latestVersion
+    table.overwriteWhere(lit(true),
+      derive(source.snapshot().withColumn("__op", lit("UPSERT")))
+        .drop("__op"))
+    table.commitFiles(Seq.empty, Seq.empty, None, "reindex-watermark",
+      extraTxn = Map(APP_ID -> latest))
+    table.latestVersion
+  }
+
+  /** All near-dup audio pairs (doc_a, doc_b, hamming, energy_sad)
+    * from the persisted signatures. */
+  def pairs: DataFrame =
+    AudioOps.afpPairsFromSignatures(
+      table.snapshot().select(col("doc_id"), col("bands"), col("grid")))
+
+  /** Near-dup audio pairs INVOLVING `deltaKeys` (one `doc_id` column)
+    * only — the steady-state per-batch query after a refresh. */
+  def pairsFor(deltaKeys: DataFrame): DataFrame =
+    AudioOps.afpPairsFor(
+      table.snapshot().select(col("doc_id"), col("bands"), col("grid")),
+      deltaKeys)
+}
+
+object AudioHashIndex {
+  val APP_ID = "audio-hash-index"
+  val BUCKETS = 8
+
+  private def indexSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("bands", ArrayType(LongType)),
+    StructField("grid", ArrayType(LongType))))
+
+  /** Index the source's current snapshot. Source needs CDF enabled. */
+  def build(source: VersionedTable, path: String): AudioHashIndex = {
+    val t = VersionedTable.create(source.spark, path, indexSchema,
+      IncrementalIndex.indexProps("afp", source, "text", "doc_id"),
+      bucketBy = Some(BucketSpec(Seq("doc_id"), BUCKETS)))
+    val idx = new AudioHashIndex(t)
+    idx.refresh(source)
+    idx
+  }
+
+  def load(spark: SparkSession, path: String): AudioHashIndex =
+    new AudioHashIndex(VersionedTable.load(spark, path))
+}
+
 /** A persisted product-quantization index over a source table with
   * (`vec_id: long`, `embedding: array<float>`): the PQ codebooks
   * ([[SimilarityOps.pqCodebooks]], sample-bounded Lloyd per subspace)
