@@ -27,7 +27,8 @@ object SparkEntry {
     graft.llm.RerankViewOps,
     graft.llm.SelectionOps,
     graft.llm.Multimodal,
-    graft.llm.AudioOps)
+    graft.llm.AudioOps,
+    graft.llm.VideoOps)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
