@@ -260,9 +260,15 @@ object VideoOps extends QueryModule {
       .toDF("doc_id", "n_frames", "frame_idx", "bands", "grid")
   }
 
-  /** Frame-aligned banded candidates + sequence-level verify over a
-    * per-frame signature table — candidate-only work, never
-    * all-pairs. */
+  /** Frame-aligned banded candidates + TWO-PHASE sequence-level verify
+    * over a per-frame signature table — candidate-only work, never
+    * all-pairs, and the heavy per-frame content grids (136 longs each)
+    * are joined ONLY for pairs that already passed the Hamming gate:
+    * candidate volume is ~N²/65536 per (frame, band) bucket, so
+    * shipping both grids for every candidate×frame row is the memory
+    * hot spot at corpus scale (it OOMed the 8 GB sf1 bench JVM), while
+    * Hamming survivors are a vanishing fraction. The bands phase moves
+    * ~9 longs per row; the grid phase runs on survivors only. */
   private[llm] def videoPairsFromSignatures(sig: DataFrame): DataFrame = {
     val banded = sig.select(col("doc_id"), col("frame_idx"),
       posexplode(col("bands")).as(Seq("band_idx", "band_val")))
@@ -273,24 +279,36 @@ object VideoOps extends QueryModule {
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val fa = sig.select(col("doc_id").as("doc_a"), col("n_frames").as("nfa"),
-      col("frame_idx"), col("bands").as("ba"), col("grid").as("ga"))
-    val fb = sig.select(col("doc_id").as("doc_b"), col("n_frames").as("nfb"),
-      col("frame_idx"), col("bands").as("bb"), col("grid").as("gb"))
-    cand.join(fa, "doc_a").join(fb, Seq("doc_b", "frame_idx"))
+    // phase 1: Hamming + frame-count gates over the 8-word band
+    // signatures alone
+    val ba = sig.select(col("doc_id").as("doc_a"), col("n_frames").as("nfa"),
+      col("frame_idx"), col("bands").as("ba"))
+    val bb = sig.select(col("doc_id").as("doc_b"), col("n_frames").as("nfb"),
+      col("frame_idx"), col("bands").as("bb"))
+    val hamPass = cand.join(ba, "doc_a").join(bb, Seq("doc_b", "frame_idx"))
       .withColumn("fham", expr(
         "aggregate(zip_with(ba, bb, (x, y) -> CAST(bit_count(x ^ y) AS BIGINT)), " +
           "CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(max(col("nfa")).as("nfa"), max(col("nfb")).as("nfb"),
+        sum(col("fham")).as("hamming"))
+      .filter(col("nfa") === col("nfb") &&
+        col("hamming") <= lit(VID_HAM_MAX_PER_FRAME) * col("nfa"))
+      .select(col("doc_a"), col("doc_b"), col("nfa").as("n_frames"),
+        col("hamming"))
+    // phase 2: the content-grid SAD check, survivors only
+    val ga = sig.select(col("doc_id").as("doc_a"), col("frame_idx"),
+      col("grid").as("ga"))
+    val gb = sig.select(col("doc_id").as("doc_b"), col("frame_idx"),
+      col("grid").as("gb"))
+    hamPass.join(ga, "doc_a").join(gb, Seq("doc_b", "frame_idx"))
       .withColumn("fsad", expr(
         "aggregate(zip_with(ga, gb, (x, y) -> abs(x - y)), " +
           "CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(max(col("nfa")).as("nfa"), max(col("nfb")).as("nfb"),
-        sum(col("fham")).as("hamming"), sum(col("fsad")).as("grid_sad"))
-      .filter(col("nfa") === col("nfb") &&
-        col("hamming") <= lit(VID_HAM_MAX_PER_FRAME) * col("nfa") &&
-        col("grid_sad") <= VID_SAD_MAX)
-      .select(col("doc_a"), col("doc_b"), col("nfa").as("n_frames"),
+      .groupBy(col("doc_a"), col("doc_b"), col("n_frames"), col("hamming"))
+      .agg(sum(col("fsad")).as("grid_sad"))
+      .filter(col("grid_sad") <= VID_SAD_MAX)
+      .select(col("doc_a"), col("doc_b"), col("n_frames"),
         col("hamming"), col("grid_sad"))
   }
 
