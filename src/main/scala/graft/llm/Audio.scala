@@ -43,6 +43,43 @@ object AudioCodec {
   private val FMT =
     new AudioFormat(SAMPLE_RATE.toFloat, 16, 1, true, false)
 
+  /** The JDK's own WAVE SPI providers, resolved ONCE per JVM.
+    * `AudioSystem.write` / `getAudioInputStream` walk the provider
+    * registry on EVERY call, and the reader walk signals each
+    * non-matching provider with a thrown
+    * `UnsupportedAudioFileException` — per-row stack-trace
+    * construction that dominates the dispatch at corpus scale. The
+    * cached instances are the SAME JDK codec classes AudioSystem
+    * dispatches to; only the per-call walk is gone. Resolution
+    * failure falls back to the AudioSystem entry points. */
+  private lazy val wavWriter: Option[javax.sound.sampled.spi.AudioFileWriter] = {
+    import scala.jdk.CollectionConverters._
+    scala.util.Try(
+      java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileWriter],
+          classOf[AudioSystem].getClassLoader)
+        .iterator.asScala
+        .find(_.isFileTypeSupported(AudioFileFormat.Type.WAVE))
+    ).toOption.flatten
+  }
+  private lazy val wavReader: Option[javax.sound.sampled.spi.AudioFileReader] = {
+    import scala.jdk.CollectionConverters._
+    // probe: a minimal WAV in this codec's own format, written through
+    // the public entry point — the provider that parses it is the one
+    // AudioSystem would pick for every real payload
+    scala.util.Try {
+      val bos = new ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new ByteArrayInputStream(new Array[Byte](16)), FMT, 8L),
+        AudioFileFormat.Type.WAVE, bos)
+      val probe = bos.toByteArray
+      java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileReader],
+          classOf[AudioSystem].getClassLoader)
+        .iterator.asScala
+        .find(r => scala.util.Try(
+          r.getAudioInputStream(new ByteArrayInputStream(probe))).isSuccess)
+    }.toOption.flatten
+  }
+
   /** Synthesized duration from the content length: 1100..1999 samples
     * (~0.14–0.25 s at 8 kHz), bounded so the oracle's per-sample
     * replay stays a ≤2k-term sum per row, and ≥ 1100 so the last of
@@ -76,7 +113,10 @@ object AudioCodec {
     val ais = new AudioInputStream(
       new ByteArrayInputStream(body), FMT, samples.length.toLong)
     val bos = new ByteArrayOutputStream()
-    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    wavWriter match {
+      case Some(w) => w.write(ais, AudioFileFormat.Type.WAVE, bos)
+      case None    => AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    }
     bos.toByteArray
   }
 
@@ -87,7 +127,10 @@ object AudioCodec {
     * `AudioSystem.getAudioInputStream` — format, frame count, and
     * every sample come off the parsed stream. */
   def decodeWav(wav: Array[Byte]): DecodedAudio = {
-    val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(wav))
+    val in = wavReader match {
+      case Some(r) => r.getAudioInputStream(new ByteArrayInputStream(wav))
+      case None    => AudioSystem.getAudioInputStream(new ByteArrayInputStream(wav))
+    }
     val fmt = in.getFormat
     require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
       !fmt.isBigEndian, s"unexpected WAV format $fmt")
@@ -333,24 +376,35 @@ object AudioOps extends QueryModule {
     fp.select(col("doc_id"),
       posexplode(col("bands")).as(Seq("band_idx", "band_val")))
 
-  /** Two-stage verification of candidate pairs against a signature
-    * table: exact Hamming over the 128 fingerprint bits, then the
-    * energy-profile L1 distance over the 136 windows — candidate-only
-    * work, never all-pairs. */
-  private def afpVerify(fp: DataFrame, cand: DataFrame): DataFrame =
-    cand
-      .join(fp.select(col("doc_id").as("doc_a"), col("bands").as("ba"),
-        col("grid").as("ga")), "doc_a")
-      .join(fp.select(col("doc_id").as("doc_b"), col("bands").as("bb"),
-        col("grid").as("gb")), "doc_b")
+  /** Two-stage, TWO-PHASE verification of candidate pairs against a
+    * signature table: phase 1 joins only the 8-word band signatures
+    * (64 bytes/side) and applies the exact-Hamming gate; phase 2 joins
+    * the 136-long energy grids (~1 KB/side) for HAMMING SURVIVORS
+    * ONLY. Candidate volume is ~N²/65536 per band (random band
+    * collisions), and nearly all of it dies at the Hamming gate
+    * (random-pair floor ≈ 38 vs gate 7) — so the heavy grid arrays
+    * never ship for the quadratic bulk (the [[VideoOps]] split; guide
+    * §2.3/§8: decide on a lightweight proxy, move heavy bytes for
+    * survivors only). Same filters, same output — the phases are the
+    * same conjunction evaluated in selectivity order. */
+  private def afpVerify(fp: DataFrame, cand: DataFrame): DataFrame = {
+    val hamPass = cand
+      .join(fp.select(col("doc_id").as("doc_a"), col("bands").as("ba")), "doc_a")
+      .join(fp.select(col("doc_id").as("doc_b"), col("bands").as("bb")), "doc_b")
       .withColumn("hamming", expr(
         "aggregate(zip_with(ba, bb, (x, y) -> CAST(bit_count(x ^ y) AS BIGINT)), " +
           "CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+      .filter(col("hamming") <= AUD_HAM_MAX)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+    hamPass
+      .join(fp.select(col("doc_id").as("doc_a"), col("grid").as("ga")), "doc_a")
+      .join(fp.select(col("doc_id").as("doc_b"), col("grid").as("gb")), "doc_b")
       .withColumn("energy_sad", expr(
         "aggregate(zip_with(ga, gb, (x, y) -> abs(x - y)), " +
           "CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
-      .filter(col("hamming") <= AUD_HAM_MAX && col("energy_sad") <= AUD_SAD_MAX)
+      .filter(col("energy_sad") <= AUD_SAD_MAX)
       .select(col("doc_a"), col("doc_b"), col("hamming"), col("energy_sad"))
+  }
 
   /** Near-dup audio pairs from a signature table (doc_id, bands,
     * grid): multi-index band self-join, dedup candidates, two-stage

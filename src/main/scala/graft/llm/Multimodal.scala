@@ -459,23 +459,35 @@ object Multimodal extends QueryModule {
     ph.select(col("doc_id"),
       posexplode(col("bands")).as(Seq("band_idx", "band_val")))
 
-  /** Two-stage verification of candidate pairs against a signature
-    * table: exact Hamming over the 128 dHash bits, then raster SAD
-    * over the 136-sample grid — candidate-only work, never all-pairs. */
-  private def phashVerify(ph: DataFrame, cand: DataFrame): DataFrame =
-    cand
-      .join(ph.select(col("doc_id").as("doc_a"), col("bands").as("ba"),
-        col("grid").as("ga")), "doc_a")
-      .join(ph.select(col("doc_id").as("doc_b"), col("bands").as("bb"),
-        col("grid").as("gb")), "doc_b")
+  /** Two-stage, TWO-PHASE verification of candidate pairs against a
+    * signature table: phase 1 joins only the 8-word band signatures
+    * (64 bytes/side) and applies the exact-Hamming gate; phase 2 joins
+    * the 136-long grid arrays (~1 KB/side) for HAMMING SURVIVORS ONLY.
+    * Candidate volume is ~N²/65536 per band (random band collisions)
+    * and nearly all of it dies at the Hamming gate (random-pair floor
+    * ≈ 60 bits vs gate 7), so the heavy grids never ship for the
+    * quadratic bulk — the [[VideoOps]] split (guide §2.3/§8: decide on
+    * a lightweight proxy, move heavy bytes for survivors only). Same
+    * filters, same output — one conjunction evaluated in selectivity
+    * order. */
+  private def phashVerify(ph: DataFrame, cand: DataFrame): DataFrame = {
+    val hamPass = cand
+      .join(ph.select(col("doc_id").as("doc_a"), col("bands").as("ba")), "doc_a")
+      .join(ph.select(col("doc_id").as("doc_b"), col("bands").as("bb")), "doc_b")
       .withColumn("hamming", expr(
         "aggregate(zip_with(ba, bb, (x, y) -> CAST(bit_count(x ^ y) AS BIGINT)), " +
           "CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+      .filter(col("hamming") <= HAM_MAX)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+    hamPass
+      .join(ph.select(col("doc_id").as("doc_a"), col("grid").as("ga")), "doc_a")
+      .join(ph.select(col("doc_id").as("doc_b"), col("grid").as("gb")), "doc_b")
       .withColumn("grid_sad", expr(
         "aggregate(zip_with(ga, gb, (x, y) -> abs(x - y)), " +
           "CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
-      .filter(col("hamming") <= HAM_MAX && col("grid_sad") <= SAD_MAX)
+      .filter(col("grid_sad") <= SAD_MAX)
       .select(col("doc_a"), col("doc_b"), col("hamming"), col("grid_sad"))
+  }
 
   /** Near-dup image pairs from a signature table `ph` (doc_id, bands,
     * grid): multi-index band self-join (complete at Hamming ≤
