@@ -35,6 +35,26 @@ object ProfileQuery {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // per-action Catalyst phase times (analysis/optimization/planning)
+    // from the QueryPlanningTracker — decomposes the "driver-side gaps"
+    // the job listener reports into named planning phases
+    val phaseMs = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.LongAdder]()
+    val actions = new java.util.concurrent.atomic.LongAdder
+    val execMs = new java.util.concurrent.atomic.LongAdder
+    spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = {
+        actions.increment()
+        execMs.add(durationNs / 1000000L)
+        qe.tracker.phases.foreach { case (phase, summary) =>
+          phaseMs.computeIfAbsent(phase, _ => new java.util.concurrent.atomic.LongAdder)
+            .add(summary.durationMs)
+        }
+      }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, error: Exception): Unit = ()
+    })
+
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, JobRec]()
     val order = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
     val stageToJob = new java.util.concurrent.ConcurrentHashMap[Int, Int]()
@@ -73,6 +93,7 @@ object ProfileQuery {
       catch { case e: Throwable => System.err.println(s"prepare failed: $e") }
       System.gc(); Thread.sleep(120); System.gc(); Thread.sleep(30)
       jobs.clear(); order.clear(); stageToJob.clear()
+      phaseMs.clear(); actions.reset(); execMs.reset()
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
@@ -83,8 +104,32 @@ object ProfileQuery {
           .map(i => jobs.get(i.intValue))
         val totalWall = recs.map(_.wallMs).sum
         println(f"  job wall sum ${totalWall / 1000}%.2fs (gaps = driver-side ${wall - totalWall / 1000}%.2fs)")
+        // give the listener bus a beat to drain before reading the sums
+        Thread.sleep(300)
+        val phases = {
+          import scala.jdk.CollectionConverters._
+          phaseMs.asScala.toSeq.sortBy(-_._2.sum)
+            .map { case (p, v) => f"$p=${v.sum / 1000.0}%.2fs" }.mkString(", ")
+        }
+        println(f"  actions=${actions.sum} actionWall=${execMs.sum / 1000.0}%.2fs  phases: $phases")
         recs.sortBy(-_.wallMs).take(25).foreach { r =>
           println(f"  ${r.wallMs / 1000}%7.3fs tasks=${r.tasks}%4d taskTime=${r.taskMs / 1000.0}%7.2fs shufR=${r.shufR / 1024}%8dK shufW=${r.shufW / 1024}%8dK  ${r.desc.take(110)}")
+        }
+        // aggregate wall + preceding driver gap by job label: the gap
+        // before a job is the driver work that produced it (planning,
+        // codegen, commit protocol of the previous action)
+        case class Agg(var n: Int = 0, var wall: Double = 0, var gap: Double = 0)
+        val byLabel = scala.collection.mutable.LinkedHashMap[String, Agg]()
+        var prevEnd = 0L
+        recs.sortBy(_.t0).foreach { r =>
+          val a = byLabel.getOrElseUpdate(r.desc.take(60), Agg())
+          a.n += 1; a.wall += r.wallMs / 1000
+          if (prevEnd > 0) a.gap += math.max(0, r.t0 - prevEnd) / 1000.0
+          prevEnd = math.max(prevEnd, r.t0 + r.wallMs.toLong)
+        }
+        println("  --- by label (n, job wall s, preceding driver-gap s) ---")
+        byLabel.toSeq.sortBy(t => -(t._2.wall + t._2.gap)).take(20).foreach {
+          case (l, a) => println(f"  ${a.n}%3d  wall ${a.wall}%7.2fs  gap ${a.gap}%7.2fs  $l")
         }
       }
       wall

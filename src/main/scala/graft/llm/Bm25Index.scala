@@ -134,25 +134,36 @@ object Bm25Index {
     val latest = source.latestVersion
     val since = postings.lastTxn(APP).getOrElse(0L) + 1
     if (latest < since) return None
+    // net and the re-derived postings both feed multiple consumers
+    // (emptiness probe / changed-key collect / merge source / stale
+    // anti-join build) — persisted for the refresh so the CDF scan and
+    // the tokenize-explode-aggregate run once each (guide §5); both
+    // O(changed docs), bounded
     val net = IncrementalIndex.netChanges(source.changes(since), "doc_id")
-    if (net.isEmpty) return None
-    val newPost = derivePostings(net.filter(col("__op") === "UPSERT"))
-      .withColumn("__op", lit("UPSERT"))
-    // indexed pairs of the changed docs that the re-derivation does not
-    // re-assert (deleted docs: all of them; updated docs: tokens that
-    // left) — read key-pruned, deleted explicitly
-    val changedKeys = net.select(col("doc_id")).distinct()
-    val bounded = changedKeys.limit(KEY_CAP + 1).collect().map(_.getLong(0)).toSeq
-    val old =
-      if (bounded.length <= KEY_CAP) postings.snapshotForKeys("doc_id", bounded)
-      else postings.snapshot().join(changedKeys, Seq("doc_id"), "left_semi")
-    val stale = old.select(col("pkey"), col("doc_id"), col("tok"),
-        col("tf"), col("dl"))
-      .join(newPost.select(col("pkey")), Seq("pkey"), "left_anti")
-      .withColumn("__op", lit("DELETE"))
-    Merge.run(postings, newPost.unionByName(stale), Seq("pkey"),
-      IncrementalIndex.clauses, txn = Some(APP -> latest))
-    Some(postings.latestVersion)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (net.isEmpty) return None
+      val newPost = derivePostings(net.filter(col("__op") === "UPSERT"))
+        .withColumn("__op", lit("UPSERT"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        // indexed pairs of the changed docs that the re-derivation does
+        // not re-assert (deleted docs: all of them; updated docs: tokens
+        // that left) — read key-pruned, deleted explicitly
+        val changedKeys = net.select(col("doc_id")).distinct()
+        val bounded = changedKeys.limit(KEY_CAP + 1).collect().map(_.getLong(0)).toSeq
+        val old =
+          if (bounded.length <= KEY_CAP) postings.snapshotForKeys("doc_id", bounded)
+          else postings.snapshot().join(changedKeys, Seq("doc_id"), "left_semi")
+        val stale = old.select(col("pkey"), col("doc_id"), col("tok"),
+            col("tf"), col("dl"))
+          .join(newPost.select(col("pkey")), Seq("pkey"), "left_anti")
+          .withColumn("__op", lit("DELETE"))
+        Merge.run(postings, newPost.unionByName(stale), Seq("pkey"),
+          IncrementalIndex.clauses, txn = Some(APP -> latest))
+        Some(postings.latestVersion)
+      } finally newPost.unpersist()
+    } finally net.unpersist()
   }
 
   private def postingsSchema = StructType(Seq(

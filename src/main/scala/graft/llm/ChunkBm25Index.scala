@@ -179,23 +179,34 @@ object ChunkBm25Index {
     val latest = source.latestVersion
     val since = table.lastTxn(APP).getOrElse(0L) + 1
     if (latest < since) return None
+    // net feeds the emptiness probe, the changed-key collect, and the
+    // derive branch; fresh feeds the merge source AND the stale
+    // anti-join's build side (its chunk re-derivation is a real
+    // explode+aggregate shuffle) — both persisted for the refresh so
+    // each computes once (guide §5), both O(changed docs), bounded
     val net = IncrementalIndex.netChanges(source.changes(since), "doc_id")
-    if (net.isEmpty) return None
-    val fresh = derive(net.filter(col("__op") === "UPSERT").drop("__op"))
-      .withColumn("__op", lit("UPSERT"))
-    val changedKeys = net.select(col("doc_id")).distinct()
-    val bounded = changedKeys.limit(KEY_CAP + 1).collect()
-      .map(_.getLong(0)).toSeq
-    val old =
-      if (bounded.length <= KEY_CAP) table.snapshotForKeys("doc_id", bounded)
-      else table.snapshot().join(changedKeys, Seq("doc_id"), "left_semi")
-    val stale = old
-      .join(fresh.select(col(keyCol)), Seq(keyCol), "left_anti")
-      .withColumn("__op", lit("DELETE"))
-      .select(fresh.columns.map(col).toIndexedSeq: _*)
-    Merge.run(table, fresh.unionByName(stale), Seq(keyCol),
-      IncrementalIndex.clauses, txn = Some(APP -> latest))
-    Some(table.latestVersion)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (net.isEmpty) return None
+      val fresh = derive(net.filter(col("__op") === "UPSERT").drop("__op"))
+        .withColumn("__op", lit("UPSERT"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val changedKeys = net.select(col("doc_id")).distinct()
+        val bounded = changedKeys.limit(KEY_CAP + 1).collect()
+          .map(_.getLong(0)).toSeq
+        val old =
+          if (bounded.length <= KEY_CAP) table.snapshotForKeys("doc_id", bounded)
+          else table.snapshot().join(changedKeys, Seq("doc_id"), "left_semi")
+        val stale = old
+          .join(fresh.select(col(keyCol)), Seq(keyCol), "left_anti")
+          .withColumn("__op", lit("DELETE"))
+          .select(fresh.columns.map(col).toIndexedSeq: _*)
+        Merge.run(table, fresh.unionByName(stale), Seq(keyCol),
+          IncrementalIndex.clauses, txn = Some(APP -> latest))
+        Some(table.latestVersion)
+      } finally fresh.unpersist()
+    } finally net.unpersist()
   }
 
   private def postingsSchema = StructType(Seq(

@@ -85,15 +85,22 @@ object IncrementalIndex {
     val latest = source.latestVersion
     val since = index.lastTxn(appId).getOrElse(0L) + 1
     if (latest < since) return None
+    // `net` feeds the emptiness probe, the drift observer, the derive
+    // branch AND the delete branch — unpersisted, each consumer re-ran
+    // the CDF scan + net-effect window (guide §5: persist reused
+    // intermediates, release when done); O(changed rows), bounded
     val net = netChanges(source.changes(since), key)
-    if (net.isEmpty) return None
-    val rawUps = net.filter(col("__op") === "UPSERT")
-    observe(rawUps)
-    val ups = derive(rawUps)
-    val src = ups.unionByName(net.filter(col("__op") === "DELETE"),
-      allowMissingColumns = true)
-    Merge.run(index, src, Seq(key), clauses, txn = Some(appId -> latest))
-    Some(index.latestVersion)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (net.isEmpty) return None
+      val rawUps = net.filter(col("__op") === "UPSERT")
+      observe(rawUps)
+      val ups = derive(rawUps)
+      val src = ups.unionByName(net.filter(col("__op") === "DELETE"),
+        allowMissingColumns = true)
+      Merge.run(index, src, Seq(key), clauses, txn = Some(appId -> latest))
+      Some(index.latestVersion)
+    } finally net.unpersist()
   }
 }
 

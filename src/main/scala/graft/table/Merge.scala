@@ -113,6 +113,18 @@ object Merge {
 
   private val KEEP = -1
 
+  /** Session conf bounding the broadcast-merge source size, in bytes of
+    * the CACHED source plan (a measured size, not an estimate). Below
+    * it the merge joins `target LEFT OUTER broadcast(source)` plus a
+    * key-only anti join instead of the full-outer sort-merge — no
+    * target row is shuffled. The default sits an order of magnitude
+    * above `spark.sql.autoBroadcastJoinThreshold` because a merge
+    * source is consumed by exactly two operators and the broadcast
+    * replaces a shuffle of the (usually far larger) candidate files;
+    * cluster deployments tune it to executor memory headroom. */
+  val BROADCAST_SOURCE_MAX_BYTES = "spark.graft.merge.broadcastSourceMaxBytes"
+  val DEFAULT_BROADCAST_SOURCE_MAX_BYTES: Long = 64L << 20
+
   def run(
       table: VersionedTable,
       source: DataFrame,
@@ -215,26 +227,34 @@ object Merge {
               s"bucketed table's key is ${tdt.simpleString} — cast the source")
         }
         val khash = hash(onKeys.map(col): _*)
+        // NOT deduped here: a `.distinct()` at this level shuffles the
+        // source's whole key set per merge; the downstream
+        // `(bucket, path)` projections dedup map-side into their own
+        // (bounded) distinct, so dropping the exchange loses nothing —
+        // one less shuffle per merge at any batch size (guide §2.4)
         val srcKeys = src
           .select(khash.cast("long").as("__h"),
             pmod(khash, lit(n)).cast("int").as("__b"))
-          .distinct()
         val (statted, statless) = base.dataFiles.partition(f =>
           f.bucket.isDefined && f.minHash.isDefined && f.maxHash.isDefined)
         if (statted.isEmpty) {
-          val touched = srcKeys.select("__b").distinct()
-            .collect().map(_.getInt(0)).toSet // bounded by numBuckets
+          val touched = VersionedTable.labeled(spark, "merge:prune") {
+            srcKeys.select("__b").distinct()
+              .collect()
+          }.map(_.getInt(0)).toSet // bounded by numBuckets
           (statless.map(_.path), touched)
         } else {
           import spark.implicits._
           val fileDf = statted
             .map(f => (f.path, f.bucket.get, f.minHash.get, f.maxHash.get))
             .toDF("__path", "__fb", "__mn", "__mx")
-          val rows = srcKeys.join(broadcast(fileDf),
-              col("__b") === col("__fb") &&
-              col("__h") >= col("__mn") && col("__h") <= col("__mx"), "left")
-            .select(col("__b"), col("__path")).distinct()
-            .collect() // bounded by buckets + files
+          val rows = VersionedTable.labeled(spark, "merge:prune") {
+            srcKeys.join(broadcast(fileDf),
+                col("__b") === col("__fb") &&
+                col("__h") >= col("__mn") && col("__h") <= col("__mx"), "left")
+              .select(col("__b"), col("__path")).distinct()
+              .collect()
+          } // bounded by buckets + files
           val touched = rows.map(_.getInt(0)).toSet
           val candidates =
             (rows.flatMap(r => Option(r.getString(1))).toSeq ++ statless.map(_.path)).distinct
@@ -259,11 +279,73 @@ object Merge {
           (if (targetRaw.columns.contains(f.name)) col(f.name)
            else lit(null).cast(f.dataType)).as(f.name)): _*)
 
-      val t = targetDf.withColumn("__t_present", lit(true)).alias("target")
-      val s = src.withColumn("__s_present", lit(true)).alias("source")
+      // Both sides pack into ONE struct column each ("target"/"source",
+      // plus presence flags): clause conditions written as
+      // col("target.x") / col("source.x") then resolve as struct-FIELD
+      // extraction, which — unlike subquery aliases — survives a UNION,
+      // so the two join shapes below produce interchangeable rows.
+      val tStructType = org.apache.spark.sql.types.StructType(
+        targetFields.map(_.copy(nullable = true)))
+      val t = targetDf.select(
+        struct(targetFields.toIndexedSeq.map(f => col(f.name)): _*)
+          .cast(tStructType).as("target"),
+        lit(true).as("__t_present"))
+      val s = src.select(
+        struct(src.columns.toIndexedSeq.map(col): _*).as("source"),
+        lit(true).as("__s_present"))
       val joinCond = onKeys.map(k => col(s"target.$k") === col(s"source.$k"))
         .reduce(_ && _)
-      val joined = t.join(s, joinCond, "full_outer")
+
+      // Join strategy (guide §3.1): a FULL OUTER join can never
+      // broadcast — Spark shuffles BOTH sides — yet the common CDC
+      // merge joins a large candidate-file read against a small batch.
+      // When the cached source's MATERIALIZED size (the prune job above
+      // populated the cache, so this is a measurement, not an estimate)
+      // fits the broadcast budget, the identical row set is produced
+      // without shuffling a single target row:
+      //   target LEFT OUTER broadcast(source)    — matched + kept rows
+      //   UNION  source LEFT ANTI target-keys    — insert candidates
+      // The anti join moves only the narrow key projection of the
+      // candidate files (and broadcasts that too when the manifest's
+      // per-file row counts prove it small — a driver-side bound, no
+      // IO). Sources past the budget keep the full-outer shuffle: when
+      // most of the table is hit, shuffling it is the right plan.
+      // Unbucketed (full-rewrite) merges also keep it — they have no
+      // prior action to have materialized the cache, so no measured
+      // size to decide on, and their targets are small by design.
+      val broadcastBytes = spark.conf.getOption(BROADCAST_SOURCE_MAX_BYTES)
+        .map(_.toLong).getOrElse(DEFAULT_BROADCAST_SOURCE_MAX_BYTES)
+      val srcSmall = bucketed.isDefined &&
+        src.queryExecution.optimizedPlan.stats.sizeInBytes <= broadcastBytes
+      if (sys.env.contains("GRAFT_MERGE_DEBUG"))
+        System.err.println(s"[merge-debug] bucketed=${bucketed.isDefined} " +
+          s"srcBytes=${src.queryExecution.optimizedPlan.stats.sizeInBytes} " +
+          s"budget=$broadcastBytes srcSmall=$srcSmall")
+      val joined =
+        if (srcSmall && !hasBySource) {
+          val matchedAndKept = t.join(broadcast(s), joinCond, "left_outer")
+          val tKeys = targetDf.select(onKeys.toIndexedSeq.map(col): _*)
+          val candRows = bucketed.map { case (candidates, _) =>
+            val cset = candidates.toSet
+            val entries = base.dataFiles.filter(f => cset(f.path))
+            if (entries.forall(_.rows.isDefined))
+              entries.map(_.liveRows.getOrElse(0L)).sum
+            else Long.MaxValue
+          }.getOrElse(Long.MaxValue)
+          val keyWidth = math.max(8L,
+            onKeys.map(k => targetSchema(k).dataType.defaultSize.toLong).sum)
+          val keysDf =
+            if (candRows != Long.MaxValue && candRows * keyWidth <= broadcastBytes)
+              broadcast(tKeys)
+            else tKeys
+          val antiCond = onKeys.map(k => col(s"source.$k") === tKeys(k))
+            .reduce(_ && _)
+          val inserts = s.join(keysDf, antiCond, "left_anti")
+            .select(lit(null).cast(tStructType).as("target"),
+              lit(null).cast("boolean").as("__t_present"),
+              col("source"), col("__s_present"))
+          matchedAndKept.unionByName(inserts)
+        } else t.join(s, joinCond, "full_outer")
 
       val tPresent = col("__t_present").isNotNull
       val sPresent = col("__s_present").isNotNull
@@ -330,11 +412,13 @@ object Merge {
       val obs = org.apache.spark.sql.Observation()
       val stagingDir = table.root.resolve(
         s"${VersionedTable.STAGING_DIR}/merge-${UUID.randomUUID()}")
-      staged.observe(obs,
-          count(when(in(insertIds), 1)).as("ins"),
-          count(when(in(updateIds), 1)).as("upd"),
-          count(when(in(deleteIds), 1)).as("del"))
-        .write.mode("overwrite").parquet(stagingDir.toString)
+      VersionedTable.labeled(spark, s"merge:stage ${table.root.getFileName}") {
+        staged.observe(obs,
+            count(when(in(insertIds), 1)).as("ins"),
+            count(when(in(updateIds), 1)).as("upd"),
+            count(when(in(deleteIds), 1)).as("del"))
+          .write.mode("overwrite").parquet(stagingDir.toString)
+      }
       val counts = obs.get
       var added = Seq.empty[DataFile]
       try {

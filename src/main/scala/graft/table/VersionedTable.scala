@@ -184,7 +184,26 @@ final class VersionedTable private (
         .toSeq.sorted
     }
 
-  def latestVersion: Long = versions.max
+  /** Highest version seen by THIS handle — makes [[latestVersion]] O(1)
+    * instead of re-listing `_commits` (O(history)) on every call: the
+    * commit path resolves the latest version several times per commit,
+    * so a long-lived table paid O(history) per commit (the endurance
+    * spec's latency growth). Concurrent writers are still observed by
+    * probing FORWARD from the hint (manifest names are dense integers);
+    * vacuum never removes the latest version, so a stale hint can only
+    * lag, never dangle — and a defensive existence check re-lists if it
+    * somehow does. */
+  private val latestHint = new java.util.concurrent.atomic.AtomicLong(-1L)
+
+  def latestVersion: Long = {
+    var v = latestHint.get()
+    if (v < 0 || !Files.exists(manifestPath(v))) v = versions.max
+    var next = v + 1
+    while (Files.exists(manifestPath(next))) { v = next; next += 1 }
+    var cur = latestHint.get()
+    while (v > cur && !latestHint.compareAndSet(cur, v)) cur = latestHint.get()
+    v
+  }
 
   /** Parsed-manifest cache: manifests are immutable once published, so
     * each version is read and parsed at most once per table handle —
@@ -493,7 +512,10 @@ final class VersionedTable private (
     * straight from the parquet footers — a driver-side metadata read,
     * zero extra Spark jobs (readers never see the column: all reads go
     * through explicit schemas). */
-  private[table] def ingest(df: DataFrame): Seq[DataFile] = {
+  private[table] def ingest(df: DataFrame): Seq[DataFile] =
+    VersionedTable.labeled(spark, s"table:ingest ${root.getFileName}")(ingestImpl(df))
+
+  private def ingestImpl(df: DataFrame): Seq[DataFile] = {
     val tmp = root.resolve(s"$STAGING_DIR/ingest-${UUID.randomUUID()}")
     // Optional file sizing (PROP_MAX_RECORDS_PER_FILE): a huge bucket
     // splits into several files, and because rows are sorted by key hash
@@ -668,9 +690,11 @@ final class VersionedTable private (
       // or crashed attempt can never leak phantom change rows.
       val changeNames = changeRows.filter(_ => cdfEnabled).map { ch =>
         val tmp = root.resolve(s"$STAGING_DIR/changes-${UUID.randomUUID()}")
-        ch.withColumn("_commit_version", lit(v))
-          .withColumn("_commit_timestamp", timestamp_millis(lit(ts)))
-          .write.mode("overwrite").parquet(tmp.toString)
+        VersionedTable.labeled(spark, s"table:cdf-write ${root.getFileName}") {
+          ch.withColumn("_commit_version", lit(v))
+            .withColumn("_commit_timestamp", timestamp_millis(lit(ts)))
+            .write.mode("overwrite").parquet(tmp.toString)
+        }
         Files.createDirectories(changesDir)
         val names = Using.resource(Files.list(tmp)) { s =>
           s.iterator.asScala
@@ -1122,9 +1146,11 @@ final class VersionedTable private (
     // DV-aware scan: a file whose only matching rows are already
     // tombstoned is NOT touched (a CoW rewrite would be wasted work; a
     // MoR delete would double-tombstone and emit phantom CDF rows)
-    val names = readWithMeta(candidates, m.schema)
-      .filter(hit).select(col("__file")).distinct()
-      .collect().map(_.getString(0)).toSet
+    val names = VersionedTable.labeled(spark, s"table:touched-scan ${root.getFileName}") {
+      readWithMeta(candidates, m.schema)
+        .filter(hit).select(col("__file")).distinct()
+        .collect()
+    }.map(_.getString(0)).toSet
     m.dataFiles.filter(f => names.contains(f.path.split('/').last))
   }
 
@@ -1468,6 +1494,18 @@ final class VersionedTable private (
 }
 
 object VersionedTable {
+  /** Runs `body` under a Spark job-description label (optimization
+    * guide §1.5 — label your jobs), restoring the caller's description
+    * after: engine-internal actions (staging writes, CDF writes,
+    * pruning scans) become attributable in the UI / profilers instead
+    * of anonymous "?" jobs. */
+  private[graft] def labeled[T](spark: SparkSession, desc: String)(body: => T): T = {
+    val sc = spark.sparkContext
+    val prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(desc)
+    try body finally sc.setJobDescription(prev)
+  }
+
   val COMMITS_DIR = "_commits"
   val CHANGES_DIR = "_changes"
   val STAGING_DIR = "_staging"
@@ -1626,12 +1664,18 @@ object VersionedTable {
         .reverse.foreach(Files.delete)
     }
 
+  /** One shared Hadoop conf for driver-side footer reads: every
+    * `new Configuration()` re-parses the default XML resources (the
+    * stack profile showed Configuration$Parser in the commit path), and
+    * footer stats read one file per written file per commit — the conf
+    * is immutable here, so share a single instance. */
+  private val footerConf = new org.apache.hadoop.conf.Configuration()
+
   /** Row count from the parquet footer — a driver-side metadata read,
     * no Spark job. */
   private[table] def footerRowCount(p: Path): Long = {
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-      new org.apache.hadoop.fs.Path(p.toUri),
-      new org.apache.hadoop.conf.Configuration())
+      new org.apache.hadoop.fs.Path(p.toUri), footerConf)
     Using.resource(org.apache.parquet.hadoop.ParquetFileReader.open(in))(
       _.getRecordCount)
   }
@@ -1677,8 +1721,7 @@ object VersionedTable {
     * the parquet footer, aggregated across row groups. */
   private[table] def footerStats(p: Path, statFields: Seq[StructField]): FooterStats = {
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-      new org.apache.hadoop.fs.Path(p.toUri),
-      new org.apache.hadoop.conf.Configuration())
+      new org.apache.hadoop.fs.Path(p.toUri), footerConf)
     Using.resource(org.apache.parquet.hadoop.ParquetFileReader.open(in)) { r =>
       val blocks = r.getFooter.getBlocks.asScala.toSeq
       val rows = blocks.map(_.getRowCount).sum
